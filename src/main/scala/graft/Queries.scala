@@ -1,0 +1,340 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.gf
+
+/** The declared relational + vector query inventory (SURVEY.md §2),
+  * each with a DuckDB-oracle SQL twin in [[Queries.oracle]].
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased identically in both engines;
+  *  - double aggregates are rounded (sum→2dp, avg/sim→4dp) because
+  *    floating summation order differs between engines;
+  *  - every query's output is a deterministic set (unique rows or an
+  *    explicit total order with documented tie-breaks, SURVEY §4.3).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------- §2.4 aggregations ----------
+
+  /** A1/A2-style pricing summary (TPC-H Q1 shape) over lineitem. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  // ---------- §2.5 top-k / pagination ----------
+
+  /** T1/T2: global top-k with deterministic tie-break (sim DESC, key ASC). */
+  def q02TopkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** T3: offset/limit pagination via row_number window. */
+  def q03Pagination(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn").between(21, 30))
+  }
+
+  // ---------- §2.3 joins ----------
+
+  /** J1-style FK join + group aggregate: revenue per nation. */
+  def q04JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val n = t(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** S8 cascade-delete rewrite: anti join — customers with no orders. */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Semi join: customers having at least one open ('O') order. */
+  def q06SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  // ---------- §2.1-2.2 scans / filters ----------
+
+  /** S3: point lookup. */
+  def q07PointLookup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") === 42)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** S4: IN-list + range scan with pruned projection. */
+  def q08InlistScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_suppkey").isin(1, 2, 3) &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        round(col("l_extendedprice"), 2).as("price"))
+
+  // ---------- §2.4 A6 dedup / window ----------
+
+  /** A6: keep the best row per group (highest value event per user). */
+  def q09WindowDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"))
+  }
+
+  // ---------- §2.6 set ops ----------
+
+  /** Union of two filtered scans then aggregate. */
+  def q10Union(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val hi = e.filter(col("value") > 90)
+    val err = e.filter(col("event_type") === "error")
+    hi.unionByName(err).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  // ---------- JSON / events ----------
+
+  /** DocumentField-style JSON payload extraction (events.props). */
+  def q11JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+
+  /** Tumbling time-window aggregate over the event stream table. */
+  def q12TimeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  // ---------- group-by having / distinct ----------
+
+  def q13Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .filter(col("n_parts") > 5)
+
+  def q14Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  // ---------- vector queries (§2.7/2.8) ----------
+
+  /** A3: per-label element-wise mean embedding via the VectorMeanAgg
+    * aggregator, exploded to (label, pos, mean) rows for the oracle. */
+  def q15VectorMean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(gf.vector_mean(col("embedding")).as("mean_vec"))
+      .select(col("label"), posexplode(col("mean_vec")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        round(col("v").cast("double"), 4).as("mean_val"))
+
+  /** J4/T2: brute-force cosine top-k against a fixed query vector
+    * (the embedding of vec_id=0), deterministic tie-break. */
+  def q16CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(gf.cosine_sim(col("embedding"), col("qvec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  // ---------- text analysis ----------
+
+  /** Token counting + basic quality features over documents. */
+  def q17TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        gf.token_count(col("text")).as("n_tokens"),
+        length(col("text")).as("len"),
+        length(regexp_replace(col("text"), "[^.!?]", "")).as("n_sentence_punct"))
+
+  /** Exact dedup by content fingerprint (md5 of normalized text). */
+  def q18ExactDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Language profile of the corpus (stored labels; lang_id accuracy is
+    * asserted in ScalaTest against these labels). */
+  def q19LangProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+
+  /** Cascade delete rewrite (S8): embeddings surviving deletion of all
+    * documents from source 'src0' (doc_id ↔ vec_id 1:1 in testdata). */
+  def q20CascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val deleted = t(s, dir, "documents").filter(col("source") === "src0")
+    e.join(deleted, e("vec_id") === deleted("doc_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** All queries, keyed. */
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_topk_orders" -> q02TopkOrders _,
+    "q03_pagination" -> q03Pagination _,
+    "q04_join_agg" -> q04JoinAgg _,
+    "q05_anti_join" -> q05AntiJoin _,
+    "q06_semi_join" -> q06SemiJoin _,
+    "q07_point_lookup" -> q07PointLookup _,
+    "q08_inlist_scan" -> q08InlistScan _,
+    "q09_window_dedup" -> q09WindowDedup _,
+    "q10_union" -> q10Union _,
+    "q11_json_extract" -> q11JsonExtract _,
+    "q12_time_agg" -> q12TimeAgg _,
+    "q13_having" -> q13Having _,
+    "q14_distinct" -> q14Distinct _,
+    "q15_vector_mean" -> q15VectorMean _,
+    "q16_cosine_topk" -> q16CosineTopk _,
+    "q17_token_stats" -> q17TokenStats _,
+    "q18_exact_dedup" -> q18ExactDedup _,
+    "q19_lang_profile" -> q19LangProfile _,
+    "q20_cascade_delete" -> q20CascadeDelete _
+  )
+
+  /** DuckDB oracle SQL twins (same column names, same rounding). */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q03_pagination" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn BETWEEN 21 AND 30""".stripMargin,
+    "q04_join_agg" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q07_point_lookup" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42",
+    "q08_inlist_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_suppkey IN (1, 2, 3) AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin,
+    "q09_window_dedup" ->
+      """SELECT user_id, event_id, round(value, 2) AS value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q10_union" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT * FROM events WHERE value > 90
+        |    UNION ALL
+        |    SELECT * FROM events WHERE event_type = 'error'))
+        |GROUP BY event_type""".stripMargin,
+    "q11_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(k), 4) AS avg_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q12_time_agg" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q13_having" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM part GROUP BY p_brand HAVING count(*) > 5""".stripMargin,
+    "q14_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q15_vector_mean" ->
+      """SELECT label, idx - 1 AS pos,
+        |  round(CAST(CAST(avg(val) AS REAL) AS DOUBLE), 4) AS mean_val
+        |FROM (SELECT label, unnest(embedding) AS val,
+        |        unnest(generate_series(1, len(embedding))) AS idx
+        |      FROM embeddings)
+        |GROUP BY label, idx - 1""".stripMargin,
+    "q16_cosine_topk" ->
+      """SELECT e.vec_id,
+        |  round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS sim
+        |FROM embeddings e,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q17_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS len,
+        |  length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sentence_punct
+        |FROM documents""".stripMargin,
+    "q18_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q19_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q20_cascade_delete" ->
+      """SELECT vec_id, label FROM embeddings e
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |                  WHERE d.doc_id = e.vec_id AND d.source = 'src0')""".stripMargin
+  )
+}

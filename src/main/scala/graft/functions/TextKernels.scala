@@ -1,0 +1,227 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** String/document kernels.
+  *
+  * `flatten` and `split` mirror the reference's canonical-text rules
+  * byte-for-byte (reference server/format.go:17-108) — including its
+  * newline-placement quirks in map flattening — because the upload
+  * pipeline's chunk boundaries (and therefore embeddings) depend on them.
+  *
+  * The analysis functions (langId, quality, fingerprints, minhash, simhash)
+  * are our large-scale-pipeline extensions; they are deliberately built on
+  * engine-portable primitives (md5 hex, whitespace tokens) so the DuckDB
+  * oracle can reproduce them exactly.
+  */
+object TextKernels {
+
+  private val mapper = new ObjectMapper()
+  private val excessNewline = "\n\n+".r
+
+  /** JSON text → canonical flattened text (reference server/format.go:17-89). */
+  def flattenJson(json: String): String =
+    try flatten(mapper.readTree(json))
+    catch { case _: Exception => formatString(json) } // non-JSON → plain string
+
+  def flatten(node: JsonNode): String = {
+    if (node == null || node.isNull) "null."
+    else if (node.isTextual) formatString(node.asText())
+    else if (node.isNumber) formatFloatShortest(node.asDouble())
+    else if (node.isBoolean) { if (node.asBoolean()) "true." else "false." }
+    else if (node.isArray) {
+      val items = node.elements().asScala.toSeq
+      items.map(flatten).mkString("\n")
+    } else if (node.isObject) {
+      // Mirrors reference flattenMap (format.go:66-89): keys sorted; each
+      // line of the flattened value prefixed with "key: "; newline emitted
+      // only when NOT the last line of the value AND NOT the last key.
+      val keys = node.fieldNames().asScala.toSeq.sorted
+      val sb = new StringBuilder
+      keys.zipWithIndex.foreach { case (key, idx) =>
+        val lines = flatten(node.get(key)).split("\n", -1)
+        lines.zipWithIndex.foreach { case (line, jdx) =>
+          sb.append(key).append(": ").append(line)
+          if (jdx != lines.length - 1 && idx != keys.length - 1) sb.append("\n")
+        }
+      }
+      sb.toString
+    } else node.toString
+  }
+
+  /** reference format.go:37-46 */
+  def formatString(value0: String): String = {
+    var value = value0.replace("\r", "")
+    value = excessNewline.replaceAllIn(value, "\n")
+    value = value.trim
+    if (value.endsWith("\n")) value = value.dropRight(1)
+    if (!value.endsWith(".")) value + "." else value
+  }
+
+  /** Go strconv.FormatFloat(v, 'f', -1, 32): shortest fixed-notation decimal
+    * that round-trips to the same float32. */
+  def formatFloatShortest(v: Double): String = {
+    val f = v.toFloat
+    val s = java.lang.Float.toString(f) // shortest round-trip, maybe E-notation
+    val plain = new java.math.BigDecimal(s).stripTrailingZeros().toPlainString
+    if (plain == "-0") "0" else plain
+  }
+
+  /** Greedy word-budget chunker (reference server/format.go:91-108).
+    * Note the reference always joins with a single space and re-prepends
+    * the prefix on each new chunk. */
+  def split(prefix: String, text: String, ctxNum: Int): Array[String] = {
+    val maxWords = ((ctxNum * 9) / 10) / 4
+    val out = mutable.ArrayBuffer.empty[String]
+    var current = prefix
+    var currentNumWords = 0
+    text.split("\n", -1).foreach { sentence =>
+      val numWords = fields(sentence).length
+      if (numWords + currentNumWords > maxWords && current != "") {
+        out += current
+        current = prefix
+        currentNumWords = 0
+      }
+      current = current + " " + sentence
+      currentNumWords += numWords
+    }
+    out += current
+    out.toArray
+  }
+
+  /** Go strings.Fields: split on whitespace runs, no empties. */
+  def fields(s: String): Array[String] =
+    s.split("\\s+").filter(_.nonEmpty)
+
+  // ---- analysis extensions ----
+
+  /** Token-level word shingles (n-grams joined by single space) over
+    * lowercase whitespace tokens — the dedup unit for MinHash/Jaccard. */
+  def shingles(text: String, n: Int): Array[String] = {
+    val toks = fields(text.toLowerCase)
+    if (toks.length < n) {
+      if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
+    } else
+      (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).toArray
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** MinHash signature: for each of k seeded "permutations", the minimum
+    * md5 hex of `"<seed>:<shingle>"`. md5-hex min is engine-portable (the
+    * DuckDB oracle computes the identical value). Empty doc → all "z". */
+  def minhash(text: String, n: Int, k: Int): Array[String] = {
+    val sh = shingles(text, n)
+    Array.tabulate(k) { seed =>
+      if (sh.isEmpty) "z"
+      else sh.iterator.map(s => md5Hex(s"$seed:$s")).min
+    }
+  }
+
+  /** LSH band keys: the k-length signature cut into `bands` groups of
+    * k/bands values, each group md5'd into one bucket key. */
+  def lshBands(sig: Array[String], bands: Int): Array[String] = {
+    val r = sig.length / bands
+    Array.tabulate(bands)(b => b.toString + ":" + md5Hex(sig.slice(b * r, (b + 1) * r).mkString("|")))
+  }
+
+  /** 64-bit SimHash over lowercase tokens (fnv1a64 token hashes, bitwise
+    * majority vote). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    fields(text.toLowerCase).foreach { t =>
+      val h = VectorKernels.fnv1a64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def hammingDist64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Rolling Karp-Rabin fingerprint over the token stream — order-sensitive
+    * document fingerprint (vs md5 which is content-exact). */
+  def rollingFingerprint(text: String): Long = {
+    var h = 0L
+    fields(text.toLowerCase).foreach { t =>
+      h = h * 1000003L + VectorKernels.fnv1a64(t)
+    }
+    h
+  }
+
+  /** n-gram Jaccard similarity between two texts (exact, for verify stage). */
+  def jaccard(a: String, b: String, n: Int): Double = {
+    val sa = shingles(a, n).toSet
+    val sb = shingles(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size.toDouble
+      inter / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** Stopword-profile language ID over {en,de,fr,es,zh} — the languages in
+    * the testdata. Counts whole-token stopword hits per language; argmax
+    * with deterministic tie-break on language code. CJK codepoint presence
+    * short-circuits to zh. */
+  private val stopwords: Seq[(String, Set[String])] = Seq(
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "im", "auf", "für"),
+    "en" -> Set("the", "and", "is", "of", "to", "in", "a", "that", "it", "for", "on", "with", "as", "this", "are"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "de", "que", "en", "un", "una", "por", "con", "para", "no"),
+    "fr" -> Set("le", "la", "les", "et", "est", "de", "que", "en", "un", "une", "pour", "dans", "ce", "pas", "sur")
+  )
+
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0
+    var i = 0
+    val scanLimit = math.min(text.length, 4000)
+    while (i < scanLimit) {
+      val c = text.charAt(i)
+      if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3400 && c <= 0x4dbf)) cjk += 1
+      i += 1
+    }
+    if (cjk * 50 > scanLimit) return "zh"
+    val toks = fields(text.toLowerCase)
+    if (toks.isEmpty) return "und"
+    var best = "und"
+    var bestScore = 0
+    stopwords.foreach { case (lang, set) =>
+      val score = toks.count(set.contains)
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+
+  /** Heuristic quality score in [0,1]: length band + alpha ratio +
+    * punctuation sanity + stopword density + mean word length band. */
+  def qualityScore(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val len = text.length
+    val toks = fields(text)
+    if (toks.isEmpty) return 0.0
+    val alpha = text.count(_.isLetter).toDouble / len
+    val punct = text.count(c => ".,;:!?".indexOf(c) >= 0).toDouble / len
+    val meanWord = toks.map(_.length).sum.toDouble / toks.length
+    val lenScore = if (len >= 100 && len <= 20000) 1.0 else if (len >= 20) 0.5 else 0.0
+    val alphaScore = if (alpha >= 0.6) 1.0 else alpha / 0.6
+    val punctScore = if (punct <= 0.1) 1.0 else math.max(0.0, 1.0 - (punct - 0.1) * 5)
+    val wordScore = if (meanWord >= 3 && meanWord <= 12) 1.0 else 0.5
+    (lenScore + alphaScore + punctScore + wordScore) / 4.0
+  }
+}

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector codec + cosine kernels.
+  *
+  * All of them stay inside whole-stage codegen by emitting a single static
+  * call into [[VectorKernels]] — no interpreted UDF boxing in the hot path.
+  * Semantics documented in VectorKernels (parity with the reference's
+  * compute/quantization.go and compute/cosine.go).
+  */
+
+private object Kern { val N = "graft.functions.VectorKernels" }
+
+/** cosine_sim(array<float>, array<float>) → double */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.twoFloatArrays(prettyName, left, right)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineAD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${Kern.N}.cosineAD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine_sim_q(binary, binary) → double — fused dequantize + cosine over
+  * packed `[f32 min][f32 max][codes]` vectors. */
+case class CosineSimQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(left -> BinaryType, right -> BinaryType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim_q"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineQ(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${Kern.N}.cosineQ($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** quantize_vec(array<float>) → binary(dim+8) */
+case class QuantizeVec(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child -> ArrayType(FloatType)))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_vec"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.quantizeAD(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${Kern.N}.quantizeAD($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** dequantize_vec(binary) → array<float> */
+case class DequantizeVec(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child -> BinaryType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dequantize_vec"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.dequantizeAD(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${Kern.N}.dequantizeAD($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** l2_normalize(array<float>) → array<float>, zero-norm safe */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child -> ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_normalize"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.l2NormalizeAD(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${Kern.N}.l2NormalizeAD($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** noop_embed(string) → binary(8+512) — deterministic fake embedder
+  * mirroring the reference's noop provider shape (noop/ai.go:47-64). */
+case class NoopEmbed(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child -> StringType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "noop_embed"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.noopEmbed(a.asInstanceOf[UTF8String].toString, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${Kern.N}.noopEmbed($a.toString(), $dim)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Manual input-type checks (AbstractDataType is private[sql] in Spark 4,
+  * so ExpectsInputTypes is unavailable to third-party expressions). */
+private[functions] object GraftExprChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckSuccess, TypeCheckFailure}
+
+  private def floatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def twoFloatArrays(name: String, l: Expression, r: Expression): TypeCheckResult =
+    if (floatArray(l.dataType) && floatArray(r.dataType)) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$name expects (array<float>, array<float>), got (${l.dataType.sql}, ${r.dataType.sql})")
+
+  def expect(name: String, pairs: Seq[(Expression, DataType)]): TypeCheckResult = {
+    val bad = pairs.find { case (e, t) =>
+      t match {
+        case ArrayType(FloatType, _) => !floatArray(e.dataType)
+        case StringType => !e.dataType.isInstanceOf[StringType]
+        case other => e.dataType != other
+      }
+    }
+    bad match {
+      case Some((e, t)) =>
+        TypeCheckFailure(s"$name expects ${t.sql}, got ${e.dataType.sql}")
+      case None => TypeCheckSuccess
+    }
+  }
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.{functions => F}
+
+/** Public column-function surface of the engine ("graft functions").
+  *
+  * Codec / cosine are native Catalyst expressions (whole-stage codegen,
+  * see expressions.scala); document/text functions are Scala UDFs (ingest
+  * path, not per-row-hot in queries).
+  */
+object gf {
+
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    shim.column(e)
+  private def expr(c: Column) = shim.expression(c)
+
+  // ---- vector codec + kernels (native expressions) ----
+
+  /** Cosine similarity of two `array<float>` columns (float64 math). */
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
+
+  /** Fused dequantize+cosine over two packed quantized `binary` vectors. */
+  def cosine_sim_q(a: Column, b: Column): Column = col(CosineSimQ(expr(a), expr(b)))
+
+  /** `array<float>` → packed quantized `binary(dim+8)` ([f32 min][f32 max][codes]). */
+  def quantize_vec(a: Column): Column = col(QuantizeVec(expr(a)))
+
+  /** packed quantized `binary` → `array<float>`. */
+  def dequantize_vec(a: Column): Column = col(DequantizeVec(expr(a)))
+
+  /** L2-normalize an `array<float>` (zero-norm → zero vector). */
+  def l2_normalize(a: Column): Column = col(L2Normalize(expr(a)))
+
+  /** Deterministic fake embedding of a string (reference noop provider
+    * shape: quantized binary, header min=-1/max=1). */
+  def noop_embed(text: Column, dim: Int = 512): Column = col(NoopEmbed(expr(text), dim))
+
+  // ---- document pipeline (UDFs) ----
+
+  /** JSON document → canonical flattened text (reference Flatten). */
+  val flatten_doc: Column => Column = {
+    val u = F.udf((s: String) => TextKernels.flattenJson(s))
+    c => u(c)
+  }
+
+  /** Greedy word-budget chunker (reference Split). */
+  def split_chunks(text: Column, prefix: Column, ctxNum: Column): Column = {
+    val u = F.udf((t: String, p: String, n: Int) => TextKernels.split(p, t, n))
+    u(text, prefix, ctxNum)
+  }
+
+  // ---- text analysis (UDFs over portable primitives) ----
+
+  val lang_id: Column => Column = {
+    val u = F.udf((s: String) => TextKernels.langId(s)); c => u(c)
+  }
+  val quality_score: Column => Column = {
+    val u = F.udf((s: String) => TextKernels.qualityScore(s)); c => u(c)
+  }
+  def shingles(text: Column, n: Int): Column = {
+    val u = F.udf((s: String, nn: Int) => TextKernels.shingles(s, nn))
+    u(text, F.lit(n))
+  }
+  def minhash(text: Column, n: Int, k: Int): Column = {
+    val u = F.udf((s: String, nn: Int, kk: Int) => TextKernels.minhash(s, nn, kk))
+    u(text, F.lit(n), F.lit(k))
+  }
+  def lsh_bands(sig: Column, bands: Int): Column = {
+    val u = F.udf((s: Seq[String], b: Int) => TextKernels.lshBands(s.toArray, b))
+    u(sig, F.lit(bands))
+  }
+  val simhash: Column => Column = {
+    val u = F.udf((s: String) => TextKernels.simhash64(s)); c => u(c)
+  }
+  def hamming64(a: Column, b: Column): Column =
+    F.bit_count(a.bitwiseXOR(b))
+  val rolling_fingerprint: Column => Column = {
+    val u = F.udf((s: String) => TextKernels.rollingFingerprint(s)); c => u(c)
+  }
+  def jaccard_sim(a: Column, b: Column, n: Int): Column = {
+    val u = F.udf((x: String, y: String, nn: Int) => TextKernels.jaccard(x, y, nn))
+    u(a, b, F.lit(n))
+  }
+
+  /** Whitespace token count — expression-composed (codegen'd, and the exact
+    * semantics are reproducible in the DuckDB oracle). */
+  def token_count(text: Column): Column =
+    F.size(F.split(F.trim(text), "\\s+")) // trim first: Fields semantics
+
+  // ---- aggregates ----
+
+  /** Element-wise mean of an `array<float>` column (centroid recenter, A3).
+    * Single-pass TypedImperativeAggregate-backed Aggregator: sums in
+    * float64, divides once — no posexplode shuffle of dim×rows. */
+  class VectorMeanAgg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Float]] {
+    def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    def reduce(b: (Array[Double], Long), a: Seq[Float]): (Array[Double], Long) = {
+      val buf = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+      var i = 0
+      while (i < a.length) { buf(i) += a(i); i += 1 }
+      (buf, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      if (x._1.isEmpty) y
+      else if (y._1.isEmpty) x
+      else {
+        var i = 0
+        while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+    }
+    def finish(b: (Array[Double], Long)): Seq[Float] =
+      if (b._2 == 0) Seq.empty else b._1.map(s => (s / b._2).toFloat).toSeq
+    def bufferEncoder = ExpressionEncoder[(Array[Double], Long)]()
+    def outputEncoder = ExpressionEncoder[Seq[Float]]()
+  }
+
+  /** vector_mean(array<float>) aggregate Column. */
+  def vector_mean(c: Column): Column = {
+    val agg = F.udaf(new VectorMeanAgg, ExpressionEncoder[Seq[Float]]())
+    agg(c)
+  }
+
+  /** Register the native expressions for SQL use (`SELECT cosine_sim(a,b)`). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim_q", es => CosineSimQ(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_vec", es => QuantizeVec(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dequantize_vec", es => DequantizeVec(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("noop_embed", es => NoopEmbed(es.head, 512), "scala_udf")
+  }
+}
