@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.gf
+
+/** Sanity layer on the declared query inventory at sf0.001. The real
+  * correctness gate is the DuckDB oracle (tools/check_oracle.py, driver t2);
+  * these specs catch regressions fast and pin non-SQL behaviors. */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sf0001
+
+  test("every registered query executes and has an oracle or a reason") {
+    Queries.registry.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty, name)
+      df.count() // must execute
+      assert(Queries.oracle.contains(name) || name.startsWith("qx"),
+        s"$name lacks an oracle entry")
+    }
+  }
+
+  test("oracle keys match registry keys") {
+    assert(Queries.oracle.keySet.subsetOf(Queries.registry.keySet))
+  }
+
+  test("q16 cosine top-k is deterministic and self-match leads") {
+    val rows = Queries.q16CosineTopk(spark, dir).collect()
+    assert(rows.length == 10)
+    // vec_id=0 vs itself has sim 1.0 and must rank first
+    assert(rows.head.getLong(0) == 0L && rows.head.getDouble(1) == 1.0)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q15 vector mean matches a brute-force computation") {
+    val got = Queries.q15VectorMean(spark, dir)
+      .filter(col("label") === 0 && col("pos") === 0)
+      .collect()(0).getDouble(2)
+    val exp = {
+      val vs = Tables.load(spark, dir, "embeddings")
+        .filter(col("label") === 0)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).head)
+      val mean = (vs.map(_.toDouble).sum / vs.length).toFloat
+      math.round(mean.toDouble * 10000) / 10000.0
+    }
+    assert(math.abs(got - exp) < 2e-4, s"$got vs $exp")
+  }
+
+  test("cosine_sim expression stays inside whole-stage codegen") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    // AQE reports 0 codegen subtrees before execution; disable it here.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val codegen =
+      try e.crossJoin(broadcast(q))
+        .select(gf.cosine_sim(col("embedding"), col("qvec")).as("sim"))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(codegen.contains("WholeStageCodegen"), codegen)
+    // the kernel call must appear inside generated code, not a UDF fallback
+    assert(codegen.contains("VectorKernels.cosineAD"), codegen)
+  }
+
+  test("entry returns rows (driver t1 smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
