@@ -1,0 +1,230 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import graft.functions.{gf, VectorKernels}
+
+/** IVF-Flat vector index, Spark-first.
+  *
+  * The reference builds its IVF lists with a recursive divide-and-conquer
+  * k-means over spill files (dnc/dnc.go:300-400) targeting ~10k vectors per
+  * centroid, then re-assigns, drops small lists, and recenters
+  * (dnc/dnc.go:170-574). Spark's shuffle already does what the spill-file
+  * recursion does by hand, so the Spark-native design is flat:
+  *
+  *   1. sample ≤ sampleSize rows (reference SAMPLE_SIZE=50k, sampling.go)
+  *   2. k-means with cosine assignment on the sample, k = ceil(N/listSize)
+  *      (driver-side Lloyd's on the sample — the sample is bounded, so this
+  *      is cheap and deterministic; the cluster-scale work stays in stages
+  *      3-5 which are single distributed passes)
+  *   3. assign every row to its nearest centroid — one broadcast argmax
+  *      pass ([[NearestCentroid]], whole-stage codegen)
+  *   4. drop lists with < minMembers members, re-home their rows to the
+  *      surviving centroids (reference dnc.go:458-574)
+  *   5. recenter each centroid to the member mean (reference dnc.go:402-456)
+  *
+  * Search (reference server/search.go:202-273): pick top-nprobe centroids
+  * by cosine on the driver (centroid table is tiny), scan only those lists
+  * — a partition-pruned read when the index is written
+  * `partitionBy("centroid_id")` — then exact cosine top-k inside the probed
+  * lists.
+  */
+object IvfIndex {
+
+  /** Immutable driver-side centroid set (unit-normalized rows). */
+  final case class Model(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+    /** Top-nprobe centroid ids for a query (nprobe<=0 → all). */
+    def probe(query: Array[Float], nprobe: Int): Seq[Int] = {
+      val qn = VectorKernels.l2Normalize(query)
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        (VectorKernels.dotUnit(qn, c), i)
+      }
+      val n = if (nprobe <= 0) centroids.length else math.min(nprobe, centroids.length)
+      scored.sortBy { case (sim, i) => (-sim, i) }.take(n).map(_._2).toSeq
+    }
+  }
+
+  /** Nearest-centroid argmax column: struct(centroid_id int, sim double). */
+  def nearest_centroid(vec: Column, model: Model): Column =
+    shim.column(NearestCentroid(shim.expression(vec), model.centroids))
+
+  /** Driver-side Lloyd's k-means with cosine assignment over a bounded
+    * sample. Deterministic: seeded sample, initial centers = first k
+    * distinct sampled vectors, ties break to the lowest centroid id. */
+  private[index] def kmeansOnSample(
+      sample: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val normed = sample.map(VectorKernels.l2Normalize)
+    val shuffled = rnd.shuffle(normed.indices.toVector)
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Float]]
+    shuffled.iterator.takeWhile(_ => init.length < k).foreach { i =>
+      val key = normed(i).toSeq
+      if (!seen(key)) { seen += key; init += normed(i) }
+    }
+    var centers = init.toArray
+    var iter = 0
+    var moved = true
+    val dim = if (sample.nonEmpty) sample(0).length else 0
+    while (moved && iter < maxIter) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      normed.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var j = 0
+        while (j < centers.length) {
+          val s = VectorKernels.dotUnit(v, centers(j))
+          if (s > bestSim) { bestSim = s; best = j }
+          j += 1
+        }
+        val acc = sums(best)
+        var d = 0
+        while (d < dim) { acc(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      val next = centers.indices.map { j =>
+        if (counts(j) == 0) centers(j)
+        else VectorKernels.l2Normalize(sums(j).map(x => (x / counts(j)).toFloat))
+      }.toArray
+      moved = next.zip(centers).exists { case (a, b) => !a.sameElements(b) }
+      centers = next
+      iter += 1
+    }
+    centers
+  }
+
+  final case class Params(
+      listSize: Int = 10000, // reference CENTROID_SIZE (constants.go:8)
+      sampleSize: Int = 50000, // reference SAMPLE_SIZE (constants.go:10)
+      minMembersFrac: Double = 0.1, // drop threshold = listSize/10 (dnc.go:486)
+      maxIter: Int = 20,
+      seed: Long = 42L)
+
+  /** Build the index over `df(vecCol)`: returns (df + centroid_id + sim,
+    * recentered model). One sample collect + two distributed passes. */
+  def build(df: DataFrame, vecCol: String, params: Params = Params()): (DataFrame, Model) = {
+    val n = df.count()
+    val k = math.max(1, math.ceil(n.toDouble / params.listSize).toInt)
+    val frac = math.min(1.0, params.sampleSize.toDouble * 1.2 / math.max(n, 1))
+    val sampled = df.select(vecCol).sample(withReplacement = false, frac, params.seed)
+      .limit(params.sampleSize).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centers = kmeansOnSample(sampled, k, params.maxIter, params.seed)
+    val model0 = Model(centers)
+
+    // distributed pass 1: assign
+    val assigned0 = assign(df, vecCol, model0)
+
+    // drop small lists (keep at least the largest — dnc.go:478-480)
+    val minMembers = math.max(1, (params.listSize * params.minMembersFrac).toInt)
+    val counts = assigned0.groupBy("centroid_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val largest = if (counts.isEmpty) -1 else counts.maxBy(_._2)._1
+    val survivors = counts.filter { case (id, c) => c >= minMembers || id == largest }.keys.toSeq.sorted
+    val model1 =
+      if (survivors.length == model0.k) model0
+      else Model(survivors.map(centers).toArray)
+    val assigned1 =
+      if (survivors.length == model0.k) assigned0
+      else assign(df, vecCol, model1)
+
+    // distributed pass 2: recenter to member means (M7), then final assign ids
+    val recentered = assigned1.groupBy("centroid_id")
+      .agg(gf.vector_mean(col(vecCol)).as("mean_vec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    val model2 = Model(model1.centroids.indices.map { i =>
+      recentered.get(i).map(VectorKernels.l2Normalize).getOrElse(model1.centroids(i))
+    }.toArray)
+    (assign(df, vecCol, model2), model2)
+  }
+
+  /** One broadcast argmax-cosine pass (J3): adds centroid_id + centroid_sim. */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("_nc", nearest_centroid(col(vecCol), model))
+      .withColumn("centroid_id", col("_nc.centroid_id"))
+      .withColumn("centroid_sim", col("_nc.sim"))
+      .drop("_nc")
+
+  /** Persist the index partitioned by list — searches with nprobe probe
+    * only those directories (partition pruning). */
+  def write(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** nprobe search over an assigned/partitioned index DataFrame.
+    * Deterministic tie-break (sim DESC, id ASC) — SURVEY §4.3. */
+  def search(
+      indexed: DataFrame, model: Model, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probeIds = model.probe(query, nprobe)
+    val qLit = lit(query)
+    indexed
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .select(col(idCol),
+        gf.cosine_sim(col(vecCol), qLit.cast("array<float>")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
+
+/** `nearest_centroid(array<float>)` → `struct(centroid_id int, sim double)`
+  * — broadcast argmax over a centroid matrix captured in the plan, the J3
+  * assignment kernel (reference compute/cosine.go:70-125). Codegen emits a
+  * single static call against the matrix reference object. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("centroid_id", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NearestCentroid.eval(a.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("centroidMatrix", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.index.NearestCentroid.eval($a, $matRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  // the matrix is part of semantic equality but Array lacks it — compare contents
+  override def equals(o: Any): Boolean = o match {
+    case NearestCentroid(c, m) =>
+      c == child && m.length == centroids.length &&
+        m.zip(centroids).forall { case (x, y) => x.sameElements(y) }
+    case _ => false
+  }
+  override def hashCode(): Int = child.hashCode() * 31 + centroids.length
+}
+
+object NearestCentroid {
+  /** argmax_j cosine(v, C_j); centroid rows are pre-normalized. */
+  def eval(v: ArrayData, centroids: Array[Array[Float]]): InternalRow = {
+    val x = v.toFloatArray()
+    val xn = VectorKernels.l2Normalize(x)
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var j = 0
+    while (j < centroids.length) {
+      val s = VectorKernels.dotUnit(xn, centroids(j))
+      if (s > bestSim) { bestSim = s; best = j }
+      j += 1
+    }
+    InternalRow(best, bestSim)
+  }
+}
