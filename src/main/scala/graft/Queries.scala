@@ -321,7 +321,8 @@ object Queries {
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
     "q17_token_stats" ->
       """SELECT doc_id,
-        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |  length(text) AS len,
         |  length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sentence_punct
         |FROM documents""".stripMargin,

@@ -14,9 +14,11 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
+      // Integer division: `/` would promote to double, and epoch nanos
+      // (~1.8e18) exceed double's 53-bit exact range (ULP ≈ 256ns).
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 

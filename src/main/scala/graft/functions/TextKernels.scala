@@ -61,13 +61,28 @@ object TextKernels {
     if (!value.endsWith(".")) value + "." else value
   }
 
-  /** Go strconv.FormatFloat(v, 'f', -1, 32): shortest fixed-notation decimal
-    * that round-trips to the same float32. */
+  /** Go strconv.FormatFloat(v, 'f', -1, 32): the shortest fixed-notation
+    * decimal that round-trips to the same float32, preserving "-0".
+    *
+    * JDK 17's Float.toString is pre-Ryu (can emit non-shortest digits), so
+    * we search precisions 1..9 explicitly: the nearest p-significant-digit
+    * decimal (via %e rounding) is tested for bit-exact round-trip, which is
+    * precisely the shortest/nearest rule Go's Ryu implements. */
   def formatFloatShortest(v: Double): String = {
     val f = v.toFloat
-    val s = java.lang.Float.toString(f) // shortest round-trip, maybe E-notation
-    val plain = new java.math.BigDecimal(s).stripTrailingZeros().toPlainString
-    if (plain == "-0") "0" else plain
+    val bits = java.lang.Float.floatToIntBits(f)
+    if (java.lang.Float.isNaN(f)) return "NaN"
+    if (java.lang.Float.isInfinite(f)) return if (f > 0) "+Inf" else "-Inf"
+    if (f == 0.0f) return if (bits < 0) "-0" else "0"
+    var p = 1
+    var s: String = null
+    while (s == null && p <= 9) {
+      val cand = String.format("%." + (p - 1) + "e", java.lang.Double.valueOf(f.toDouble))
+      if (java.lang.Float.floatToIntBits(java.lang.Float.parseFloat(cand)) == bits) s = cand
+      p += 1
+    }
+    if (s == null) s = String.format("%.9e", java.lang.Double.valueOf(f.toDouble))
+    new java.math.BigDecimal(s).stripTrailingZeros().toPlainString
   }
 
   /** Greedy word-budget chunker (reference server/format.go:91-108).

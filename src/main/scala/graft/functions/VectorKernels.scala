@@ -90,18 +90,21 @@ object VectorKernels {
   /** Fused dequantize + cosine over two packed quantized vectors —
     * avoids materializing array<float> in the hot search path. */
   def cosineQ(a: Array[Byte], b: Array[Byte]): Double = {
-    val amn = readFloatLE(a, 0).toDouble
-    val asc = (readFloatLE(a, 4) - readFloatLE(a, 0)).toDouble / 255.0
-    val bmn = readFloatLE(b, 0).toDouble
-    val bsc = (readFloatLE(b, 4) - readFloatLE(b, 0)).toDouble / 255.0
+    // Decode each code through the exact float32 expression dequantize
+    // uses (mn + code/255f*range) so the fused path is bit-identical to
+    // cosine(dequantize(a), dequantize(b)).
+    val amn = readFloatLE(a, 0)
+    val arange = readFloatLE(a, 4) - amn
+    val bmn = readFloatLE(b, 0)
+    val brange = readFloatLE(b, 4) - bmn
     val n = math.min(a.length, b.length) - 8
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = amn + (a(8 + i) & 0xff) * asc
-      val y = bmn + (b(8 + i) & 0xff) * bsc
+      val x = (amn + (a(8 + i) & 0xff).toFloat / 255.0f * arange).toDouble
+      val y = (bmn + (b(8 + i) & 0xff).toFloat / 255.0f * brange).toDouble
       dot += x * y
       na += x * x
       nb += y * y

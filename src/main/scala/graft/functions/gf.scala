@@ -89,7 +89,10 @@ object gf {
   /** Whitespace token count — expression-composed (codegen'd, and the exact
     * semantics are reproducible in the DuckDB oracle). */
   def token_count(text: Column): Column =
-    F.size(F.split(F.trim(text), "\\s+")) // trim first: Fields semantics
+    // Go strings.Fields semantics: empty/whitespace-only → 0 (split of ""
+    // yields [""], so guard), else trim + split on whitespace runs.
+    F.when(F.length(F.trim(text)) === 0, F.lit(0))
+      .otherwise(F.size(F.split(F.trim(text), "\\s+")))
 
   // ---- aggregates ----
 

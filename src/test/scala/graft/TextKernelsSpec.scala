@@ -24,6 +24,35 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(flattenJson("0") == "0")
   }
 
+  test("formatFloatShortest matches Go strconv.FormatFloat(v,'f',-1,32) goldens") {
+    // goldens computed with Go 1.22 strconv
+    assert(formatFloatShortest(0.1) == "0.1")
+    assert(formatFloatShortest(0.3) == "0.3")
+    assert(formatFloatShortest(1.0 / 3.0) == "0.33333334")
+    assert(formatFloatShortest(100.0) == "100")
+    assert(formatFloatShortest(1e7) == "10000000")
+    assert(formatFloatShortest(1e-7) == "0.0000001")
+    assert(formatFloatShortest(123456789.0) == "123456790") // f32 rounding
+    assert(formatFloatShortest(3.4028235e38) ==
+      "340282350000000000000000000000000000000")
+    assert(formatFloatShortest(-0.0) == "-0") // Go preserves the sign
+    assert(formatFloatShortest(0.0) == "0")
+    assert(formatFloatShortest(2.5) == "2.5")
+    assert(formatFloatShortest(-1.25e-5) == "-0.0000125")
+  }
+
+  test("formatFloatShortest always round-trips to the same float32") {
+    val rnd = new scala.util.Random(7)
+    (0 until 5000).foreach { _ =>
+      val f = java.lang.Float.intBitsToFloat(rnd.nextInt())
+      if (!f.isNaN && !f.isInfinite) {
+        val s = formatFloatShortest(f.toDouble)
+        assert(java.lang.Float.floatToIntBits(java.lang.Float.parseFloat(s)) ==
+          java.lang.Float.floatToIntBits(f), s"$f -> $s")
+      }
+    }
+  }
+
   test("flatten array: one item per line") {
     assert(flattenJson("""[1, "a"]""") == "1\na.")
     assert(flattenJson("""[]""") == "")

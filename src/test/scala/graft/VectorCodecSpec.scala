@@ -93,16 +93,19 @@ class VectorCodecSpec extends AnyFunSuite {
     assert(cosine(Array(0f, 0f), Array(1f, 1f)) == 0.0)
   }
 
-  test("cosineQ matches cosine over dequantized values") {
+  test("cosineQ is bit-identical to cosine over dequantized values") {
     val rnd = new scala.util.Random(7)
-    val a = Array.fill(64)(rnd.nextFloat() * 2 - 1)
-    val b = Array.fill(64)(rnd.nextFloat() * 2 - 1)
-    val qa = quantize(a)
-    val qb = quantize(b)
-    // cosineQ decodes in float64 while dequantize rounds through float32,
-    // so agreement is ~1e-7, not bit-exact.
-    val expected = cosine(dequantize(qa), dequantize(qb))
-    assert(math.abs(cosineQ(qa, qb) - expected) < 1e-6)
+    (0 until 200).foreach { _ =>
+      val dim = 1 + rnd.nextInt(128)
+      val a = Array.fill(dim)(rnd.nextFloat() * 200 - 100)
+      val b = Array.fill(dim)(rnd.nextFloat() * 200 - 100)
+      val qa = quantize(a)
+      val qb = quantize(b)
+      // the fused kernel decodes through the same float32 expression as
+      // dequantize, so fused and unfused paths agree exactly
+      val expected = cosine(dequantize(qa), dequantize(qb))
+      assert(cosineQ(qa, qb) == expected)
+    }
   }
 
   test("noop embedder: deterministic, correct shape and header") {
