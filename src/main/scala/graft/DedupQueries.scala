@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.gf
+
+/** Large-scale training-data dedup + similarity-search operators over the
+  * `documents` and `embeddings` tables (the pipeline extensions beyond the
+  * reference's own surface — SURVEY.md §7 Phase 5).
+  *
+  * Every kernel here is deliberately built on engine-portable primitives
+  * (md5 hex strings, whitespace tokens, integer ops) so the DuckDB oracle
+  * reproduces results EXACTLY — see TextKernels. Scale notes per query:
+  * the LSH/banding queries shuffle on short bucket/shingle keys (bounded
+  * groups), never on full documents, which is the 100 TB-safe shape.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val N = 3 // shingle width (tokens)
+  private val K = 16 // minhash signature length
+  private val BANDS = 4 // LSH bands (rows per band = K/BANDS = 4)
+
+  /** MinHash + LSH candidate pairs: shingle → 16-hash signature → 4 band
+    * buckets → docs sharing a bucket. At scale this is the standard
+    * near-dup sweep: the only shuffle is on band-bucket keys, candidate
+    * verification cost is |pairs|, not |docs|². */
+  def q21MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = t(s, dir, "documents")
+      .select(col("doc_id"), gf.minhash(col("text"), N, K).as("sig"))
+      .select(col("doc_id"), explode(gf.lsh_bands(col("sig"), BANDS)).as("bucket"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (j >= 0.8): explode distinct
+    * 3-token shingles, self-join on shingle, count intersections.
+    * Shuffles on shingle keys — at 100 TB this runs AFTER q21's LSH
+    * filter (verify stage); it is exact-by-construction here so the
+    * oracle can replicate it without minhash error. */
+  def q22JaccardNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("j"))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** Per-document 64-bit SimHash signature (16 hex chars, md5-portable). */
+  def q23Simhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), gf.simhash_md5(col("text")).as("simhash"))
+
+  /** SimHash near-dup pairs: hamming distance <= 4 of the 64-bit
+    * signatures. The full pairwise join is oracle-friendly at test SF;
+    * the scale path blocks on signature prefixes (see SimHashBlocking in
+    * tests) so the shuffle key space stays bounded. */
+  def q24SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = q23Simhash(s, dir)
+    sig.as("a")
+      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        gf.hamming_hex(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= 4)
+  }
+
+  /** Batch k-NN: top-10 cosine neighbors for each of the first 5 query
+    * vectors — one broadcast of the query set, one scan of the corpus,
+    * per-query top-k via window. Ordering on the ROUNDED sim (then vec_id)
+    * so the cross-engine tie-break is stable at 4dp. */
+  def q25KnnBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(gf.cosine_sim(col("embedding"), col("qvec")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_minhash_lsh" -> q21MinhashLsh _,
+    "q22_jaccard_neardup" -> q22JaccardNeardup _,
+    "q23_simhash" -> q23Simhash _,
+    "q24_simhash_pairs" -> q24SimhashPairs _,
+    "q25_knn_batch" -> q25KnnBatch _
+  )
+
+  /** Shared oracle fragment: doc_id → distinct 3-token shingles.
+    * Mirrors TextKernels.shingles (lowercase whitespace tokens, n-grams
+    * joined by one space; <n tokens collapse to one shingle; empty → none). */
+  private val shingleCte: String =
+    """toks AS (
+      |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |shl AS (
+      |  SELECT doc_id, CASE
+      |    WHEN len(t) >= 3 THEN
+      |      [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+      |    WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+      |    ELSE [] END AS sl
+      |  FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM shl)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q21_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |seeds AS (SELECT unnest(generate_series(0, ${K - 1})) AS seed),
+         |mins AS (
+         |  SELECT doc_id, seed, min(md5(seed || ':' || s)) AS h
+         |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |mh AS (
+         |  SELECT d.doc_id, se.seed, coalesce(m.h, 'z') AS h
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN seeds se
+         |  LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.seed = se.seed),
+         |sigs AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id,
+         |    b || ':' || md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    "q22_jaccard_neardup" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    i * 1.0 / (sa.n + sb.n - i) AS j
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b)
+         |WHERE j >= 0.8""".stripMargin,
+    "q23_simhash" -> simhashSql,
+    "q24_simhash_pairs" ->
+      s"""WITH sig AS ($simhashSql),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+         |ham AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(sum(bit_count(xor(
+         |      strpos('0123456789abcdef', substr(sa, p, 1)) - 1,
+         |      strpos('0123456789abcdef', substr(sb, p, 1)) - 1))) AS INT) AS hamming
+         |  FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS p)
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4""".stripMargin,
+    "q25_knn_batch" ->
+      """SELECT query_id, vec_id, sim, rn FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) DESC,
+        |               e.vec_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
+        |WHERE rn <= 10""".stripMargin
+  )
+
+  /** Portable md5-nibble SimHash in DuckDB SQL (mirrors simhashMd5Hex). */
+  private lazy val simhashSql: String =
+    """WITH th AS (
+      |  SELECT doc_id, md5(tok) AS h FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents WHERE length(trim(text)) > 0)),
+      |bits AS (
+      |  SELECT doc_id, p, b,
+      |    sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, p+1, 1)) - 1) >> b) & 1) = 1
+      |             THEN 1 ELSE -1 END) AS c
+      |  FROM th
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+      |  GROUP BY 1, 2, 3),
+      |nib AS (
+      |  SELECT doc_id, p, sum(CASE WHEN c > 0 THEN 1 << b ELSE 0 END) AS v
+      |  FROM bits GROUP BY 1, 2),
+      |sig0 AS (
+      |  SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY p) AS simhash
+      |  FROM nib GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(s.simhash, '0000000000000000') AS simhash
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN sig0 s USING (doc_id)""".stripMargin
+}

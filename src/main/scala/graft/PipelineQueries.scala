@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.gf
+import graft.index.IvfIndex
+
+/** Pipeline-shaped queries: the reference's upload/search lifecycles
+  * (SURVEY.md §3) re-expressed as DataFrame jobs, plus event-stream
+  * session analysis and portable text-quality scoring.
+  *
+  * q26-q28 exercise non-SQL-expressible operators (IVF ANN search, the
+  * flatten/chunk/embed ingest chain) → no oracle entry, driver records
+  * the weaker rows-only check; their semantics are covered by ScalaTest
+  * (recall + golden tests) instead. q29-q30 carry exact DuckDB oracles.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** IVF-Flat ANN search (reference /api/search lifecycle, SURVEY §3.1):
+    * build the index (sample → k-means → assign), probe nprobe=2 lists,
+    * exact cosine top-10 inside them. listSize=100 keeps k meaningful at
+    * test SF; production uses the reference's 10k (constants.go:8). */
+  def q26AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val (indexed, model) = IvfIndex.build(e, "embedding", IvfIndex.Params(listSize = 100))
+    IvfIndex.search(indexed, model, "vec_id", "embedding", query, k = 10, nprobe = 2)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Upload-path document pipeline (SURVEY §3.2): flatten the JSON props
+    * payload to canonical text, chunk it with the reference's word-budget
+    * splitter, explode chunks, count tokens — grouped per event type. */
+  def q27FlattenChunks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        gf.flatten_doc(col("props")).as("flat"))
+      .select(col("event_type"),
+        explode(gf.split_chunks(col("flat"), lit("search_document: "), lit(256))).as("chunk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(gf.token_count(col("chunk"))).as("total_tokens"))
+
+  /** End-to-end ingest: noop-embed each document (reference noop provider,
+    * 64-dim to match the corpus), dequantize, assign to the per-label mean
+    * centroids of the embeddings table (J3 broadcast argmax), count per
+    * assigned centroid. */
+  def q28UploadPipeline(s: SparkSession, dir: String): DataFrame = {
+    val centroids = t(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(gf.vector_mean(col("embedding")).as("c"))
+      .orderBy(col("label"))
+      .collect()
+      .map(r => graft.functions.VectorKernels.l2Normalize(r.getSeq[Float](1).toArray))
+    val model = IvfIndex.Model(centroids)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), gf.dequantize_vec(gf.noop_embed(col("text"), 64)).as("v"))
+    IvfIndex.assign(docs, "v", model)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Sessionization over the event stream: a session break is a >30 min
+    * gap per user. Exact integer microsecond arithmetic on both engines
+    * (events ts is nanos in parquet; both sides truncate ns → us). */
+  def q29Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("us").asc, col("event_id").asc)
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess")).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        count(lit(1)).as("check_sessions"))
+      .select(col("user_id"), col("n_sessions"), col("max_session_events"))
+  }
+
+  /** Engine-portable heuristic quality score in [0,1] — composed from
+    * builtin codegen'd expressions (length/regexp/token counts), so the
+    * identical arithmetic runs in DuckDB. */
+  def qualityExpr(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = gf.token_count(text).cast("double")
+    val alphaRatio = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") / len
+    val punctRatio = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / len
+    val meanWord = length(regexp_replace(text, "\\s", "")).cast("double") / toks
+    val lenScore = when(len >= 100 && len <= 20000, 1.0)
+      .when(len >= 20, 0.5).otherwise(0.0)
+    val alphaScore = when(alphaRatio >= 0.6, 1.0).otherwise(alphaRatio / 0.6)
+    val punctScore = when(punctRatio <= 0.1, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - (punctRatio - 0.1) * 5))
+    val wordScore = when(meanWord >= 3 && meanWord <= 12, 1.0).otherwise(0.5)
+    when(len === 0 || toks === 0, 0.0)
+      .otherwise((lenScore + alphaScore + punctScore + wordScore) / 4.0)
+  }
+
+  /** Per-document quality score + quality band histogram input. */
+  def q30QualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), round(qualityExpr(col("text")), 4).as("quality"))
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_ann_ivf" -> q26AnnIvf _,
+    "q27_flatten_chunks" -> q27FlattenChunks _,
+    "q28_upload_pipeline" -> q28UploadPipeline _,
+    "q29_sessionize" -> q29Sessionize _,
+    "q30_quality_score" -> q30QualityScore _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q29_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |         WHEN us - lag(us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM m),
+        |per AS (
+        |  SELECT user_id, sess, count(*) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, max(sess) AS n_sessions,
+        |  max(n_events) AS max_session_events
+        |FROM per GROUP BY user_id""".stripMargin,
+    "q30_quality_score" ->
+      """SELECT doc_id, round(CASE WHEN len = 0 OR toks = 0 THEN 0.0
+        |  ELSE (lenScore + alphaScore + punctScore + wordScore) / 4.0 END, 4) AS quality
+        |FROM (
+        |  SELECT doc_id, len, toks,
+        |    CASE WHEN len >= 100 AND len <= 20000 THEN 1.0
+        |         WHEN len >= 20 THEN 0.5 ELSE 0.0 END AS lenScore,
+        |    CASE WHEN alphaRatio >= 0.6 THEN 1.0 ELSE alphaRatio / 0.6 END AS alphaScore,
+        |    CASE WHEN punctRatio <= 0.1 THEN 1.0
+        |         ELSE greatest(0.0, 1.0 - (punctRatio - 0.1) * 5) END AS punctScore,
+        |    CASE WHEN meanWord >= 3 AND meanWord <= 12 THEN 1.0 ELSE 0.5 END AS wordScore
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(length(text) AS DOUBLE) AS len,
+        |      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+        |      CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |        / length(text) AS alphaRatio,
+        |      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / length(text) AS punctRatio,
+        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |        / (CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS meanWord
+        |    FROM documents))""".stripMargin
+  )
+}

@@ -8,10 +8,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q16CosineTopk(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.registry
+  /** One entry per implemented operator from SURVEY.md §2 (Queries),
+    * plus the scale-pipeline extensions (DedupQueries, PipelineQueries). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.registry ++ DedupQueries.registry ++ PipelineQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracle
+  def oracleSql: Map[String, String] =
+    Queries.oracle ++ DedupQueries.oracle ++ PipelineQueries.oracle
 }

@@ -169,6 +169,52 @@ object TextKernels {
 
   def hammingDist64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Engine-portable 64-bit SimHash rendered as 16 hex chars (nibble p
+    * holds bits p*4..p*4+3, LSB-first within the nibble). Token hash =
+    * first 16 hex chars of md5(token); bit i of the signature is the
+    * majority vote of bit (i%4) of nibble (i/4) across tokens. Built on
+    * md5-hex + integer ops only, so the DuckDB oracle reproduces it
+    * exactly (unlike [[simhash64]]'s fnv1a, which SQL can't express). */
+  def simhashMd5Hex(text: String): String = {
+    val counts = new Array[Int](64)
+    fields(text.toLowerCase).foreach { t =>
+      val h = md5Hex(t)
+      var p = 0
+      while (p < 16) {
+        val v = Character.digit(h.charAt(p), 16)
+        var b = 0
+        while (b < 4) {
+          if (((v >> b) & 1) == 1) counts(p * 4 + b) += 1 else counts(p * 4 + b) -= 1
+          b += 1
+        }
+        p += 1
+      }
+    }
+    val hex = "0123456789abcdef"
+    val sb = new StringBuilder(16)
+    var p = 0
+    while (p < 16) {
+      var v = 0
+      var b = 0
+      while (b < 4) { if (counts(p * 4 + b) > 0) v |= (1 << b); b += 1 }
+      sb.append(hex.charAt(v))
+      p += 1
+    }
+    sb.toString
+  }
+
+  /** Hamming distance between two equal-length hex signatures. */
+  def hammingHex(a: String, b: String): Int = {
+    var d = 0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      d += Integer.bitCount(Character.digit(a.charAt(i), 16) ^ Character.digit(b.charAt(i), 16))
+      i += 1
+    }
+    d
+  }
+
   /** Rolling Karp-Rabin fingerprint over the token stream — order-sensitive
     * document fingerprint (vs md5 which is content-exact). */
   def rollingFingerprint(text: String): Long = {

@@ -76,8 +76,17 @@ object gf {
   val simhash: Column => Column = {
     val u = F.udf((s: String) => TextKernels.simhash64(s)); c => u(c)
   }
+  /** Engine-portable md5-based SimHash (16 hex chars) — see TextKernels. */
+  val simhash_md5: Column => Column = {
+    val u = F.udf((s: String) => TextKernels.simhashMd5Hex(s)); c => u(c)
+  }
   def hamming64(a: Column, b: Column): Column =
     F.bit_count(a.bitwiseXOR(b))
+  /** Hamming distance between two hex signature strings. */
+  def hamming_hex(a: Column, b: Column): Column = {
+    val u = F.udf((x: String, y: String) => TextKernels.hammingHex(x, y))
+    u(a, b)
+  }
   val rolling_fingerprint: Column => Column = {
     val u = F.udf((s: String) => TextKernels.rollingFingerprint(s)); c => u(c)
   }

@@ -193,12 +193,15 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 
   override protected def nullSafeEval(a: Any): Any =
-    NearestCentroid.eval(a.asInstanceOf[ArrayData], centroids)
+    NearestCentroid.argmax(a.asInstanceOf[ArrayData], centroids)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val matRef = ctx.addReferenceObj("centroidMatrix", centroids, "float[][]")
+    // NOTE: the static forwarder for a companion method named `eval` is
+    // suppressed (clashes with Expression.eval), so the kernel must have a
+    // distinct name for Janino to resolve it.
     defineCodeGen(ctx, ev,
-      a => s"graft.index.NearestCentroid.eval($a, $matRef)")
+      a => s"graft.index.NearestCentroid.argmax($a, $matRef)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 
@@ -214,7 +217,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
 
 object NearestCentroid {
   /** argmax_j cosine(v, C_j); centroid rows are pre-normalized. */
-  def eval(v: ArrayData, centroids: Array[Array[Float]]): InternalRow = {
+  def argmax(v: ArrayData, centroids: Array[Array[Float]]): InternalRow = {
     val x = v.toFloatArray()
     val xn = VectorKernels.l2Normalize(x)
     var best = 0
