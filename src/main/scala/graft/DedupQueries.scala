@@ -97,12 +97,48 @@ object DedupQueries {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
   }
 
+  /** Embedding-cosine near-dup sweep: the 20 most-similar vector pairs.
+    * At test SF this is the exact all-pairs join (broadcast nested loop,
+    * n²/2 sims — fine to 10⁴ rows); the 100 TB path blocks pairs by IVF
+    * list first (see [[q32BlockedNeardup]]) so each worker only scores
+    * within-list pairs. Rounded sim + (doc_a, doc_b) tie-break keeps the
+    * top-20 cut deterministic across engines. */
+  def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        round(gf.cosine_sim(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20)
+  }
+
+  /** The scale path for q31: block candidate pairs by IVF list (same
+    * centroid ⇒ candidate), so the pair space is Σ|list|² instead of N².
+    * Not SQL-expressible (k-means); ScalaTest asserts its pairs are a
+    * subset of the exact all-pairs ranking. */
+  def q32BlockedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (indexed, _) = graft.index.IvfIndex.build(e, "embedding",
+      graft.index.IvfIndex.Params(listSize = 100, sampleSize = 1000))
+    val lists = indexed.select(col("vec_id"), col("embedding"), col("centroid_id"))
+    lists.as("a")
+      .join(lists.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        round(gf.cosine_sim(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minhash_lsh" -> q21MinhashLsh _,
     "q22_jaccard_neardup" -> q22JaccardNeardup _,
     "q23_simhash" -> q23Simhash _,
     "q24_simhash_pairs" -> q24SimhashPairs _,
-    "q25_knn_batch" -> q25KnnBatch _
+    "q25_knn_batch" -> q25KnnBatch _,
+    "q31_embed_neardup" -> q31EmbedNeardup _,
+    "q32_blocked_neardup" -> q32BlockedNeardup _
   )
 
   /** Shared oracle fragment: doc_id → distinct 3-token shingles.
@@ -171,6 +207,11 @@ object DedupQueries {
          |  FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS p)
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4""".stripMargin,
+    "q31_embed_neardup" ->
+      """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin,
     "q25_knn_batch" ->
       """SELECT query_id, vec_id, sim, rn FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id,

@@ -44,11 +44,17 @@ object Queries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
-  /** T3: offset/limit pagination via row_number window. */
+  /** T3: offset/limit pagination. A bare global row_number window would
+    * shuffle the whole table to ONE partition; instead take the top
+    * offset+limit rows distributed (TakeOrderedAndProject does per-partition
+    * partial top-k + merge, same shape at 100 TB as at sf0.01) and window
+    * only over that tiny result to number it. */
   def q03Pagination(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(30)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn").between(21, 30))
   }
@@ -211,8 +217,20 @@ object Queries {
       .select(col("vec_id"), col("label"))
   }
 
+  /** F1-F3 codec under the oracle gate: quantize → dequantize round trip,
+    * emitted per (vec_id, pos<8) WITHOUT rounding — the DuckDB twin redoes
+    * the zero-seeded min/max + truncating-code arithmetic entirely in
+    * float32 (REAL-typed ops), so values must match bit-for-bit. */
+  def q33QuantizeRoundtrip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(gf.dequantize_vec(gf.quantize_vec(col("embedding")))).as(Seq("pos", "v")))
+      .filter(col("pos") < 8)
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("val"))
+
   /** All queries, keyed. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_quantize_roundtrip" -> q33QuantizeRoundtrip _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_topk_orders" -> q02TopkOrders _,
     "q03_pagination" -> q03Pagination _,
@@ -336,6 +354,32 @@ object Queries {
     "q20_cascade_delete" ->
       """SELECT vec_id, label FROM embeddings e
         |WHERE NOT EXISTS (SELECT 1 FROM documents d
-        |                  WHERE d.doc_id = e.vec_id AND d.source = 'src0')""".stripMargin
+        |                  WHERE d.doc_id = e.vec_id AND d.source = 'src0')""".stripMargin,
+    // f32-exact twin of the packed codec: DuckDB FLOAT arithmetic stays
+    // FLOAT, so every intermediate mirrors the JVM float32 kernel.
+    "q33_quantize_roundtrip" ->
+      """WITH v AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |         unnest(generate_series(1, len(embedding))) AS idx
+        |  FROM embeddings),
+        |r AS (
+        |  -- least/greatest promote to DOUBLE; cast back so all downstream
+        |  -- arithmetic stays FLOAT (f32) like the JVM kernel
+        |  SELECT vec_id,
+        |    CAST(least(CAST(0 AS REAL), min(x)) AS REAL) AS mn,
+        |    CAST(greatest(CAST(0 AS REAL), max(x)) AS REAL) AS mx
+        |  FROM v GROUP BY vec_id),
+        |q AS (
+        |  SELECT vec_id, idx, mn, mx,
+        |    CASE WHEN mx - mn = 0 THEN 0
+        |         ELSE CAST(trunc(((x - mn) / (mx - mn)) * CAST(255 AS REAL)) AS INT)
+        |    END AS code
+        |  FROM v JOIN r USING (vec_id)),
+        |d AS (
+        |  SELECT vec_id, idx,
+        |    mn + (CAST(code AS REAL) / CAST(255 AS REAL)) * (mx - mn) AS val
+        |  FROM q)
+        |SELECT vec_id, idx - 1 AS pos, CAST(val AS DOUBLE) AS val
+        |FROM d WHERE idx <= 8""".stripMargin
   )
 }

@@ -123,12 +123,25 @@ object TextKernels {
       (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).toArray
   }
 
+  // MD5 digests dominate the minhash/simhash kernels (docs × shingles × k
+  // calls), so reuse the digest per thread and hex-encode via table lookup.
+  private val md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
   private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(i * 2) = hexChars(b >>> 4)
+      out(i * 2 + 1) = hexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** MinHash signature: for each of k seeded "permutations", the minimum

@@ -55,6 +55,25 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("blocked near-dup pairs are a subset of the exact all-pairs ranking") {
+    val blocked = DedupQueries.q32BlockedNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactAll = DedupQueries.q31EmbedNeardup(spark, dir) // top-20 exact
+    // every blocked pair's sim must equal the exact sim for that pair
+    val exact = embeddings.as("a")
+      .join(embeddings.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        round(gf.cosine_sim(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blockedRows = DedupQueries.q32BlockedNeardup(spark, dir).collect()
+    blockedRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact(key) == r.getDouble(2), s"sim mismatch for $key")
+    }
+    assert(blocked.nonEmpty)
+    assert(exactAll.count() == 20)
+  }
+
   test("nprobe search always finds the query's own vector and beats random recall") {
     // 500 near-uniform 64-dim vectors in 5 lists is a worst case for IVF
     // recall, so the hard guarantees tested are: (1) the probed set always
