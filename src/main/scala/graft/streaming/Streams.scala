@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.gf
+import graft.index.IvfIndex
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference has no streaming, but two of its lifecycles are naturally
+  * streaming jobs (SURVEY.md §2.9): upload ingestion (server/upload.go —
+  * flatten → chunk → embed → assign → append) and the periodic centroid
+  * refresh (server/centroids.go — a triggered batch job). This module
+  * expresses them with readStream/writeStream so ingestion scales to a
+  * continuous 100 TB feed: every transform below is partition-local or a
+  * keyed stateful op — no global shuffles, no driver collects.
+  *
+  * All transforms are plain DataFrame functions, so they run identically on
+  * batch frames (tested against the DuckDB-oracled batch queries) and on
+  * streaming frames (tested via MemoryStream).
+  */
+object Streams {
+
+  // ---------- upload ingestion (reference §3.2 as a stream) ----------
+
+  /** Flatten → chunk → noop-embed → nearest-centroid assign. Stateless and
+    * partition-local ⇒ valid on a streaming frame; write with
+    * `.writeStream.foreachBatch` appending parquet `partitionBy(centroid_id)`
+    * so the IVF search path partition-prunes new data immediately. */
+  def ingestChunks(docs: DataFrame, model: IvfIndex.Model,
+      ctxNum: Int = 256, dim: Int = 64): DataFrame = {
+    val chunked = docs
+      .withColumn("flat", gf.flatten_doc(col("text")))
+      .select(col("doc_id"),
+        posexplode(gf.split_chunks(col("flat"), lit("search_document: "), lit(ctxNum)))
+          .as(Seq("chunk_id", "chunk")))
+      .withColumn("qvec", gf.noop_embed(col("chunk"), dim))
+      .withColumn("embedding", gf.dequantize_vec(col("qvec")))
+    IvfIndex.assign(chunked, "embedding", model)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"), col("qvec"),
+        col("centroid_id"), col("centroid_sim"))
+  }
+
+  /** Run the ingest stream to a parquet directory, one IVF list per
+    * partition directory. AvailableNow = the reference's periodic refresh
+    * trigger: drain everything pending, then stop. */
+  def runIngest(docsStream: DataFrame, model: IvfIndex.Model,
+      outDir: String, checkpointDir: String): Unit = {
+    val q = ingestChunks(docsStream, model)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("centroid_id").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  // ---------- streaming dedup ----------
+
+  /** Exact streaming dedup by content fingerprint: keep the first arrival
+    * of each md5(normalized text), with bounded state — the watermark lets
+    * Spark expire fingerprints older than the lateness horizon. This is the
+    * streaming twin of q18_exact_dedup. */
+  def streamingExactDedup(docs: DataFrame, watermarkCol: String = "ts",
+      lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withWatermark(watermarkCol, lateness)
+      .dropDuplicates("fp")
+
+  // ---------- windowed aggregation with watermark ----------
+
+  /** Tumbling event-time window counts per event type (the streaming twin
+    * of q12_time_agg). Late rows beyond the watermark are dropped; state
+    * for closed windows is evicted — bounded memory at any scale. */
+  def windowedEventStats(events: DataFrame, window_ : String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // ---------- stateful sessionization ----------
+
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessState(startUs: Long, lastUs: Long, n: Int)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Event-time sessionization with a gap timeout (streaming twin of
+    * q29_sessionize): per-user sessions close after `gapMinutes` of
+    * silence. flatMapGroupsWithState keeps one small state record per live
+    * user; EventTimeTimeout + watermark flush sessions whose gap horizon
+    * has passed, so state is bounded by the number of concurrently-active
+    * users, not the stream length. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.startUs, s.lastUs, s.n))
+          } else {
+            val sorted = rows.map(r => (r._3, r._2)).toArray.sortBy(identity)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.orNull
+            sorted.foreach { case (us, _) =>
+              st match {
+                case null => st = SessState(us, us, 1)
+                case s if us - s.lastUs > gapUs =>
+                  out += Session(user, s.startUs, s.lastUs, s.n)
+                  st = SessState(us, us, 1)
+                case s => st = SessState(s.startUs, us, s.n + 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // flush when the watermark passes last event + gap
+              state.setTimeoutTimestamp(st.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            out.iterator
+          }
+        })
+  }
+}

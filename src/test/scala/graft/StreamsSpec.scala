@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorKernels
+import graft.index.IvfIndex
+import graft.streaming.Streams
+
+/** Structured Streaming: ingest, dedup, windowed aggs, sessionization —
+  * each fed through MemoryStream and checked against its batch twin. */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+
+  private val model = IvfIndex.Model(Array(
+    VectorKernels.l2Normalize(Array.fill(64)(1f)),
+    VectorKernels.l2Normalize(Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))))
+
+  test("streaming ingest equals batch ingest and partitions by centroid") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """{"title": "alpha doc", "body": "some words here"}"""),
+      (2L, """{"title": "beta doc", "body": "other words live here"}""")).toDF("doc_id", "text")
+
+    val batchOut = Streams.ingestChunks(docs, model)
+      .select("doc_id", "chunk_id", "chunk", "centroid_id")
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData((1L, """{"title": "alpha doc", "body": "some words here"}"""),
+      (2L, """{"title": "beta doc", "body": "other words live here"}"""))
+    val out = java.nio.file.Files.createTempDirectory("ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    Streams.runIngest(mem.toDF().toDF("doc_id", "text"), model, out, ckpt)
+
+    val written = spark.read.parquet(out)
+    assert(written.select("doc_id", "chunk_id", "chunk", "centroid_id")
+      .collect().map(_.toSeq).toSet == batchOut)
+    // physical layout: one directory per IVF list
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("centroid_id=")), dirs.mkString(","))
+  }
+
+  test("streaming exact dedup keeps one row per fingerprint") {
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+    val q = Streams.streamingExactDedup(
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((t0, 1L, "hello world"), (t0, 2L, "Hello  World"), (t0, 3L, "hello world"))
+    q.processAllAvailable()
+    mem.addData((t1, 4L, "hello world"), (t1, 5L, "brand new text"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+    // doc 3 (same-batch dup) and doc 4 (cross-batch dup) are dropped;
+    // doc 2 survives: "Hello  World" normalizes to "hello  world" (double
+    // space), a distinct fingerprint from "hello world".
+    assert(rows == Set(1L, 2L, 5L), rows)
+  }
+
+  test("windowed event stats emit closed windows only, late data dropped") {
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = Streams.windowedEventStats(
+        mem.toDF().toDF("ts", "event_type", "value"),
+        window_ = "1 hour", lateness = "30 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (ts("2026-01-01 10:10:00"), "click", 1.0),
+      (ts("2026-01-01 10:40:00"), "click", 2.0),
+      (ts("2026-01-01 10:50:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark past 11:30 so the 10:00 window closes
+    mem.addData((ts("2026-01-01 12:30:00"), "click", 7.0))
+    q.processAllAvailable()
+    // a straggler inside the closed window must be dropped
+    mem.addData((ts("2026-01-01 10:20:00"), "click", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows == Set(
+      ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2026-01-01 10:00:00.0", "view", 1L, 5.0)), rows)
+  }
+
+  test("stateful sessionization closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val s = spark
+    val mem = MemoryStream[Streams.Ev](spark)
+    val base = 1767225600000000L // 2026-01-01 00:00:00 UTC in micros
+    val min = 60L * 1000000L
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    // user 1: two sessions separated by a 40-min gap inside one batch;
+    // user 2: one session that only the event-time timeout can close
+    mem.addData(
+      Streams.Ev(1L, 1L, base),
+      Streams.Ev(1L, 2L, base + 5 * min),
+      Streams.Ev(1L, 3L, base + 45 * min),
+      Streams.Ev(2L, 4L, base + 10 * min))
+    q.processAllAvailable()
+    // push the watermark far past every open session's gap horizon
+    mem.addData(Streams.Ev(99L, 9L, base + 300 * min))
+    q.processAllAvailable()
+    mem.addData(Streams.Ev(99L, 10L, base + 600 * min))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows.contains((1L, base, base + 5 * min, 2)), rows) // closed by gap
+    assert(rows.contains((1L, base + 45 * min, base + 45 * min, 1)), rows) // closed by timeout
+    assert(rows.contains((2L, base + 10 * min, base + 10 * min, 1)), rows) // closed by timeout
+  }
+}
