@@ -112,8 +112,27 @@ object PipelineQueries {
     t(s, dir, "documents")
       .select(col("doc_id"), round(qualityExpr(col("text")), 4).as("quality"))
 
+  /** Multimodal pipeline (rows-only check; kernel semantics pinned in
+    * MultimodalSpec): synthesize deterministic media blobs for each doc,
+    * decode metadata, frame-sample the payload, aggregate per kind. All
+    * steps are partition-local binary transforms — the 100 TB shape. */
+  def q34MediaPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.mm
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        mm.synthesize_media(col("doc_id"), (col("doc_id") % 3).cast("int"),
+          lit(2048)).as("bytes"))
+      .withColumn("meta", mm.decode_meta(col("bytes")))
+      .withColumn("n_frames", size(mm.frame_sample(col("bytes"), lit(256), lit(4))))
+      .groupBy(col("meta.kind").as("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        round(avg(col("meta.width")), 4).as("avg_width"),
+        sum(col("n_frames")).as("total_frames"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_ivf" -> q26AnnIvf _,
+    "q34_media_pipeline" -> q34MediaPipeline _,
     "q27_flatten_chunks" -> q27FlattenChunks _,
     "q28_upload_pipeline" -> q28UploadPipeline _,
     "q29_sessionize" -> q29Sessionize _,

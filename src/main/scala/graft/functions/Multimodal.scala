@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Design for a 100 TB training-data lake: media lives as opaque `binary`
+  * columns next to typed metadata, decode/feature steps are partition-local
+  * batch transforms (mapPartitions — the JVM analogue of mapInPandas batch
+  * UDFs), and nothing ever collects to the driver. The actual pixel/sample
+  * decoding is STUBBED — this container has no image/audio codecs — behind
+  * a deterministic header format, so the Spark-side plumbing (schema,
+  * batching, partitioning, frame sampling, embedding hand-off) is real and
+  * testable, and a production build swaps [[MediaKernels.decodeMeta]] /
+  * [[MediaKernels.resize]] for real codec calls without touching any plan.
+  */
+object MediaKernels {
+
+  val MAGIC: Int = 0x474d4d31 // "GMM1"
+  val HEADER_LEN: Int = 4 + 1 + 4 + 4 + 4 + 8
+
+  final case class Meta(kind: String, width: Int, height: Int,
+      sampleRate: Int, durationMs: Long)
+
+  private val kinds = Array("image", "audio", "video")
+
+  /** Deterministic fake media blob for a (media_id, kind): a typed header
+    * + a splitmix64-generated payload. Stands in for real bytes so tests
+    * and benchmarks exercise realistic binary-column volumes. */
+  def synthesize(mediaId: Long, kindIdx: Int, payloadLen: Int): Array[Byte] = {
+    val kind = kinds(kindIdx % kinds.length)
+    val out = new Array[Byte](HEADER_LEN + payloadLen)
+    val bb = java.nio.ByteBuffer.wrap(out)
+    bb.putInt(MAGIC)
+    bb.put((kindIdx % kinds.length).toByte)
+    // metadata derived deterministically from the id
+    val w = 64 + ((mediaId * 31) % 193).toInt * 8
+    val h = 64 + ((mediaId * 17) % 97).toInt * 8
+    val sr = if (kind == "audio") 16000 + (mediaId % 3).toInt * 16000 else 0
+    val dur = if (kind != "image") 1000L + (mediaId % 600) * 100L else 0L
+    bb.putInt(w).putInt(h).putInt(sr).putLong(dur)
+    var state = mediaId * 0x9e3779b97f4a7c15L + kindIdx
+    var i = HEADER_LEN
+    while (i < out.length) {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      out(i) = ((z ^ (z >>> 31)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** STUB decoder: parses the deterministic header. A production build
+    * replaces the body with e.g. an ImageIO / ffprobe call — same
+    * signature, same plan shape. */
+  def decodeMeta(bytes: Array[Byte]): Meta = {
+    require(bytes.length >= HEADER_LEN, "truncated media blob")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt() == MAGIC, "bad media magic")
+    val kind = kinds(bb.get().toInt)
+    Meta(kind, bb.getInt(), bb.getInt(), bb.getInt(), bb.getLong())
+  }
+
+  /** STUB resize: deterministic re-synthesis at the target dimensions —
+    * production swaps in a real scaler. Output carries the new header so
+    * downstream decode/feature steps remain exercised. */
+  def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val m = decodeMeta(bytes)
+    val out = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(out)
+    bb.position(5)
+    bb.putInt(w).putInt(h)
+    out
+  }
+
+  /** Frame sampling: the payload is treated as fixed-width frames; return
+    * every `everyN`-th frame. Partition-local, no shuffle. */
+  def frameSample(bytes: Array[Byte], frameLen: Int, everyN: Int): Array[Array[Byte]] = {
+    val payload = java.util.Arrays.copyOfRange(bytes, HEADER_LEN, bytes.length)
+    val nFrames = payload.length / frameLen
+    (0 until nFrames by everyN).map { f =>
+      java.util.Arrays.copyOfRange(payload, f * frameLen, (f + 1) * frameLen)
+    }.toArray
+  }
+
+  /** STUB feature extraction: deterministic embedding of the media bytes
+    * (fnv over the payload seeding the same splitmix noop embedder the
+    * text path uses) — the hand-off point for a real vision/audio encoder. */
+  def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+    var h = 0xcbf29ce484222325L
+    var i = HEADER_LEN
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    val out = new Array[Float](dim)
+    var state = h
+    i = 0
+    while (i < dim) {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      out(i) = (((z ^ (z >>> 31)) & 0xff) / 255.0f) * 2.0f - 1.0f
+      i += 1
+    }
+    out
+  }
+}
+
+/** Named row shape for decoded metadata (UDF return type → struct with
+  * these exact field names). */
+final case class MediaMeta(kind: String, width: Int, height: Int,
+    sample_rate: Int, duration_ms: Long)
+
+/** Column-level multimodal surface. */
+object mm {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** Deterministic fake media blob column (testdata synthesis). */
+  def synthesize_media(mediaId: Column, kindIdx: Column, payloadLen: Column): Column = {
+    val u = udf((id: Long, k: Int, n: Int) => MediaKernels.synthesize(id, k, n))
+    u(mediaId, kindIdx, payloadLen)
+  }
+
+  /** binary → struct(kind, width, height, sample_rate, duration_ms). */
+  def decode_meta(bytes: Column): Column = {
+    val u = udf((b: Array[Byte]) => {
+      val m = MediaKernels.decodeMeta(b)
+      MediaMeta(m.kind, m.width, m.height, m.sampleRate, m.durationMs)
+    })
+    u(bytes)
+  }
+
+  def resize_media(bytes: Column, w: Column, h: Column): Column = {
+    val u = udf((b: Array[Byte], ww: Int, hh: Int) => MediaKernels.resize(b, ww, hh))
+    u(bytes, w, h)
+  }
+
+  def frame_sample(bytes: Column, frameLen: Column, everyN: Column): Column = {
+    val u = udf((b: Array[Byte], f: Int, n: Int) => MediaKernels.frameSample(b, f, n))
+    u(bytes, frameLen, everyN)
+  }
+
+  def media_embed(bytes: Column, dim: Int): Column = {
+    val u = udf((b: Array[Byte]) => MediaKernels.embed(b, dim))
+    u(bytes)
+  }
+
+  /** Batched partition-local decode (the mapInPandas shape on the JVM):
+    * processes rows in `batchSize` groups inside each partition so a real
+    * codec can amortize per-batch setup (model load, pinned buffers). */
+  def decodeMetaBatched(df: DataFrame, bytesCol: String, batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("meta", metaSchema, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would go here (e.g. decoder context reuse)
+        batch.map { r =>
+          val m = MediaKernels.decodeMeta(r.getAs[Array[Byte]](idx))
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ org.apache.spark.sql.Row(m.kind, m.width, m.height, m.sampleRate, m.durationMs))
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyed mutable table on plain parquet — the engine's S6/S7/S8 sinks
+  * (reference server/upload.go:286-313 bulk insert, dnc/dnc.go:223-247
+  * centroid UPDATE, server/delete.go:214-288 cascading DELETE) re-expressed
+  * for an immutable object store.
+  *
+  * Layout: rows are hash-bucketed on the primary key into
+  * `_bucket=<0..nBuckets-1>` partition directories. Every mutation:
+  *   1. computes the buckets its keys touch (tiny driver-side set),
+  *   2. reads ONLY those partition directories (partition pruning),
+  *   3. merges/filters in one shuffle bounded by the touched buckets,
+  *   4. rewrites only those directories via dynamic partition overwrite.
+  *
+  * At 100 TB with nBuckets sized so a bucket is a few GB, a point upsert
+  * or delete rewrites a handful of directories, never the table. Child
+  * tables bucketed with the SAME hash on the FK column are co-partitioned:
+  * a cascade delete touches exactly the matching child buckets.
+  */
+final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) {
+
+  private def bucketOf(key: Column): Column = pmod(xxhash64(key), lit(nBuckets))
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("_bucket", bucketOf(col(keyCol)))
+
+  private def dynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
+    val k = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "dynamic")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  /** Full (re)materialization. */
+  def create(df: DataFrame): Unit =
+    withBucket(df).write.mode("overwrite").partitionBy("_bucket").parquet(path)
+
+  def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(path).drop("_bucket")
+
+  /** S6 insert sink: append — new files land in their key's bucket dirs,
+    * no existing file is touched. */
+  def append(df: DataFrame): Unit =
+    withBucket(df).write.mode("append").partitionBy("_bucket").parquet(path)
+
+  /** S7 update sink (MERGE-on-key): rows in `updates` replace same-key
+    * rows; unmatched keys are inserted. Only touched buckets rewrite. */
+  def upsert(updates: DataFrame): Unit = {
+    val spark = updates.sparkSession
+    val up = withBucket(updates).withColumn("_new", lit(1))
+    val touched = up.select("_bucket").distinct().collect().map(_.getLong(0))
+    val existing = spark.read.parquet(path)
+      .filter(col("_bucket").isin(touched: _*))
+      .withColumn("_new", lit(0))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_new").desc)
+    val merged = existing.unionByName(up)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_new")
+    // the merged frame reads from the directories being overwritten —
+    // break the dependency before the dynamic overwrite
+    val snapshot = merged.localCheckpoint(true)
+    dynamicOverwrite(spark) {
+      snapshot.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    }
+  }
+
+  /** S8 delete sink: drop rows whose KEY matches `keys`; only their
+    * buckets rewrite. Returns the deleted keys (for cascading). */
+  def deleteKeys(keys: DataFrame): Unit = {
+    val spark = keys.sparkSession
+    val k = keys.columns.head
+    val del = keys.withColumn("_bucket", bucketOf(col(k)))
+    val touched = del.select("_bucket").distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path).filter(col("_bucket").isin(touched: _*))
+    val kept = existing.join(del.select(col(k).as(keyCol)), Seq(keyCol), "left_anti")
+    val snapshot = kept.localCheckpoint(true)
+    dynamicOverwrite(spark) {
+      snapshot.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    }
+  }
+
+  /** Bucket directories currently on disk (test/inspection hook). */
+  def bucketDirs: Set[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+}
+
+object ParquetStore {
+
+  /** S8 cascading delete across an ownership tree (reference FK cascade,
+    * database/model.go:32,45): delete parents matching `parentPred`, then
+    * delete the children holding their FKs. Parent and child stores
+    * bucketed with the same hash are co-partitioned, so the child pass
+    * touches exactly the buckets of the deleted keys. */
+  def cascadeDelete(spark: SparkSession, parent: ParquetStore,
+      child: ParquetStore, parentPred: Column): Unit = {
+    val doomed = parent.read(spark).filter(parentPred)
+      .select(col(parent.keyCol)).localCheckpoint(true)
+    parent.deleteKeys(doomed)
+    child.deleteKeys(doomed.withColumnRenamed(parent.keyCol, child.keyCol))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{mm, MediaKernels}
+
+/** Multimodal binary-column plumbing: header codec, resize/frame-sample
+  * stubs, batched partition-local decode, embedding hand-off. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  test("decode(synthesize) round-trips the typed metadata") {
+    (0L until 50L).foreach { id =>
+      val b = MediaKernels.synthesize(id, (id % 3).toInt, 1024)
+      val m = MediaKernels.decodeMeta(b)
+      assert(Seq("image", "audio", "video").contains(m.kind))
+      assert(m.width >= 64 && m.height >= 64)
+      if (m.kind == "audio") assert(m.sampleRate >= 16000)
+      if (m.kind == "image") assert(m.durationMs == 0L)
+      // deterministic: same id → same bytes
+      assert(java.util.Arrays.equals(b, MediaKernels.synthesize(id, (id % 3).toInt, 1024)))
+    }
+  }
+
+  test("resize rewrites dimensions and keeps the payload decodeable") {
+    val b = MediaKernels.synthesize(7L, 0, 512)
+    val r = MediaKernels.resize(b, 224, 224)
+    val m = MediaKernels.decodeMeta(r)
+    assert(m.width == 224 && m.height == 224)
+    assert(r.length == b.length)
+  }
+
+  test("frame sampling returns every Nth fixed-width frame") {
+    val b = MediaKernels.synthesize(3L, 2, 2048) // 8 frames of 256
+    val frames = MediaKernels.frameSample(b, 256, 4)
+    assert(frames.length == 2)
+    assert(frames.forall(_.length == 256))
+    // frame 0 must equal the first 256 payload bytes
+    val payload = java.util.Arrays.copyOfRange(b, MediaKernels.HEADER_LEN, b.length)
+    assert(java.util.Arrays.equals(frames(0), java.util.Arrays.copyOfRange(payload, 0, 256)))
+  }
+
+  test("column functions and batched decode agree") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("media_id")
+      .withColumn("bytes",
+        mm.synthesize_media(col("media_id"), (col("media_id") % 3).cast("int"), lit(1024)))
+    val viaUdf = df.select(col("media_id"), mm.decode_meta(col("bytes")).as("meta"))
+      .select(col("media_id"), col("meta.kind"), col("meta.width"))
+      .collect().map(_.toSeq).toSet
+    val viaBatch = mm.decodeMetaBatched(df, "bytes", batchSize = 7)
+      .select(col("media_id"), col("meta.kind"), col("meta.width"))
+      .collect().map(_.toSeq).toSet
+    assert(viaUdf == viaBatch)
+  }
+
+  test("media embedding is deterministic with the right shape") {
+    val b = MediaKernels.synthesize(11L, 1, 512)
+    val e1 = MediaKernels.embed(b, 64)
+    val e2 = MediaKernels.embed(b, 64)
+    assert(e1.length == 64 && e1.sameElements(e2))
+    assert(e1.forall(x => x >= -1.0f && x <= 1.0f))
+    // different payload → different embedding
+    val other = MediaKernels.embed(MediaKernels.synthesize(12L, 1, 512), 64)
+    assert(!e1.sameElements(other))
+  }
+
+  test("q34 media pipeline aggregates per kind") {
+    val rows = PipelineQueries.q34MediaPipeline(spark, SparkSuite.sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    // 2048-byte payload, 256-byte frames, every 4th → 2 frames per blob
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(1) * 2))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ParquetStore
+
+/** S6/S7/S8 sinks: bucket-partitioned append / upsert / cascading delete,
+  * with the partition-pruning guarantee (untouched buckets' files are not
+  * rewritten) checked via file modification times. */
+class ParquetStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("store").toString
+
+  private def docs = Tables.load(spark, SparkSuite.sf0001, "documents")
+    .select("doc_id", "text", "lang", "source")
+
+  test("create + read round-trips") {
+    val store = ParquetStore(tmp(), "doc_id", nBuckets = 8)
+    store.create(docs)
+    assert(store.read(spark).count() == docs.count())
+    assert(store.bucketDirs.nonEmpty && store.bucketDirs.forall(_.startsWith("_bucket=")))
+  }
+
+  test("append adds rows without touching existing files") {
+    import spark.implicits._
+    val store = ParquetStore(tmp(), "doc_id", nBuckets = 8)
+    store.create(docs)
+    val before = filesWithMtime(store.path)
+    store.append(Seq((100000L, "new doc text", "en", "srcX"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val after = filesWithMtime(store.path)
+    // every pre-existing file untouched
+    before.foreach { case (f, m) => assert(after.get(f).contains(m), f) }
+    assert(store.read(spark).count() == docs.count() + 1)
+  }
+
+  test("upsert replaces matched keys, inserts new, rewrites only touched buckets") {
+    import spark.implicits._
+    val store = ParquetStore(tmp(), "doc_id", nBuckets = 8)
+    store.create(docs)
+    val before = filesWithMtime(store.path)
+    val updates = Seq(
+      (0L, "REWRITTEN", "en", "srcU"), // existing key
+      (999999L, "INSERTED", "de", "srcU")) // new key
+      .toDF("doc_id", "text", "lang", "source")
+    store.upsert(updates)
+    val out = store.read(spark)
+    assert(out.count() == docs.count() + 1)
+    assert(out.filter(col("doc_id") === 0L).head().getString(1) == "REWRITTEN")
+    assert(out.filter(col("doc_id") === 999999L).head().getString(1) == "INSERTED")
+    // buckets not containing either key must keep their original files
+    val touched = Set(0L, 999999L).map(k =>
+      s"_bucket=${spark.range(1).select(pmod(xxhash64(lit(k)), lit(8))).head().getLong(0)}")
+    val after = filesWithMtime(store.path)
+    before.filter { case (f, _) => !touched.exists(f.contains) }
+      .foreach { case (f, m) => assert(after.get(f).contains(m), s"untouched bucket rewritten: $f") }
+  }
+
+  test("cascading delete removes parent rows and co-partitioned children") {
+    val parentStore = ParquetStore(tmp(), "doc_id", nBuckets = 8)
+    parentStore.create(docs)
+    val emb = Tables.load(spark, SparkSuite.sf0001, "embeddings")
+      .withColumnRenamed("vec_id", "doc_id") // FK = doc id (1:1 in testdata)
+    val childStore = ParquetStore(tmp(), "doc_id", nBuckets = 8)
+    childStore.create(emb)
+
+    val nDoomedDocs = docs.filter(col("source") === "src0").count()
+    assert(nDoomedDocs > 0)
+    ParquetStore.cascadeDelete(spark, parentStore, childStore, col("source") === "src0")
+
+    val pOut = parentStore.read(spark)
+    assert(pOut.count() == docs.count() - nDoomedDocs)
+    assert(pOut.filter(col("source") === "src0").count() == 0)
+    // child rows for deleted parents are gone; survivors match the
+    // oracle-checked q20 anti-join semantics
+    val expected = Queries.q20CascadeDelete(spark, SparkSuite.sf0001).count()
+    assert(childStore.read(spark).count() == expected)
+  }
+
+  private def filesWithMtime(path: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path))
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+}
