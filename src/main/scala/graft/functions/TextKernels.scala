@@ -228,6 +228,32 @@ object TextKernels {
     d
   }
 
+  /** Chat prompt assembly (reference F10, server/chat.go:125-172):
+    * alternating user/assistant history, a document-context block of
+    * `"""flattened"""` lines, then the prefixed question. Returns
+    * (role, content) pairs. Mirrors the reference's quirks exactly —
+    * "document" stays singular, only "part" pluralizes. */
+  def chatMessages(history: Seq[String], documentsJson: Seq[String],
+      prefix: String, text: String): Seq[(String, String)] = {
+    val hist = history.zipWithIndex.map { case (content, idx) =>
+      (if (idx % 2 == 0) "user" else "assistant", content)
+    }
+    val sb = new StringBuilder
+    if (documentsJson.nonEmpty) {
+      sb.append("I have ").append(documentsJson.length)
+        .append(" text document that I'd like to use as context for my question. Here's the relevant part")
+      if (documentsJson.length > 1) sb.append('s')
+      sb.append(":\n\n")
+      documentsJson.foreach { doc =>
+        sb.append("\"\"\"").append(flattenJson(doc)).append("\"\"\"").append('\n')
+      }
+      sb.append('\n')
+    }
+    sb.append("My question is: ")
+    sb.append(if (prefix.nonEmpty) s"$prefix. $text" else text)
+    hist :+ ("user", sb.toString)
+  }
+
   /** Rolling Karp-Rabin fingerprint over the token stream — order-sensitive
     * document fingerprint (vs md5 which is content-exact). */
   def rollingFingerprint(text: String): Long = {

@@ -59,10 +59,42 @@ object IvfIndex {
   /** Driver-side Lloyd's k-means with cosine assignment over a bounded
     * sample. Deterministic: seeded sample, initial centers = first k
     * distinct sampled vectors, ties break to the lowest centroid id. */
-  private[index] def kmeansOnSample(
+  private[graft] def kmeansOnSample(
       sample: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] = {
-    val rnd = new scala.util.Random(seed)
     val normed = sample.map(VectorKernels.l2Normalize)
+    lloyd(normed, distinctInit(normed, k, seed), maxIter)
+  }
+
+  /** Reference-parity k-means init (k_means.go:19-212): seed a SUPERSET of
+    * k×supersetMul random distinct centers, run Lloyd's, rank the clusters
+    * by member count, truncate to the k largest, run Lloyd's again. The
+    * oversized first pass lets dense regions claim several seeds before the
+    * cut, which is the reference's guard against empty/poor random seeds. */
+  private[graft] def kmeansSupersetTruncate(
+      sample: Array[Array[Float]], k: Int, supersetMul: Int,
+      maxIter: Int, seed: Long): Array[Array[Float]] = {
+    val normed = sample.map(VectorKernels.l2Normalize)
+    val superset = lloyd(normed, distinctInit(normed, k * supersetMul, seed), maxIter)
+    if (superset.length <= k) return superset
+    val counts = new Array[Long](superset.length)
+    normed.foreach { v =>
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var j = 0
+      while (j < superset.length) {
+        val s = VectorKernels.dotUnit(v, superset(j))
+        if (s > bestSim) { bestSim = s; best = j }
+        j += 1
+      }
+      counts(best) += 1
+    }
+    val kept = superset.indices.sortBy(j => (-counts(j), j)).take(k).map(superset).toArray
+    lloyd(normed, kept, maxIter)
+  }
+
+  /** First-k-distinct seeded init over pre-normalized vectors. */
+  private def distinctInit(
+      normed: Array[Array[Float]], k: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
     val shuffled = rnd.shuffle(normed.indices.toVector)
     val init = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     val seen = scala.collection.mutable.HashSet.empty[Seq[Float]]
@@ -70,10 +102,16 @@ object IvfIndex {
       val key = normed(i).toSeq
       if (!seen(key)) { seen += key; init += normed(i) }
     }
-    var centers = init.toArray
+    init.toArray
+  }
+
+  /** Lloyd's iterations over pre-normalized vectors from given centers. */
+  private def lloyd(normed: Array[Array[Float]], init: Array[Array[Float]],
+      maxIter: Int): Array[Array[Float]] = {
+    var centers = init
     var iter = 0
     var moved = true
-    val dim = if (sample.nonEmpty) sample(0).length else 0
+    val dim = if (normed.nonEmpty) normed(0).length else 0
     while (moved && iter < maxIter) {
       val sums = Array.fill(centers.length)(new Array[Double](dim))
       val counts = new Array[Long](centers.length)
@@ -105,19 +143,72 @@ object IvfIndex {
       listSize: Int = 10000, // reference CENTROID_SIZE (constants.go:8)
       sampleSize: Int = 50000, // reference SAMPLE_SIZE (constants.go:10)
       minMembersFrac: Double = 0.1, // drop threshold = listSize/10 (dnc.go:486)
+      supersetMul: Int = 5, // reference SUPERSET_MUL (constants.go:12)
+      splitSize: Int = 5, // reference SPLIT_SIZE (constants.go:11)
       maxIter: Int = 20,
       seed: Long = 42L)
 
+  /** Collect a bounded seeded sample of the vector column. */
+  private def sampleVecs(df: DataFrame, vecCol: String, n: Long,
+      params: Params): Array[Array[Float]] = {
+    val frac = math.min(1.0, params.sampleSize.toDouble * 1.2 / math.max(n, 1))
+    df.select(vecCol).sample(withReplacement = false, frac, params.seed)
+      .limit(params.sampleSize).collect()
+      .map(_.getSeq[Float](0).toArray)
+  }
+
   /** Build the index over `df(vecCol)`: returns (df + centroid_id + sim,
-    * recentered model). One sample collect + two distributed passes. */
+    * recentered model). One sample collect + two distributed passes — the
+    * flat Spark-native path (k = ceil(N/listSize) in one k-means). */
   def build(df: DataFrame, vecCol: String, params: Params = Params()): (DataFrame, Model) = {
     val n = df.count()
     val k = math.max(1, math.ceil(n.toDouble / params.listSize).toInt)
-    val frac = math.min(1.0, params.sampleSize.toDouble * 1.2 / math.max(n, 1))
-    val sampled = df.select(vecCol).sample(withReplacement = false, frac, params.seed)
-      .limit(params.sampleSize).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val centers = kmeansOnSample(sampled, k, params.maxIter, params.seed)
+    val sampled = sampleVecs(df, vecCol, n, params)
+    val centers = kmeansSupersetTruncate(
+      sampled, k, params.supersetMul, params.maxIter, params.seed)
+    finalizeIndex(df, vecCol, centers, params)
+  }
+
+  /** M3 parity path (reference dnc/dnc.go:300-400): recursive
+    * divide-and-conquer. Subsets ≤ listSize emit their sample mean as a
+    * leaf centroid; larger subsets k-means-split into ≤ splitSize clusters
+    * and recurse per cluster. Where the reference partitions rows into
+    * spill files, we materialize the assignment column once per level and
+    * recurse on partition-pruned filters of it — same data movement,
+    * handled by the shuffle layer. The flat [[build]] is the preferred
+    * production path (one assignment pass instead of one per level);
+    * this exists for behavior parity with the reference index shape. */
+  def buildDnc(df: DataFrame, vecCol: String, params: Params = Params()): (DataFrame, Model) = {
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    def recurse(sub: DataFrame, depth: Int): Unit = {
+      val n = sub.count()
+      if (n == 0) return
+      val sampled = sampleVecs(sub, vecCol, n, params)
+      if (n <= params.listSize) {
+        // leaf: 1-means of the sample == its normalized mean (dataset.go:85-106)
+        leaves += kmeansOnSample(sampled, 1, params.maxIter, params.seed)(0)
+      } else {
+        val k = math.min(params.splitSize,
+          math.max(2, (n / params.listSize).toInt)) // dnc.go:324-335
+        val centers = kmeansOnSample(sampled, k, params.maxIter, params.seed + depth)
+        val assigned = assign(sub, vecCol, Model(centers))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        assigned.count() // materialize once; children read the cached split
+        (0 until centers.length).foreach { c =>
+          recurse(assigned.filter(col("centroid_id") === c)
+            .drop("centroid_id", "centroid_sim"), depth + 1)
+        }
+        assigned.unpersist()
+      }
+    }
+    recurse(df, 0)
+    finalizeIndex(df, vecCol, leaves.toArray, params)
+  }
+
+  /** Shared tail (reference dnc.go:170-574): assign all rows, drop small
+    * lists (keeping the largest), recenter to member means, re-assign. */
+  private def finalizeIndex(df: DataFrame, vecCol: String,
+      centers: Array[Array[Float]], params: Params): (DataFrame, Model) = {
     val model0 = Model(centers)
 
     // distributed pass 1: assign

@@ -55,6 +55,36 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("divide-and-conquer build yields bounded lists and searchable index") {
+    val (indexed, model) = IvfIndex.buildDnc(embeddings, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 1000))
+    assert(model.k >= 5, s"expected >= ceil(500/100) lists, got ${model.k}")
+    val counts = indexed.groupBy("centroid_id").count().collect()
+    assert(counts.map(_.getLong(1)).sum == 500L)
+    // nprobe=all over the dnc index must equal brute force
+    val query = embeddings.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val ivf = IvfIndex.search(indexed, model, "vec_id", "embedding", query,
+      k = 10, nprobe = -1).collect().map(_.getLong(0)).toSeq
+    val brute = embeddings
+      .select(col("vec_id"), gf.cosine_sim(col("embedding"), lit(query).cast("array<float>")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute)
+  }
+
+  test("superset-truncate init returns exactly k centers covering the sample") {
+    val sample = Array.tabulate(200)(i =>
+      Array.tabulate(8)(d => ((i % 4) * 10 + d).toFloat + i * 0.001f))
+    val centers = IvfIndex.kmeansSupersetTruncate(sample, 4, 5, 50, 42L)
+    assert(centers.length == 4)
+    // 4 well-separated generators → every sample point close to a center
+    sample.map(graft.functions.VectorKernels.l2Normalize).foreach { v =>
+      val best = centers.map(c => graft.functions.VectorKernels.dotUnit(v, c)).max
+      assert(best > 0.99, s"uncovered point, best sim $best")
+    }
+  }
+
   test("blocked near-dup pairs are a subset of the exact all-pairs ranking") {
     val blocked = DedupQueries.q32BlockedNeardup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
