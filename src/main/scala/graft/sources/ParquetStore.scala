@@ -40,7 +40,7 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
 
   /** Full (re)materialization. */
   def create(df: DataFrame): Unit =
-    withBucket(df).write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    withBucket(df).write.mode("overwrite").option("compression", "zstd").partitionBy("_bucket").parquet(path)
 
   def read(spark: SparkSession): DataFrame =
     spark.read.parquet(path).drop("_bucket")
@@ -48,7 +48,7 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
   /** S6 insert sink: append — new files land in their key's bucket dirs,
     * no existing file is touched. */
   def append(df: DataFrame): Unit =
-    withBucket(df).write.mode("append").partitionBy("_bucket").parquet(path)
+    withBucket(df).write.mode("append").option("compression", "zstd").partitionBy("_bucket").parquet(path)
 
   /** S7 update sink (MERGE-on-key): rows in `updates` replace same-key
     * rows; unmatched keys are inserted. Only touched buckets rewrite. */
@@ -68,7 +68,7 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
     // break the dependency before the dynamic overwrite
     val snapshot = merged.localCheckpoint(true)
     dynamicOverwrite(spark) {
-      snapshot.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+      snapshot.write.mode("overwrite").option("compression", "zstd").partitionBy("_bucket").parquet(path)
     }
   }
 
@@ -84,7 +84,7 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
     val kept = existing.join(del.select(col(k).as(keyCol)), Seq(keyCol), "left_anti")
     val snapshot = kept.localCheckpoint(true)
     dynamicOverwrite(spark) {
-      snapshot.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+      snapshot.write.mode("overwrite").option("compression", "zstd").partitionBy("_bucket").parquet(path)
     }
   }
 

@@ -65,6 +65,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(codegen.contains("VectorKernels.cosineAD"), codegen)
   }
 
+  test("filters and projections reach the parquet scan") {
+    val plan = Queries.q08InlistScan(spark, SparkSuite.sf0001)
+      .queryExecution.executedPlan.toString
+    // predicate pushdown: the IN-list and range filter appear as
+    // PushedFilters on the scan node, not only as a post-scan Filter
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("In(l_suppkey"), plan)
+    assert(plan.contains("LessThan(l_shipdate"), plan)
+    // column pruning: the 16-column lineitem scan reads only what q08 needs
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "l_shipdate")
+      .forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
   test("entry returns rows (driver t1 smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
