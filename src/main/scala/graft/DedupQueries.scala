@@ -67,15 +67,20 @@ object DedupQueries {
       .select(col("doc_id"), gf.simhash_md5(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: hamming distance <= 4 of the 64-bit
-    * signatures. The full pairwise join is oracle-friendly at test SF;
-    * the scale path blocks on signature prefixes (see SimHashBlocking in
-    * tests) so the shuffle key space stays bounded. */
+    * signatures. Signatures are parsed to integer halves ONCE per row
+    * before the pairwise join, so the O(n²) inner loop is pure codegen'd
+    * xor+bit_count. The full pairwise join is oracle-friendly at test SF;
+    * the scale path blocks on signature prefixes so the shuffle key space
+    * stays bounded. */
   def q24SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val (h1, h2) = gf.hex_to_long_halves(col("simhash"))
     val sig = q23Simhash(s, dir)
+      .withColumn("h1", h1).withColumn("h2", h2)
     sig.as("a")
       .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        gf.hamming_hex(col("a.simhash"), col("b.simhash")).as("hamming"))
+        (bit_count(col("a.h1").bitwiseXOR(col("b.h1"))) +
+          bit_count(col("a.h2").bitwiseXOR(col("b.h2")))).as("hamming"))
       .filter(col("hamming") <= 4)
   }
 
@@ -131,7 +136,25 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** Bottom-k document sketch (MOSS/winnowing-family fingerprint): the 4
+    * lexicographically-smallest md5(shingle) values per doc. Sketches are
+    * unionable and support Jaccard estimation; the only shuffle is the
+    * per-doc groupBy with a partial collect_set — bounded by k per group
+    * after local dedup. */
+  def q35BottomkSketch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sk = docs
+      .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+      .groupBy("doc_id")
+      .agg(slice(sort_array(collect_set(col("h"))), 1, 4).as("sketch"))
+    docs.select("doc_id").join(sk, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sketch"), array().cast("array<string>")).as("sketch"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_bottomk_sketch" -> q35BottomkSketch _,
     "q21_minhash_lsh" -> q21MinhashLsh _,
     "q22_jaccard_neardup" -> q22JaccardNeardup _,
     "q23_simhash" -> q23Simhash _,
@@ -207,6 +230,13 @@ object DedupQueries {
          |  FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS p)
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4""".stripMargin,
+    "q35_bottomk_sketch" ->
+      s"""WITH $shingleCte,
+         |hs AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
+         |sk AS (SELECT doc_id, (list_sort(list(h)))[1:4] AS sketch FROM hs GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(s.sketch, CAST([] AS VARCHAR[])) AS sketch
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN sk s USING (doc_id)""".stripMargin,
     "q31_embed_neardup" ->
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
         |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim

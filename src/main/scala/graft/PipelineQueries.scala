@@ -83,9 +83,7 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_events"))
       .groupBy(col("user_id"))
       .agg(max(col("sess")).as("n_sessions"),
-        max(col("n_events")).as("max_session_events"),
-        count(lit(1)).as("check_sessions"))
-      .select(col("user_id"), col("n_sessions"), col("max_session_events"))
+        max(col("n_events")).as("max_session_events"))
   }
 
   /** Engine-portable heuristic quality score in [0,1] — composed from

@@ -82,10 +82,22 @@ object gf {
   }
   def hamming64(a: Column, b: Column): Column =
     F.bit_count(a.bitwiseXOR(b))
-  /** Hamming distance between two hex signature strings. */
+  /** Hamming distance between two hex signature strings (UDF; for the
+    * O(pairs) join hot path use [[hex_to_long_halves]] + xor/bit_count so
+    * the per-pair work stays integer-only in codegen). */
   def hamming_hex(a: Column, b: Column): Column = {
     val u = F.udf((x: String, y: String) => TextKernels.hammingHex(x, y))
     u(a, b)
+  }
+
+  /** Parse a 16-hex signature into two unsigned 32-bit halves as longs —
+    * done ONCE per row so pairwise hamming inside joins is just
+    * `bit_count(h1^h1') + bit_count(h2^h2')` (codegen'd integer ops;
+    * Spark's conv() is far too slow to sit inside an O(n²) join). */
+  def hex_to_long_halves(sig: Column): (Column, Column) = {
+    val u = F.udf((s: String) => java.lang.Long.parseLong(s.substring(0, 8), 16))
+    val v = F.udf((s: String) => java.lang.Long.parseLong(s.substring(8, 16), 16))
+    (u(sig), v(sig))
   }
   val rolling_fingerprint: Column => Column = {
     val u = F.udf((s: String) => TextKernels.rollingFingerprint(s)); c => u(c)

@@ -80,6 +80,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_comment"), readSchema)
   }
 
+  test("native expressions are callable from SQL after registerAll") {
+    gf.registerAll(spark)
+    Tables.registerAll(spark, dir)
+    val r = spark.sql(
+      """SELECT vec_id,
+        |  round(cosine_sim(embedding, embedding), 4) AS self_sim,
+        |  cosine_sim_q(quantize_vec(embedding), quantize_vec(embedding)) AS qq,
+        |  size(dequantize_vec(quantize_vec(embedding))) AS dim
+        |FROM embeddings LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getDouble(1) == 1.0)
+      assert(row.getDouble(2) > 0.999)
+      assert(row.getInt(3) == 64)
+    }
+  }
+
   test("entry returns rows (driver t1 smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
