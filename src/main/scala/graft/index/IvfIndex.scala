@@ -169,6 +169,28 @@ object IvfIndex {
     finalizeIndex(df, vecCol, centers, params)
   }
 
+  /** Fully-distributed build: MLlib KMeans with cosine distance trains
+    * over ALL rows (not a driver sample) — the path for corpora whose
+    * cluster structure a 50k sample can't capture. Same finalize tail
+    * (drop-small, recenter, assign) as [[build]]. MLlib's Lloyd's runs as
+    * Spark jobs (broadcast centers + treeAggregate per iteration), so this
+    * scales with the cluster; prefer [[build]] when the sample suffices —
+    * one pass instead of maxIter passes. */
+  def buildMllib(df: DataFrame, vecCol: String, params: Params = Params()): (DataFrame, Model) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = df.count()
+    val k = math.max(2, math.ceil(n.toDouble / params.listSize).toInt)
+    val feat = df.withColumn("_features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new KMeans()
+      .setK(k).setDistanceMeasure("cosine").setSeed(params.seed)
+      .setMaxIter(params.maxIter).setFeaturesCol("_features")
+    val centers = km.fit(feat).clusterCenters
+      .map(c => VectorKernels.l2Normalize(c.toArray.map(_.toFloat)))
+    finalizeIndex(df, vecCol, centers, params)
+  }
+
   /** M3 parity path (reference dnc/dnc.go:300-400): recursive
     * divide-and-conquer. Subsets ≤ listSize emit their sample mean as a
     * leaf centroid; larger subsets k-means-split into ≤ splitSize clusters
