@@ -32,6 +32,9 @@ object DedupQueries {
     val bands = t(s, dir, "documents")
       .select(col("doc_id"), gf.minhash(col("text"), N, K).as("sig"))
       .select(col("doc_id"), explode(gf.lsh_bands(col("sig"), BANDS)).as("bucket"))
+      // materialize once: both sides of the self-join read the computed
+      // bands instead of re-running the minhash kernel per side
+      .localCheckpoint(true)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -47,6 +50,9 @@ object DedupQueries {
   def q22JaccardNeardup(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+      // sh feeds three plan branches (sizes + both join sides); compute
+      // the shingle kernel once
+      .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -76,6 +82,7 @@ object DedupQueries {
     val (h1, h2) = gf.hex_to_long_halves(col("simhash"))
     val sig = q23Simhash(s, dir)
       .withColumn("h1", h1).withColumn("h2", h2)
+      .localCheckpoint(true) // simhash kernel once, not once per join side
     sig.as("a")
       .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -126,6 +133,7 @@ object DedupQueries {
     val (indexed, _) = graft.index.IvfIndex.build(e, "embedding",
       graft.index.IvfIndex.Params(listSize = 100, sampleSize = 1000))
     val lists = indexed.select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .localCheckpoint(true) // assignment pass once, not once per join side
     lists.as("a")
       .join(lists.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&

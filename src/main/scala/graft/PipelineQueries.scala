@@ -128,9 +128,32 @@ object PipelineQueries {
         sum(col("n_frames")).as("total_frames"))
   }
 
+  /** Token counting, sub-word flavored: whitespace tokens plus a BPE-ish
+    * segmentation (letter runs | single digits | single symbols — the
+    * pre-tokenizer shape of GPT-style BPE vocabularies) — both codegen'd
+    * regex expressions the DuckDB oracle replicates byte-for-byte. */
+  def q36BpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("\\p{L}+|[0-9]|[^\\p{L}0-9\\s]"), lit(0))).as("bpe_tokens"),
+        gf.token_count(col("text")).as("ws_tokens"))
+
+  /** Near-dup dedup RESOLUTION (rows-only; DedupOpsSpec proves the
+    * clustering against a driver-side union-find): documents surviving
+    * dedup over the exact-Jaccard >= 0.8 pair graph, each cluster keeping
+    * its minimum doc_id. */
+  def q37NeardupDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupOps.dedupKeepCanonical(
+      t(s, dir, "documents").select("doc_id", "lang", "source"),
+      "doc_id",
+      DedupQueries.q22JaccardNeardup(s, dir), "doc_a", "doc_b")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_ivf" -> q26AnnIvf _,
     "q34_media_pipeline" -> q34MediaPipeline _,
+    "q36_bpe_tokens" -> q36BpeTokens _,
+    "q37_neardup_dedup" -> q37NeardupDedup _,
     "q27_flatten_chunks" -> q27FlattenChunks _,
     "q28_upload_pipeline" -> q28UploadPipeline _,
     "q29_sessionize" -> q29Sessionize _,
@@ -138,6 +161,12 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q36_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\p{L}+|[0-9]|[^\p{L}0-9\s]')) AS bpe_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens
+        |FROM documents""".stripMargin,
     "q29_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DedupOps
+
+/** Connected components + keep-canonical dedup vs a driver union-find. */
+class DedupOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components match union-find on a synthetic graph") {
+    import spark.implicits._
+    // two chains, one star, one isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain 1-4
+      (10L, 11L), (10L, 12L), (10L, 13L), // star at 10
+      (20L, 21L)) // pair
+    val got = DedupOps.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(pairs)
+    assert(got == want, s"got $got want $want")
+    assert(got.values.toSet == Set(1L, 10L, 20L))
+  }
+
+  test("long chain converges (diameter > 1 iteration)") {
+    import spark.implicits._
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = DedupOps.connectedComponents(chain.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 30 && got.values.forall(_ == 0L))
+  }
+
+  test("q37 keep-set equals union-find over the q22 pair graph") {
+    val docs = Tables.load(spark, SparkSuite.sf001, "documents")
+    val pairs = DedupQueries.q22JaccardNeardup(spark, SparkSuite.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val comps = unionFind(pairs)
+    val losers = comps.filter { case (n, c) => n != c }.keySet
+    val expectKeep = docs.select("doc_id").collect().map(_.getLong(0)).toSet -- losers
+    val got = PipelineQueries.q37NeardupDedup(spark, SparkSuite.sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expectKeep)
+    assert(pairs.nonEmpty, "q22 should find near-dups at sf0.01")
+  }
+}
