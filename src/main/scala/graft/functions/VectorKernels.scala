@@ -68,21 +68,36 @@ object VectorKernels {
   }
 
   /** Cosine similarity of two float vectors, computed in float64 with
-    * zero-norm safety (reference cosine.go:40-56,138-149). */
+    * zero-norm safety (reference cosine.go:40-56,138-149). 4-way unrolled:
+    * independent accumulator chains break the sequential FP dependency so
+    * the CPU pipelines ~4 FMAs in flight (the scalar analogue of the
+    * reference's BLAS/AVX path). */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
+    var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+    var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+    var b0 = 0.0; var b1 = 0.0; var b2 = 0.0; var b3 = 0.0
     var i = 0
+    val n4 = n - (n % 4)
+    while (i < n4) {
+      val x0 = a(i).toDouble; val y0 = b(i).toDouble
+      val x1 = a(i + 1).toDouble; val y1 = b(i + 1).toDouble
+      val x2 = a(i + 2).toDouble; val y2 = b(i + 2).toDouble
+      val x3 = a(i + 3).toDouble; val y3 = b(i + 3).toDouble
+      d0 += x0 * y0; a0 += x0 * x0; b0 += y0 * y0
+      d1 += x1 * y1; a1 += x1 * x1; b1 += y1 * y1
+      d2 += x2 * y2; a2 += x2 * x2; b2 += y2 * y2
+      d3 += x3 * y3; a3 += x3 * x3; b3 += y3 * y3
+      i += 4
+    }
     while (i < n) {
-      val x = a(i).toDouble
-      val y = b(i).toDouble
-      dot += x * y
-      na += x * x
-      nb += y * y
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d0 += x * y; a0 += x * x; b0 += y * y
       i += 1
     }
+    val dot = (d0 + d1) + (d2 + d3)
+    val na = (a0 + a1) + (a2 + a3)
+    val nb = (b0 + b1) + (b2 + b3)
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
@@ -98,29 +113,55 @@ object VectorKernels {
     val bmn = readFloatLE(b, 0)
     val brange = readFloatLE(b, 4) - bmn
     val n = math.min(a.length, b.length) - 8
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
+    // accumulation pattern MUST mirror cosine's 4-way chains exactly
+    // (element i -> chain i%4, tail -> chain 0, (c0+c1)+(c2+c3) reduce)
+    // so fused and unfused stay bit-identical
+    var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+    var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+    var b0 = 0.0; var b1 = 0.0; var b2 = 0.0; var b3 = 0.0
+    @inline def xAt(i: Int): Double = (amn + (a(8 + i) & 0xff).toFloat / 255.0f * arange).toDouble
+    @inline def yAt(i: Int): Double = (bmn + (b(8 + i) & 0xff).toFloat / 255.0f * brange).toDouble
     var i = 0
+    val n4 = n - (n % 4)
+    while (i < n4) {
+      val x0 = xAt(i); val y0 = yAt(i)
+      val x1 = xAt(i + 1); val y1 = yAt(i + 1)
+      val x2 = xAt(i + 2); val y2 = yAt(i + 2)
+      val x3 = xAt(i + 3); val y3 = yAt(i + 3)
+      d0 += x0 * y0; a0 += x0 * x0; b0 += y0 * y0
+      d1 += x1 * y1; a1 += x1 * x1; b1 += y1 * y1
+      d2 += x2 * y2; a2 += x2 * x2; b2 += y2 * y2
+      d3 += x3 * y3; a3 += x3 * x3; b3 += y3 * y3
+      i += 4
+    }
     while (i < n) {
-      val x = (amn + (a(8 + i) & 0xff).toFloat / 255.0f * arange).toDouble
-      val y = (bmn + (b(8 + i) & 0xff).toFloat / 255.0f * brange).toDouble
-      dot += x * y
-      na += x * x
-      nb += y * y
+      val x = xAt(i); val y = yAt(i)
+      d0 += x * y; a0 += x * x; b0 += y * y
       i += 1
     }
+    val dot = (d0 + d1) + (d2 + d3)
+    val na = (a0 + a1) + (a2 + a3)
+    val nb = (b0 + b1) + (b2 + b3)
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
 
-  /** Dot product of two already-L2-normalized float vectors (gemv row). */
+  /** Dot product of two already-L2-normalized float vectors (gemv row);
+    * 4-way unrolled like [[cosine]]. */
   def dotUnit(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
-    var dot = 0.0
+    var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
     var i = 0
-    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
-    dot
+    val n4 = n - (n % 4)
+    while (i < n4) {
+      d0 += a(i).toDouble * b(i).toDouble
+      d1 += a(i + 1).toDouble * b(i + 1).toDouble
+      d2 += a(i + 2).toDouble * b(i + 2).toDouble
+      d3 += a(i + 3).toDouble * b(i + 3).toDouble
+      i += 4
+    }
+    while (i < n) { d0 += a(i).toDouble * b(i).toDouble; i += 1 }
+    (d0 + d1) + (d2 + d3)
   }
 
   /** L2-normalize (copy), zero-safe (reference cosine.go:138-149). */
