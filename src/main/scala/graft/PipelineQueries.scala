@@ -149,11 +149,24 @@ object PipelineQueries {
       "doc_id",
       DedupQueries.q22JaccardNeardup(s, dir), "doc_a", "doc_b")
 
+  /** Vocabulary building: the corpus-wide wordcount shape (explode tokens
+    * → groupBy → top-k). Partial aggregation combines map-side, the final
+    * top-50 is TakeOrderedAndProject — no global sort, no hot partition. */
+  def q38Vocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(50)
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_ivf" -> q26AnnIvf _,
     "q34_media_pipeline" -> q34MediaPipeline _,
     "q36_bpe_tokens" -> q36BpeTokens _,
     "q37_neardup_dedup" -> q37NeardupDedup _,
+    "q38_vocab" -> q38Vocab _,
     "q27_flatten_chunks" -> q27FlattenChunks _,
     "q28_upload_pipeline" -> q28UploadPipeline _,
     "q29_sessionize" -> q29Sessionize _,
@@ -161,6 +174,12 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q38_vocab" ->
+      """SELECT token, count(*) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
     "q36_bpe_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\p{L}+|[0-9]|[^\p{L}0-9\s]')) AS bpe_tokens,

@@ -94,6 +94,30 @@ class StreamsSpec extends AnyFunSuite {
       ("2026-01-01 10:00:00.0", "view", 1L, 5.0)), rows)
   }
 
+  test("file-source streaming dedup over the real documents table") {
+    import spark.implicits._
+    // stage the parquet file as a streaming source directory
+    val srcDir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkSuite.sf0001, "documents.parquet"),
+      srcDir.resolve("part-0.parquet"))
+    val schema = Tables.load(spark, SparkSuite.sf0001, "documents").schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", current_timestamp())
+    val q = Streams.streamingExactDedup(stream)
+      .writeStream.format("memory").queryName("file_dedup_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("file_dedup_out")
+    // one survivor per distinct fingerprint, same fingerprint set as batch
+    val batchFps = Queries.q18ExactDedup(spark, SparkSuite.sf0001)
+      .select("fp").as[String].collect().toSet
+    assert(got.count() == batchFps.size.toLong)
+    assert(got.select("fp").as[String].collect().toSet == batchFps)
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val s = spark
