@@ -103,7 +103,7 @@ object DedupQueries {
       .orderBy(col("sim").desc, col("vec_id").asc)
     e.crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
-        round(gf.cosine_sim(col("embedding"), col("qvec")), 4).as("sim"))
+        (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
@@ -119,7 +119,7 @@ object DedupQueries {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
-        round(gf.cosine_sim(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+        (round(gf.cosine_sim(col("a.embedding"), col("b.embedding")), 4) + 0.0).as("sim"))
       .orderBy(col("sim").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
   }
@@ -139,7 +139,7 @@ object DedupQueries {
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
-        round(gf.cosine_sim(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+        (round(gf.cosine_sim(col("a.embedding"), col("b.embedding")), 4) + 0.0).as("sim"))
       .orderBy(col("sim").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
   }
@@ -247,15 +247,15 @@ object DedupQueries {
          |LEFT JOIN sk s USING (doc_id)""".stripMargin,
     "q31_embed_neardup" ->
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) + 0 AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin,
     "q25_knn_batch" ->
       """SELECT query_id, vec_id, sim, rn FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id,
-        |    round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS sim,
+        |    round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) + 0 AS sim,
         |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) DESC,
+        |      ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) + 0 DESC,
         |               e.vec_id ASC) AS rn
         |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
         |WHERE rn <= 10""".stripMargin

@@ -169,7 +169,7 @@ object Queries {
       .agg(gf.vector_mean(col("embedding")).as("mean_vec"))
       .select(col("label"), posexplode(col("mean_vec")).as(Seq("pos", "v")))
       .select(col("label"), col("pos"),
-        round(col("v").cast("double"), 4).as("mean_val"))
+        (round(col("v").cast("double"), 4) + 0.0).as("mean_val")) // +0.0: -0.0 -> 0.0, engines disagree on zero sign at rounding boundaries
 
   /** J4/T2: brute-force cosine top-k against a fixed query vector
     * (the embedding of vec_id=0), deterministic tie-break. */
@@ -178,7 +178,7 @@ object Queries {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
     e.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(gf.cosine_sim(col("embedding"), col("qvec")), 4).as("sim"))
+        (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -326,14 +326,14 @@ object Queries {
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q15_vector_mean" ->
       """SELECT label, idx - 1 AS pos,
-        |  round(CAST(CAST(avg(val) AS REAL) AS DOUBLE), 4) AS mean_val
+        |  round(CAST(CAST(avg(val) AS REAL) AS DOUBLE), 4) + 0 AS mean_val
         |FROM (SELECT label, unnest(embedding) AS val,
         |        unnest(generate_series(1, len(embedding))) AS idx
         |      FROM embeddings)
         |GROUP BY label, idx - 1""".stripMargin,
     "q16_cosine_topk" ->
       """SELECT e.vec_id,
-        |  round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS sim
+        |  round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) + 0 AS sim
         |FROM embeddings e,
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
