@@ -272,6 +272,32 @@ object IvfIndex {
   def write(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Persist the index with QUANTIZED vectors (the reference's storage
+    * format: 8-byte header + 1 byte/dim ≈ 4× less scan IO than float32).
+    * Search reads codes straight into the fused dequantize+cosine kernel
+    * ([[graft.functions.CosineSimQ]]) — the float array is never
+    * materialized. */
+  def writeQuantized(assigned: DataFrame, vecCol: String, path: String): Unit =
+    assigned
+      .withColumn("qvec", gf.quantize_vec(col(vecCol))).drop(vecCol)
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("centroid_id").parquet(path)
+
+  /** nprobe search over a quantized on-disk index ([[writeQuantized]]):
+    * partition-pruned scan of the probed lists, fused-kernel cosine
+    * against the quantized query. */
+  def searchQuantized(
+      indexed: DataFrame, model: Model, idCol: String, qvecCol: String,
+      query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probeIds = model.probe(query, nprobe)
+    val qLit = lit(VectorKernels.quantize(query))
+    indexed
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .select(col(idCol), gf.cosine_sim_q(col(qvecCol), qLit).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** nprobe search over an assigned/partitioned index DataFrame.
     * Deterministic tie-break (sim DESC, id ASC) — SURVEY §4.3. */
   def search(

@@ -85,6 +85,38 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized on-disk index: smaller files, high-recall fused-kernel search") {
+    val (indexed, model) = IvfIndex.build(embeddings, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 1000))
+    val fDir = java.nio.file.Files.createTempDirectory("ivf_f").toString
+    val qDir = java.nio.file.Files.createTempDirectory("ivf_q").toString
+    IvfIndex.write(indexed.select("vec_id", "embedding", "centroid_id"), fDir)
+    IvfIndex.writeQuantized(indexed.select("vec_id", "embedding", "centroid_id"),
+      "embedding", qDir)
+
+    def dirSize(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    assert(dirSize(qDir) < dirSize(fDir) / 2,
+      s"quantized ${dirSize(qDir)} vs float ${dirSize(fDir)}")
+
+    val query = embeddings.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val qIdx = spark.read.parquet(qDir)
+    val got = IvfIndex.searchQuantized(qIdx, model, "vec_id", "qvec", query,
+      k = 10, nprobe = -1).collect().map(_.getLong(0)).toSet
+    val brute = embeddings
+      .select(col("vec_id"), gf.cosine_sim(col("embedding"), lit(query).cast("array<float>")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // quantization perturbs sims by <= ~range/255 per dim; top-10 overlap
+    // must stay high and the self-hit exact
+    assert(got.contains(7L))
+    assert((got intersect brute).size >= 8, s"recall ${(got intersect brute).size}/10")
+  }
+
   test("blocked near-dup pairs are a subset of the exact all-pairs ranking") {
     val blocked = DedupQueries.q32BlockedNeardup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
