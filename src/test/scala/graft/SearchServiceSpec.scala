@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{gf, VectorKernels}
+import graft.index.IvfIndex
+import graft.sources.ParquetStore
+import graft.SearchService.SearchRequest
+
+/** The /api/search read path and the centroid-refresh job as operators. */
+class SearchServiceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  // chunk table: 2 chunks per document (vec and its negation ⇒ distinct sims)
+  private lazy val corpus = {
+    val e = Tables.load(spark, SparkSuite.sf0001, "embeddings")
+      .select(col("vec_id").as("document_id"), col("embedding"))
+    val flipped = e.select(col("document_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    e.unionByName(flipped)
+  }
+  private lazy val built = IvfIndex.build(corpus, "embedding",
+    IvfIndex.Params(listSize = 100, sampleSize = 2000))
+
+  test("clamp mirrors the reference parameter rules") {
+    import graft.SearchService.clamp
+    assert(clamp(SearchRequest("q", count = 0), 5).count == 1)
+    assert(clamp(SearchRequest("q", count = 99), 5).count == 20)
+    assert(clamp(SearchRequest("q", offset = -3), 5).offset == 0)
+    assert(clamp(SearchRequest("q", centroids = 0), 5).nprobe == 1)
+    assert(clamp(SearchRequest("q", centroids = -1), 5).nprobe == 5)
+    assert(clamp(SearchRequest("q", centroids = 3), 5).nprobe == 3)
+  }
+
+  test("search dedups per document, orders by similarity, paginates") {
+    val (indexed, model) = built
+    val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
+      .select(col("doc_id").as("document_id"), col("text"))
+    val page1 = SearchService.search(spark, indexed, docs, model,
+      SearchRequest("find me things", count = 5, offset = 0, centroids = -1))
+      .collect()
+    assert(page1.length == 5)
+    // one row per document, ordered by similarity desc
+    assert(page1.map(_.getLong(0)).distinct.length == 5)
+    val sims = page1.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // payload joined
+    assert(page1.forall(r => r.getString(2) != null))
+
+    val page2 = SearchService.search(spark, indexed, docs, model,
+      SearchRequest("find me things", count = 5, offset = 5, centroids = -1))
+      .collect()
+    assert(page2.length == 5)
+    assert(page1.map(_.getLong(0)).toSet.intersect(page2.map(_.getLong(0)).toSet).isEmpty)
+    assert(page1.last.getDouble(1) >= page2.head.getDouble(1))
+  }
+
+  test("search with nprobe=all equals a brute-force per-document ranking") {
+    val (indexed, model) = built
+    val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
+      .select(col("doc_id").as("document_id"), col("text"))
+    val got = SearchService.search(spark, indexed, docs, model,
+      SearchRequest("oracle check", count = 10, centroids = -1))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qvec = VectorKernels.dequantize(
+      VectorKernels.noopEmbed("search_query: oracle check", 64))
+    val brute = corpus
+      .select(col("document_id"),
+        gf.cosine_sim(col("embedding"), lit(qvec).cast("array<float>")).as("sim"))
+      .groupBy("document_id").agg(max("sim").as("similarity"))
+      .orderBy(col("similarity").desc, col("document_id").asc)
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute)
+  }
+
+  test("refreshIndex reassigns through the store, rewriting moved rows only") {
+    val store = ParquetStore(
+      java.nio.file.Files.createTempDirectory("emb_store").toString,
+      "vec_id", nBuckets = 8)
+    store.create(Tables.load(spark, SparkSuite.sf0001, "embeddings")
+      .select("vec_id", "embedding")
+      .withColumn("centroid_id", lit(-1)))
+    val model = SearchService.refreshIndex(spark, store, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 1000))
+    assert(model.k >= 2)
+    val after = store.read(spark)
+    assert(after.filter(col("centroid_id") === -1).count() == 0)
+    assert(after.count() == 500)
+    // assignments must agree with a fresh assign pass under the same model
+    val expect = IvfIndex.assign(
+        Tables.load(spark, SparkSuite.sf0001, "embeddings"), "embedding", model)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    after.select("vec_id", "centroid_id").collect()
+      .foreach(r => assert(expect(r.getLong(0)) == r.getInt(1)))
+    // idempotent refresh: second run moves nothing
+    val filesBefore = store.bucketDirs
+    SearchService.refreshIndex(spark, store, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 1000))
+    assert(store.read(spark).count() == 500)
+    assert(store.bucketDirs == filesBefore)
+  }
+}
