@@ -228,9 +228,35 @@ object Queries {
       .filter(col("pos") < 8)
       .select(col("vec_id"), col("pos"), col("v").cast("double").as("val"))
 
+  /** Hierarchical rollup totals over the corpus dimensions (an extension:
+    * the reference has no grouping sets; a training lake wants per-lang /
+    * per-source / grand totals in one pass). */
+  def q39Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** As-of lookup via window (the streaming-joins workhorse): for every
+    * event, the timestamp of that user's most recent prior-or-same 'click'
+    * event. last(ignoreNulls) over an unbounded-preceding frame is the
+    * partition-local as-of scan — one shuffle on user_id, no join. */
+  def q40AsofWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("last_click_us"))
+  }
+
   /** All queries, keyed. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_quantize_roundtrip" -> q33QuantizeRoundtrip _,
+    "q39_rollup" -> q39Rollup _,
+    "q40_asof_window" -> q40AsofWindow _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_topk_orders" -> q02TopkOrders _,
     "q03_pagination" -> q03Pagination _,
@@ -355,6 +381,16 @@ object Queries {
       """SELECT vec_id, label FROM embeddings e
         |WHERE NOT EXISTS (SELECT 1 FROM documents d
         |                  WHERE d.doc_id = e.vec_id AND d.source = 'src0')""".stripMargin,
+    "q39_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "q40_asof_window" ->
+      """SELECT user_id, event_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        |FROM (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+        |      FROM events)""".stripMargin,
     // f32-exact twin of the packed codec: DuckDB FLOAT arithmetic stays
     // FLOAT, so every intermediate mirrors the JVM float32 kernel.
     "q33_quantize_roundtrip" ->
