@@ -16,6 +16,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // kernel micros first: a quiet JVM, before 35 queries of GC churn
+    val micro0 = microBench()
     // untimed warmup: session/codegen/parquet-footer startup costs land
     // here, not on whichever query happens to iterate first
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
@@ -27,11 +29,64 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val micro = microBench()
+    val micro = micro0 ++ annBench(spark, sfDir)
     val ms = micro.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"micro":$ms,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** BASELINE.md measurement plan: brute-force top-k latency, IVF search
+    * latency + recall at nprobe 1 and 4, index build wall-clock. */
+  private def annBench(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Map[String, Double] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    import graft.index.IvfIndex
+    try {
+      val e = Tables.load(spark, sfDir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+      def bruteTopk(q: Array[Float]): Array[Long] =
+        e.select(col("vec_id"),
+            gf.cosine_sim(col("embedding"), lit(q).cast("array<float>")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+          .collect().map(_.getLong(0))
+
+      var t0 = System.nanoTime()
+      val exact = queries.map { case (_, q) => bruteTopk(q) }
+      val bruteMs = (System.nanoTime() - t0) / 1e6 / queries.length
+
+      t0 = System.nanoTime()
+      val (indexed, model) = IvfIndex.build(e, "embedding",
+        IvfIndex.Params(listSize = 100, sampleSize = 50000))
+      val idx = indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count()
+      val buildSec = (System.nanoTime() - t0) / 1e9
+
+      def ivfRun(nprobe: Int): (Double, Double) = {
+        val t = System.nanoTime()
+        val hits = queries.zipWithIndex.map { case ((_, q), i) =>
+          val got = IvfIndex.search(idx, model, "vec_id", "embedding", q, 10, nprobe)
+            .collect().map(_.getLong(0)).toSet
+          (got intersect exact(i).toSet).size / 10.0
+        }
+        (((System.nanoTime() - t) / 1e6) / queries.length, hits.sum / hits.length)
+      }
+      val (ms1, r1) = ivfRun(1)
+      val (ms4, r4) = ivfRun(4)
+      e.unpersist(); idx.unpersist()
+      Map(
+        "brute_topk_ms_per_query" -> bruteMs,
+        "ivf_build_sec" -> buildSec,
+        "ivf_nprobe1_ms_per_query" -> ms1,
+        "ivf_nprobe1_recall10" -> r1,
+        "ivf_nprobe4_ms_per_query" -> ms4,
+        "ivf_nprobe4_recall10" -> r4)
+    } catch { case _: Throwable => Map("ann_bench_failed" -> 1.0) }
   }
 
   /** Reference prefTest shapes, single-threaded JVM kernel time in
