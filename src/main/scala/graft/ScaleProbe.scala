@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+import graft.index.IvfIndex
+
+/** Scale probe: synthesizes an N-vector corpus (noop embeddings — no
+  * testdata dependency) and measures the index lifecycle at the
+  * REFERENCE'S production constants (listSize=10k, sample=50k) rather
+  * than the test-SF-shrunk ones: build, brute-force top-k, nprobe
+  * search + recall. Prints one JSON line.
+  *
+  * Usage: runMain graft.ScaleProbe [nRows] [dim]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 200000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val corpus = spark.range(n.toLong)
+      .select(col("id").as("vec_id"),
+        gf.dequantize_vec(gf.noop_embed(col("id").cast("string"), dim)).as("embedding"))
+      .repartition(cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+
+    var t0 = System.nanoTime()
+    val (indexed, model) = IvfIndex.build(corpus, "embedding") // 10k lists, 50k sample
+    val idx = indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val queries = corpus.filter(col("vec_id") < 8)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+
+    def brute(q: Array[Float]): Set[Long] =
+      corpus.select(col("vec_id"),
+          gf.cosine_sim(col("embedding"), lit(q).cast("array<float>")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    t0 = System.nanoTime()
+    val exact = queries.map(brute)
+    val bruteMs = (System.nanoTime() - t0) / 1e6 / queries.length
+
+    def ivf(nprobe: Int): (Double, Double) = {
+      val t = System.nanoTime()
+      val rec = queries.zipWithIndex.map { case (q, i) =>
+        val got = IvfIndex.search(idx, model, "vec_id", "embedding", q, 10, nprobe)
+          .collect().map(_.getLong(0)).toSet
+        (got intersect exact(i)).size / 10.0
+      }
+      ((System.nanoTime() - t) / 1e6 / queries.length, rec.sum / rec.length)
+    }
+    val (ms1, r1) = ivf(1)
+    val (ms4, r4) = ivf(4)
+
+    // on-disk quantized layout: partition pruning means an nprobe=1 query
+    // reads ~1/lists of the bytes a full-scan read does
+    val qDir = java.nio.file.Files.createTempDirectory("probe_idx").toString
+    t0 = System.nanoTime()
+    IvfIndex.writeQuantized(idx.select("vec_id", "embedding", "centroid_id"),
+      "embedding", qDir)
+    val writeSec = (System.nanoTime() - t0) / 1e9
+    val onDisk = spark.read.parquet(qDir)
+    def diskIvf(nprobe: Int): Double = {
+      val t = System.nanoTime()
+      queries.foreach { q =>
+        IvfIndex.searchQuantized(onDisk, model, "vec_id", "qvec", q, 10, nprobe)
+          .collect()
+      }
+      (System.nanoTime() - t) / 1e6 / queries.length
+    }
+    val dms1 = diskIvf(1)
+    t0 = System.nanoTime()
+    queries.foreach { q =>
+      IvfIndex.searchQuantized(onDisk, model, "vec_id", "qvec", q, 10, -1).collect()
+    }
+    val dmsAll = (System.nanoTime() - t0) / 1e6 / queries.length
+
+    println(s"""{"probe":"scale","n":$n,"dim":$dim,"lists":${model.k},""" +
+      s""""build_sec":$buildSec,"brute_ms":$bruteMs,""" +
+      s""""nprobe1_ms":$ms1,"nprobe1_recall":$r1,"nprobe4_ms":$ms4,"nprobe4_recall":$r4,""" +
+      s""""qindex_write_sec":$writeSec,"disk_nprobe1_ms":$dms1,"disk_scanall_ms":$dmsAll}""")
+    spark.stop()
+  }
+}
