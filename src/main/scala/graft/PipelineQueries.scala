@@ -161,12 +161,29 @@ object PipelineQueries {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(50)
 
+  /** Training-data cleaning pass: scrub URLs and emails, collapse
+    * whitespace, lowercase — all codegen'd regexp_replace; emitted as
+    * length + md5 fingerprint so the oracle verifies the exact cleaned
+    * bytes without shipping full text. */
+  def cleanTextExpr(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://\\S+", " ")
+    val noMail = regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", " ")
+    lower(regexp_replace(trim(noMail), "\\s+", " "))
+  }
+
+  def q41CleanText(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), cleanTextExpr(col("text")).as("cleaned"))
+      .select(col("doc_id"), length(col("cleaned")).as("clean_len"),
+        md5(col("cleaned").cast("binary")).as("clean_fp"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_ivf" -> q26AnnIvf _,
     "q34_media_pipeline" -> q34MediaPipeline _,
     "q36_bpe_tokens" -> q36BpeTokens _,
     "q37_neardup_dedup" -> q37NeardupDedup _,
     "q38_vocab" -> q38Vocab _,
+    "q41_clean_text" -> q41CleanText _,
     "q27_flatten_chunks" -> q27FlattenChunks _,
     "q28_upload_pipeline" -> q28UploadPipeline _,
     "q29_sessionize" -> q29Sessionize _,
@@ -174,6 +191,15 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_clean_text" ->
+      """SELECT doc_id, length(cleaned) AS clean_len, md5(cleaned) AS clean_fp
+        |FROM (
+        |  SELECT doc_id, lower(regexp_replace(trim(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://\S+', ' ', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g')),
+        |    '\s+', ' ', 'g')) AS cleaned
+        |  FROM documents)""".stripMargin,
     "q38_vocab" ->
       """SELECT token, count(*) AS freq FROM (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
