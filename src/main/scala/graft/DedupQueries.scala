@@ -157,8 +157,10 @@ object DedupQueries {
       .groupBy("doc_id")
       .agg(slice(sort_array(collect_set(col("h"))), 1, 4).as("sketch"))
     docs.select("doc_id").join(sk, Seq("doc_id"), "left")
+      // emit the sketch as one joined string: scalar columns canonicalize
+      // identically across engines, array formatting may not
       .select(col("doc_id"),
-        coalesce(col("sketch"), array().cast("array<string>")).as("sketch"))
+        coalesce(concat_ws("|", col("sketch")), lit("")).as("sketch"))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,7 +244,8 @@ object DedupQueries {
       s"""WITH $shingleCte,
          |hs AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
          |sk AS (SELECT doc_id, (list_sort(list(h)))[1:4] AS sketch FROM hs GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(s.sketch, CAST([] AS VARCHAR[])) AS sketch
+         |SELECT d.doc_id,
+         |  coalesce(array_to_string(s.sketch, '|'), '') AS sketch
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN sk s USING (doc_id)""".stripMargin,
     "q31_embed_neardup" ->
