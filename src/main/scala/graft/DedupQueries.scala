@@ -109,6 +109,25 @@ object DedupQueries {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
   }
 
+  /** q25's semantics through the bounded [[gf.TopKAgg]] aggregate instead
+    * of a window: partial aggregation keeps ≤ k rows per (query, task)
+    * BEFORE the shuffle, where the window form shuffles and sorts every
+    * (query, candidate) row. Same oracle as q25 — the operators must
+    * agree exactly. */
+  def q42TopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    e.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim"))
+      .groupBy("query_id")
+      .agg(gf.top_k_by(col("sim"), col("vec_id"), 10).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t._2").as("vec_id"), col("t._1").as("sim"),
+        (col("pos") + 1).as("rn"))
+  }
+
   /** Embedding-cosine near-dup sweep: the 20 most-similar vector pairs.
     * At test SF this is the exact all-pairs join (broadcast nested loop,
     * n²/2 sims — fine to 10⁴ rows); the 100 TB path blocks pairs by IVF
@@ -170,6 +189,7 @@ object DedupQueries {
     "q23_simhash" -> q23Simhash _,
     "q24_simhash_pairs" -> q24SimhashPairs _,
     "q25_knn_batch" -> q25KnnBatch _,
+    "q42_topk_agg" -> q42TopkAgg _,
     "q31_embed_neardup" -> q31EmbedNeardup _,
     "q32_blocked_neardup" -> q32BlockedNeardup _
   )
@@ -248,21 +268,26 @@ object DedupQueries {
          |  coalesce(array_to_string(s.sketch, '|'), '') AS sketch
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN sk s USING (doc_id)""".stripMargin,
+    "q42_topk_agg" -> knnOracleSql,
     "q31_embed_neardup" ->
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
         |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) + 0 AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin,
-    "q25_knn_batch" ->
-      """SELECT query_id, vec_id, sim, rn FROM (
-        |  SELECT q.vec_id AS query_id, e.vec_id,
-        |    round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) + 0 AS sim,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) + 0 DESC,
-        |               e.vec_id ASC) AS rn
-        |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
-        |WHERE rn <= 10""".stripMargin
+    "q25_knn_batch" -> knnOracleSql
   )
+
+  /** Shared oracle for the two batch-kNN operators (window form q25,
+    * bounded-aggregate form q42) — they must agree row-for-row. */
+  private lazy val knnOracleSql: String =
+    """SELECT query_id, vec_id, sim, rn FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id,
+      |    round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) + 0 AS sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) + 0 DESC,
+      |               e.vec_id ASC) AS rn
+      |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
+      |WHERE rn <= 10""".stripMargin
 
   /** Portable md5-nibble SimHash in DuckDB SQL (mirrors simhashMd5Hex). */
   private lazy val simhashSql: String =

@@ -149,6 +149,34 @@ object gf {
     agg(c)
   }
 
+  /** Bounded top-k-per-group aggregate over (score, id) pairs, ordered
+    * (score DESC, id ASC). The buffer never exceeds k entries, so the
+    * partial-aggregation pass ships AT MOST k rows per group per task —
+    * the scale-correct alternative to `row_number().over(window)` top-k,
+    * which shuffles and sorts EVERY row of every group. */
+  class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def order(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+      if (buf.length == k && !order(x, buf.last)) buf
+      else ((buf :+ x).sortWith(order)).take(k)
+    }
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = insert(b, a)
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (x ++ y).sortWith(order).take(k)
+    def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    def bufferEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** top_k_by(score, id, k) → array<struct<_1: score, _2: id>> sorted
+    * (score DESC, id ASC), at most k entries. */
+  def top_k_by(score: Column, id: Column, k: Int): Column = {
+    val agg = F.udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    agg(score, id)
+  }
+
   /** Register the native expressions for SQL use (`SELECT cosine_sim(a,b)`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
