@@ -86,6 +86,27 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  // ---------- stream-stream join ----------
+
+  /** Watermarked stream-stream inner join: pair each left event with
+    * right events for the same key within `withinSeconds` AFTER it.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can expire buffered state — the join works on an
+    * unbounded pair of streams with bounded memory. */
+  def joinWithinWindow(left: DataFrame, right: DataFrame, key: String,
+      withinSeconds: Long, lateness: String = "30 minutes"): DataFrame = {
+    // flat prefix-renamed columns: packing ts into a struct would give a
+    // stream two event-time columns, which Spark rejects
+    val l = left.withWatermark("ts", lateness)
+      .toDF(left.columns.map("l_" + _): _*)
+    val r = right.withWatermark("ts", lateness)
+      .toDF(right.columns.map("r_" + _): _*)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+  }
+
   // ---------- stateful sessionization ----------
 
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)

@@ -118,6 +118,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.select("fp").as[String].collect().toSet == batchFps)
   }
 
+  test("stream-stream join pairs events within the time bound only") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val buys = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val q = Streams.joinWithinWindow(
+        clicks.toDF().toDF("user_id", "ts"),
+        buys.toDF().toDF("user_id", "ts"),
+        "user_id", withinSeconds = 600)
+      .select(col("l_ts").as("click_ts"), col("r_ts").as("buy_ts"),
+        col("l_user_id"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData((1L, ts("2026-01-01 10:00:00")), (2L, ts("2026-01-01 10:00:00")))
+    buys.addData(
+      (1L, ts("2026-01-01 10:05:00")), // within 10 min -> joins
+      (1L, ts("2026-01-01 10:20:00")), // outside bound -> dropped
+      (2L, ts("2026-01-01 09:55:00"))) // before the click -> dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_out")
+      .collect().map(r => (r.getLong(2), r.getTimestamp(1).toString)).toSet
+    assert(rows == Set((1L, "2026-01-01 10:05:00.0")), rows)
+  }
+
+  test("built-in session_window agrees with the hand-rolled sessionization") {
+    // batch check on the real events table: per-user session count from
+    // groupBy(session_window(ts, 30 min)) must equal q29's n_sessions
+    val ev = Tables.load(spark, SparkSuite.sf0001, "events")
+    val viaBuiltin = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaManual = PipelineQueries.q29Sessionize(spark, SparkSuite.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBuiltin == viaManual)
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val s = spark
