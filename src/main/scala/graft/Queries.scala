@@ -252,11 +252,22 @@ object Queries {
       .select(col("user_id"), col("event_id"), col("last_click_us"))
   }
 
+  /** Statistical aggregates over the event values: sample stddev + exact
+    * interpolated percentiles (corpus profiling for quality cutoffs). */
+  def q43ValueStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+
   /** All queries, keyed. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_quantize_roundtrip" -> q33QuantizeRoundtrip _,
     "q39_rollup" -> q39Rollup _,
     "q40_asof_window" -> q40AsofWindow _,
+    "q43_value_stats" -> q43ValueStats _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_topk_orders" -> q02TopkOrders _,
     "q03_pagination" -> q03Pagination _,
@@ -384,6 +395,12 @@ object Queries {
     "q39_rollup" ->
       """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "q43_value_stats" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 4) AS sd,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
     "q40_asof_window" ->
       """SELECT user_id, event_id,
         |  last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
