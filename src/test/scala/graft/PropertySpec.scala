@@ -124,6 +124,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash is order-invariant and zero-distance on self") {
+    withRnd { rnd =>
+      val words = Array("red", "green", "blue", "cyan", "teal", "onyx")
+      (1 to N).foreach { _ =>
+        val toks = Array.fill(12)(words(rnd.nextInt(words.length)))
+        val a = toks.mkString(" ")
+        val b = rnd.shuffle(toks.toSeq).mkString(" ")
+        val sa = TextKernels.simhashMd5Hex(a)
+        assert(TextKernels.hammingHex(sa, TextKernels.simhashMd5Hex(a)) == 0)
+        // bag-of-words property: token order does not change the signature
+        assert(sa == TextKernels.simhashMd5Hex(b))
+      }
+    }
+  }
+
+  test("near-identical texts have near signatures; unrelated texts don't collide") {
+    val base = Array.tabulate(60)(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val unrelated = Array.tabulate(60)(i => s"other$i").mkString(" ")
+    val h = TextKernels.hammingHex(
+      TextKernels.simhashMd5Hex(base), TextKernels.simhashMd5Hex(nearDup))
+    val hFar = TextKernels.hammingHex(
+      TextKernels.simhashMd5Hex(base), TextKernels.simhashMd5Hex(unrelated))
+    assert(h < hFar, s"near $h !< far $hFar")
+    assert(h <= 8, s"near-dup hamming $h")
+  }
+
   test("top-k is a prefix of the full sort (engine invariant)") {
     withRnd { rnd =>
       (1 to 20).foreach { _ =>
