@@ -54,6 +54,9 @@ object DedupQueries {
       // the shingle kernel once
       .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // self-join (not group+collect_list combinations): measured equal at
+    // sf0.1, and the join form lets AQE split a hot-shingle partition
+    // where a collected array cannot be split
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
