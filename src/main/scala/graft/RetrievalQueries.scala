@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.gf
+
+/** Keyword + hybrid retrieval over the documents corpus — the lexical
+  * complement to the vector search surface (hybrid retrieval is standard
+  * in training-data curation and RAG serving). Everything here is
+  * composed from codegen'd builtins with an exact DuckDB twin.
+  *
+  * Scale shape: token explode → (doc, term) tf counts shuffle on doc_id;
+  * df/idf is a tiny per-term aggregate broadcast back; scoring is one
+  * map pass; top-k is TakeOrderedAndProject. Nothing quadratic, no
+  * global sort.
+  */
+object RetrievalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Fixed benchmark query terms (hit the synthetic corpus vocabulary). */
+  private val TERMS = Seq("data", "model", "search", "value")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** BM25 (Lucene idf variant: ln(1 + (N-df+0.5)/(df+0.5))) scores for
+    * the fixed term set; top-20 docs. */
+  def q44Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = tokens(docs).localCheckpoint(true)
+    val n = docs.count()
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(sum("dl").cast("double") / count(lit(1))).head().getDouble(0)
+    val tf = toks.filter(col("tok").isin(TERMS: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .withColumn("idf", log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", col("idf") * (col("tf") * lit(K1 + 1)) /
+        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+    scored
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (c=60) of the BM25 ranking
+    * and the embedding-cosine ranking against vec 0's embedding
+    * (doc_id ↔ vec_id 1:1 in the corpus). Both rankings cover the whole
+    * corpus with deterministic tie-breaks, so RRF is exact. */
+  def q45HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = tokens(docs).localCheckpoint(true)
+    val n = docs.count()
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(sum("dl").cast("double") / count(lit(1))).head().getDouble(0)
+    val tf = toks.filter(col("tok").isin(TERMS: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val bm25 = docs.select("doc_id").join(
+      tf.join(broadcast(df), "tok").join(dl, "doc_id")
+        .withColumn("idf", log(lit(1.0) +
+          (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("s", col("idf") * (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id").agg(round(sum("s"), 6).as("score")),
+      Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("score"))
+    val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
+
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val cos = e.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (round(gf.cosine_sim(col("embedding"), col("qvec")), 6) + 0.0).as("sim"))
+    val wVec = Window.orderBy(col("sim").desc, col("doc_id").asc)
+
+    val lexRank = bm25.withColumn("r_lex", row_number().over(wLex)).select("doc_id", "r_lex")
+    val vecRank = cos.withColumn("r_vec", row_number().over(wVec)).select("doc_id", "r_vec")
+    lexRank.join(vecRank, "doc_id")
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(60) + col("r_lex")) +
+          lit(1.0) / (lit(60) + col("r_vec")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** Gopher-style quality gates (word count band, mean word length band,
+    * alpha-word ratio, stopword presence) as explicit per-doc flags. */
+  def q46GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "in", "is", "a", "that")
+    val docs = t(s, dir, "documents")
+    val toks = tokens(docs)
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("wc"),
+      (sum(length(col("tok"))).cast("double") / count(lit(1))).as("mwl"),
+      (sum(when(col("tok").rlike("\\p{L}"), 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("alpha_ratio"),
+      sum(when(col("tok").isin(stop: _*), 1).otherwise(0)).as("stop_hits"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0, Seq("wc", "stop_hits")).na.fill(0.0, Seq("mwl", "alpha_ratio"))
+      .select(col("doc_id"),
+        when(col("wc").between(20, 100000), 1).otherwise(0).as("ok_wc"),
+        when(col("mwl") >= 3 && col("mwl") <= 10, 1).otherwise(0).as("ok_mwl"),
+        when(col("alpha_ratio") >= 0.8, 1).otherwise(0).as("ok_alpha"),
+        when(col("stop_hits") >= 2, 1).otherwise(0).as("ok_stop"))
+      .withColumn("passes",
+        when(col("ok_wc") + col("ok_mwl") + col("ok_alpha") + col("ok_stop") === 4, 1)
+          .otherwise(0))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_bm25" -> q44Bm25 _,
+    "q45_hybrid_rrf" -> q45HybridRrf _,
+    "q46_gopher_rules" -> q46GopherRules _
+  )
+
+  private val tokCte: String =
+    """tk AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents WHERE length(trim(text)) > 0)
+      |  WHERE length(tok) > 0)""".stripMargin
+
+  private val termList = TERMS.map(t => s"'$t'").mkString(", ")
+
+  private val bm25Cte: String =
+    s"""$tokCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+       |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+       |       WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+       |        (tf.tf * (1.2 + 1)) /
+       |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+       |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats CROSS JOIN n
+       |  GROUP BY tf.doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q44_bm25" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, round(score, 4) AS bm25 FROM sc
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q45_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         |lex AS (
+         |  SELECT d.doc_id, coalesce(round(sc.score, 6), 0.0) AS score
+         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)),
+         |lexr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+         |  FROM lex),
+         |coss AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 6) + 0 AS sim
+         |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+         |vecr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r_vec
+         |  FROM coss)
+         |SELECT doc_id,
+         |  round(1.0 / (60 + r_lex) + 1.0 / (60 + r_vec), 6) AS rrf
+         |FROM lexr JOIN vecr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q46_gopher_rules" ->
+      s"""WITH $tokCte,
+         |pd AS (
+         |  SELECT doc_id, count(*) AS wc,
+         |    CAST(sum(length(tok)) AS DOUBLE) / count(*) AS mwl,
+         |    CAST(sum(CASE WHEN regexp_matches(tok, '\\p{L}') THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*) AS alpha_ratio,
+         |    sum(CASE WHEN tok IN ('the','and','of','to','in','is','a','that')
+         |             THEN 1 ELSE 0 END) AS stop_hits
+         |  FROM tk GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN coalesce(wc, 0) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS ok_wc,
+         |  CASE WHEN coalesce(mwl, 0) >= 3 AND coalesce(mwl, 0) <= 10 THEN 1 ELSE 0 END AS ok_mwl,
+         |  CASE WHEN coalesce(alpha_ratio, 0) >= 0.8 THEN 1 ELSE 0 END AS ok_alpha,
+         |  CASE WHEN coalesce(stop_hits, 0) >= 2 THEN 1 ELSE 0 END AS ok_stop,
+         |  CASE WHEN (CASE WHEN coalesce(wc, 0) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END)
+         |          + (CASE WHEN coalesce(mwl, 0) >= 3 AND coalesce(mwl, 0) <= 10 THEN 1 ELSE 0 END)
+         |          + (CASE WHEN coalesce(alpha_ratio, 0) >= 0.8 THEN 1 ELSE 0 END)
+         |          + (CASE WHEN coalesce(stop_hits, 0) >= 2 THEN 1 ELSE 0 END) = 4
+         |       THEN 1 ELSE 0 END AS passes
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin
+  )
+}

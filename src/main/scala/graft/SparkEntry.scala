@@ -11,10 +11,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (Queries),
     * plus the scale-pipeline extensions (DedupQueries, PipelineQueries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.registry ++ DedupQueries.registry ++ PipelineQueries.registry
+    Queries.registry ++ DedupQueries.registry ++ PipelineQueries.registry ++
+      RetrievalQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracle ++ DedupQueries.oracle ++ PipelineQueries.oracle
+    Queries.oracle ++ DedupQueries.oracle ++ PipelineQueries.oracle ++
+      RetrievalQueries.oracle
 }
