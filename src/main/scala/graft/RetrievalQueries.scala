@@ -119,10 +119,33 @@ object RetrievalQueries {
           .otherwise(0))
   }
 
+  /** Corpus-trained character-trigram LM score (the perplexity-filter
+    * shape, CCNet-style, with the corpus itself as the LM): per document,
+    * the mean log-probability of its trigrams under corpus-wide trigram
+    * frequencies. Two aggregation passes — trigram explode via a
+    * higher-order sequence/transform expression (codegen, no UDF),
+    * corpus counts broadcast back. Low scores flag out-of-distribution
+    * noise. */
+  def q47TrigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tri = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+        .as("tri"))
+      .localCheckpoint(true)
+    val total = tri.count()
+    val freq = tri.groupBy("tri").agg(count(lit(1)).as("c"))
+    tri.join(freq, "tri")
+      .withColumn("lp", log(col("c").cast("double") / lit(total.toDouble)))
+      .groupBy("doc_id")
+      .agg(round(sum("lp") / count(lit(1)), 4).as("avg_logp"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_bm25" -> q44Bm25 _,
     "q45_hybrid_rrf" -> q45HybridRrf _,
-    "q46_gopher_rules" -> q46GopherRules _
+    "q46_gopher_rules" -> q46GopherRules _,
+    "q47_trigram_lm" -> q47TrigramLm _
   )
 
   private val tokCte: String =
@@ -152,6 +175,16 @@ object RetrievalQueries {
        |  GROUP BY tf.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q47_trigram_lm" ->
+      """WITH tri AS (
+        |  SELECT doc_id, unnest([substr(text, i, 3)
+        |    FOR i IN generate_series(1, greatest(length(text) - 2, 0))]) AS tri
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tri),
+        |freq AS (SELECT tri, count(*) AS c FROM tri GROUP BY tri)
+        |SELECT doc_id, round(sum(ln(c / total)) / count(*), 4) AS avg_logp
+        |FROM tri JOIN freq USING (tri) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "q44_bm25" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, round(score, 4) AS bm25 FROM sc
