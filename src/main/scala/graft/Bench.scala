@@ -82,8 +82,21 @@ object Bench {
       }
       val (ms1, r1) = ivfRun(1)
       val (ms4, r4) = ivfRun(4)
+      // the reference's full /api/search flow (probe + pruned scan +
+      // per-doc dedup + paginated top-k + payload join), end to end
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id").as("document_id"), col("lang"))
+      val chunks = idx.withColumnRenamed("vec_id", "document_id")
+      val tSearch = System.nanoTime()
+      (0 until 8).foreach { i =>
+        graft.SearchService.search(spark, chunks, docs, model,
+          graft.SearchService.SearchRequest(s"bench query $i", count = 10,
+            offset = 0, centroids = 2)).collect()
+      }
+      val searchMs = (System.nanoTime() - tSearch) / 1e6 / 8
       e.unpersist(); idx.unpersist()
       Map(
+        "search_service_ms_per_query" -> searchMs,
         "brute_topk_ms_per_query" -> bruteMs,
         "ivf_build_sec" -> buildSec,
         "ivf_nprobe1_ms_per_query" -> ms1,
