@@ -88,6 +88,13 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
     }
   }
 
+  /** True once the store has been materialized on disk. */
+  def isInitialized: Boolean = bucketDirs.nonEmpty
+
+  /** First write creates the store; later writes merge on the key. */
+  def upsertOrCreate(df: DataFrame): Unit =
+    if (isInitialized) upsert(df) else create(df)
+
   /** Bucket directories currently on disk (test/inspection hook). */
   def bucketDirs: Set[String] =
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)

@@ -59,6 +59,28 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Ingest into a keyed [[graft.sources.ParquetStore]] via foreachBatch
+    * upsert. Upsert is idempotent per key, so a batch replayed after a
+    * crash/restart converges to the same store state — effectively-once
+    * semantics on an at-least-once channel, the standard pattern for
+    * keyed sinks without transactional storage. */
+  def runIngestUpsert(docsStream: DataFrame, model: IvfIndex.Model,
+      store: graft.sources.ParquetStore, checkpointDir: String,
+      ctxNum: Int = 256, dim: Int = 64): Unit = {
+    val q = ingestChunks(docsStream, model, ctxNum, dim)
+      .withColumn("chunk_key",
+        concat(col("doc_id"), lit("#"), col("chunk_id")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.upsertOrCreate(batch)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   // ---------- streaming dedup ----------
 
   /** Exact streaming dedup by content fingerprint: keep the first arrival
