@@ -43,7 +43,9 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
     withBucket(df).write.mode("overwrite").option("compression", "zstd").partitionBy("_bucket").parquet(path)
 
   def read(spark: SparkSession): DataFrame =
-    spark.read.parquet(path).drop("_bucket")
+    // mergeSchema: buckets written before a column was added still read
+    // (missing columns are null) — upserts may evolve the schema
+    spark.read.option("mergeSchema", "true").parquet(path).drop("_bucket")
 
   /** S6 insert sink: append — new files land in their key's bucket dirs,
     * no existing file is touched. */
@@ -56,11 +58,13 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
     val spark = updates.sparkSession
     val up = withBucket(updates).withColumn("_new", lit(1))
     val touched = up.select("_bucket").distinct().collect().map(_.getLong(0))
-    val existing = spark.read.parquet(path)
+    val existing = spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col("_bucket").isin(touched: _*))
       .withColumn("_new", lit(0))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_new").desc)
-    val merged = existing.unionByName(up)
+    // allowMissingColumns: an upsert may carry columns the stored rows
+    // predate (schema evolution) or omit stored ones (nulls fill in)
+    val merged = existing.unionByName(up, allowMissingColumns = true)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_new")
@@ -80,7 +84,8 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
     val del = keys.withColumn("_bucket", bucketOf(col(k)))
     val touched = del.select("_bucket").distinct().collect().map(_.getLong(0))
     if (touched.isEmpty) return
-    val existing = spark.read.parquet(path).filter(col("_bucket").isin(touched: _*))
+    val existing = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("_bucket").isin(touched: _*))
     val kept = existing.join(del.select(col(k).as(keyCol)), Seq(keyCol), "left_anti")
     val snapshot = kept.localCheckpoint(true)
     dynamicOverwrite(spark) {

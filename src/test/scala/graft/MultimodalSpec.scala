@@ -65,6 +65,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!e1.sameElements(other))
   }
 
+  test("media embedding near-dup sweep finds exactly the planted duplicates") {
+    import spark.implicits._
+    // 50 distinct media blobs + 5 planted byte-identical duplicates
+    val rows = (0L until 50L).map(i => (i, i)) ++ (0L until 5L).map(i => (100L + i, i))
+    val df = rows.toDF("row_id", "media_id")
+      .withColumn("bytes",
+        mm.synthesize_media(col("media_id"), (col("media_id") % 3).cast("int"), lit(512)))
+      .withColumn("emb", mm.media_embed(col("bytes"), 32))
+    val pairs = df.as("a")
+      .join(df.as("b"), col("a.row_id") < col("b.row_id"))
+      .select(col("a.row_id").as("ra"), col("b.row_id").as("rb"),
+        graft.functions.gf.cosine_sim(col("a.emb"), col("b.emb")).as("sim"))
+      .filter(col("sim") > 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 5L).map(i => (i, 100L + i)).toSet, pairs)
+  }
+
   test("q34 media pipeline aggregates per kind") {
     val rows = PipelineQueries.q34MediaPipeline(spark, SparkSuite.sf0001).collect()
     assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))

@@ -57,6 +57,20 @@ class ParquetStoreSpec extends AnyFunSuite {
       .foreach { case (f, m) => assert(after.get(f).contains(m), s"untouched bucket rewritten: $f") }
   }
 
+  test("upsert with an evolved schema: new column appears, old rows read null") {
+    import spark.implicits._
+    val store = ParquetStore(tmp(), "doc_id", nBuckets = 4)
+    store.create(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    // the update carries a column the stored rows predate
+    store.upsert(Seq((2L, "b2", 0.9), (3L, "c", 0.5))
+      .toDF("doc_id", "text", "quality"))
+    val out = store.read(spark).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).isNullAt(2)) // old row: quality null
+    assert(out(1).getString(1) == "b2" && out(1).getDouble(2) == 0.9)
+    assert(out(2).getDouble(2) == 0.5)
+  }
+
   test("cascading delete removes parent rows and co-partitioned children") {
     val parentStore = ParquetStore(tmp(), "doc_id", nBuckets = 8)
     parentStore.create(docs)
