@@ -58,6 +58,7 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
     val spark = updates.sparkSession
     val up = withBucket(updates).withColumn("_new", lit(1))
     val touched = up.select("_bucket").distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return // empty update: nothing to merge or rewrite
     val existing = spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col("_bucket").isin(touched: _*))
       .withColumn("_new", lit(0))

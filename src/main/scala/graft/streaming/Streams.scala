@@ -172,8 +172,13 @@ object Streams {
             }
             if (st != null) {
               state.update(st)
-              // flush when the watermark passes last event + gap
-              state.setTimeoutTimestamp(st.lastUs / 1000L + gapMinutes * 60L * 1000L)
+              // flush when the watermark passes last event + gap; never
+              // set a timeout at-or-before the current watermark (Spark
+              // rejects it — possible when a late batch arrives for a
+              // session whose gap horizon has already passed)
+              val horizon = st.lastUs / 1000L + gapMinutes * 60L * 1000L
+              state.setTimeoutTimestamp(
+                math.max(horizon, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
