@@ -262,12 +262,29 @@ object Queries {
         round(percentile(col("value"), lit(0.5)), 4).as("p50"),
         round(percentile(col("value"), lit(0.95)), 4).as("p95"))
 
+  /** Range join (the interval-matching family the reference lacks): per
+    * user, ordered event pairs within 60 seconds of each other. The equi
+    * key (user_id) drives the shuffle; the range predicate is a post-join
+    * residual — at scale bucketing ts into coarse intervals and joining
+    * on (user, bucket±1) bounds the candidate set. */
+  def q48RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("b.us") - col("a.us")) <= 60000000L)
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_close_pairs"))
+  }
+
   /** All queries, keyed. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_quantize_roundtrip" -> q33QuantizeRoundtrip _,
     "q39_rollup" -> q39Rollup _,
     "q40_asof_window" -> q40AsofWindow _,
     "q43_value_stats" -> q43ValueStats _,
+    "q48_range_join" -> q48RangeJoin _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_topk_orders" -> q02TopkOrders _,
     "q03_pagination" -> q03Pagination _,
@@ -401,6 +418,13 @@ object Queries {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+    "q48_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT a.user_id, count(*) AS n_close_pairs
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(b.us - a.us) <= 60000000
+        |GROUP BY a.user_id""".stripMargin,
     "q40_asof_window" ->
       """SELECT user_id, event_id,
         |  last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
