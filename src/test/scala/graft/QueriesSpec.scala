@@ -21,6 +21,16 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("the full registry runs with codegen fallback disabled") {
+    // a broken doGenCode anywhere would silently degrade every run of
+    // that expression to interpreted eval; with fallback off it throws
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, dir).count()
+      catch { case e: Throwable => fail(s"$name failed under codegen-only: ${e.getMessage}") }
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("oracle keys match registry keys") {
     assert(Queries.oracle.keySet.subsetOf(Queries.registry.keySet))
   }
