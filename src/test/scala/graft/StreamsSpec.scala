@@ -118,6 +118,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.select("fp").as[String].collect().toSet == batchFps)
   }
 
+  test("windowed stats on the real events stream equal the batch computation") {
+    val srcDir = java.nio.file.Files.createTempDirectory("ev_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkSuite.sf0001, "events.parquet"),
+      srcDir.resolve("part-0.parquet"))
+    val batchEv = Tables.load(spark, SparkSuite.sf0001, "events")
+    // stream the same file: nanos ts arrives as long (nanosAsLong), narrow
+    // to micros exactly like the batch loader
+    val rawSchema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.windowedEventStats(stream, window_ = "1 hour", lateness = "0 seconds")
+      .writeStream.format("memory").queryName("win_parity_out")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sv"))
+      .collect().map(r =>
+        (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = canon(spark.table("win_parity_out"))
+    val batch = canon(Streams.windowedEventStats(batchEv, "1 hour", "0 seconds"))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("checkpointed upsert-sink ingest: restart resumes, replay is idempotent") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("upsert_src")
