@@ -20,7 +20,7 @@ object Profiler {
       case _ => false
     }
     val aggs = cols.flatMap { f =>
-      val c = col(f.name)
+      val c = col(s"`${f.name}`") // backtick: dots in names stay literal
       Seq(
         count(lit(1)).as(s"__n_${f.name}"),
         sum(when(c.isNull, 1).otherwise(0)).as(s"__nulls_${f.name}"),

@@ -44,7 +44,9 @@ object Streams {
 
   /** Run the ingest stream to a parquet directory, one IVF list per
     * partition directory. AvailableNow = the reference's periodic refresh
-    * trigger: drain everything pending, then stop. */
+    * trigger: drain everything pending, then stop. Plain appends are
+    * at-least-once across checkpoint loss — use [[runIngestUpsert]] for
+    * the key-idempotent effectively-once sink. */
   def runIngest(docsStream: DataFrame, model: IvfIndex.Model,
       outDir: String, checkpointDir: String): Unit = {
     val q = ingestChunks(docsStream, model)
