@@ -278,6 +278,40 @@ object Queries {
       .agg(count(lit(1)).as("n_close_pairs"))
   }
 
+  /** Two-table as-of join, the distributed union+window algorithm: for
+    * each event (with a deterministic per-event cutoff date mapped into
+    * the orders epoch), the latest order of that user at or before the
+    * cutoff. Probes and orders union into ONE frame, one shuffle on
+    * user_id, a running last(ignoreNulls) resolves every probe — no
+    * per-row join explosion, which is what makes as-of viable at 100 TB
+    * (a naive join is |events| × orders-per-user). */
+  def q49AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val epoch1995 = 788918400000000L // 1995-01-01 UTC in micros
+    val probes = t(s, dir, "events")
+      .select(col("user_id"),
+        (lit(epoch1995) + (col("event_id") % 2400) * day).as("t"),
+        col("event_id"), lit(null).cast("long").as("order_key"),
+        lit(1).as("is_probe"))
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        // NTZ → TZ cast is identity wall-clock under the UTC session,
+        // matching DuckDB's epoch_us of the naive timestamp
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("order_key"), lit(0).as("is_probe"))
+    // at equal t an order sorts before a probe (is_probe asc) so the probe
+    // sees it; among same-date orders ascending key makes the running last
+    // = max (date, key), the documented tie-break
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("is_probe").asc, col("order_key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionByName(orders)
+      .withColumn("last_order", last(col("order_key"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("user_id"), col("event_id"), col("last_order"))
+  }
+
   /** All queries, keyed. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_quantize_roundtrip" -> q33QuantizeRoundtrip _,
@@ -285,6 +319,7 @@ object Queries {
     "q40_asof_window" -> q40AsofWindow _,
     "q43_value_stats" -> q43ValueStats _,
     "q48_range_join" -> q48RangeJoin _,
+    "q49_asof_join" -> q49AsofJoin _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_topk_orders" -> q02TopkOrders _,
     "q03_pagination" -> q03Pagination _,
@@ -425,6 +460,21 @@ object Queries {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(b.us - a.us) <= 60000000
         |GROUP BY a.user_id""".stripMargin,
+    "q49_asof_join" ->
+      """WITH pr AS (
+        |  SELECT user_id, event_id,
+        |    788918400000000 + (event_id % 2400) * 86400000000 AS cutoff
+        |  FROM events),
+        |cand AS (
+        |  SELECT pr.user_id, pr.event_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY pr.user_id, pr.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM pr JOIN orders o
+        |    ON o.o_custkey = pr.user_id
+        |   AND epoch_us(o.o_orderdate) <= pr.cutoff)
+        |SELECT p.user_id, p.event_id, c.o_orderkey AS last_order
+        |FROM pr p LEFT JOIN cand c
+        |  ON c.user_id = p.user_id AND c.event_id = p.event_id AND c.rn = 1""".stripMargin,
     "q40_asof_window" ->
       """SELECT user_id, event_id,
         |  last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
