@@ -33,7 +33,12 @@ object ScaleProbe {
     corpus.count()
 
     var t0 = System.nanoTime()
-    val (indexed, model) = IvfIndex.build(corpus, "embedding") // 10k lists, 50k sample
+    // SPARK_GRAFT_BUILD: flat (default) | dnc | mllib
+    val (indexed, model) = sys.env.getOrElse("SPARK_GRAFT_BUILD", "flat") match {
+      case "dnc" => IvfIndex.buildDnc(corpus, "embedding")
+      case "mllib" => IvfIndex.buildMllib(corpus, "embedding")
+      case _ => IvfIndex.build(corpus, "embedding") // 10k lists, 50k sample
+    }
     val idx = indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     idx.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
