@@ -312,6 +312,16 @@ object Queries {
       .select(col("user_id"), col("event_id"), col("last_order"))
   }
 
+  /** Pivot (cross-tab): docs per (source × lang), languages as columns.
+    * Explicit pivot values keep the schema static — at scale an implicit
+    * pivot needs a distinct-scan first and can explode column count. */
+  def q50Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .count()
+      .na.fill(0L)
+
   /** All queries, keyed. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_quantize_roundtrip" -> q33QuantizeRoundtrip _,
@@ -320,6 +330,7 @@ object Queries {
     "q43_value_stats" -> q43ValueStats _,
     "q48_range_join" -> q48RangeJoin _,
     "q49_asof_join" -> q49AsofJoin _,
+    "q50_pivot" -> q50Pivot _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_topk_orders" -> q02TopkOrders _,
     "q03_pagination" -> q03Pagination _,
@@ -482,6 +493,14 @@ object Queries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
         |FROM (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
         |      FROM events)""".stripMargin,
+    "q50_pivot" ->
+      """SELECT source,
+        |  count(*) FILTER (lang = 'de') AS de,
+        |  count(*) FILTER (lang = 'en') AS en,
+        |  count(*) FILTER (lang = 'es') AS es,
+        |  count(*) FILTER (lang = 'fr') AS fr,
+        |  count(*) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin,
     // f32-exact twin of the packed codec: DuckDB FLOAT arithmetic stays
     // FLOAT, so every intermediate mirrors the JVM float32 kernel.
     "q33_quantize_roundtrip" ->
