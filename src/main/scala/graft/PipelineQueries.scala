@@ -229,8 +229,8 @@ object PipelineQueries {
         |per AS (
         |  SELECT user_id, sess, count(*) AS n_events
         |  FROM sess GROUP BY 1, 2)
-        |SELECT user_id, max(sess) AS n_sessions,
-        |  max(n_events) AS max_session_events
+        |SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
+        |  CAST(max(n_events) AS BIGINT) AS max_session_events
         |FROM per GROUP BY user_id""".stripMargin,
     "q30_quality_score" ->
       """SELECT doc_id, round(CASE WHEN len = 0 OR toks = 0 THEN 0.0

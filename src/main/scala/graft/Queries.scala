@@ -456,7 +456,8 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM documents d
         |                  WHERE d.doc_id = e.vec_id AND d.source = 'src0')""".stripMargin,
     "q39_rollup" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
     "q43_value_stats" ->
       """SELECT event_type,

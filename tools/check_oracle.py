@@ -35,7 +35,13 @@ def canon(rows, colnames):
             elif isinstance(v, (list, tuple)):
                 vals.append(repr([f"{x:.7g}" if isinstance(x, float) else x for x in v]))
             else:
-                vals.append(str(v))
+                # Normalize date-vs-midnight-timestamp renderings (Spark
+                # date32 -> datetime.date, DuckDB date_trunc -> Timestamp):
+                # the driver hashes these equal, so we must too.
+                s = str(v)
+                if s.endswith(" 00:00:00"):
+                    s = s[: -len(" 00:00:00")]
+                vals.append(s)
         out.append(tuple(vals))
     out.sort()
     return [c for c in sorted(colnames)], out
@@ -55,13 +61,19 @@ def main():
             print(f"FAIL  {name}: no spark output")
             n_bad += 1
             continue
-        tbl = pq.read_table(qdir)
-        spark_cols = tbl.column_names
-        spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()]
+        # Both sides through pandas, mimicking the driver: nullable int64
+        # degrades to float64 identically on both sides, while a DuckDB
+        # HUGEINT (sum of ints) vs Spark BIGINT asymmetry is surfaced.
+        sdf = pq.read_table(qdir).to_pandas()
+        spark_cols = list(sdf.columns)
+        spark_rows = [tuple(r) for r in sdf.itertuples(index=False, name=None)]
         try:
-            cur = con.execute(oracle[name])
-            duck_cols = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
+            # Route through pandas like the driver does: DuckDB HUGEINT
+            # (sum of integers) degrades to float64 here, so an oracle
+            # returning HUGEINT hashes as "123.0" vs Spark's "123".
+            ddf = con.execute(oracle[name]).df()
+            duck_cols = list(ddf.columns)
+            duck_rows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_bad += 1
