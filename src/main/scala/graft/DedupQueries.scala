@@ -214,6 +214,25 @@ object DedupQueries {
       |  FROM toks),
       |sh AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM shl)""".stripMargin
 
+  /** Shared oracle fragment: exact-Jaccard >= 0.8 near-dup pair graph
+    * `jp(doc_a, doc_b, j)` — the q22 body, also consumed by the
+    * q37 connected-components oracle (PipelineQueries). */
+  val jaccardPairsCte: String =
+    s"""$shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b, j FROM (
+       |    SELECT doc_a, doc_b,
+       |      i * 1.0 / (sa.n + sb.n - i) AS j
+       |    FROM inter
+       |    JOIN sizes sa ON sa.doc_id = doc_a
+       |    JOIN sizes sb ON sb.doc_id = doc_b)
+       |  WHERE j >= 0.8)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q21_minhash_lsh" ->
       s"""WITH $shingleCte,
@@ -235,19 +254,8 @@ object DedupQueries {
          |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
     "q22_jaccard_neardup" ->
-      s"""WITH $shingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    i * 1.0 / (sa.n + sb.n - i) AS j
-         |  FROM inter
-         |  JOIN sizes sa ON sa.doc_id = doc_a
-         |  JOIN sizes sb ON sb.doc_id = doc_b)
-         |WHERE j >= 0.8""".stripMargin,
+      s"""WITH $jaccardPairsCte
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM jp""".stripMargin,
     "q23_simhash" -> simhashSql,
     "q24_simhash_pairs" ->
       s"""WITH sig AS ($simhashSql),

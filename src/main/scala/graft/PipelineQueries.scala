@@ -191,6 +191,25 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Connected components as a recursive transitive closure: reach(n)
+    // accumulates every label reachable from n over the undirected pair
+    // graph; min(reach) == the pointer-jumping result of DedupOps. The
+    // closure is only feasible oracle-side (tiny near-dup graph) — the
+    // Spark path stays O(log diameter) pointer jumping.
+    "q37_neardup_dedup" ->
+      s"""WITH RECURSIVE ${DedupQueries.jaccardPairsCte},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jp),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+         |comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+         |losers AS (SELECT node FROM comp WHERE node <> comp)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin,
     "q41_clean_text" ->
       """SELECT doc_id, length(cleaned) AS clean_len, md5(cleaned) AS clean_fp
         |FROM (

@@ -133,9 +133,15 @@ object RetrievalQueries {
         "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
         .as("tri"))
       .localCheckpoint(true)
-    val total = tri.count()
-    val freq = tri.groupBy("tri").agg(count(lit(1)).as("c"))
-    tri.join(freq, "tri")
+    // The corpus LM `freq` has bounded cardinality (charset³ distinct
+    // trigrams) while the instance stream ≈ corpus bytes: a shuffle join
+    // on `tri` would funnel the whole corpus through a few hundred keys
+    // (one hot task per trigram). Broadcast the model instead — the big
+    // side never shuffles; the only wide exchange left is the partial-agg
+    // combine on doc_id.
+    val freq = tri.groupBy("tri").agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val total = freq.agg(sum("c")).head().getLong(0)
+    tri.join(broadcast(freq), "tri")
       .withColumn("lp", log(col("c").cast("double") / lit(total.toDouble)))
       .groupBy("doc_id")
       .agg(round(sum("lp") / count(lit(1)), 4).as("avg_logp"))
