@@ -128,9 +128,13 @@ object RetrievalQueries {
     * noise. */
   def q47TrigramLm(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // Spark's sequence(1, 0) yields a DESCENDING [1, 0] — not empty like
+    // SQL generate_series — so docs under 3 chars must be filtered out
+    // before the index sequence is built.
     val tri = docs
+      .filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("tri"))
       .localCheckpoint(true)
     // The corpus LM `freq` has bounded cardinality (charset³ distinct
@@ -140,7 +144,12 @@ object RetrievalQueries {
     // side never shuffles; the only wide exchange left is the partial-agg
     // combine on doc_id.
     val freq = tri.groupBy("tri").agg(count(lit(1)).as("c")).localCheckpoint(true)
-    val total = freq.agg(sum("c")).head().getLong(0)
+    // sum over zero rows is null — an empty corpus (or all texts < 3 chars)
+    // must yield an empty result, not an NPE.
+    val total = Option(freq.agg(sum("c")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (total == 0L)
+      return docs.select(col("doc_id"), lit(0.0).as("avg_logp")).limit(0)
     tri.join(broadcast(freq), "tri")
       .withColumn("lp", log(col("c").cast("double") / lit(total.toDouble)))
       .groupBy("doc_id")

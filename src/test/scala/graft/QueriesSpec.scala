@@ -107,6 +107,17 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q47 trigram LM returns empty (not NPE) when no document has 3+ chars") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q47empty").toString
+    Seq((1L, "ab", "en", "web", 2L), (2L, "", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = RetrievalQueries.q47TrigramLm(spark, tmp)
+    assert(out.columns.toSeq == Seq("doc_id", "avg_logp"))
+    assert(out.count() == 0)
+  }
+
   test("entry returns rows (driver t1 smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

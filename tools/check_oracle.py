@@ -8,12 +8,15 @@ the matching SQL from oracle_sql.json in DuckDB against the raw testdata
 parquet, canonicalizes both (columns sorted by name, rows sorted by all
 columns, values stringified), and reports match/mismatch per query.
 """
+import datetime
 import json
 import math
 import os
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -27,6 +30,10 @@ def canon(rows, colnames):
         vals = []
         for i in order:
             v = row[i]
+            if isinstance(v, np.ndarray):
+                # pandas surfaces list columns as ndarrays; str(ndarray)
+                # elides long arrays with '...', so normalize via tolist().
+                v = v.tolist()
             if isinstance(v, float):
                 if math.isnan(v):
                     vals.append("nan")
@@ -34,14 +41,18 @@ def canon(rows, colnames):
                     vals.append(f"{v:.9g}")
             elif isinstance(v, (list, tuple)):
                 vals.append(repr([f"{x:.7g}" if isinstance(x, float) else x for x in v]))
-            else:
+            elif isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
                 # Normalize date-vs-midnight-timestamp renderings (Spark
                 # date32 -> datetime.date, DuckDB date_trunc -> Timestamp):
-                # the driver hashes these equal, so we must too.
+                # the driver hashes these equal, so we must too. Restricted
+                # to datetime-typed values so genuine string columns ending
+                # in " 00:00:00" are not silently rewritten.
                 s = str(v)
                 if s.endswith(" 00:00:00"):
                     s = s[: -len(" 00:00:00")]
                 vals.append(s)
+            else:
+                vals.append(str(v))
         out.append(tuple(vals))
     out.sort()
     return [c for c in sorted(colnames)], out
