@@ -18,7 +18,10 @@ import graft.functions.gf
 object DedupQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    // kernel-heavy consumers: give single-row-group scans a parallelism
+    // floor (Tables.loadP) so per-doc expression work spreads across cores
+    if (name == "documents" || name == "embeddings") Tables.loadP(s, dir, name)
+    else Tables.load(s, dir, name)
 
   private val N = 3 // shingle width (tokens)
   private val K = 16 // minhash signature length

@@ -18,7 +18,10 @@ import graft.index.IvfIndex
 object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    // kernel-heavy consumers: give single-row-group scans a parallelism
+    // floor (Tables.loadP) so per-doc expression work spreads across cores
+    if (name == "documents" || name == "embeddings") Tables.loadP(s, dir, name)
+    else Tables.load(s, dir, name)
 
   /** IVF-Flat ANN search (reference /api/search lifecycle, SURVEY §3.1):
     * build the index (sample → k-means → assign), probe nprobe=2 lists,

@@ -22,6 +22,33 @@ object Tables {
     else df
   }
 
+  /** Natural key per table — the hash-repartition column for [[loadP]]. */
+  private val naturalKey: Map[String, String] = Map(
+    "documents" -> "doc_id", "embeddings" -> "vec_id",
+    "events" -> "event_id", "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey", "customer" -> "c_custkey")
+
+  /** [[load]] with a scan-parallelism floor for expression-heavy consumers.
+    *
+    * A small or unsplittable file (one parquet row group, a gzip blob)
+    * scans as a single task, serializing every downstream kernel —
+    * minhash, shingling, trigram explode — on one core until the first
+    * exchange. When the scan yields fewer than half the cluster's
+    * parallelism, hash-repartition on the table's natural key: the rows
+    * spread across all cores, and any later per-key aggregation reuses
+    * the partitioning instead of shuffling again (hash, not round-robin,
+    * also avoids the sort-before-repartition determinism pass). On real
+    * multi-file inputs the scan already parallelizes and this is a no-op.
+    */
+  def loadP(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < (target + 1) / 2)
+      df.repartition(target, org.apache.spark.sql.functions.col(
+        naturalKey.getOrElse(name, df.columns.head)))
+    else df
+  }
+
   /** Register every table as a temp view (for spark.sql use). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

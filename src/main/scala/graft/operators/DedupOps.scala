@@ -7,21 +7,67 @@ import org.apache.spark.sql.functions._
   *
   * Pair generation (MinHash/SimHash/embedding blocking — DedupQueries)
   * finds edges; this turns them into a decision. Components are computed
-  * by min-label propagation — a driver loop of joins, each a bounded
-  * shuffle on node ids, converging in O(cluster diameter) rounds.
-  * Near-dup clusters are shallow (stars/chains of a few docs), so rounds
-  * stay single-digit even at corpus scale; every round materializes via
-  * localCheckpoint so lineage doesn't stack.
+  * adaptively:
+  *
+  *  - edge sets up to [[DriverEdgeLimit]] are collected and solved with
+  *    path-compressed union-find on the driver — one job instead of
+  *    ~3 shuffles × rounds. The near-dup graph is a small fraction of the
+  *    corpus (it holds ids, not documents), so this is the common case;
+  *  - larger graphs run min-label propagation + pointer jumping — a
+  *    driver loop of bounded shuffles on node ids converging in
+  *    O(log diameter) rounds, each round materialized via localCheckpoint
+  *    so lineage doesn't stack. Near-dup clusters are shallow
+  *    (stars/chains of a few docs), so rounds stay single-digit even at
+  *    corpus scale.
   */
 object DedupOps {
+
+  /** Above this many undirected edges the component search stays
+    * distributed. 10M edges ≈ 160 MB collected — safe on any driver that
+    * runs Spark itself; the label result broadcast back is ≤ |nodes|. */
+  val DriverEdgeLimit: Long = 10_000_000L
 
   /** Connected components of an undirected pair list. Returns
     * (node, comp) where comp = the minimum node id reachable. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
     val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
       .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
       .distinct().localCheckpoint(true)
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeLimit) driverComponents(edges)
+    else distributedComponents(edges, maxIter)
+  }
+
+  /** Small-graph path: collect the (deduplicated, id-only) edge list and
+    * run union-find with path compression + union-by-min. One collect,
+    * one createDataFrame — no per-round jobs. */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select("src", "dst").as[(Long, Long)].collect().foreach {
+      case (s, d) =>
+        parent.getOrElseUpdate(s, s)
+        parent.getOrElseUpdate(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) { // union by min so the root IS the component label
+          if (rs < rd) parent(rd) = rs else parent(rs) = rd
+        }
+    }
+    val labels = parent.keys.toSeq.map(n => (n, find(n)))
+    spark.createDataFrame(labels).toDF("node", "comp")
+  }
+
+  /** Scale path: min-label propagation + pointer jumping. */
+  private def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
     var iter = 0
@@ -29,21 +75,22 @@ object DedupOps {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src").as("nnode")).agg(min("comp").as("ncomp"))
+      // carry the previous label through the round so convergence is a
+      // filter on the checkpointed result, not another join against the
+      // old labels
       val propagated = labels.join(neighborMin, labels("node") === col("nnode"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // pointer jumping: follow comp -> comp's comp, halving chain depth
       // each round (O(log diameter) convergence instead of O(diameter))
       val jump = propagated.select(col("node").as("jn"), col("comp").as("jc"))
       val updated = propagated.as("x")
         .join(jump, col("x.comp") === col("jn"), "left")
-        .select(col("x.node").as("node"),
+        .select(col("x.node").as("node"), col("x.prev").as("prev"),
           least(col("x.comp"), coalesce(col("jc"), col("x.comp"))).as("comp"))
         .localCheckpoint(true)
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.node") === col("l.node"))
-        .filter(col("u.comp") =!= col("l.comp")).count()
-      labels = updated
+      val changed = updated.filter(col("comp") =!= col("prev")).count()
+      labels = updated.select(col("node"), col("comp"))
       converged = changed == 0
       iter += 1
     }

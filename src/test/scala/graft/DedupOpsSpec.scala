@@ -21,25 +21,42 @@ class DedupOpsSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  test("connected components match union-find on a synthetic graph") {
-    import spark.implicits._
-    // two chains, one star, one isolated pair
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain 1-4
-      (10L, 11L), (10L, 12L), (10L, 13L), // star at 10
-      (20L, 21L)) // pair
-    val got = DedupOps.connectedComponents(pairs.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = unionFind(pairs)
-    assert(got == want, s"got $got want $want")
-    assert(got.values.toSet == Set(1L, 10L, 20L))
+  // driverEdgeLimit = 0 forces the distributed min-label path; the
+  // default exercises the driver union-find path — both must agree.
+  private val paths = Seq("driver" -> DedupOps.DriverEdgeLimit, "distributed" -> 0L)
+
+  paths.foreach { case (label, limit) =>
+    test(s"connected components match union-find on a synthetic graph [$label]") {
+      import spark.implicits._
+      // two chains, one star, one isolated pair
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain 1-4
+        (10L, 11L), (10L, 12L), (10L, 13L), // star at 10
+        (20L, 21L)) // pair
+      val got = DedupOps.connectedComponents(pairs.toDF("a", "b"), "a", "b",
+        driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(pairs)
+      assert(got == want, s"got $got want $want")
+      assert(got.values.toSet == Set(1L, 10L, 20L))
+    }
+
+    test(s"long chain converges (diameter > 1 iteration) [$label]") {
+      import spark.implicits._
+      val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val got = DedupOps.connectedComponents(chain.toDF("a", "b"), "a", "b",
+        driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 30 && got.values.forall(_ == 0L))
+    }
   }
 
-  test("long chain converges (diameter > 1 iteration)") {
+  test("empty pair list yields empty components on both paths") {
     import spark.implicits._
-    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val got = DedupOps.connectedComponents(chain.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 30 && got.values.forall(_ == 0L))
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    paths.foreach { case (label, limit) =>
+      assert(DedupOps.connectedComponents(empty, "a", "b",
+        driverEdgeLimit = limit).count() == 0, label)
+    }
   }
 
   test("q37 keep-set equals union-find over the q22 pair graph") {
