@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.gf
 
 /** Keyword + hybrid retrieval over the documents corpus — the lexical
@@ -33,63 +32,67 @@ object RetrievalQueries {
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
 
-  /** BM25 (Lucene idf variant: ln(1 + (N-df+0.5)/(df+0.5))) scores for
-    * the fixed term set; top-20 docs. */
-  def q44Bm25(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val toks = tokens(docs).localCheckpoint(true)
-    val n = docs.count()
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val avgdl = dl.agg(sum("dl").cast("double") / count(lit(1))).head().getDouble(0)
-    val tf = toks.filter(col("tok").isin(TERMS: _*))
+  /** Shared BM25 core → (doc_id, score), docs with ≥1 term hit only.
+    *
+    * Scale shape: document length is `gf.token_count` — one codegen'd
+    * expression, NOT an explode+groupBy over the token stream; the corpus
+    * stats (N, avgdl) are ONE aggregate action; the token explode
+    * survives only long enough to count the fixed query terms, and that
+    * (doc, term) tf table — bounded by |docs|×|terms| — is the only thing
+    * checkpointed. df/idf is a tiny per-term aggregate broadcast back. */
+  private def bm25Scores(docs: DataFrame): DataFrame = {
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(gf.token_count(col("text")).cast("long")).as("tot")).head()
+    val n = stats.getLong(0)
+    val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
+    val tf = tokens(docs).filter(col("tok").isin(TERMS: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds df and the scoring join
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "tok")
+    val dl = docs.select(col("doc_id"),
+      gf.token_count(col("text")).cast("long").as("dl"))
+    tf.join(broadcast(df), "tok")
       .join(dl, "doc_id")
       .withColumn("idf", log(lit(1.0) +
         (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("s", col("idf") * (col("tf") * lit(K1 + 1)) /
         (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
       .groupBy("doc_id").agg(sum("s").as("score"))
-    scored
+  }
+
+  /** BM25 (Lucene idf variant: ln(1 + (N-df+0.5)/(df+0.5))) scores for
+    * the fixed term set; top-20 docs. */
+  def q44Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(t(s, dir, "documents"))
       .select(col("doc_id"), round(col("score"), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
-  }
 
   /** Hybrid retrieval: reciprocal-rank fusion (c=60) of the BM25 ranking
     * and the embedding-cosine ranking against vec 0's embedding
     * (doc_id ↔ vec_id 1:1 in the corpus). Both rankings cover the whole
     * corpus with deterministic tie-breaks, so RRF is exact. */
   def q45HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankOps
     val docs = t(s, dir, "documents")
-    val toks = tokens(docs).localCheckpoint(true)
-    val n = docs.count()
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val avgdl = dl.agg(sum("dl").cast("double") / count(lit(1))).head().getDouble(0)
-    val tf = toks.filter(col("tok").isin(TERMS: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val bm25 = docs.select("doc_id").join(
-      tf.join(broadcast(df), "tok").join(dl, "doc_id")
-        .withColumn("idf", log(lit(1.0) +
-          (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
-        .withColumn("s", col("idf") * (col("tf") * lit(K1 + 1)) /
-          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
-        .groupBy("doc_id").agg(round(sum("s"), 6).as("score")),
-      Seq("doc_id"), "left")
+    val bm25 = docs.select("doc_id")
+      .join(bm25Scores(docs)
+        .select(col("doc_id"), round(col("score"), 6).as("score")),
+        Seq("doc_id"), "left")
       .na.fill(0.0, Seq("score"))
-    val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
 
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
     val cos = e.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         (round(gf.cosine_sim(col("embedding"), col("qvec")), 6) + 0.0).as("sim"))
-    val wVec = Window.orderBy(col("sim").desc, col("doc_id").asc)
 
-    val lexRank = bm25.withColumn("r_lex", row_number().over(wLex)).select("doc_id", "r_lex")
-    val vecRank = cos.withColumn("r_vec", row_number().over(wVec)).select("doc_id", "r_vec")
+    // exact global ranks via range-partitioned sort + zipWithIndex —
+    // never a single-partition window (RankOps scale note)
+    val lexRank = RankOps.globalRowNumber(bm25,
+      Seq(col("score").desc, col("doc_id").asc), "r_lex").select("doc_id", "r_lex")
+    val vecRank = RankOps.globalRowNumber(cos,
+      Seq(col("sim").desc, col("doc_id").asc), "r_vec").select("doc_id", "r_vec")
     lexRank.join(vecRank, "doc_id")
       .select(col("doc_id"),
         round(lit(1.0) / (lit(60) + col("r_lex")) +
