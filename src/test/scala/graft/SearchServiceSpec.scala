@@ -55,6 +55,30 @@ class SearchServiceSpec extends AnyFunSuite {
     assert(page1.last.getDouble(1) >= page2.head.getDouble(1))
   }
 
+  test("searchBatch equals independent single searches per request") {
+    val (indexed, model) = built
+    val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
+      .select(col("doc_id").as("document_id"), col("lang"))
+    val reqs = Seq(
+      SearchRequest("alpha query", count = 5, offset = 0, centroids = 2),
+      SearchRequest("beta query", count = 3, offset = 2, centroids = 1),
+      SearchRequest("gamma query", count = 4, offset = 0, centroids = -1))
+    val batch = SearchService.searchBatch(spark, indexed, docs, model, reqs)
+      .collect()
+      .groupBy(_.getAs[Int]("qid"))
+      .map { case (qid, rows) =>
+        qid -> rows.map(r => (r.getAs[Long]("document_id"),
+          r.getAs[Double]("similarity"), r.getAs[String]("lang"))).toSeq
+      }
+    reqs.zipWithIndex.foreach { case (req, qid) =>
+      val single = SearchService.search(spark, indexed, docs, model, req)
+        .collect()
+        .map(r => (r.getAs[Long]("document_id"),
+          r.getAs[Double]("similarity"), r.getAs[String]("lang"))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single, s"request $qid")
+    }
+  }
+
   test("search with nprobe=all equals a brute-force per-document ranking") {
     val (indexed, model) = built
     val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
