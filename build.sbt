@@ -23,7 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// SIMD kernels (src/simd/, prebuilt into lib/graft-simd.jar by
+// tools/build_simd.sh — sbt's in-process javac cannot host the
+// incubator module). Runtime gets the module via fork options;
+// VectorKernels.cosineFast falls back to the scalar kernel without it.
+Compile / unmanagedJars += baseDirectory.value / "lib" / "graft-simd.jar"
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

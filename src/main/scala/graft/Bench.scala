@@ -148,6 +148,28 @@ object Bench {
     while (iter < 10) { cosinePass(); iter += 1 }
     val cosSec = (System.nanoTime() - t0) / 1e9 / 10
 
+    // same shape through the SIMD kernel (the reference's AVX build-tag
+    // path claims x10 on this exact shape — README.md:58)
+    def cosineSimdPass(): Double = {
+      var best = 0.0
+      var i = 0
+      while (i < a.length) {
+        var j = 0
+        while (j < b.length) {
+          val s = VectorKernels.cosineFast(a(i), b(j))
+          if (s > best) best = s
+          j += 1
+        }
+        i += 1
+      }
+      best
+    }
+    cosineSimdPass()
+    t0 = System.nanoTime()
+    iter = 0
+    while (iter < 10) { cosineSimdPass(); iter += 1 }
+    val cosSimdSec = (System.nanoTime() - t0) / 1e9 / 10
+
     val vecs = mat(1000, 512)
     def quantPass(): Int = {
       var n = 0
@@ -176,6 +198,8 @@ object Bench {
 
     Map(
       "cosine_500x512_pair_sec_per_iter" -> cosSec,
+      "cosine_simd_500x512_pair_sec_per_iter" -> cosSimdSec,
+      "simd_kernel_active" -> (if (VectorKernels.simdAvailable) 1.0 else 0.0),
       "quantize_1000x512_sec_per_iter" -> qSec,
       "dequantize_1000x512_sec_per_iter" -> dqSec)
   }

@@ -67,6 +67,25 @@ object VectorKernels {
     out
   }
 
+  /** True when the JDK Vector API kernels linked (module present and a
+    * probe call succeeded) and `-Dgraft.simd` is not "false". */
+  val simdAvailable: Boolean =
+    try {
+      sys.props.getOrElse("graft.simd", "true").toBoolean &&
+        SimdKernels.cosine(Array(1f, 2f, 3f), Array(1f, 2f, 3f)) > 0.99
+    } catch { case _: Throwable => false }
+
+  /** Fast cosine: SIMD (Vector API, float-accumulated, ~1e-5 relative
+    * drift) when available, else the scalar f64 kernel. For latency-bound
+    * paths where small FP drift is fine — centroid probe argmax, micro
+    * benches. Oracle-parity paths must call [[cosine]]. */
+  def cosineFast(a: Array[Float], b: Array[Float]): Double =
+    if (simdAvailable) SimdKernels.cosine(a, b) else cosine(a, b)
+
+  /** Fast dot product — same dispatch/drift contract as [[cosineFast]]. */
+  def dotFast(a: Array[Float], b: Array[Float]): Double =
+    if (simdAvailable) SimdKernels.dot(a, b) else dotUnit(a, b)
+
   /** Cosine similarity of two float vectors, computed in float64 with
     * zero-norm safety (reference cosine.go:40-56,138-149). 4-way unrolled:
     * independent accumulator chains break the sequential FP dependency so

@@ -44,8 +44,11 @@ object IvfIndex {
     /** Top-nprobe centroid ids for a query (nprobe<=0 → all). */
     def probe(query: Array[Float], nprobe: Int): Seq[Int] = {
       val qn = VectorKernels.l2Normalize(query)
+      // SIMD when available: probing is the per-request serving hot step
+      // (argmax over the centroid matrix); float-lane drift only reorders
+      // near-exact centroid ties, which nprobe ranking tolerates
       val scored = centroids.zipWithIndex.map { case (c, i) =>
-        (VectorKernels.dotUnit(qn, c), i)
+        (VectorKernels.dotFast(qn, c), i)
       }
       val n = if (nprobe <= 0) centroids.length else math.min(nprobe, centroids.length)
       scored.sortBy { case (sim, i) => (-sim, i) }.take(n).map(_._2).toSeq
