@@ -239,6 +239,30 @@ object Queries {
       .rollup(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
+  /** Full CUBE over the corpus dimensions — every (lang, source) margin
+    * in one pass (rollup q39 gives the hierarchy, cube gives the lattice;
+    * both are one shuffle with grouping-set expansion map-side). */
+  def q51Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Deterministic stratified train/val/test split — the reproducible-
+    * split shape every training lake needs: the assignment is a pure
+    * function of the row key (first md5 nibble: 12/16 train, 2/16 val,
+    * 2/16 test), so it is stable under re-runs, engine-portable, and
+    * needs NO stored split table. One map pass + one bounded groupBy. */
+  def q52SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    t(s, dir, "documents")
+      .select(col("lang"),
+        when(nib.isin("c", "d"), "val")
+          .when(nib.isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** As-of lookup via window (the streaming-joins workhorse): for every
     * event, the timestamp of that user's most recent prior-or-same 'click'
     * event. last(ignoreNulls) over an unbounded-preceding frame is the
@@ -329,6 +353,8 @@ object Queries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_quantize_roundtrip" -> q33QuantizeRoundtrip _,
     "q39_rollup" -> q39Rollup _,
+    "q51_cube" -> q51Cube _,
+    "q52_split_assign" -> q52SplitAssign _,
     "q40_asof_window" -> q40AsofWindow _,
     "q43_value_stats" -> q43ValueStats _,
     "q48_range_join" -> q48RangeJoin _,
@@ -462,6 +488,17 @@ object Queries {
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "q51_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "q52_split_assign" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |       ELSE 'train' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q43_value_stats" ->
       """SELECT event_type,
         |  round(stddev_samp(value), 4) AS sd,

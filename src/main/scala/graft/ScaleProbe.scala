@@ -25,12 +25,25 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val corpus = spark.range(n.toLong)
+    // SPARK_GRAFT_STORE: mem (default) — corpus/index cached
+    // MEMORY_AND_DISK; disk — corpus/index live ONLY as parquet on disk
+    // and every pass re-scans them (the out-of-memory corpus shape: at
+    // 100 TB nothing fits the cache, so the disk numbers are the honest
+    // ones).
+    val diskOnly = sys.env.getOrElse("SPARK_GRAFT_STORE", "mem") == "disk"
+    val gen = spark.range(n.toLong)
       .select(col("id").as("vec_id"),
         gf.dequantize_vec(gf.noop_embed(col("id").cast("string"), dim)).as("embedding"))
       .repartition(cpus.toInt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    corpus.count()
+    val corpus = if (diskOnly) {
+      val dir = java.nio.file.Files.createTempDirectory("probe_corpus").toString
+      gen.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    } else {
+      val c = gen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
 
     var t0 = System.nanoTime()
     // SPARK_GRAFT_BUILD: flat (default) | dnc | mllib
@@ -39,8 +52,17 @@ object ScaleProbe {
       case "mllib" => IvfIndex.buildMllib(corpus, "embedding")
       case _ => IvfIndex.build(corpus, "embedding") // 10k lists, 50k sample
     }
-    val idx = indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    idx.count()
+    val idx = if (diskOnly) {
+      // partition by list so the nprobe filter prunes directories — the
+      // on-disk analogue of the cached filter scan
+      val dir = java.nio.file.Files.createTempDirectory("probe_assigned").toString
+      indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      spark.read.parquet(dir)
+    } else {
+      val i = indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      i.count()
+      i
+    }
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     val queries = corpus.filter(col("vec_id") < 8)
@@ -90,7 +112,7 @@ object ScaleProbe {
     }
     val dmsAll = (System.nanoTime() - t0) / 1e6 / queries.length
 
-    println(s"""{"probe":"scale","n":$n,"dim":$dim,"lists":${model.k},""" +
+    println(s"""{"probe":"scale","n":$n,"dim":$dim,"store":"${if (diskOnly) "disk" else "mem"}","lists":${model.k},""" +
       s""""build_sec":$buildSec,"brute_ms":$bruteMs,""" +
       s""""nprobe1_ms":$ms1,"nprobe1_recall":$r1,"nprobe4_ms":$ms4,"nprobe4_recall":$r4,""" +
       s""""qindex_write_sec":$writeSec,"disk_nprobe1_ms":$dms1,"disk_scanall_ms":$dmsAll}""")
