@@ -115,21 +115,60 @@ object IvfIndex {
     var iter = 0
     var moved = true
     val dim = if (normed.nonEmpty) normed(0).length else 0
+    // The sample × (k × supersetMul) assignment is the build's driver-side
+    // hot loop (sample 50k × 5k superset centers × dim at production
+    // constants). Parallelize DETERMINISTICALLY: fixed chunk boundaries,
+    // per-chunk partial sums, merged in chunk order — the result is
+    // independent of thread scheduling. Dots go through the SIMD dispatch.
+    val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors,
+      math.max(1, normed.length / 1024)))
+    val bounds = (0 to nThreads).map(t => normed.length.toLong * t / nThreads)
+      .map(_.toInt)
     while (moved && iter < maxIter) {
+      val cs = centers
+      val partialSums = Array.ofDim[Array[Array[Double]]](nThreads)
+      val partialCounts = Array.ofDim[Array[Long]](nThreads)
+      val threads = (0 until nThreads).map { t =>
+        val th = new Thread(() => {
+          val sums = Array.fill(cs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cs.length)
+          var i = bounds(t)
+          while (i < bounds(t + 1)) {
+            val v = normed(i)
+            var best = 0; var bestSim = Double.NegativeInfinity
+            var j = 0
+            while (j < cs.length) {
+              val s = VectorKernels.dotFast(v, cs(j))
+              if (s > bestSim) { bestSim = s; best = j }
+              j += 1
+            }
+            val acc = sums(best)
+            var d = 0
+            while (d < dim) { acc(d) += v(d); d += 1 }
+            counts(best) += 1
+            i += 1
+          }
+          partialSums(t) = sums
+          partialCounts(t) = counts
+        })
+        th.start()
+        th
+      }
+      threads.foreach(_.join())
       val sums = Array.fill(centers.length)(new Array[Double](dim))
       val counts = new Array[Long](centers.length)
-      normed.foreach { v =>
-        var best = 0; var bestSim = Double.NegativeInfinity
+      var t = 0
+      while (t < nThreads) { // fixed merge order => deterministic FP sums
         var j = 0
         while (j < centers.length) {
-          val s = VectorKernels.dotUnit(v, centers(j))
-          if (s > bestSim) { bestSim = s; best = j }
+          val ps = partialSums(t)(j)
+          val acc = sums(j)
+          var d = 0
+          while (d < dim) { acc(d) += ps(d); d += 1 }
+          counts(j) += partialCounts(t)(j)
           j += 1
         }
-        val acc = sums(best)
-        var d = 0
-        while (d < dim) { acc(d) += v(d); d += 1 }
-        counts(best) += 1
+        t += 1
       }
       val next = centers.indices.map { j =>
         if (counts(j) == 0) centers(j)
@@ -358,7 +397,11 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
 }
 
 object NearestCentroid {
-  /** argmax_j cosine(v, C_j); centroid rows are pre-normalized. */
+  /** argmax_j cosine(v, C_j); centroid rows are pre-normalized. SIMD
+    * dot when the Vector API is present (assignment is the heaviest
+    * index-build stage — rows × k × dim); float-lane drift only affects
+    * genuine near-ties between centroids, which any assignment is free
+    * to break either way. */
   def argmax(v: ArrayData, centroids: Array[Array[Float]]): InternalRow = {
     val x = v.toFloatArray()
     val xn = VectorKernels.l2Normalize(x)
@@ -366,7 +409,7 @@ object NearestCentroid {
     var bestSim = Double.NegativeInfinity
     var j = 0
     while (j < centroids.length) {
-      val s = VectorKernels.dotUnit(xn, centroids(j))
+      val s = VectorKernels.dotFast(xn, centroids(j))
       if (s > bestSim) { bestSim = s; best = j }
       j += 1
     }

@@ -35,7 +35,8 @@ class IvfIndexSpec extends AnyFunSuite {
       .select("embedding", "centroid_id").collect()
     rows.foreach { r =>
       val v = VectorKernels.l2Normalize(r.getSeq[Float](0).toArray)
-      val sims = model.centroids.map(c => VectorKernels.dotUnit(v, c))
+      // same kernel dispatch as the distributed argmax (SIMD when present)
+      val sims = model.centroids.map(c => VectorKernels.dotFast(v, c))
       val best = sims.indices.maxBy(i => (sims(i), -i))
       assert(r.getInt(1) == best)
     }
