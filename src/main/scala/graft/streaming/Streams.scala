@@ -136,6 +136,45 @@ object Streams {
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessState(startUs: Long, lastUs: Long, n: Int)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+  final case class DupPair(doc_id: Long, canonical_id: Long, bucket: String)
+
+  // ---------- streaming near-dup candidate pairs (MinHash LSH) ----------
+
+  /** Streaming LSH candidate generation — the incremental twin of
+    * q21_minhash_lsh. Incoming docs explode to (band-bucket, doc) keys;
+    * per-bucket state holds ONLY the first (canonical) doc ever seen, so
+    * each later doc sharing the bucket emits one (doc, canonical, bucket)
+    * pair and state stays O(1) per bucket regardless of how many dups
+    * pile in (the batch form's bucket self-join is O(members²)).
+    *
+    * Composition at scale: this stream feeds candidate pairs to the
+    * BATCH resolution ([[graft.operators.DedupOps.dedupKeepCanonical]])
+    * on a cadence; a pair here means "shares ≥1 band", exactly the q21
+    * candidate relation restricted to earliest-canonical edges. Bucket
+    * state has no TTL — production would partition the bucket space by
+    * content date and retire whole partitions, not individual entries. */
+  def streamingNeardupPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4)(implicit spark: SparkSession): Dataset[DupPair] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(gf.lsh_bands(gf.minhash(col("text"), n, k), bands)).as("bucket"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bucket: String, rows: Iterator[(Long, String)], state: GroupState[Long]) => {
+          // deterministic within a batch: process ids in ascending order
+          val ids = rows.map(_._1).toArray.sorted
+          var canonical = state.getOption.getOrElse(Long.MaxValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
+          ids.foreach { id =>
+            if (canonical == Long.MaxValue) canonical = id
+            else if (id != canonical) out += DupPair(id, canonical, bucket)
+          }
+          if (canonical != Long.MaxValue) state.update(canonical)
+          out.iterator
+        })
+  }
 
   /** Event-time sessionization with a gap timeout (streaming twin of
     * q29_sessionize): per-user sessions close after `gapMinutes` of

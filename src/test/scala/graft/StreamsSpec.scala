@@ -43,6 +43,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(dirs.forall(_.startsWith("centroid_id=")), dirs.mkString(","))
   }
 
+  test("streaming near-dup pairs equal the batch LSH candidate relation") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    // the real corpus, fed in two batches to prove bucket state persists
+    val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (first, second) = docs.splitAt(docs.length / 2)
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = Streams.streamingNeardupPairs(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    mem.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val pairs = spark.table("neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    q.stop()
+
+    // batch relation: (doc, bucket) band table + the q21 pair graph
+    val bandOf = Tables.load(spark, SparkSuite.sf0001, "documents")
+      .select(col("doc_id"), explode(graft.functions.gf.lsh_bands(
+        graft.functions.gf.minhash(col("text"), 3, 16), 4)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // soundness: every emitted pair shares the claimed bucket, canonical first
+    pairs.foreach { case (d, c, b) =>
+      assert(c < d, s"canonical $c not earlier than $d")
+      assert(bandOf((d, b)) && bandOf((c, b)), s"pair ($d,$c) fabricated bucket $b")
+    }
+    // completeness: exactly the docs that share a band with an earlier doc
+    // are flagged (q21's doc_b set — docs fed in ascending doc_id order)
+    val batchDupDocs = DedupQueries.q21MinhashLsh(spark, SparkSuite.sf0001)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(pairs.map(_._1).toSet == batchDupDocs)
+    assert(pairs.nonEmpty, "corpus should contain near-dups at sf0.001")
+  }
+
   test("streaming exact dedup keeps one row per fingerprint") {
     import spark.implicits._
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
