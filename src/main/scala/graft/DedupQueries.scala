@@ -188,8 +188,43 @@ object DedupQueries {
         coalesce(concat_ws("|", col("sketch")), lit("")).as("sketch"))
   }
 
+  /** Gopher-style repetition signal: the fraction of a doc's 3-token
+    * shingle OCCURRENCES that are repeats (1 − distinct/total). High
+    * values flag boilerplate / looping generations. One explode + one
+    * per-doc aggregate — partial agg map-side, no join. */
+  def q53Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val per = docs
+      .select(col("doc_id"), explode(gf.shingles(col("text"), N)).as("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tot"), countDistinct(col("sh")).as("dst"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) - col("dst").cast("double") / col("tot"),
+          lit(0.0)), 4).as("rep_frac"))
+  }
+
+  /** Train-test contamination sweep: which corpus docs share ≥ 3 distinct
+    * 3-token shingles with a held-out benchmark set (docs 0-9 here). The
+    * benchmark shingle table is tiny → broadcast; the corpus side never
+    * shuffles. The real-world shape uses 13-gram shingles over the
+    * benchmark suite — same plan, longer shingles. */
+  def q55Contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+    val bench = sh.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("bench_doc"), col("s"))
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), "s")
+      .groupBy(col("bench_doc"), col("doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_bottomk_sketch" -> q35BottomkSketch _,
+    "q53_repetition" -> q53Repetition _,
+    "q55_contamination" -> q55Contamination _,
     "q21_minhash_lsh" -> q21MinhashLsh _,
     "q22_jaccard_neardup" -> q22JaccardNeardup _,
     "q23_simhash" -> q23Simhash _,
@@ -237,6 +272,23 @@ object DedupQueries {
        |  WHERE j >= 0.8)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q53_repetition" ->
+      s"""WITH $shingleCte,
+         |sha AS (SELECT doc_id, unnest(sl) AS s FROM shl),
+         |per AS (SELECT doc_id, count(*) AS tot, count(DISTINCT s) AS dst
+         |        FROM sha GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  round(coalesce(1.0 - dst * 1.0 / tot, 0.0), 4) AS rep_frac
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN per USING (doc_id)""".stripMargin,
+    "q55_contamination" ->
+      s"""WITH $shingleCte,
+         |bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id < 10)
+         |SELECT bench_doc, a.doc_id AS corpus_doc, count(*) AS n_shared
+         |FROM sh a JOIN bench b ON a.s = b.s
+         |WHERE a.doc_id >= 10
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 3""".stripMargin,
     "q21_minhash_lsh" ->
       s"""WITH $shingleCte,
          |seeds AS (SELECT unnest(generate_series(0, ${K - 1})) AS seed),

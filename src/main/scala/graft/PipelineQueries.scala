@@ -180,8 +180,28 @@ object PipelineQueries {
       .select(col("doc_id"), length(col("cleaned")).as("clean_len"),
         md5(col("cleaned").cast("binary")).as("clean_fp"))
 
+  /** Sequence-length histogram — the batching/packing planner's input: how
+    * many docs (and how many total tokens) fall in each power-of-2 token-
+    * length band. Explicit CASE boundaries (not log2 arithmetic) so the
+    * bucket cut is bit-portable across engines. One scan, one tiny agg. */
+  def q54LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val toks = gf.token_count(col("text")).cast("long")
+    val bucket = when(toks === 0, "0")
+      .when(toks < 32, "001-031")
+      .when(toks < 64, "032-063")
+      .when(toks < 128, "064-127")
+      .when(toks < 256, "128-255")
+      .when(toks < 512, "256-511")
+      .otherwise("512+")
+    t(s, dir, "documents")
+      .select(bucket.as("bucket"), toks.as("toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_ivf" -> q26AnnIvf _,
+    "q54_length_histogram" -> q54LengthHistogram _,
     "q34_media_pipeline" -> q34MediaPipeline _,
     "q36_bpe_tokens" -> q36BpeTokens _,
     "q37_neardup_dedup" -> q37NeardupDedup _,
@@ -194,6 +214,21 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q54_length_histogram" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+        |  FROM documents)
+        |SELECT CASE WHEN toks = 0 THEN '0'
+        |  WHEN toks < 32 THEN '001-031'
+        |  WHEN toks < 64 THEN '032-063'
+        |  WHEN toks < 128 THEN '064-127'
+        |  WHEN toks < 256 THEN '128-255'
+        |  WHEN toks < 512 THEN '256-511'
+        |  ELSE '512+' END AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY 1""".stripMargin,
     // Connected components as a recursive transitive closure: reach(n)
     // accumulates every label reachable from n over the undirected pair
     // graph; min(reach) == the pointer-jumping result of DedupOps. The
