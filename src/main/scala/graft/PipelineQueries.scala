@@ -29,8 +29,11 @@ object PipelineQueries {
     * test SF; production uses the reference's 10k (constants.go:8). */
   def q26AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val query = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // empty corpus → empty result (nothing to index or search)
+    val queryRow = e.filter(col("vec_id") === 0).select(col("embedding")).head(1)
+    if (queryRow.isEmpty)
+      return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val query = queryRow(0).getSeq[Float](0).toArray
     val (indexed, model) = IvfIndex.build(e, "embedding", IvfIndex.Params(listSize = 100))
     IvfIndex.search(indexed, model, "vec_id", "embedding", query, k = 10, nprobe = 2)
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
