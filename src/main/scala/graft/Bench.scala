@@ -22,8 +22,8 @@ object Bench {
     // here, not on whichever query happens to iterate first
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // min of two runs: one timing sample is GC/compilation-noise-bound
-      val times = (1 to 2).map { _ =>
+      // min of three runs: one timing sample is GC/compilation-noise-bound
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
