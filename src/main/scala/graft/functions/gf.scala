@@ -40,45 +40,51 @@ object gf {
   def noop_embed(text: Column, dim: Int = 512): Column = col(NoopEmbed(expr(text), dim))
 
   // ---- document pipeline (UDFs) ----
+  // Null policy: a null text behaves as EMPTY text (no tokens/shingles,
+  // sentinel signatures) — Scala UDFs receive null Strings as-is and
+  // would otherwise NPE; NullInputSpec sweeps the whole registry.
 
   /** JSON document → canonical flattened text (reference Flatten). */
   val flatten_doc: Column => Column = {
-    val u = F.udf((s: String) => TextKernels.flattenJson(s))
+    val u = F.udf((s: String) => TextKernels.flattenJson(if (s == null) "" else s))
     c => u(c)
   }
 
   /** Greedy word-budget chunker (reference Split). */
   def split_chunks(text: Column, prefix: Column, ctxNum: Column): Column = {
-    val u = F.udf((t: String, p: String, n: Int) => TextKernels.split(p, t, n))
+    val u = F.udf((t: String, p: String, n: Int) =>
+      TextKernels.split(p, if (t == null) "" else t, n))
     u(text, prefix, ctxNum)
   }
 
   // ---- text analysis (UDFs over portable primitives) ----
 
   val lang_id: Column => Column = {
-    val u = F.udf((s: String) => TextKernels.langId(s)); c => u(c)
+    val u = F.udf((s: String) => TextKernels.langId(if (s == null) "" else s)); c => u(c)
   }
   val quality_score: Column => Column = {
-    val u = F.udf((s: String) => TextKernels.qualityScore(s)); c => u(c)
+    val u = F.udf((s: String) => TextKernels.qualityScore(if (s == null) "" else s)); c => u(c)
   }
   def shingles(text: Column, n: Int): Column = {
-    val u = F.udf((s: String, nn: Int) => TextKernels.shingles(s, nn))
+    val u = F.udf((s: String, nn: Int) => TextKernels.shingles(if (s == null) "" else s, nn))
     u(text, F.lit(n))
   }
   def minhash(text: Column, n: Int, k: Int): Column = {
-    val u = F.udf((s: String, nn: Int, kk: Int) => TextKernels.minhash(s, nn, kk))
+    val u = F.udf((s: String, nn: Int, kk: Int) =>
+      TextKernels.minhash(if (s == null) "" else s, nn, kk))
     u(text, F.lit(n), F.lit(k))
   }
   def lsh_bands(sig: Column, bands: Int): Column = {
-    val u = F.udf((s: Seq[String], b: Int) => TextKernels.lshBands(s.toArray, b))
+    val u = F.udf((s: Seq[String], b: Int) =>
+      TextKernels.lshBands(if (s == null) Array.empty[String] else s.toArray, b))
     u(sig, F.lit(bands))
   }
   val simhash: Column => Column = {
-    val u = F.udf((s: String) => TextKernels.simhash64(s)); c => u(c)
+    val u = F.udf((s: String) => TextKernels.simhash64(if (s == null) "" else s)); c => u(c)
   }
   /** Engine-portable md5-based SimHash (16 hex chars) — see TextKernels. */
   val simhash_md5: Column => Column = {
-    val u = F.udf((s: String) => TextKernels.simhashMd5Hex(s)); c => u(c)
+    val u = F.udf((s: String) => TextKernels.simhashMd5Hex(if (s == null) "" else s)); c => u(c)
   }
   def hamming64(a: Column, b: Column): Column =
     F.bit_count(a.bitwiseXOR(b))
@@ -100,7 +106,7 @@ object gf {
     (u(sig), v(sig))
   }
   val rolling_fingerprint: Column => Column = {
-    val u = F.udf((s: String) => TextKernels.rollingFingerprint(s)); c => u(c)
+    val u = F.udf((s: String) => TextKernels.rollingFingerprint(if (s == null) "" else s)); c => u(c)
   }
   def jaccard_sim(a: Column, b: Column, n: Int): Column = {
     val u = F.udf((x: String, y: String, nn: Int) => TextKernels.jaccard(x, y, nn))
