@@ -151,6 +151,50 @@ class PropertySpec extends AnyFunSuite {
     assert(h <= 8, s"near-dup hamming $h")
   }
 
+  test("shingle count equals max(tokens - n + 1, min(tokens, 1))") {
+    withRnd { rnd =>
+      (1 to N).foreach { _ =>
+        val words = Array.fill(rnd.nextInt(12))("w" + rnd.nextInt(9))
+        val text = words.mkString(" ")
+        val sh = TextKernels.shingles(text, 3)
+        val expect = if (words.isEmpty) 0
+          else if (words.length < 3) 1 else words.length - 2
+        assert(sh.length == expect, s"'$text'")
+        // every shingle is made of input tokens in order
+        sh.foreach(s => assert(text.toLowerCase.contains(s.split(" ").head)))
+      }
+    }
+  }
+
+  test("lshBands emits exactly `bands` prefixed buckets per signature") {
+    withRnd { rnd =>
+      (1 to N).foreach { _ =>
+        val sig = Array.fill(16)(rnd.nextInt(1000).toString)
+        val bands = TextKernels.lshBands(sig, 4)
+        assert(bands.length == 4)
+        assert(bands.map(_.takeWhile(_ != ':')).toSeq == Seq("0", "1", "2", "3"))
+        // bucket id depends on the band content: changing one sig entry
+        // changes exactly the band containing it
+        val sig2 = sig.clone(); sig2(5) = sig2(5) + "x"
+        val bands2 = TextKernels.lshBands(sig2, 4)
+        assert(bands.zip(bands2).count { case (a, b) => a != b } == 1)
+      }
+    }
+  }
+
+  test("quality score stays in [0,1]; langId stays in its label set") {
+    val labels = Set("en", "de", "fr", "es", "zh", "und")
+    withRnd { rnd =>
+      (1 to N).foreach { _ =>
+        val text = Array.fill(rnd.nextInt(40))(
+          ("abcdefghijklmnopqrstuvwxyzäöüéàç .,!?123"(rnd.nextInt(40)))).mkString
+        val q = TextKernels.qualityScore(text)
+        assert(q >= 0.0 && q <= 1.0, s"'$text' -> $q")
+        assert(labels.contains(TextKernels.langId(text)), s"'$text'")
+      }
+    }
+  }
+
   test("top-k is a prefix of the full sort (engine invariant)") {
     withRnd { rnd =>
       (1 to 20).foreach { _ =>
