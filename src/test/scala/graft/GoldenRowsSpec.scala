@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frozen expected outputs at sf0.001 for the five queries the DuckDB
+  * oracle cannot express (k-means / custom-kernel dependent). They are
+  * fully deterministic (seeded builds, stub codecs), so any drift is a
+  * regression — this is their row-level gate, alongside the driver's
+  * rows-only check and the semantic specs (recall, subset, parity). */
+class GoldenRowsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def canon(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, SparkSuite.sf0001)
+    df.collect().map(_.toSeq.mkString("|")).sorted.mkString(" ;; ")
+  }
+
+  test("q26_ann_ivf golden rows") {
+    assert(canon("q26_ann_ivf") ==
+      "0|1.0 ;; 12|0.311 ;; 212|0.2814 ;; 225|0.3151 ;; 248|0.2393 ;; " +
+      "260|0.2987 ;; 262|0.2387 ;; 483|0.3005 ;; 59|0.2487 ;; 82|0.2494")
+  }
+
+  test("q27_flatten_chunks golden rows") {
+    assert(canon("q27_flatten_chunks") ==
+      "click|210|630 ;; error|201|603 ;; purchase|202|606 ;; " +
+      "signup|199|597 ;; view|188|564")
+  }
+
+  test("q28_upload_pipeline golden rows") {
+    assert(canon("q28_upload_pipeline") ==
+      "0|54 ;; 1|45 ;; 2|45 ;; 3|43 ;; 4|49 ;; 5|45 ;; 6|62 ;; 7|60 ;; " +
+      "8|47 ;; 9|50")
+  }
+
+  test("q32_blocked_neardup golden rows") {
+    assert(canon("q32_blocked_neardup") ==
+      "106|263|0.426 ;; 119|403|0.4188 ;; 136|241|0.4348 ;; " +
+      "154|342|0.4457 ;; 171|358|0.47 ;; 212|248|0.4147 ;; " +
+      "229|472|0.4126 ;; 233|414|0.4319 ;; 23|172|0.4191 ;; " +
+      "23|319|0.4532 ;; 329|361|0.4172 ;; 330|457|0.4316 ;; " +
+      "352|411|0.4573 ;; 365|429|0.4163 ;; 372|418|0.4322 ;; " +
+      "390|483|0.4543 ;; 396|493|0.4306 ;; 53|134|0.4489 ;; " +
+      "85|227|0.4386 ;; 93|243|0.4141")
+  }
+
+  test("q34_media_pipeline golden rows") {
+    assert(canon("q34_media_pipeline") ==
+      "audio|167|830.994|334 ;; image|167|832.6228|334 ;; " +
+      "video|166|831.0843|332")
+  }
+}
