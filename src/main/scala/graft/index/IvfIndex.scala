@@ -325,6 +325,25 @@ object IvfIndex {
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("centroid_id").parquet(path)
 
+  /** Persist the centroid model as parquet (centroid_id, centroid) — the
+    * engine twin of the reference's centroids table (its DB stores
+    * centroid rows so serving restarts don't rebuild the index;
+    * database.go / dnc.go persistence path). The model is tiny
+    * (k × dim floats) → one file. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] parquet back into a Model (ordered by id). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(path).orderBy("centroid_id").collect()
+      .map(_.getSeq[Float](1).toArray))
+
   /** nprobe search over a quantized on-disk index ([[writeQuantized]]):
     * partition-pruned scan of the probed lists, fused-kernel cosine
     * against the quantized query. */

@@ -118,6 +118,25 @@ class IvfIndexSpec extends AnyFunSuite {
     assert((got intersect brute).size >= 8, s"recall ${(got intersect brute).size}/10")
   }
 
+  test("model save/load round-trips exactly; loaded model searches identically") {
+    val (indexed, model) = IvfIndex.build(embeddings, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 1000))
+    val mDir = java.nio.file.Files.createTempDirectory("ivf_m").toString
+    IvfIndex.saveModel(spark, model, mDir)
+    val loaded = IvfIndex.loadModel(spark, mDir)
+    assert(loaded.k == model.k)
+    loaded.centroids.zip(model.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    val query = embeddings.filter(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val a = IvfIndex.search(indexed, model, "vec_id", "embedding", query, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = IvfIndex.search(indexed, loaded, "vec_id", "embedding", query, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
   test("blocked near-dup pairs are a subset of the exact all-pairs ranking") {
     val blocked = DedupQueries.q32BlockedNeardup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
