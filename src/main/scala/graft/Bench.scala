@@ -30,13 +30,28 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val micro = micro0 ++ annBench(spark, sfDir)
-    val ms = micro.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"micro":$ms,"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 chars of output and parses the
+    // JSON line out of that tail (BENCH_r{1,2,3}.json all show
+    // "parsed": null because full-precision doubles pushed the line past
+    // the window and its head was clipped). Compact: 3-decimal query
+    // seconds, 4-significant-digit micros, and a short-key fallback if
+    // the registry grows past what full names fit in.
+    def sec3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    def sig4(v: Double): String =
+      BigDecimal(v).round(new java.math.MathContext(4)).toDouble.toString
+    def line(qkey: String => String): String = {
+      val qs = results.map { case (k, v) => "\"" + qkey(k) + "\":" + sec3(v) }
+        .mkString("{", ",", "}")
+      val ms = micro.map { case (k, v) => "\"" + k + "\":" + sig4(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"micro":$ms,"sf":"$sfDir"}"""
+    }
+    val full = line(identity)
+    // "q01_pricing_summary" -> "q01" keeps the line parseable if long
+    println(if (full.length <= 1800) full else line(_.take(3)))
     spark.stop()
   }
 
@@ -107,14 +122,14 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       e.unpersist(); idx.unpersist()
       Map(
-        "search_service_ms_per_query" -> searchMs,
-        "search_batch_ms_per_query" -> batchMs,
-        "brute_topk_ms_per_query" -> bruteMs,
+        "search_ms" -> searchMs,
+        "search_batch_ms" -> batchMs,
+        "brute_topk_ms" -> bruteMs,
         "ivf_build_sec" -> buildSec,
-        "ivf_nprobe1_ms_per_query" -> ms1,
-        "ivf_nprobe1_recall10" -> r1,
-        "ivf_nprobe4_ms_per_query" -> ms4,
-        "ivf_nprobe4_recall10" -> r4)
+        "ivf_np1_ms" -> ms1,
+        "ivf_np1_recall" -> r1,
+        "ivf_np4_ms" -> ms4,
+        "ivf_np4_recall" -> r4)
     } catch { case _: Throwable => Map("ann_bench_failed" -> 1.0) }
   }
 
@@ -197,10 +212,10 @@ object Bench {
     val dqSec = (System.nanoTime() - t0) / 1e9 / 10
 
     Map(
-      "cosine_500x512_pair_sec_per_iter" -> cosSec,
-      "cosine_simd_500x512_pair_sec_per_iter" -> cosSimdSec,
-      "simd_kernel_active" -> (if (VectorKernels.simdAvailable) 1.0 else 0.0),
-      "quantize_1000x512_sec_per_iter" -> qSec,
-      "dequantize_1000x512_sec_per_iter" -> dqSec)
+      "cos_500x512_s" -> cosSec,
+      "cos_simd_500x512_s" -> cosSimdSec,
+      "simd_on" -> (if (VectorKernels.simdAvailable) 1.0 else 0.0),
+      "quant_1000x512_s" -> qSec,
+      "dequant_1000x512_s" -> dqSec)
   }
 }

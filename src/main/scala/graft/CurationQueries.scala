@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.gf
+
+/** Round-4 training-data curation operators: the retrieval-index and
+  * corpus-statistics shapes a 100 TB pipeline needs beyond dedup/quality
+  * (COVERAGE.md "Training-pipeline extensions"). Every query here has an
+  * exact DuckDB oracle.
+  *
+  * Scale notes are per-query; the common rule: token/bigram explodes are
+  * immediately aggregated (map-side partial combine), per-term statistics
+  * are tiny and broadcast back, per-document ranking windows partition on
+  * doc_id — nothing here funnels the corpus through one task.
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    // kernel-heavy consumers: give single-row-group scans a parallelism
+    // floor (Tables.loadP) so per-doc expression work spreads across cores
+    if (name == "documents" || name == "embeddings") Tables.loadP(s, dir, name)
+    else Tables.load(s, dir, name)
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Terms the inverted index is built for (corpus vocabulary hits). */
+  private val IDX_TERMS = Seq("data", "join", "window", "scan", "merge", "stream")
+
+  /** Inverted index build: per term, document frequency + the first 20
+    * postings (sorted doc ids). The posting list is explicitly bounded —
+    * an unbounded collect_list on a hot term is the classic 100 TB
+    * failure; real deployments shard postings by (term, doc_id range),
+    * which this per-term cap stands in for. One distinct + one groupBy. */
+  def q56InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    tokens(t(s, dir, "documents"))
+      .filter(col("tok").isin(IDX_TERMS: _*))
+      .distinct()
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("postings"))
+
+  /** Per-document top-3 terms by tf-idf (tf × ln(N/df)) — the document
+    * signature every retrieval/clustering pipeline derives. The term df
+    * table is vocabulary-sized → broadcast; the ranking window partitions
+    * on doc_id, so no global sort and no hot partition. */
+  def q57TfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val tf = tokens(docs).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds df and the scoring join
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(broadcast(df), "tok")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "tok", "tfidf")
+  }
+
+  /** PII detection + redaction (emails, phone-shaped numbers). The corpus
+    * is synthetic, so deterministic PII is grafted on per row first —
+    * the operator under test is the codegen'd regexp detect/redact pass,
+    * verified by count + exact redacted-bytes fingerprint. One map pass,
+    * no shuffle at all. */
+  def q58PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val phoneRe = "555-[0-9]{4}"
+    val aug = concat(col("text"), lit(" contact u"),
+      col("doc_id").cast("string"), lit("@example.com or call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("redacted_fp"))
+  }
+
+  /** Sequence-packing plan: documents packed in doc_id order into
+    * 2048-token bins, per language (packing is stratified by lang/domain
+    * in practice, which is also exactly what keeps the running-sum window
+    * partitioned — a GLOBAL packing order would serialize on one task).
+    * Bin id = tokens-before-me ÷ capacity, i.e. contiguous fill with
+    * overflow to the next boundary; integer arithmetic end to end. */
+  def q59PackPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        gf.token_count(col("text")).cast("long").as("toks"))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("bin", expr("(cum - toks) div 2048"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("bin_tokens"))
+  }
+
+  /** Top-20 bigrams by count with pointwise mutual information — the
+    * collocation statistic behind phrase mining / tokenizer merges.
+    * Bigrams come from a higher-order transform over the token array
+    * (codegen, no UDF); unigram stats are vocabulary-sized broadcasts. */
+  def q60BigramPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val arr = docs.select(split(trim(lower(col("text"))), "\\s+").as("a"))
+      .filter(size(col("a")) >= 2 && length(element_at(col("a"), 1)) > 0)
+    val bi = arr.select(explode(expr(
+      "transform(sequence(1, size(a) - 1), " +
+        "i -> named_struct('x', element_at(a, i), 'y', element_at(a, i + 1)))"))
+      .as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      .localCheckpoint(true) // feeds pair counts and the bigram total
+    val uni = tokens(docs).groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // sum over zero rows is null (empty corpus / all-blank texts) — same
+    // guard as q47's trigram total
+    val totUni = Option(uni.agg(sum("c")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
+    val totBi = bi.count().toDouble
+    val pairs = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    pairs
+      .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))), "x")
+      .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))), "y")
+      .withColumn("pmi", round(
+        log((col("c_xy") / lit(totBi)) /
+          ((col("c_x") / lit(totUni)) * (col("c_y") / lit(totUni)))), 4))
+      .select("x", "y", "c_xy", "pmi")
+      .orderBy(col("c_xy").desc, col("x").asc, col("y").asc)
+      .limit(20)
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates in
+    * sixteenths of the md5 nibble space (en 16/16, es 12/16, de 8/16,
+    * zh 4/16, rest 2/16). Like q52's split, membership is a pure function
+    * of the row key — reproducible across runs and engines, no stored
+    * sample table, one embarrassingly-parallel filter. */
+  def q61StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val nib = substring(
+      md5(concat(lit("smp"), col("doc_id").cast("string")).cast("binary")), 1, 1)
+    t(s, dir, "documents")
+      .filter(
+        when(col("lang") === "en", lit(true))
+          .when(col("lang") === "es", nib < "c")
+          .when(col("lang") === "de", nib < "8")
+          .when(col("lang") === "zh", nib < "4")
+          .otherwise(nib < "2"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_inverted_index" -> q56InvertedIndex _,
+    "q57_tfidf_topterms" -> q57TfidfTopterms _,
+    "q58_pii_scrub" -> q58PiiScrub _,
+    "q59_pack_plan" -> q59PackPlan _,
+    "q60_bigram_pmi" -> q60BigramPmi _,
+    "q61_stratified_sample" -> q61StratifiedSample _
+  )
+
+  private val tokCte: String =
+    """tk AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents WHERE length(trim(text)) > 0)
+      |  WHERE length(tok) > 0)""".stripMargin
+
+  private val idxTermList = IDX_TERMS.map(t => s"'$t'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q56_inverted_index" ->
+      s"""WITH $tokCte,
+         |d AS (SELECT DISTINCT tok, doc_id FROM tk WHERE tok IN ($idxTermList))
+         |SELECT tok, count(*) AS df,
+         |  (list_sort(list(doc_id)))[1:20] AS postings
+         |FROM d GROUP BY tok""".stripMargin,
+    "q57_tfidf_topterms" ->
+      s"""WITH $tokCte,
+         |n AS (SELECT count(*) AS n FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+         |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, tok, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, tok ASC) AS rank
+         |  FROM sc)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "q58_pii_scrub" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or call 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS INT) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM a""".stripMargin,
+    "q59_pack_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, CAST((cum - toks) // 2048 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q60_bigram_pmi" ->
+      """WITH arr AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+        |    AND length(trim(text)) > 0),
+        |bi AS (
+        |  SELECT bg['x'] AS x, bg['y'] AS y FROM (
+        |    SELECT unnest([struct_pack(x := a[i], y := a[i + 1])
+        |      FOR i IN generate_series(1, len(a) - 1)]) AS bg
+        |    FROM arr)),
+        |uni AS (
+        |  SELECT tok, count(*) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(tok) > 0 GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST((SELECT sum(c) FROM uni) AS DOUBLE) AS tot_uni,
+        |         CAST((SELECT count(*) FROM bi) AS DOUBLE) AS tot_bi),
+        |pairs AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY x, y)
+        |SELECT p.x, p.y, p.c_xy,
+        |  round(ln((p.c_xy / t.tot_bi) /
+        |    ((ux.c / t.tot_uni) * (uy.c / t.tot_uni))), 4) AS pmi
+        |FROM pairs p
+        |JOIN uni ux ON ux.tok = p.x
+        |JOIN uni uy ON uy.tok = p.y
+        |CROSS JOIN tot t
+        |ORDER BY p.c_xy DESC, p.x ASC, p.y ASC LIMIT 20""".stripMargin,
+    "q61_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+        |  FROM documents)
+        |WHERE CASE WHEN lang = 'en' THEN true
+        |  WHEN lang = 'es' THEN nib < 'c'
+        |  WHEN lang = 'de' THEN nib < '8'
+        |  WHEN lang = 'zh' THEN nib < '4'
+        |  ELSE nib < '2' END""".stripMargin
+  )
+}

@@ -41,10 +41,20 @@ object RetrievalQueries {
     * (doc, term) tf table — bounded by |docs|×|terms| — is the only thing
     * checkpointed. df/idf is a tiny per-term aggregate broadcast back. */
   private def bm25Scores(docs: DataFrame): DataFrame = {
+    // idf's N is ALL docs; avgdl averages over docs WITH ≥1 token only
+    // (the oracle's dl CTE excludes empty/whitespace/null texts — a
+    // corpus with empty docs must not deflate avgdl). sum() over zero
+    // token-bearing docs is null → guard before getLong.
+    val tc = gf.token_count(col("text")).cast("long")
     val stats = docs.agg(count(lit(1)).as("n"),
-      sum(gf.token_count(col("text")).cast("long")).as("tot")).head()
+      count(when(tc > 0, 1)).as("nTok"),
+      sum(tc).as("tot")).head()
     val n = stats.getLong(0)
-    val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
+    val nTok = stats.getLong(1)
+    val avgdl =
+      if (nTok == 0) 1.0
+      else Option(stats.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        .toDouble / nTok
     val tf = tokens(docs).filter(col("tok").isin(TERMS: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true) // feeds df and the scoring join
