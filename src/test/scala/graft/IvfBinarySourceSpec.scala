@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{gf, VectorKernels}
+import graft.index.IvfIndex
+import graft.sources.IvfBinarySource
+
+/** The DSv2 binary index connector (reference dnc/dataset.go spill-file
+  * layout): byte-exact round-trip vs the quantize kernel, search parity
+  * with the parquet quantized index, connector-level partition pruning
+  * (non-probed list dirs are never planned), and physical column pruning
+  * (a centroid_id-only scan reads no row bytes). */
+class IvfBinarySourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("ivfbin").toString
+
+  private lazy val emb = Tables.load(spark, SparkSuite.sf0001, "embeddings")
+  private lazy val built = {
+    val (indexed, model) = IvfIndex.build(emb, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 50000))
+    (indexed.persist(), model)
+  }
+
+  private lazy val binPath: String = {
+    val p = tmp()
+    IvfBinarySource.write(built._1, "vec_id", "embedding", p)
+    p
+  }
+  private def read() = spark.read.format(IvfBinarySource.FORMAT).load(binPath)
+
+  test("round-trips every row byte-exactly vs the quantize kernel") {
+    val (indexed, _) = built
+    val back = read()
+    assert(back.count() == indexed.count())
+    val joined = back.join(
+      indexed.select(col("vec_id"), col("centroid_id").as("cid_expect"),
+        gf.quantize_vec(col("embedding")).as("q_expect")),
+      "vec_id")
+    assert(joined.count() == indexed.count()) // every id present exactly once
+    assert(joined.filter(col("centroid_id") =!= col("cid_expect")).count() == 0)
+    assert(joined.filter(col("qvec") =!= col("q_expect")).count() == 0)
+  }
+
+  test("search parity with the parquet quantized index at every nprobe") {
+    val (indexed, model) = built
+    val pq = tmp()
+    IvfIndex.writeQuantized(indexed, "embedding", pq)
+    val pqIdx = spark.read.parquet(pq)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    for (q <- queries; nprobe <- Seq(1, 2, model.centroids.length)) {
+      val a = IvfBinarySource.search(spark, binPath, model, q, 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val b = IvfIndex.searchQuantized(pqIdx, model, "vec_id", "qvec", q, 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.toSeq == b.toSeq, s"nprobe=$nprobe")
+    }
+  }
+
+  test("centroid_id filters prune at the connector: only probed files planned") {
+    val lists = read().select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(lists.length > 1, "need multiple lists for a pruning test")
+    val one = lists.head
+    def filesIn(cid: Int): Int =
+      new java.io.File(binPath, s"list=$cid").listFiles()
+        .count(_.getName.endsWith(".bin"))
+    val totalFiles = lists.map(filesIn).sum
+    val all = read()
+    val pruned = read().filter(col("centroid_id") === one)
+    assert(all.rdd.getNumPartitions == totalFiles)
+    assert(pruned.rdd.getNumPartitions == filesIn(one))
+    assert(pruned.rdd.getNumPartitions < totalFiles)
+    // the pruned scan still returns exactly that list's rows
+    assert(pruned.count() ==
+      all.filter(col("centroid_id") === one).cache().count())
+  }
+
+  test("column pruning: id-only and centroid-only scans match the full scan") {
+    val full = read().cache()
+    val n = full.count()
+    // vec_id-only: vector bytes skipped
+    assert(read().select("vec_id").distinct().count() == n)
+    // centroid_id-only (metaOnly path): counts come from file sizes
+    val byList = read().groupBy("centroid_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expect = full.groupBy("centroid_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byList == expect)
+    full.unpersist()
+  }
+
+  test("empty index writes meta only and reads back zero rows") {
+    val p = tmp()
+    IvfBinarySource.write(built._1.filter(lit(false)), "vec_id", "embedding", p)
+    assert(spark.read.format(IvfBinarySource.FORMAT).load(p).count() == 0)
+  }
+}
