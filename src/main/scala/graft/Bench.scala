@@ -28,6 +28,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // checkpoint/broadcast blocks pin block-manager memory until their
+      // frames are GC'd; collecting between queries lets ContextCleaner
+      // release them instead of inflating later queries' GC time
+      System.gc()
       name -> times.min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -147,12 +147,15 @@ object RetrievalQueries {
     // Spark's sequence(1, 0) yields a DESCENDING [1, 0] — not empty like
     // SQL generate_series — so docs under 3 chars must be filtered out
     // before the index sequence is built.
+    // NOT checkpointed although two branches read it: the explode is one
+    // codegen stage, and materializing a corpus×3 trigram stream costs
+    // more memory than recomputing it (measured equal at sf0.1; at scale
+    // the materialization is strictly worse).
     val tri = docs
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("tri"))
-      .localCheckpoint(true)
     // The corpus LM `freq` has bounded cardinality (charset³ distinct
     // trigrams) while the instance stream ≈ corpus bytes: a shuffle join
     // on `tri` would funnel the whole corpus through a few hundred keys

@@ -112,10 +112,30 @@ object ScaleProbe {
     }
     val dmsAll = (System.nanoTime() - t0) / 1e6 / queries.length
 
+    // the DSv2 fixed-width binary connector over the same index: list
+    // pruning happens at the connector (non-probed dirs never planned)
+    // instead of via parquet partition discovery
+    val bDir = java.nio.file.Files.createTempDirectory("probe_bin").toString
+    t0 = System.nanoTime()
+    graft.sources.IvfBinarySource.write(
+      idx.select("vec_id", "embedding", "centroid_id"), "vec_id", "embedding", bDir)
+    val bWriteSec = (System.nanoTime() - t0) / 1e9
+    def binIvf(nprobe: Int): Double = {
+      val t = System.nanoTime()
+      queries.foreach { q =>
+        graft.sources.IvfBinarySource.search(spark, bDir, model, q, 10, nprobe)
+          .collect()
+      }
+      (System.nanoTime() - t) / 1e6 / queries.length
+    }
+    val bms1 = binIvf(1)
+    val bmsAll = binIvf(-1)
+
     println(s"""{"probe":"scale","n":$n,"dim":$dim,"store":"${if (diskOnly) "disk" else "mem"}","lists":${model.k},""" +
       s""""build_sec":$buildSec,"brute_ms":$bruteMs,""" +
       s""""nprobe1_ms":$ms1,"nprobe1_recall":$r1,"nprobe4_ms":$ms4,"nprobe4_recall":$r4,""" +
-      s""""qindex_write_sec":$writeSec,"disk_nprobe1_ms":$dms1,"disk_scanall_ms":$dmsAll}""")
+      s""""qindex_write_sec":$writeSec,"disk_nprobe1_ms":$dms1,"disk_scanall_ms":$dmsAll,""" +
+      s""""bin_write_sec":$bWriteSec,"bin_nprobe1_ms":$bms1,"bin_scanall_ms":$bmsAll}""")
     spark.stop()
   }
 }
