@@ -128,7 +128,17 @@ object ScaleProbe {
       }
       (System.nanoTime() - t) / 1e6 / queries.length
     }
-    val bms1 = binIvf(1)
+    // load once, like the parquet side's reused onDisk frame — per-query
+    // relation rebuild is overhead in both layouts
+    val binIdx = spark.read.format(graft.sources.IvfBinarySource.FORMAT).load(bDir)
+    def binIvfReused(nprobe: Int): Double = {
+      val t = System.nanoTime()
+      queries.foreach { q =>
+        graft.sources.IvfBinarySource.search(binIdx, model, q, 10, nprobe).collect()
+      }
+      (System.nanoTime() - t) / 1e6 / queries.length
+    }
+    val bms1 = binIvfReused(1)
     val bmsAll = binIvf(-1)
 
     println(s"""{"probe":"scale","n":$n,"dim":$dim,"store":"${if (diskOnly) "disk" else "mem"}","lists":${model.k},""" +

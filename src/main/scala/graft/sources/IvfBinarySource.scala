@@ -1,17 +1,21 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, BufferedOutputStream, File, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -37,9 +41,9 @@ import graft.functions.VectorKernels
   *
   * Schema: `vec_id BIGINT, qvec BINARY, centroid_id INT`.
   *
-  * IO is java.io against a shared filesystem (the local[N] test shape);
-  * a multi-node deployment swaps the open/list/skip calls for Hadoop
-  * `FileSystem` — layout, pruning, and readers are unchanged.
+  * All IO goes through the Hadoop `FileSystem` API, so the same connector
+  * serves local file://, HDFS, or object stores; executors open only the
+  * files of their own input partitions.
   */
 class IvfBinarySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -63,10 +67,49 @@ object IvfBinarySource {
     * probe read on every open). */
   private[sources] def rowWidth(dim: Int): Int = 8 + dim + 8
 
+  private[sources] def fs(p: Path): FileSystem =
+    p.getFileSystem(new Configuration())
+
   private[sources] def readDim(path: String): Int = {
-    val meta = new File(path, "_dim")
-    val s = new String(java.nio.file.Files.readAllBytes(meta.toPath)).trim
-    s.toInt
+    val meta = new Path(path, "_dim")
+    val mfs = fs(meta)
+    val st = mfs.getFileStatus(meta)
+    val cached = dimCache.get(path)
+    if (cached != null && cached._1 == st.getModificationTime) return cached._2
+    val in = mfs.open(meta)
+    val dim =
+      try {
+        val buf = new Array[Byte](32)
+        val sb = new StringBuilder
+        var n = in.read(buf)
+        while (n > 0) { sb.appendAll(buf.map(_.toChar), 0, n); n = in.read(buf) }
+        sb.toString.trim.toInt
+      } finally in.close()
+    dimCache.put(path, (st.getModificationTime, dim))
+    dim
+  }
+
+  // Driver-side planning caches — the connector's analogue of parquet's
+  // InMemoryFileIndex: per-list-dir file listings keyed by dir mtime
+  // (appending a part file bumps the dir mtime → refresh), and the _dim
+  // read keyed by the meta file's mtime. Serving issues many point scans
+  // against one index; without this every scan re-lists probed dirs.
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+  private[sources] val dirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[(String, Long)])]()
+
+  private[sources] def listBinFiles(rootFs: FileSystem, dir: Path,
+      mtime: Long): Array[(String, Long)] = {
+    val key = dir.toString
+    val cached = dirCache.get(key)
+    if (cached != null && cached._1 == mtime) return cached._2
+    val files = rootFs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".bin"))
+      .sortBy(_.getPath.getName)
+      .map(st => st.getPath.toString -> st.getLen)
+    dirCache.put(key, (mtime, files))
+    files
   }
 
   /** Write an assigned index (float vectors + centroid_id) as a binary
@@ -76,20 +119,14 @@ object IvfBinarySource {
     * per file. */
   def write(assigned: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    val spark = assigned.sparkSession
-    val root = new File(path)
-    if (root.exists()) {
-      def del(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(del)
-        f.delete()
-      }
-      del(root)
-    }
-    root.mkdirs()
+    val root = new Path(path)
+    val rootFs = fs(root)
+    if (rootFs.exists(root)) rootFs.delete(root, true)
+    rootFs.mkdirs(root)
     val first = assigned.select(vecCol).take(1)
     val dim = if (first.isEmpty) 0 else first(0).getSeq[Float](0).length
-    java.nio.file.Files.write(new File(root, "_dim").toPath,
-      dim.toString.getBytes)
+    val meta = rootFs.create(new Path(root, "_dim"), true)
+    try meta.write(dim.toString.getBytes) finally meta.close()
     if (first.isEmpty) return // empty index: meta file only, zero lists
     val rows = assigned.select(
       col(idCol).cast("long"), col(vecCol), col("centroid_id").cast("int"))
@@ -98,16 +135,17 @@ object IvfBinarySource {
     rows.repartition(col("centroid_id")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        val efs = fs(new Path(path))
         val streams = scala.collection.mutable.Map[Int, BufferedOutputStream]()
         val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         try {
           it.foreach { r =>
             val cid = r.getInt(2)
             val out = streams.getOrElseUpdate(cid, {
-              val d = new File(new File(path), s"list=$cid")
-              d.mkdirs()
+              val d = new Path(path, s"list=$cid")
+              efs.mkdirs(d)
               new BufferedOutputStream(
-                new FileOutputStream(new File(d, f"part-$pid%05d.bin")))
+                efs.create(new Path(d, f"part-$pid%05d.bin"), true))
             })
             head.clear(); head.putLong(r.getLong(0))
             out.write(head.array())
@@ -121,10 +159,18 @@ object IvfBinarySource {
     * pruning + fused dequantize·cosine kernel, top-k tie-broken
     * (sim DESC, id ASC). */
   def search(spark: SparkSession, path: String, model: graft.index.IvfIndex.Model,
+      query: Array[Float], k: Int, nprobe: Int): DataFrame =
+    search(spark.read.format(FORMAT).load(path), model, query, k, nprobe)
+
+  /** Serving-path variant over a pre-loaded index frame: reuse one
+    * `load(path)` across requests (the parquet path gets the same
+    * treatment via its cached FileIndex — per-request relation rebuild
+    * is pure overhead in both layouts). */
+  def search(index: DataFrame, model: graft.index.IvfIndex.Model,
       query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     import graft.functions.gf
     val probeIds = model.probe(query, nprobe).map(_.asInstanceOf[Any])
-    spark.read.format(FORMAT).load(path)
+    index
       .filter(col("centroid_id").isin(probeIds: _*))
       .select(col("vec_id"),
         gf.cosine_sim_q(col("qvec"), lit(VectorKernels.quantize(query))).as("sim"))
@@ -133,13 +179,96 @@ object IvfBinarySource {
   }
 }
 
-private[sources] class IvfTable(path: String) extends Table with SupportsRead {
+private[sources] class IvfTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_ivf(`$path`)"
   override def schema(): StructType = IvfBinarySource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IvfScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new IvfWriteBuilder(path, info.schema())
+}
+
+/** V2 write path (`df.write.format(FORMAT).mode("overwrite").save(path)`,
+  * rows already quantized: vec_id, qvec, centroid_id). The Write declares
+  * `RequiresDistributionAndOrdering`: clustering on `centroid_id`, so
+  * SPARK plans the per-list shuffle — each task then holds whole lists
+  * and writes one `part` file per (task, list). Task files are named by
+  * (partition, task) id so an aborted task's files are deletable without
+  * touching committed output; the driver writes `_dim` at commit from the
+  * writers' reported vector widths. */
+private[sources] class IvfWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new IvfWrite(path, schema, doTruncate)
+}
+
+private[sources] class IvfWrite(path: String, schema: StructType,
+    truncate: Boolean) extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("centroid_id")))
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val root = new Path(path)
+      val rootFs = IvfBinarySource.fs(root)
+      if (truncate && rootFs.exists(root)) rootFs.delete(root, true)
+      rootFs.mkdirs(root)
+      new IvfWriterFactory(path, schema)
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val dims = messages.collect { case IvfCommit(d) if d > 0 => d }
+      val dim = if (dims.isEmpty) 0 else dims.max
+      val root = new Path(path)
+      val out = IvfBinarySource.fs(root).create(new Path(root, "_dim"), true)
+      try out.write(dim.toString.getBytes) finally out.close()
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+private[sources] case class IvfCommit(dim: Int) extends WriterCommitMessage
+
+private[sources] class IvfWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new IvfDataWriter(path, schema, partitionId, taskId)
+}
+
+private[sources] class IvfDataWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val iId = schema.fieldIndex("vec_id")
+  private val iVec = schema.fieldIndex("qvec")
+  private val iCid = schema.fieldIndex("centroid_id")
+  private val efs = IvfBinarySource.fs(new Path(path))
+  private val streams = scala.collection.mutable.Map[Int, BufferedOutputStream]()
+  private val files = scala.collection.mutable.ArrayBuffer[Path]()
+  private val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+  private var dim = 0
+
+  override def write(row: InternalRow): Unit = {
+    val cid = row.getInt(iCid)
+    val vec = row.getBinary(iVec)
+    if (dim == 0) dim = vec.length - 8
+    val out = streams.getOrElseUpdate(cid, {
+      val d = new Path(path, s"list=$cid")
+      efs.mkdirs(d)
+      val f = new Path(d, f"part-$partitionId%05d-$taskId.bin")
+      files += f
+      new BufferedOutputStream(efs.create(f, true))
+    })
+    head.clear(); head.putLong(row.getLong(iId))
+    out.write(head.array())
+    out.write(vec)
+  }
+  override def commit(): WriterCommitMessage = { close(); IvfCommit(dim) }
+  override def abort(): Unit = { close(); files.foreach(efs.delete(_, false)) }
+  override def close(): Unit = { streams.values.foreach(_.close()); streams.clear() }
 }
 
 private[sources] class IvfScanBuilder(path: String)
@@ -185,15 +314,20 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val root = new File(path)
-    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("list="))
-      .map(f => f.getName.stripPrefix("list=").toInt -> f)
+    val root = new Path(path)
+    val rootFs = IvfBinarySource.fs(root)
+    if (!rootFs.exists(root)) return Array.empty
+    val dirs = rootFs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
+      .map(st => (st.getPath.getName.stripPrefix("list=").toInt, st.getPath,
+        st.getModificationTime))
       // connector-level partition prune: non-probed lists are never opened
-      .filter { case (cid, _) => lists.forall(_.contains(cid)) }
-    dirs.flatMap { case (cid, d) =>
-      d.listFiles().filter(_.getName.endsWith(".bin")).sortBy(_.getName)
-        .map(f => IvfInputPartition(f.getAbsolutePath, cid): InputPartition)
+      .filter { case (cid, _, _) => lists.forall(_.contains(cid)) }
+    dirs.flatMap { case (cid, d, mtime) =>
+      // file length rides along: readers derive row counts without a
+      // second FS round-trip, and metaOnly scans never open the file
+      IvfBinarySource.listBinFiles(rootFs, d, mtime)
+        .map { case (f, len) => IvfInputPartition(f, cid, len): InputPartition }
     }
   }
 
@@ -201,23 +335,24 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
     new IvfReaderFactory(IvfBinarySource.readDim(path), required)
 }
 
-private[sources] case class IvfInputPartition(file: String, listId: Int)
-    extends InputPartition
+private[sources] case class IvfInputPartition(file: String, listId: Int,
+    length: Long) extends InputPartition
 
 private[sources] class IvfReaderFactory(dim: Int, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[IvfInputPartition]
-    new IvfPartitionReader(part.file, part.listId, dim, required)
+    new IvfPartitionReader(part.file, part.listId, part.length, dim, required)
   }
 }
 
 /** Streams one fixed-width spill file. Column pruning is physical:
   * unneeded fields are `skip`ped, and when only `centroid_id` survives
-  * (GROUP BY list counts) the row count comes from the file length with
-  * zero row bytes read. */
-private[sources] class IvfPartitionReader(file: String, listId: Int, dim: Int,
-    required: StructType) extends PartitionReader[InternalRow] {
+  * (GROUP BY list counts) the row count comes from the planned file
+  * length with zero row bytes read. */
+private[sources] class IvfPartitionReader(file: String, listId: Int,
+    length: Long, dim: Int, required: StructType)
+    extends PartitionReader[InternalRow] {
 
   private val width = IvfBinarySource.rowWidth(dim)
   private val vecLen = dim + 8
@@ -225,10 +360,13 @@ private[sources] class IvfPartitionReader(file: String, listId: Int, dim: Int,
   private val needVec = required.fieldNames.contains("qvec")
   private val metaOnly = !needId && !needVec
 
-  private var remaining: Long = new File(file).length() / width
-  private val in: BufferedInputStream =
+  private var remaining: Long = length / width
+  private val in: InputStream =
     if (metaOnly) null
-    else new BufferedInputStream(new FileInputStream(file), 1 << 16)
+    else {
+      val p = new Path(file)
+      new BufferedInputStream(IvfBinarySource.fs(p).open(p), 1 << 16)
+    }
   private val idBuf = new Array[Byte](8)
   private var row: InternalRow = _
 
@@ -236,7 +374,7 @@ private[sources] class IvfPartitionReader(file: String, listId: Int, dim: Int,
     var off = 0
     while (off < b.length) {
       val n = in.read(b, off, b.length - off)
-      if (n < 0) throw new java.io.EOFException(file)
+      if (n < 0) throw new EOFException(file)
       off += n
     }
   }
@@ -244,7 +382,7 @@ private[sources] class IvfPartitionReader(file: String, listId: Int, dim: Int,
     var left = n
     while (left > 0) {
       val s = in.skip(left)
-      if (s <= 0) { if (in.read() < 0) throw new java.io.EOFException(file); left -= 1 }
+      if (s <= 0) { if (in.read() < 0) throw new EOFException(file); left -= 1 }
       else left -= s
     }
   }

@@ -97,4 +97,29 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     IvfBinarySource.write(built._1.filter(lit(false)), "vec_id", "embedding", p)
     assert(spark.read.format(IvfBinarySource.FORMAT).load(p).count() == 0)
   }
+
+  test("V2 write path: sink-declared clustering, same bytes as the helper") {
+    val (indexed, _) = built
+    val rows = indexed.select(col("vec_id"),
+      gf.quantize_vec(col("embedding")).as("qvec"), col("centroid_id"))
+    val p = tmp()
+    val writer = rows.write.format(IvfBinarySource.FORMAT).mode("overwrite")
+    writer.save(p)
+    // the sink's RequiresDistributionAndOrdering made Spark cluster rows
+    // by list: every list directory's rows live in exactly one part file
+    val listDirs = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+    assert(listDirs.nonEmpty)
+    assert(listDirs.forall(_.listFiles().count(_.getName.endsWith(".bin")) == 1))
+    // byte-parity with the helper write() path, row for row
+    val viaHelper = read()
+    val viaV2 = spark.read.format(IvfBinarySource.FORMAT).load(p)
+    assert(viaV2.count() == viaHelper.count())
+    assert(viaV2.join(viaHelper.withColumnRenamed("qvec", "q2"), "vec_id")
+      .filter(col("qvec") =!= col("q2")).count() == 0)
+    // overwrite truncates: a second save does not duplicate rows
+    writer.save(p)
+    assert(spark.read.format(IvfBinarySource.FORMAT).load(p).count() ==
+      viaHelper.count())
+  }
 }
