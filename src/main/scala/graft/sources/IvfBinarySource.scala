@@ -223,9 +223,14 @@ private[sources] class IvfWrite(path: String, schema: StructType,
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val dims = messages.collect { case IvfCommit(d) if d > 0 => d }
-      val dim = if (dims.isEmpty) 0 else dims.max
       val root = new Path(path)
-      val out = IvfBinarySource.fs(root).create(new Path(root, "_dim"), true)
+      val rootFs = IvfBinarySource.fs(root)
+      val metaP = new Path(root, "_dim")
+      // an all-empty append batch (streaming idle tick) must not clobber
+      // an existing dim with 0
+      if (dims.isEmpty && rootFs.exists(metaP)) return
+      val dim = if (dims.isEmpty) 0 else dims.max
+      val out = rootFs.create(metaP, true)
       try out.write(dim.toString.getBytes) finally out.close()
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()

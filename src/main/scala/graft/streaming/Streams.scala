@@ -83,6 +83,31 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Ingest straight into the DSv2 binary index
+    * ([[graft.sources.IvfBinarySource]]): each micro-batch V2-appends its
+    * chunks into the list directories (the sink's declared clustering
+    * shuffles per batch; part files are named by task id so batches never
+    * collide), and the connector's mtime-validated planning caches pick
+    * up the new files on the next search. chunk vec_id = doc_id·10⁵ +
+    * chunk_id (unique while docs chunk under 100k pieces). */
+  def runIngestBinary(docsStream: DataFrame, model: IvfIndex.Model,
+      indexDir: String, checkpointDir: String,
+      ctxNum: Int = 256, dim: Int = 64): Unit = {
+    val q = ingestChunks(docsStream, model, ctxNum, dim)
+      .select((col("doc_id") * 100000 + col("chunk_id")).cast("long").as("vec_id"),
+        col("qvec"), col("centroid_id").cast("int").as("centroid_id"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format(graft.sources.IvfBinarySource.FORMAT)
+          .mode("append").save(indexDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   // ---------- streaming dedup ----------
 
   /** Exact streaming dedup by content fingerprint: keep the first arrival

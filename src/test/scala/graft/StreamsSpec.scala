@@ -43,6 +43,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(dirs.forall(_.startsWith("centroid_id=")), dirs.mkString(","))
   }
 
+  test("streaming ingest into the binary index equals the batch chunks") {
+    import spark.implicits._
+    val d1 = (1L, """{"title": "alpha doc", "body": "some words here"}""")
+    val d2 = (2L, """{"title": "beta doc", "body": "other words live here"}""")
+    val batch = Streams.ingestChunks(Seq(d1, d2).toDF("doc_id", "text"), model)
+      .select((col("doc_id") * 100000 + col("chunk_id")).as("vec_id"),
+        col("qvec"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2)))
+      .toSet
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val idx = java.nio.file.Files.createTempDirectory("ingest_bin").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_bin").toString
+    // two separate micro-batches: the second V2-appends next to the
+    // first's files and must not clobber them (or the _dim meta)
+    mem.addData(d1)
+    Streams.runIngestBinary(mem.toDF().toDF("doc_id", "text"), model, idx, ckpt)
+    mem.addData(d2)
+    Streams.runIngestBinary(mem.toDF().toDF("doc_id", "text"), model, idx, ckpt)
+
+    val got = spark.read.format(graft.sources.IvfBinarySource.FORMAT).load(idx)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2)))
+      .toSet
+    assert(got == batch)
+  }
+
   test("streaming near-dup pairs equal the batch LSH candidate relation") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
