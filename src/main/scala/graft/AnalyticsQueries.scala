@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.gf
+
+/** Round-4 analytics operators closing the remaining relational-surface
+  * gaps (set difference/intersection, RANGE window frames, argmax
+  * aggregates, covariance-family statistics) plus two corpus-curation
+  * signals (cross-doc repeated spans, token frequency spectrum). Every
+  * query carries an exact DuckDB oracle.
+  *
+  * Scale notes per query; the common rule: explodes aggregate immediately
+  * (map-side partial combine), windows partition on high-cardinality keys
+  * (user_id / doc_id), and the only corpus-sized join (q63) shuffles on
+  * the span key — never on documents.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    // kernel-heavy consumers: give single-row-group scans a parallelism
+    // floor (Tables.loadP) so per-doc expression work spreads across cores
+    if (name == "documents" || name == "embeddings") Tables.loadP(s, dir, name)
+    else Tables.load(s, dir, name)
+
+  /** Set intersection / difference over (lang, source) combinations of the
+    * even vs odd doc_id halves — the INTERSECT/EXCEPT surface (§2.6 had
+    * only union). Both operators are distinct-based: one shuffle each on
+    * the full (lang, source) tuple, tiny result. */
+  def q62Setops(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val even = d.filter(col("doc_id") % 2 === 0).select("lang", "source")
+    val odd = d.filter(col("doc_id") % 2 === 1).select("lang", "source")
+    even.intersect(odd).withColumn("tag", lit("both"))
+      .unionByName(even.except(odd).withColumn("tag", lit("even_only")))
+      .unionByName(odd.except(even).withColumn("tag", lit("odd_only")))
+  }
+
+  /** Cross-document repeated-span signal (the exact-substring-dedup shape
+    * of Lee et al. 2021 at 8-token granularity): per document, how many of
+    * its distinct 8-token spans also appear in another document, and the
+    * fraction. The span-frequency table is corpus-sized, so the join
+    * shuffles on the span key (bounded groups) — the documents themselves
+    * never shuffle. */
+  def q63SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), 8))).as("s"))
+      .localCheckpoint(true) // span kernel once: feeds df and the scoring join
+    // (doc_id, s) is distinct after array_distinct, so count(*) == doc df
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val per = sh.join(df, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared") / col("n_spans"), lit(0.0)), 4).as("shared_frac"))
+  }
+
+  /** Trailing-24h rolling count + sum per event (RANGE frame over event
+    * time in microseconds — the frame type q29/q59's ROWS frames don't
+    * cover). Per-user partitions keep the window distributed; a range
+    * frame is also tie-safe: equal timestamps land in the same frame on
+    * both engines regardless of their physical order. */
+  def q64RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-86400000000L, 0L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("roll_cnt", count(lit(1)).over(w))
+      .withColumn("roll_sum", round(sum("value").over(w), 4))
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+  }
+
+  /** Token frequency-of-frequencies (the Zipf/Good-Turing spectrum a
+    * tokenizer-vocab or smoothing pass reads): for each occurrence count,
+    * how many distinct token types have it. Two stacked aggregations, both
+    * with map-side partial combine; output is spectrum-sized. */
+  def q65ZipfSpectrum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_types"))
+
+  /** Argmax aggregates (max_by/min_by): per user, the event type of the
+    * highest-value event and of the earliest event. Struct ordering keys
+    * make the tie-break explicit ((value, event_id) lexicographic), so the
+    * result is deterministic across engines. One partial-agg groupBy —
+    * the window-free way to answer "row of the max" at scale. */
+  def q66EventArgmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_type"), struct(col("value"), col("event_id"))).as("top_type"),
+        round(max("value"), 4).as("top_value"),
+        min_by(col("event_type"), struct(col("us"), col("event_id"))).as("first_type"))
+
+  /** Covariance-family statistics per event type: correlation, population
+    * covariance and the least-squares slope of value against event day.
+    * Small-magnitude day index keeps the co-moment arithmetic identical
+    * across engines at 4 decimal places. Single scan, 5-group output. */
+  def q67EventCorr(s: SparkSession, dir: String): DataFrame = {
+    val day = (unix_micros(col("ts")).cast("double") / 86400000000.0)
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"), floor(day).cast("double").as("day"))
+      .groupBy("event_type")
+      .agg(
+        round(corr(col("value"), col("day")), 4).as("v_day_corr"),
+        round(covar_pop(col("value"), col("day")), 4).as("v_day_covar"),
+        round(covar_pop(col("value"), col("day")) / var_pop(col("day")), 4)
+          .as("slope"))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_setops" -> q62Setops _,
+    "q63_span_dedup" -> q63SpanDedup _,
+    "q64_rolling_window" -> q64RollingWindow _,
+    "q65_zipf_spectrum" -> q65ZipfSpectrum _,
+    "q66_event_argmax" -> q66EventArgmax _,
+    "q67_event_corr" -> q67EventCorr _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q62_setops" ->
+      """WITH e AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 0),
+        |     o AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, source, 'both' AS tag
+        |  FROM (SELECT * FROM e INTERSECT SELECT * FROM o)
+        |UNION ALL
+        |SELECT lang, source, 'even_only' AS tag
+        |  FROM (SELECT * FROM e EXCEPT SELECT * FROM o)
+        |UNION ALL
+        |SELECT lang, source, 'odd_only' AS tag
+        |  FROM (SELECT * FROM o EXCEPT SELECT * FROM e)""".stripMargin,
+    "q63_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, CASE
+        |    WHEN len(t) >= 8 THEN
+        |      [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t)-7)]
+        |    WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+        |    ELSE [] END AS sl
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM shl),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |  FROM sh JOIN df USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_spans, 0) AS n_spans,
+        |  coalesce(n_shared, 0) AS n_shared,
+        |  round(coalesce(n_shared * 1.0 / n_spans, 0.0), 4) AS shared_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    "q64_rolling_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, value FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS roll_cnt,
+        |  round(sum(value) OVER w, 4) AS roll_sum
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q65_zipf_spectrum" ->
+      """WITH tk AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(tok) > 0),
+        |uni AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok)
+        |SELECT freq, count(*) AS n_types FROM uni GROUP BY freq""".stripMargin,
+    "q66_event_argmax" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |tv AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id DESC) AS rn,
+        |    max(value) OVER (PARTITION BY user_id) AS mx
+        |  FROM e),
+        |ft AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS rn
+        |  FROM e)
+        |SELECT t.user_id, t.event_type AS top_type,
+        |  round(t.mx, 4) AS top_value, f.event_type AS first_type
+        |FROM (SELECT user_id, event_type, mx FROM tv WHERE rn = 1) t
+        |JOIN (SELECT user_id, event_type FROM ft WHERE rn = 1) f USING (user_id)""".stripMargin,
+    "q67_event_corr" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(floor((epoch_ns(ts) // 1000) / 86400000000.0) AS DOUBLE) AS day
+        |  FROM events)
+        |SELECT event_type,
+        |  round(corr(value, day), 4) AS v_day_corr,
+        |  round(covar_pop(value, day), 4) AS v_day_covar,
+        |  round(covar_pop(value, day) / var_pop(day), 4) AS slope
+        |FROM e GROUP BY event_type""".stripMargin
+  )
+}

@@ -12,11 +12,13 @@ object SparkEntry {
     * plus the scale-pipeline extensions (DedupQueries, PipelineQueries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.registry ++ DedupQueries.registry ++ PipelineQueries.registry ++
-      RetrievalQueries.registry ++ CurationQueries.registry
+      RetrievalQueries.registry ++ CurationQueries.registry ++
+      AnalyticsQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ DedupQueries.oracle ++ PipelineQueries.oracle ++
-      RetrievalQueries.oracle ++ CurationQueries.oracle
+      RetrievalQueries.oracle ++ CurationQueries.oracle ++
+      AnalyticsQueries.oracle
 }
