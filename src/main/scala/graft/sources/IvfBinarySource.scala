@@ -177,6 +177,116 @@ object IvfBinarySource {
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Small-file compaction: every list directory holding more than one
+    * part file is rewritten into a single sequential file, one task per
+    * list. Streaming ingest appends one file per (micro-batch, list), so
+    * the per-list file count — and the open() cost every probe pays —
+    * grows linearly with batches; compaction restores the
+    * one-stream-per-list read the layout is built for. Offline operation
+    * (not safe concurrently with writers); the swap makes the merged file
+    * visible BEFORE the old ones disappear, so a crash mid-swap can
+    * duplicate rows but never lose them. Returns # lists compacted. */
+  def compact(spark: SparkSession, path: String): Long =
+    rewriteLists(spark, path, minFiles = 2, dropIds = Set.empty, only = None)._1
+
+  /** Targeted row deletion — the index half of the reference's document
+    * DELETE cascade (server/delete.go:214-288; ParquetStore.cascadeDelete
+    * owns the relational half). Affected lists are located first by a
+    * vec_id+centroid_id scan that reads no vector bytes (physical column
+    * pruning), then ONLY those lists rewrite — deletion cost follows the
+    * touched lists, not the corpus. Returns # rows deleted. */
+  def delete(spark: SparkSession, path: String, ids: Set[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val root = new Path(path)
+    if (!fs(root).exists(root)) return 0L
+    val bc = spark.sparkContext.broadcast(ids)
+    val hit = org.apache.spark.sql.functions.udf((id: Long) => bc.value.contains(id))
+    val affected = spark.read.format(FORMAT).load(path)
+      .select("vec_id", "centroid_id")
+      .filter(hit(col("vec_id")))
+      .select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) return 0L
+    rewriteLists(spark, path, minFiles = 1, dropIds = ids, only = Some(affected))._2
+  }
+
+  /** Shared rewrite engine for [[compact]] and [[delete]]: each selected
+    * list's part files stream into one new file, dropping `dropIds` rows.
+    * Returns (lists rewritten, rows dropped). */
+  private def rewriteLists(spark: SparkSession, path: String, minFiles: Int,
+      dropIds: Set[Long], only: Option[Set[Int]]): (Long, Long) = {
+    val root = new Path(path)
+    val rootFs = fs(root)
+    if (!rootFs.exists(root)) return (0L, 0L)
+    val width = rowWidth(readDim(path))
+    val work = rootFs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
+      .map(st => st.getPath.getName.stripPrefix("list=").toInt)
+      .filter(cid => only.forall(_.contains(cid)))
+      .map { cid =>
+        val d = new Path(root, s"list=$cid")
+        val files = listBinFiles(rootFs, d,
+          rootFs.getFileStatus(d).getModificationTime).map(_._1).toSeq
+        (cid, files)
+      }
+      .filter(_._2.size >= minFiles)
+      .toSeq
+    if (work.isEmpty) return (0L, 0L)
+    val bc = spark.sparkContext.broadcast(dropIds)
+    val dropped = spark.sparkContext
+      .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
+      .map { case (cid, files) =>
+        val d = new Path(path, s"list=$cid")
+        val efs = fs(d)
+        val drop = bc.value
+        val gen = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new Path(d, s"part-00000-rw$gen.tmp")
+        val out = new BufferedOutputStream(efs.create(tmp, true), 1 << 16)
+        val rowBuf = new Array[Byte](width)
+        var removed = 0L
+        var kept = 0L
+        try {
+          files.foreach { f =>
+            val in = new BufferedInputStream(efs.open(new Path(f)), 1 << 16)
+            try {
+              var eof = false
+              while (!eof) {
+                val first = in.read(rowBuf, 0, width)
+                if (first < 0) eof = true
+                else {
+                  var off = first
+                  while (off < width) {
+                    val m = in.read(rowBuf, off, width - off)
+                    if (m < 0) throw new EOFException(f)
+                    off += m
+                  }
+                  val id = ByteBuffer.wrap(rowBuf, 0, 8)
+                    .order(ByteOrder.LITTLE_ENDIAN).getLong
+                  if (drop.contains(id)) removed += 1
+                  else { out.write(rowBuf, 0, width); kept += 1 }
+                }
+              }
+            } finally in.close()
+          }
+        } finally out.close()
+        if (kept == 0) {
+          // list fully deleted: drop its files and directory so planning
+          // never opens it again
+          efs.delete(tmp, false)
+          files.foreach(f => efs.delete(new Path(f), false))
+          efs.delete(d, false)
+        } else {
+          // swap order: merged file lands as .bin first, old files go
+          // second — a crash in between duplicates rows, never loses them
+          efs.rename(tmp, new Path(d, s"part-00000-rw$gen.bin"))
+          files.foreach(f => efs.delete(new Path(f), false))
+        }
+        removed
+      }
+      .fold(0L)(_ + _)
+    (work.size.toLong, dropped)
+  }
 }
 
 private[sources] class IvfTable(path: String) extends Table

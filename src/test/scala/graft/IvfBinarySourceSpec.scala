@@ -122,4 +122,74 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     assert(spark.read.format(IvfBinarySource.FORMAT).load(p).count() ==
       viaHelper.count())
   }
+
+  test("compaction merges per-batch files into one per list, rows intact") {
+    val (indexed, _) = built
+    val rows = indexed.select(col("vec_id"),
+      gf.quantize_vec(col("embedding")).as("qvec"), col("centroid_id"))
+    val p = tmp()
+    // two appends — the streaming shape: every list gets one file per batch
+    rows.filter(col("vec_id") % 2 === 0).write
+      .format(IvfBinarySource.FORMAT).mode("append").save(p)
+    rows.filter(col("vec_id") % 2 === 1).write
+      .format(IvfBinarySource.FORMAT).mode("append").save(p)
+    def load() = spark.read.format(IvfBinarySource.FORMAT).load(p)
+    val before = load().collect().map(r =>
+      (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2))).toSet
+    def fileCounts(): Map[String, Int] =
+      new java.io.File(p).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("list="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".bin")))
+        .toMap
+    assert(fileCounts().values.exists(_ > 1), "appends should leave multi-file lists")
+    val compacted = IvfBinarySource.compact(spark, p)
+    assert(compacted == fileCounts().size.toLong)
+    assert(fileCounts().values.forall(_ == 1), "every list should be one file")
+    val after = load().collect().map(r =>
+      (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2))).toSet
+    assert(after == before, "compaction must not change any row")
+    // idempotent: nothing left to merge
+    assert(IvfBinarySource.compact(spark, p) == 0L)
+  }
+
+  test("delete rewrites only affected lists and drops exactly the ids") {
+    val (indexed, _) = built
+    val rows = indexed.select(col("vec_id"),
+      gf.quantize_vec(col("embedding")).as("qvec"), col("centroid_id"))
+    val p = tmp()
+    rows.write.format(IvfBinarySource.FORMAT).mode("overwrite").save(p)
+    def load() = spark.read.format(IvfBinarySource.FORMAT).load(p)
+    // pick victims from ONE list so other lists' bytes must not move
+    val lists = load().select("centroid_id").distinct().collect().map(_.getInt(0))
+    assert(lists.length > 1, "need multiple lists")
+    val victimList = lists.min
+    val victims = load().filter(col("centroid_id") === victimList)
+      .select("vec_id").limit(3).collect().map(_.getLong(0)).toSet
+    assert(victims.nonEmpty)
+    val untouched = lists.filter(_ != victimList).map { cid =>
+      val d = new java.io.File(p, s"list=$cid")
+      cid -> d.listFiles().filter(_.getName.endsWith(".bin"))
+        .map(f => (f.getName, f.lastModified())).toSeq
+    }.toMap
+    val n0 = load().count()
+    val dropped = IvfBinarySource.delete(spark, p, victims)
+    assert(dropped == victims.size.toLong)
+    assert(load().count() == n0 - victims.size)
+    assert(load().filter(col("vec_id").isin(victims.toSeq: _*)).count() == 0)
+    // non-affected list files: same names, same mtimes — never rewritten
+    untouched.foreach { case (cid, files) =>
+      val now = new java.io.File(p, s"list=$cid").listFiles()
+        .filter(_.getName.endsWith(".bin"))
+        .map(f => (f.getName, f.lastModified())).toSeq
+      assert(now == files, s"list=$cid was touched by an unrelated delete")
+    }
+    // deleting every remaining row of the victim list removes its dir
+    val rest = load().filter(col("centroid_id") === victimList)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    IvfBinarySource.delete(spark, p, rest)
+    assert(!new java.io.File(p, s"list=$victimList").exists())
+    assert(load().filter(col("centroid_id") === victimList).count() == 0)
+    // deleting unknown ids is a no-op
+    assert(IvfBinarySource.delete(spark, p, Set(Long.MaxValue)) == 0L)
+  }
 }
