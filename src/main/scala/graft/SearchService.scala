@@ -131,6 +131,33 @@ object SearchService {
       .orderBy(col("qid").asc, col("similarity").desc, col("document_id").asc)
   }
 
+  /** Full document DELETE lifecycle (reference server/delete.go:214-288):
+    * the relational cascade — document + chunk stores, co-bucketed so only
+    * touched buckets rewrite — plus the index half
+    * ([[graft.sources.IvfBinarySource.delete]] — only lists holding the
+    * doomed chunk rows rewrite). Victim chunk ids come from an id-only
+    * index scan (physical column pruning: no vector bytes read) via the
+    * ingest path's vec_id = doc_id·10⁵ + chunk_id encoding
+    * ([[graft.streaming.Streams.ChunkVecIdBase]]). Returns the number of
+    * index rows deleted. */
+  def deleteDocuments(spark: SparkSession, docStore: ParquetStore,
+      chunkStore: ParquetStore, indexPath: String, docIds: Set[Long]): Long = {
+    if (docIds.isEmpty) return 0L
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(docIds)
+    val ofDoomedDoc = udf((vid: Long) =>
+      bc.value.contains(vid / graft.streaming.Streams.ChunkVecIdBase))
+    val victims = spark.read
+      .format(graft.sources.IvfBinarySource.FORMAT).load(indexPath)
+      .select("vec_id").filter(ofDoomedDoc(col("vec_id")))
+      .as[Long].collect().toSet
+    val removed = graft.sources.IvfBinarySource.delete(spark, indexPath, victims)
+    val doomed = docIds.toSeq.toDF(docStore.keyCol).localCheckpoint(true)
+    docStore.deleteKeys(doomed)
+    chunkStore.deleteKeys(doomed)
+    removed
+  }
+
   /** Index refresh as a batch job: rebuild the model from the embedding
     * store's current rows, write re-assignments back through the bucketed
     * upsert — like the reference's changed-rows-only UPDATE

@@ -22,6 +22,11 @@ import graft.index.IvfIndex
   */
 object Streams {
 
+  /** Chunk-row id encoding used by the binary-index ingest sink and the
+    * delete lifecycle: vec_id = doc_id·10⁵ + chunk_id (unique while docs
+    * chunk under 100k pieces). */
+  val ChunkVecIdBase = 100000L
+
   // ---------- upload ingestion (reference §3.2 as a stream) ----------
 
   /** Flatten → chunk → noop-embed → nearest-centroid assign. Stateless and
@@ -94,7 +99,7 @@ object Streams {
       indexDir: String, checkpointDir: String,
       ctxNum: Int = 256, dim: Int = 64): Unit = {
     val q = ingestChunks(docsStream, model, ctxNum, dim)
-      .select((col("doc_id") * 100000 + col("chunk_id")).cast("long").as("vec_id"),
+      .select((col("doc_id") * ChunkVecIdBase + col("chunk_id")).cast("long").as("vec_id"),
         col("qvec"), col("centroid_id").cast("int").as("centroid_id"))
       .writeStream
       .outputMode(OutputMode.Append)

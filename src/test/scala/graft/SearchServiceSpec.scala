@@ -124,4 +124,48 @@ class SearchServiceSpec extends AnyFunSuite {
     assert(store.read(spark).count() == 500)
     assert(store.bucketDirs == filesBefore)
   }
+
+  test("deleteDocuments cascades stores and index; survivors untouched") {
+    import graft.sources.IvfBinarySource
+    import graft.streaming.Streams
+    def tmp(n: String) = java.nio.file.Files.createTempDirectory(n).toString
+    val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val docStore = ParquetStore(tmp("docs"), "doc_id", nBuckets = 8)
+    docStore.create(docs)
+    // chunk table ingested through the real chunk pipeline, chunk store
+    // keyed (and co-bucketed) by the owning doc FK
+    val (_, model) = built
+    val chunks = Streams.ingestChunks(docs, model)
+      .select(col("doc_id"),
+        (col("doc_id") * Streams.ChunkVecIdBase + col("chunk_id"))
+          .cast("long").as("vec_id"),
+        col("qvec"), col("centroid_id").cast("int").as("centroid_id"))
+      .localCheckpoint(true)
+    val chunkStore = ParquetStore(tmp("chunks"), "doc_id", nBuckets = 8)
+    chunkStore.create(chunks)
+    val idx = tmp("idx")
+    chunks.select("vec_id", "qvec", "centroid_id").write
+      .format(IvfBinarySource.FORMAT).mode("overwrite").save(idx)
+    val doomed = Set(3L, 7L, 11L)
+    val expectRemoved = chunks
+      .filter(col("doc_id").isin(doomed.toSeq: _*)).count()
+    val keepIndex = spark.read.format(IvfBinarySource.FORMAT).load(idx)
+      .filter(!(col("vec_id") / Streams.ChunkVecIdBase).cast("long")
+        .isin(doomed.toSeq: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val removed = SearchService.deleteDocuments(
+      spark, docStore, chunkStore, idx, doomed)
+    assert(removed == expectRemoved)
+    assert(docStore.read(spark)
+      .filter(col("doc_id").isin(doomed.toSeq: _*)).count() == 0)
+    assert(chunkStore.read(spark)
+      .filter(col("doc_id").isin(doomed.toSeq: _*)).count() == 0)
+    val after = spark.read.format(IvfBinarySource.FORMAT).load(idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after == keepIndex, "index must keep exactly the survivors")
+    // empty-id call is a no-op
+    assert(SearchService.deleteDocuments(
+      spark, docStore, chunkStore, idx, Set.empty) == 0L)
+  }
 }
