@@ -115,15 +115,21 @@ object CurationQueries {
         "i -> named_struct('x', element_at(a, i), 'y', element_at(a, i + 1)))"))
       .as("bg"))
       .select(col("bg.x").as("x"), col("bg.y").as("y"))
-      .localCheckpoint(true) // feeds pair counts and the bigram total
+    // pair counts are vocabulary²-bounded where the raw bigram stream is
+    // corpus-sized: aggregate FIRST, then derive the bigram total from the
+    // counts — the corpus-sized stream is scanned once and never
+    // checkpointed, and the total costs a sum over the (small) pair table
+    // instead of a second corpus scan
+    val pairs = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(true)
     val uni = tokens(docs).groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     // sum over zero rows is null (empty corpus / all-blank texts) — same
     // guard as q47's trigram total
     val totUni = Option(uni.agg(sum("c")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
-    val totBi = bi.count().toDouble
-    val pairs = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val totBi = Option(pairs.agg(sum("c_xy")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
     pairs
       .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))), "x")
       .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))), "y")

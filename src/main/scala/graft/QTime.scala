@@ -1,16 +1,12 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc per-query timing harness for optimization work (not a driver
-  * surface): `runMain graft.QTime <sfDir> <iters> <query>...` times each
-  * named query with one untimed warmup and prints min/median over iters,
-  * isolating plan changes from JVM/session startup noise. */
+/** Dev utility: time individual registry queries.
+  * `runMain graft.QTime <sfDir> <query...>` — 3 runs each, prints min. */
 object QTime {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val iters = args(1).toInt
-    val names = args.drop(2).toSeq
+    val sfDir = args.head
+    val names = args.tail
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,15 +14,16 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warmup
-      val ts = (1 to iters).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[qtime] $name%-24s min=${ts.head}%.3f med=${ts(ts.size / 2)}%.3f")
+      }
+      System.gc()
+      println(f"[qtime] $name min=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }
