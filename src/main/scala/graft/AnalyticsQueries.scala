@@ -119,7 +119,38 @@ object AnalyticsQueries {
           .as("slope"))
   }
 
+  /** GROUPING SETS with mixed set shapes (the lattice q39's rollup and
+    * q51's cube can't express: an arbitrary subset of margins in one
+    * pass). grouping_id tags which margin each row belongs to. One shuffle
+    * on the expanded grouping keys, partial agg map-side. */
+  def q68GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+
+  /** Distribution-rank windows (ntile / percent_rank / cume_dist) over
+    * document length, partitioned per language — the quantile-band
+    * assignment a curriculum or balanced-sampling pass uses. Per-lang
+    * partitions keep the sort distributed; doc_id tie-break makes every
+    * rank deterministic. */
+  def q69NtileRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pr", round(percent_rank().over(w), 4))
+      .withColumn("cd", round(cume_dist().over(w), 4))
+      .select("doc_id", "lang", "decile", "pr", "cd")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_grouping_sets" -> q68GroupingSets _,
+    "q69_ntile_rank" -> q69NtileRank _,
     "q62_setops" -> q62Setops _,
     "q63_span_dedup" -> q63SpanDedup _,
     "q64_rolling_window" -> q64RollingWindow _,
@@ -129,6 +160,21 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q68_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())""".stripMargin,
+    "q69_ntile_rank" ->
+      """SELECT doc_id, lang,
+        |  CAST(ntile(10) OVER w AS INT) AS decile,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)""".stripMargin,
     "q62_setops" ->
       """WITH e AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 0),
         |     o AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 1)

@@ -50,15 +50,18 @@ object CurationQueries {
     * on doc_id, so no global sort and no hot partition. */
   def q57TfidfTopterms(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val n = docs.count()
+    // corpus size rides along as a broadcast single-row aggregate instead
+    // of a separate driver-side count() job
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = tokens(docs).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true) // feeds df and the scoring join
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("tok").asc)
     tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+        round(col("tf") * log(col("n_docs") / col("df")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "tok", "tfidf")

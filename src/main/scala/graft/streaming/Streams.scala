@@ -126,6 +126,23 @@ object Streams {
       .withWatermark(watermarkCol, lateness)
       .dropDuplicates("fp")
 
+  /** Incremental-ingest dedup against the HISTORICAL corpus: drop stream
+    * documents whose content fingerprint (same md5(lower(trim)) as
+    * q18/streamingExactDedup) already exists in a static fingerprint
+    * table — a stream-static left_anti join. The static side's bytes are
+    * re-scanned every micro-batch but its FILE LISTING is resolved once
+    * at stream start (file-source snapshot semantics): fingerprints
+    * appended after start are not seen until restart — compose with
+    * [[streamingExactDedup]] downstream to drop in-stream duplicates, and
+    * restart (or run foreachBatch with a fresh read) to pick up corpus
+    * growth. State is zero because the static side is storage, not
+    * stream state. `corpusFps` needs one `fp` column (store it bucketed
+    * so the per-batch join prunes). */
+  def dedupAgainstCorpus(docsStream: DataFrame, corpusFps: DataFrame): DataFrame =
+    docsStream
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .join(corpusFps.select("fp"), Seq("fp"), "left_anti")
+
   // ---------- windowed aggregation with watermark ----------
 
   /** Tumbling event-time window counts per event type (the streaming twin

@@ -129,6 +129,50 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows == Set(1L, 2L, 5L), rows)
   }
 
+  test("stream-static dedup drops docs already in the historical corpus") {
+    import spark.implicits._
+    // historical corpus: fingerprints of docs 0/1; doc 1's text arrives
+    // again in the stream and must be dropped
+    val corpus = Seq("old doc one", "old doc two").toDF("text")
+      .select(md5(lower(trim(col("text")))).as("fp"))
+    val dir = java.nio.file.Files.createTempDirectory("corpus_fp").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val corpusFps = spark.read.parquet(dir)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Streams.dedupAgainstCorpus(
+        mem.toDF().toDF("doc_id", "text"), corpusFps)
+      .writeStream.format("memory").queryName("ssdedup_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((10L, "Old Doc One"), (11L, "fresh text"))
+    q.processAllAvailable()
+    // file-source snapshot semantics: a fingerprint appended AFTER stream
+    // start is not in the frozen file listing, so a later duplicate of it
+    // still passes — corpus growth needs a restart (operator Scaladoc)
+    Seq("fresh text").toDF("text")
+      .select(md5(lower(trim(col("text")))).as("fp"))
+      .write.mode("append").parquet(dir)
+    mem.addData((12L, "fresh text"), (13L, "old doc two"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssdedup_out").select("doc_id").as[Long].collect().toSet
+    // 10 dropped (historical dup, case-normalized); 11 passes; 12 passes
+    // (frozen listing predates its fingerprint); 13 dropped (historical,
+    // seen first in a later batch — the static join works every batch)
+    assert(rows == Set(11L, 12L), rows)
+    // a restarted stream sees the appended fingerprint and drops the dup
+    val corpusFps2 = spark.read.parquet(dir)
+    val mem2 = MemoryStream[(Long, String)](spark)
+    val q2 = Streams.dedupAgainstCorpus(
+        mem2.toDF().toDF("doc_id", "text"), corpusFps2)
+      .writeStream.format("memory").queryName("ssdedup_out2")
+      .outputMode(OutputMode.Append).start()
+    mem2.addData((20L, "fresh text"), (21L, "never seen"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows2 = spark.table("ssdedup_out2").select("doc_id").as[Long].collect().toSet
+    assert(rows2 == Set(21L), rows2)
+  }
+
   test("windowed event stats emit closed windows only, late data dropped") {
     import spark.implicits._
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
