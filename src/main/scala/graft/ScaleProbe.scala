@@ -141,11 +141,23 @@ object ScaleProbe {
     val bms1 = binIvfReused(1)
     val bmsAll = binIvf(-1)
 
+    // per-list stats: COUNT(*) GROUP BY centroid_id is answered from file
+    // sizes at plan time (DSv2 complete aggregate pushdown); count(vec_id)
+    // cannot push and iterates every row — the gap grows with corpus size
+    def timed2(f: => Unit): Double = { // warm plan once, time the rerun
+      f
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e6
+    }
+    val cntPushMs = timed2(binIdx.groupBy("centroid_id").count().collect())
+    val cntRowsMs = timed2(
+      binIdx.groupBy("centroid_id").agg(count(col("vec_id"))).collect())
+
     println(s"""{"probe":"scale","n":$n,"dim":$dim,"store":"${if (diskOnly) "disk" else "mem"}","lists":${model.k},""" +
       s""""build_sec":$buildSec,"brute_ms":$bruteMs,""" +
       s""""nprobe1_ms":$ms1,"nprobe1_recall":$r1,"nprobe4_ms":$ms4,"nprobe4_recall":$r4,""" +
       s""""qindex_write_sec":$writeSec,"disk_nprobe1_ms":$dms1,"disk_scanall_ms":$dmsAll,""" +
-      s""""bin_write_sec":$bWriteSec,"bin_nprobe1_ms":$bms1,"bin_scanall_ms":$bmsAll}""")
+      s""""bin_write_sec":$bWriteSec,"bin_nprobe1_ms":$bms1,"bin_scanall_ms":$bmsAll,""" +
+      s""""bin_count_push_ms":$cntPushMs,"bin_count_rows_ms":$cntRowsMs}""")
     spark.stop()
   }
 }

@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.{col, lit}
@@ -388,12 +390,16 @@ private[sources] class IvfDataWriter(path: String, schema: StructType,
 
 private[sources] class IvfScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = IvfBinarySource.SCHEMA
   private var pushed: Array[Filter] = Array.empty
   // None = no list filter (scan all); Some(set) = probe exactly these
   private var lists: Option[Set[Int]] = None
+  // Some(grouped, nCounts): COUNT(*) aggregation fully answered from file
+  // sizes on the driver — no task ever iterates rows
+  private var countPush: Option[(Boolean, Int)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
@@ -413,10 +419,104 @@ private[sources] class IvfScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Fixed-width rows make COUNT(*) a pure metadata computation
+    * (file_size ÷ row_width), and the layout partitions by the only
+    * grouping key we accept — so `COUNT(*) [GROUP BY centroid_id]` is a
+    * COMPLETE pushdown: the driver answers it from the (cached) file
+    * listing and the scan emits one row per group, never per vector. */
+  private def canPushCount(agg: Aggregation): Boolean = {
+    val aggsOk = agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+    val gb = agg.groupByExpressions()
+    val gbOk = gb.isEmpty || (gb.length == 1 && (gb(0) match {
+      case f: NamedReference => f.fieldNames().sameElements(Array("centroid_id"))
+      case _ => false
+    }))
+    aggsOk && gbOk
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushCount(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPushCount(agg)) return false
+    countPush = Some((agg.groupByExpressions().nonEmpty,
+      agg.aggregateExpressions().length))
+    true
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new IvfScan(path, lists, required)
+  override def build(): Scan = countPush match {
+    case Some((grouped, nCounts)) => new IvfCountScan(path, lists, grouped, nCounts)
+    case None => new IvfScan(path, lists, required)
+  }
+}
+
+/** Completely-pushed COUNT(*) [GROUP BY centroid_id]: per-list row counts
+  * are file_size ÷ row_width over the (mtime-cached) listing — computed on
+  * the DRIVER at planning time; the single input partition just replays
+  * the precomputed group rows. */
+private[sources] class IvfCountScan(path: String, lists: Option[Set[Int]],
+    grouped: Boolean, nCounts: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    val aggFields = (0 until nCounts).map(i =>
+      StructField(s"count_$i", LongType, nullable = false))
+    if (grouped)
+      StructType(StructField("centroid_id", IntegerType, nullable = false) +: aggFields)
+    else StructType(aggFields)
+  }
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val probed = lists.map(_.toSeq.sorted.mkString("[", ",", "]")).getOrElse("ALL")
+    s"GraftIvfCountScan path=$path lists=$probed grouped=$grouped"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(path)
+    val rootFs = IvfBinarySource.fs(root)
+    if (!rootFs.exists(root))
+      return Array(IvfCountsPartition(Array.empty))
+    val width = IvfBinarySource.rowWidth(IvfBinarySource.readDim(path)).toLong
+    val perList = rootFs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
+      .map(st => (st.getPath.getName.stripPrefix("list=").toInt, st.getPath,
+        st.getModificationTime))
+      .filter { case (cid, _, _) => lists.forall(_.contains(cid)) }
+      .map { case (cid, d, mtime) =>
+        cid -> IvfBinarySource.listBinFiles(rootFs, d, mtime)
+          .map(_._2 / width).sum
+      }
+      .sortBy(_._1)
+    val rows =
+      if (grouped) perList.map { case (cid, n) => (cid, n) }
+      else Array((-1, perList.map(_._2).sum)) // global count: one row
+    Array(IvfCountsPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IvfCountsReaderFactory(grouped, nCounts)
+}
+
+private[sources] case class IvfCountsPartition(rows: Array[(Int, Long)])
+    extends InputPartition
+
+private[sources] class IvfCountsReaderFactory(grouped: Boolean, nCounts: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[IvfCountsPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val (cid, n) = rows(i)
+        val counts: Seq[Any] = Seq.fill(nCounts)(n)
+        if (grouped) InternalRow.fromSeq(cid +: counts)
+        else InternalRow.fromSeq(counts)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class IvfScan(path: String, lists: Option[Set[Int]],

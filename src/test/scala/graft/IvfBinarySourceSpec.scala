@@ -123,6 +123,39 @@ class IvfBinarySourceSpec extends AnyFunSuite {
       viaHelper.count())
   }
 
+  test("COUNT(*) pushes down completely: answered from file sizes, no row read") {
+    // grouped: one row per list, derived from the listing at plan time
+    val grouped = read().groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(gPlan.contains("GraftIvfCountScan"),
+      s"grouped count should hit the pushed count scan:\n$gPlan")
+    // no aggregate exec survives above a complete pushdown
+    assert(!gPlan.contains("HashAggregate"), gPlan)
+    val viaPush = grouped.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // expected counts via the row-reading path (qvec forces real reads)
+    val expect = read().select("centroid_id", "vec_id")
+      .groupBy("centroid_id").agg(count(col("vec_id")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaPush == expect)
+    // global: single row, still no row bytes
+    val total = read().agg(count(lit(1))).collect().head.getLong(0)
+    assert(total == expect.values.sum)
+    val tPlan = read().agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(tPlan.contains("GraftIvfCountScan"), tPlan)
+    // pruned + pushed compose: count of one probed list only
+    val one = expect.keys.min
+    val pruned = read().filter(col("centroid_id") === one)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    assert(pruned.queryExecution.executedPlan.toString.contains(s"lists=[$one]"))
+    assert(pruned.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(one -> expect(one)))
+    // an aggregate the source cannot answer (count on qvec could differ
+    // under nulls? no — min(vec_id) here) falls back to the row scan
+    val fallback = read().groupBy("centroid_id").agg(min("vec_id"))
+    assert(!fallback.queryExecution.executedPlan.toString
+      .contains("GraftIvfCountScan"))
+  }
+
   test("compaction merges per-batch files into one per list, rows intact") {
     val (indexed, _) = built
     val rows = indexed.select(col("vec_id"),
