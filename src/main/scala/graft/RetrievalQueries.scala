@@ -43,18 +43,18 @@ object RetrievalQueries {
   private def bm25Scores(docs: DataFrame): DataFrame = {
     // idf's N is ALL docs; avgdl averages over docs WITH ≥1 token only
     // (the oracle's dl CTE excludes empty/whitespace/null texts — a
-    // corpus with empty docs must not deflate avgdl). sum() over zero
-    // token-bearing docs is null → guard before getLong.
+    // corpus with empty docs must not deflate avgdl). The corpus stats
+    // ride as a broadcast single-row aggregate instead of a blocking
+    // driver action — one fewer job, same IEEE arithmetic (sum/count are
+    // long until the same final double division the driver did).
     val tc = gf.token_count(col("text")).cast("long")
-    val stats = docs.agg(count(lit(1)).as("n"),
-      count(when(tc > 0, 1)).as("nTok"),
-      sum(tc).as("tot")).head()
-    val n = stats.getLong(0)
-    val nTok = stats.getLong(1)
-    val avgdl =
-      if (nTok == 0) 1.0
-      else Option(stats.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
-        .toDouble / nTok
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_all"),
+      count(when(tc > 0, 1)).as("n_tok"),
+      coalesce(sum(tc), lit(0L)).as("tot"))
+      .select(col("n_all"),
+        when(col("n_tok") === 0, 1.0)
+          .otherwise(col("tot").cast("double") / col("n_tok")).as("avgdl"))
     val tf = tokens(docs).filter(col("tok").isin(TERMS: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true) // feeds df and the scoring join
@@ -63,10 +63,11 @@ object RetrievalQueries {
       gf.token_count(col("text")).cast("long").as("dl"))
     tf.join(broadcast(df), "tok")
       .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
-        (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+        (col("n_all") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("s", col("idf") * (col("tf") * lit(K1 + 1)) /
-        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
+        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(sum("s").as("score"))
   }
 
