@@ -520,7 +520,8 @@ private[sources] class IvfCountsReaderFactory(grouped: Boolean, nCounts: Int)
 }
 
 private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -528,30 +529,53 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
     s"GraftIvfScan path=$path lists=$probed cols=${required.fieldNames.mkString(",")}"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The layout IS hash-partitioned by list: every input partition (one
+    * file) holds exactly one centroid_id, declared per-partition via
+    * [[HasPartitionKey]]. With `spark.sql.sources.v2.bucketing.enabled`
+    * Spark groups same-key files and plans per-list aggregations and
+    * storage-partitioned joins WITHOUT an exchange — the maintenance
+    * passes (recenter, per-list stats, list-blocked self-joins) stop
+    * shuffling the corpus. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    // the key must be resolvable against the (pruned) output schema
+    if (required.fieldNames.contains("centroid_id"))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity("centroid_id")), plannedPartitions.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        plannedPartitions.length)
+
+  private lazy val plannedPartitions: Array[InputPartition] = {
     val root = new Path(path)
     val rootFs = IvfBinarySource.fs(root)
-    if (!rootFs.exists(root)) return Array.empty
-    val dirs = rootFs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
-      .map(st => (st.getPath.getName.stripPrefix("list=").toInt, st.getPath,
-        st.getModificationTime))
-      // connector-level partition prune: non-probed lists are never opened
-      .filter { case (cid, _, _) => lists.forall(_.contains(cid)) }
-    dirs.flatMap { case (cid, d, mtime) =>
-      // file length rides along: readers derive row counts without a
-      // second FS round-trip, and metaOnly scans never open the file
-      IvfBinarySource.listBinFiles(rootFs, d, mtime)
-        .map { case (f, len) => IvfInputPartition(f, cid, len): InputPartition }
+    if (!rootFs.exists(root)) Array.empty
+    else {
+      val dirs = rootFs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
+        .map(st => (st.getPath.getName.stripPrefix("list=").toInt, st.getPath,
+          st.getModificationTime))
+        // connector-level partition prune: non-probed lists are never opened
+        .filter { case (cid, _, _) => lists.forall(_.contains(cid)) }
+      dirs.flatMap { case (cid, d, mtime) =>
+        // file length rides along: readers derive row counts without a
+        // second FS round-trip, and metaOnly scans never open the file
+        IvfBinarySource.listBinFiles(rootFs, d, mtime)
+          .map { case (f, len) => IvfInputPartition(f, cid, len): InputPartition }
+      }
     }
   }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   override def createReaderFactory(): PartitionReaderFactory =
     new IvfReaderFactory(IvfBinarySource.readDim(path), required)
 }
 
 private[sources] case class IvfInputPartition(file: String, listId: Int,
-    length: Long) extends InputPartition
+    length: Long) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(listId)
+}
 
 private[sources] class IvfReaderFactory(dim: Int, required: StructType)
     extends PartitionReaderFactory {

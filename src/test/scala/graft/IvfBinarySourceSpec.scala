@@ -156,6 +156,29 @@ class IvfBinarySourceSpec extends AnyFunSuite {
       .contains("GraftIvfCountScan"))
   }
 
+  test("reported key-grouped partitioning: per-list agg plans with no exchange") {
+    val k = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = spark.conf.getOption(k)
+    try {
+      spark.conf.set(k, "true")
+      // min(vec_id) cannot push down, so rows ARE read — but the scan
+      // reports KeyGroupedPartitioning(centroid_id), satisfying the
+      // aggregation's clustering without a shuffle
+      val agg = read().groupBy("centroid_id").agg(min("vec_id").as("m"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"per-list agg should not shuffle a list-partitioned layout:\n$plan")
+      val viaGrouped = agg.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      spark.conf.set(k, "false")
+      val viaShuffle = read().groupBy("centroid_id").agg(min("vec_id").as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(viaGrouped == viaShuffle)
+    } finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("compaction merges per-batch files into one per list, rows intact") {
     val (indexed, _) = built
     val rows = indexed.select(col("vec_id"),
