@@ -148,9 +148,23 @@ object AnalyticsQueries {
       .select("doc_id", "lang", "decile", "pr", "cd")
   }
 
+  /** Unpivot/melt (the inverse of q50's pivot): four lineitem measures
+    * into (measure, value) rows, re-aggregated per measure. Unpivot is a
+    * zero-shuffle row-local expansion; the only exchange is the final
+    * 4-group aggregate. */
+  def q70Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(Array.empty, Array(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax")), "measure", "v")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("total"),
+        round(min("v"), 2).as("mn"), round(max("v"), 2).as("mx"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_grouping_sets" -> q68GroupingSets _,
     "q69_ntile_rank" -> q69NtileRank _,
+    "q70_unpivot" -> q70Unpivot _,
     "q62_setops" -> q62Setops _,
     "q63_span_dedup" -> q63SpanDedup _,
     "q64_rolling_window" -> q64RollingWindow _,
@@ -160,6 +174,15 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q70_unpivot" ->
+      """WITH u AS (
+        |  UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+        |           FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME measure VALUE v)
+        |SELECT measure, count(*) AS n, round(sum(v), 2) AS total,
+        |  round(min(v), 2) AS mn, round(max(v), 2) AS mx
+        |FROM u GROUP BY measure""".stripMargin,
     "q68_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,

@@ -179,6 +179,36 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned self-join on centroid_id plans with no shuffle") {
+    // the disk-resident q32 shape: list-blocked candidate pairs straight
+    // off the index — both sides report KeyGroupedPartitioning(list), so
+    // the equi-join is storage-partitioned: zero exchange, zero sort of
+    // the corpus beyond what each task streams
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SPJ path
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      def side(n: String) = read().select(
+        col("vec_id").as(s"${n}_id"), col("centroid_id").as(s"${n}_cid"))
+      val pairs = side("a").join(side("b"),
+        col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_cid").as("cid"))
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"list-blocked self-join should be storage-partitioned:\n$plan")
+      val spj = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffled = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(spj == shuffled && spj.nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("compaction merges per-batch files into one per list, rows intact") {
     val (indexed, _) = built
     val rows = indexed.select(col("vec_id"),
