@@ -106,23 +106,35 @@ object SearchService {
       vecCol: String = "embedding", dim: Int = 64): DataFrame = {
     import spark.implicits._
     require(reqs.nonEmpty, "empty request batch")
-    val probes = reqs.zipWithIndex.flatMap { case (req, qid) =>
-      val p = clamp(req, model.k)
-      val qvec = VectorKernels.dequantize(
-        VectorKernels.noopEmbed("search_query: " + req.text, dim))
-      model.probe(qvec, p.nprobe).map(cid =>
-        (qid, cid, qvec.toSeq, p.count, p.offset))
+    // Repeated request texts are common in serving (hot queries,
+    // pagination pages of one query): score each UNIQUE (text, nprobe)
+    // once — scan cost follows distinct queries — and fan the scored
+    // lists back out per request for its own count/offset page.
+    val clamped = reqs.zipWithIndex.map { case (req, qid) =>
+      (qid, req.text, clamp(req, model.k))
     }
-    val qdf = probes.toDF("qid", "probe_cid", "qvec", "count", "offset")
+    val uniques = clamped.map { case (_, text, p) => (text, p.nprobe) }
+      .distinct.zipWithIndex
+    val uOf = uniques.toMap
+    val probes = uniques.flatMap { case ((text, nprobe), uqid) =>
+      val qvec = VectorKernels.dequantize(
+        VectorKernels.noopEmbed("search_query: " + text, dim))
+      model.probe(qvec, nprobe).map(cid => (uqid, cid, qvec.toSeq))
+    }
+    val qdf = probes.toDF("uqid", "probe_cid", "qvec")
+    val reqDf = clamped.map { case (qid, text, p) =>
+      (qid, uOf((text, p.nprobe)), p.count, p.offset)
+    }.toDF("qid", "uqid", "count", "offset")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("similarity").desc, col("document_id").asc)
     val hits = indexed
       .join(broadcast(qdf), col("centroid_id") === col("probe_cid"))
-      .select(col("qid"), col("count"), col("offset"), col("document_id"),
+      .select(col("uqid"), col("document_id"),
         gf.cosine_sim(col(vecCol), col("qvec")).as("sim"))
-      .groupBy(col("qid"), col("count"), col("offset"), col("document_id"))
+      .groupBy(col("uqid"), col("document_id"))
       .agg(max("sim").as("similarity"))
+      .join(broadcast(reqDf), "uqid")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") > col("offset") &&
         col("_rn") <= col("offset") + col("count"))

@@ -62,7 +62,10 @@ class SearchServiceSpec extends AnyFunSuite {
     val reqs = Seq(
       SearchRequest("alpha query", count = 5, offset = 0, centroids = 2),
       SearchRequest("beta query", count = 3, offset = 2, centroids = 1),
-      SearchRequest("gamma query", count = 4, offset = 0, centroids = -1))
+      SearchRequest("gamma query", count = 4, offset = 0, centroids = -1),
+      // repeated text: scored once, paged per request (count/offset vary)
+      SearchRequest("alpha query", count = 3, offset = 5, centroids = 2),
+      SearchRequest("alpha query", count = 5, offset = 0, centroids = 2))
     val batch = SearchService.searchBatch(spark, indexed, docs, model, reqs)
       .collect()
       .groupBy(_.getAs[Int]("qid"))
