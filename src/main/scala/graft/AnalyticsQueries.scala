@@ -45,9 +45,13 @@ object AnalyticsQueries {
     * never shuffle. */
   def q63SpanDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // NOT checkpointed although two branches read it: the exploded span
+    // stream is a multiple of the corpus's text bytes, and materializing
+    // it costs more memory than recomputing the kernel (same reasoning as
+    // q47's trigram stream — at scale the materialization is strictly
+    // worse; the kernel runs twice, bounded per pass)
     val sh = docs
       .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), 8))).as("s"))
-      .localCheckpoint(true) // span kernel once: feeds df and the scoring join
     // (doc_id, s) is distinct after array_distinct, so count(*) == doc df
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val per = sh.join(df, "s")
@@ -115,7 +119,11 @@ object AnalyticsQueries {
       .agg(
         round(corr(col("value"), col("day")), 4).as("v_day_corr"),
         round(covar_pop(col("value"), col("day")), 4).as("v_day_covar"),
-        round(covar_pop(col("value"), col("day")) / var_pop(col("day")), 4)
+        // zero day-variance (single-day group) must be NULL on BOTH
+        // engines: unguarded, Spark's non-ANSI division yields NULL while
+        // DuckDB's IEEE double division yields inf — a hash mismatch
+        round(when(var_pop(col("day")) =!= 0.0,
+          covar_pop(col("value"), col("day")) / var_pop(col("day"))), 4)
           .as("slope"))
   }
 
@@ -276,7 +284,8 @@ object AnalyticsQueries {
         |SELECT event_type,
         |  round(corr(value, day), 4) AS v_day_corr,
         |  round(covar_pop(value, day), 4) AS v_day_covar,
-        |  round(covar_pop(value, day) / var_pop(day), 4) AS slope
+        |  round(CASE WHEN var_pop(day) <> 0
+        |    THEN covar_pop(value, day) / var_pop(day) END, 4) AS slope
         |FROM e GROUP BY event_type""".stripMargin
   )
 }

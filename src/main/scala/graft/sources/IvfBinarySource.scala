@@ -186,22 +186,26 @@ object IvfBinarySource {
     * the per-list file count — and the open() cost every probe pays —
     * grows linearly with batches; compaction restores the
     * one-stream-per-list read the layout is built for. Offline operation
-    * (not safe concurrently with writers); the swap makes the merged file
+    * (not safe concurrently with writers, safe against its OWN task
+    * retries — see [[rewriteLists]]); the swap makes the merged file
     * visible BEFORE the old ones disappear, so a crash mid-swap can
     * duplicate rows but never lose them. Returns # lists compacted. */
   def compact(spark: SparkSession, path: String): Long =
-    rewriteLists(spark, path, minFiles = 2, dropIds = Set.empty, only = None)._1
+    rewriteLists(spark, path, minFiles = 2, dropIds = Set.empty, only = None)
 
   /** Targeted row deletion — the index half of the reference's document
     * DELETE cascade (server/delete.go:214-288; ParquetStore.cascadeDelete
     * owns the relational half). Affected lists are located first by a
     * vec_id+centroid_id scan that reads no vector bytes (physical column
     * pruning), then ONLY those lists rewrite — deletion cost follows the
-    * touched lists, not the corpus. Returns # rows deleted. */
+    * touched lists, not the corpus. Returns # rows deleted, computed as
+    * the before/after row-count delta over the touched lists (file sizes
+    * ÷ row width), which stays exact under task retries. */
   def delete(spark: SparkSession, path: String, ids: Set[Long]): Long = {
     if (ids.isEmpty) return 0L
     val root = new Path(path)
-    if (!fs(root).exists(root)) return 0L
+    val rootFs = fs(root)
+    if (!rootFs.exists(root)) return 0L
     val bc = spark.sparkContext.broadcast(ids)
     val hit = org.apache.spark.sql.functions.udf((id: Long) => bc.value.contains(id))
     val affected = spark.read.format(FORMAT).load(path)
@@ -210,84 +214,124 @@ object IvfBinarySource {
       .select("centroid_id").distinct()
       .collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) return 0L
-    rewriteLists(spark, path, minFiles = 1, dropIds = ids, only = Some(affected))._2
+    val width = rowWidth(readDim(path)).toLong
+    def rowsIn(lists: Set[Int]): Long =
+      listDirs(rootFs, root, Some(lists)).map { case (_, d, _) =>
+        // direct listing, not the mtime cache: correctness of the count
+        // must not depend on mtime granularity
+        rootFs.listStatus(d).filter(_.getPath.getName.endsWith(".bin"))
+          .map(_.getLen / width).sum
+      }.sum
+    val before = rowsIn(affected)
+    rewriteLists(spark, path, minFiles = 1, dropIds = ids, only = Some(affected))
+    before - rowsIn(affected)
   }
+
+  /** List-directory enumeration shared by scan planning and maintenance:
+    * (centroid_id, dir, mtime) for every `list=` dir surviving `only`. */
+  private[sources] def listDirs(rootFs: FileSystem, root: Path,
+      only: Option[Set[Int]]): Array[(Int, Path, Long)] =
+    if (!rootFs.exists(root)) Array.empty
+    else rootFs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
+      .map(st => (st.getPath.getName.stripPrefix("list=").toInt, st.getPath,
+        st.getModificationTime))
+      .filter { case (cid, _, _) => only.forall(_.contains(cid)) }
 
   /** Shared rewrite engine for [[compact]] and [[delete]]: each selected
     * list's part files stream into one new file, dropping `dropIds` rows.
-    * Returns (lists rewritten, rows dropped). */
+    * Idempotent under Spark task retries / speculation: the merged file's
+    * name is a pure function of the input file set, so a second attempt
+    * either finds it already swapped in (and only finishes deleting
+    * leftovers) or loses the rename race and discards its own bytes;
+    * input files that a prior attempt already deleted are skipped.
+    * Returns # lists rewritten. */
   private def rewriteLists(spark: SparkSession, path: String, minFiles: Int,
-      dropIds: Set[Long], only: Option[Set[Int]]): (Long, Long) = {
+      dropIds: Set[Long], only: Option[Set[Int]]): Long = {
     val root = new Path(path)
     val rootFs = fs(root)
-    if (!rootFs.exists(root)) return (0L, 0L)
+    if (!rootFs.exists(root)) return 0L
     val width = rowWidth(readDim(path))
-    val work = rootFs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
-      .map(st => st.getPath.getName.stripPrefix("list=").toInt)
-      .filter(cid => only.forall(_.contains(cid)))
-      .map { cid =>
-        val d = new Path(root, s"list=$cid")
-        val files = listBinFiles(rootFs, d,
-          rootFs.getFileStatus(d).getModificationTime).map(_._1).toSeq
-        (cid, files)
+    val work = listDirs(rootFs, root, only)
+      .map { case (cid, d, mtime) =>
+        (cid, listBinFiles(rootFs, d, mtime).map(_._1).toSeq)
       }
       .filter(_._2.size >= minFiles)
       .toSeq
-    if (work.isEmpty) return (0L, 0L)
+    if (work.isEmpty) return 0L
     val bc = spark.sparkContext.broadcast(dropIds)
-    val dropped = spark.sparkContext
+    spark.sparkContext
       .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
-      .map { case (cid, files) =>
+      .foreach { case (cid, files) =>
         val d = new Path(path, s"list=$cid")
         val efs = fs(d)
         val drop = bc.value
-        val gen = java.util.UUID.randomUUID().toString.take(8)
-        val tmp = new Path(d, s"part-00000-rw$gen.tmp")
-        val out = new BufferedOutputStream(efs.create(tmp, true), 1 << 16)
-        val rowBuf = new Array[Byte](width)
-        var removed = 0L
-        var kept = 0L
-        try {
+        // deterministic target name = hash of the input file set → a task
+        // retry reproduces the same swap instead of adding a second copy
+        val gen = java.security.MessageDigest.getInstance("MD5")
+          .digest(files.sorted.mkString("\n").getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString
+        val target = new Path(d, s"part-00000-rw$gen.bin")
+        if (efs.exists(target)) {
+          // a prior attempt already swapped: only finish the cleanup
           files.foreach { f =>
-            val in = new BufferedInputStream(efs.open(new Path(f)), 1 << 16)
-            try {
-              var eof = false
-              while (!eof) {
-                val first = in.read(rowBuf, 0, width)
-                if (first < 0) eof = true
-                else {
-                  var off = first
-                  while (off < width) {
-                    val m = in.read(rowBuf, off, width - off)
-                    if (m < 0) throw new EOFException(f)
-                    off += m
-                  }
-                  val id = ByteBuffer.wrap(rowBuf, 0, 8)
-                    .order(ByteOrder.LITTLE_ENDIAN).getLong
-                  if (drop.contains(id)) removed += 1
-                  else { out.write(rowBuf, 0, width); kept += 1 }
-                }
-              }
-            } finally in.close()
+            val p = new Path(f)
+            if (p != target && efs.exists(p)) efs.delete(p, false)
           }
-        } finally out.close()
-        if (kept == 0) {
-          // list fully deleted: drop its files and directory so planning
-          // never opens it again
-          efs.delete(tmp, false)
-          files.foreach(f => efs.delete(new Path(f), false))
-          efs.delete(d, false)
         } else {
-          // swap order: merged file lands as .bin first, old files go
-          // second — a crash in between duplicates rows, never loses them
-          efs.rename(tmp, new Path(d, s"part-00000-rw$gen.bin"))
-          files.foreach(f => efs.delete(new Path(f), false))
+          val tmp = new Path(d, s"part-00000-rw$gen.tmp-" +
+            java.util.UUID.randomUUID().toString.take(8))
+          val out = new BufferedOutputStream(efs.create(tmp, true), 1 << 16)
+          val rowBuf = new Array[Byte](width)
+          var kept = 0L
+          try {
+            // inputs deleted by a previous partial attempt are skipped —
+            // their rows live in that attempt's merged file (which, when
+            // any input is missing, must exist; see target check above)
+            files.filter(f => efs.exists(new Path(f))).foreach { f =>
+              val in = new BufferedInputStream(efs.open(new Path(f)), 1 << 16)
+              try {
+                var eof = false
+                while (!eof) {
+                  val first = in.read(rowBuf, 0, width)
+                  if (first < 0) eof = true
+                  else {
+                    var off = first
+                    while (off < width) {
+                      val m = in.read(rowBuf, off, width - off)
+                      if (m < 0) throw new EOFException(f)
+                      off += m
+                    }
+                    val id = ByteBuffer.wrap(rowBuf, 0, 8)
+                      .order(ByteOrder.LITTLE_ENDIAN).getLong
+                    if (!drop.contains(id)) { out.write(rowBuf, 0, width); kept += 1 }
+                  }
+                }
+              } finally in.close()
+            }
+          } finally out.close()
+          if (kept == 0) {
+            // list fully deleted: drop its files and directory so
+            // planning never opens it again
+            efs.delete(tmp, false)
+            files.foreach(f => efs.delete(new Path(f), false))
+            efs.delete(d, false)
+          } else {
+            // swap order: merged file lands as .bin first, old files go
+            // second — a crash in between duplicates rows, never loses
+            // them; a lost rename race (concurrent speculative attempt)
+            // discards this attempt's bytes
+            if (!efs.rename(tmp, target)) efs.delete(tmp, false)
+            files.foreach(f => efs.delete(new Path(f), false))
+          }
         }
-        removed
       }
-      .fold(0L)(_ + _)
-    (work.size.toLong, dropped)
+    // rewritten dirs changed on disk: drop their (driver-side) planning
+    // cache entries rather than trusting mtime granularity to do it
+    work.foreach { case (cid, _) =>
+      dirCache.remove(new Path(root, s"list=$cid").toString)
+    }
+    work.size.toLong
   }
 }
 
@@ -475,14 +519,14 @@ private[sources] class IvfCountScan(path: String, lists: Option[Set[Int]],
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
     val rootFs = IvfBinarySource.fs(root)
+    // missing/empty index: a grouped count has zero groups, but a pushed
+    // GLOBAL count must still emit its single zero row (there is no
+    // aggregate exec above to produce it)
     if (!rootFs.exists(root))
-      return Array(IvfCountsPartition(Array.empty))
+      return Array(IvfCountsPartition(
+        if (grouped) Array.empty else Array((-1, 0L))))
     val width = IvfBinarySource.rowWidth(IvfBinarySource.readDim(path)).toLong
-    val perList = rootFs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
-      .map(st => (st.getPath.getName.stripPrefix("list=").toInt, st.getPath,
-        st.getModificationTime))
-      .filter { case (cid, _, _) => lists.forall(_.contains(cid)) }
+    val perList = IvfBinarySource.listDirs(rootFs, root, lists)
       .map { case (cid, d, mtime) =>
         cid -> IvfBinarySource.listBinFiles(rootFs, d, mtime)
           .map(_._2 / width).sum
@@ -549,20 +593,12 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
   private lazy val plannedPartitions: Array[InputPartition] = {
     val root = new Path(path)
     val rootFs = IvfBinarySource.fs(root)
-    if (!rootFs.exists(root)) Array.empty
-    else {
-      val dirs = rootFs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
-        .map(st => (st.getPath.getName.stripPrefix("list=").toInt, st.getPath,
-          st.getModificationTime))
-        // connector-level partition prune: non-probed lists are never opened
-        .filter { case (cid, _, _) => lists.forall(_.contains(cid)) }
-      dirs.flatMap { case (cid, d, mtime) =>
-        // file length rides along: readers derive row counts without a
-        // second FS round-trip, and metaOnly scans never open the file
-        IvfBinarySource.listBinFiles(rootFs, d, mtime)
-          .map { case (f, len) => IvfInputPartition(f, cid, len): InputPartition }
-      }
+    // connector-level partition prune: non-probed lists are never opened
+    IvfBinarySource.listDirs(rootFs, root, lists).flatMap { case (cid, d, mtime) =>
+      // file length rides along: readers derive row counts without a
+      // second FS round-trip, and metaOnly scans never open the file
+      IvfBinarySource.listBinFiles(rootFs, d, mtime)
+        .map { case (f, len) => IvfInputPartition(f, cid, len): InputPartition }
     }
   }
 

@@ -154,6 +154,12 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     val fallback = read().groupBy("centroid_id").agg(min("vec_id"))
     assert(!fallback.queryExecution.executedPlan.toString
       .contains("GraftIvfCountScan"))
+    // missing index root: a completely-pushed GLOBAL count must still
+    // emit its one zero row (no aggregate exec above to produce it)
+    val missing = spark.read.format(IvfBinarySource.FORMAT)
+      .load(tmp() + "/never_written")
+    assert(missing.count() == 0L)
+    assert(missing.groupBy("centroid_id").count().collect().isEmpty)
   }
 
   test("reported key-grouped partitioning: per-list agg plans with no exchange") {
