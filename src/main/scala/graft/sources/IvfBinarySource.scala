@@ -263,68 +263,7 @@ object IvfBinarySource {
     spark.sparkContext
       .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
       .foreach { case (cid, files) =>
-        val d = new Path(path, s"list=$cid")
-        val efs = fs(d)
-        val drop = bc.value
-        // deterministic target name = hash of the input file set → a task
-        // retry reproduces the same swap instead of adding a second copy
-        val gen = java.security.MessageDigest.getInstance("MD5")
-          .digest(files.sorted.mkString("\n").getBytes("UTF-8"))
-          .take(6).map(b => f"${b & 0xff}%02x").mkString
-        val target = new Path(d, s"part-00000-rw$gen.bin")
-        if (efs.exists(target)) {
-          // a prior attempt already swapped: only finish the cleanup
-          files.foreach { f =>
-            val p = new Path(f)
-            if (p != target && efs.exists(p)) efs.delete(p, false)
-          }
-        } else {
-          val tmp = new Path(d, s"part-00000-rw$gen.tmp-" +
-            java.util.UUID.randomUUID().toString.take(8))
-          val out = new BufferedOutputStream(efs.create(tmp, true), 1 << 16)
-          val rowBuf = new Array[Byte](width)
-          var kept = 0L
-          try {
-            // inputs deleted by a previous partial attempt are skipped —
-            // their rows live in that attempt's merged file (which, when
-            // any input is missing, must exist; see target check above)
-            files.filter(f => efs.exists(new Path(f))).foreach { f =>
-              val in = new BufferedInputStream(efs.open(new Path(f)), 1 << 16)
-              try {
-                var eof = false
-                while (!eof) {
-                  val first = in.read(rowBuf, 0, width)
-                  if (first < 0) eof = true
-                  else {
-                    var off = first
-                    while (off < width) {
-                      val m = in.read(rowBuf, off, width - off)
-                      if (m < 0) throw new EOFException(f)
-                      off += m
-                    }
-                    val id = ByteBuffer.wrap(rowBuf, 0, 8)
-                      .order(ByteOrder.LITTLE_ENDIAN).getLong
-                    if (!drop.contains(id)) { out.write(rowBuf, 0, width); kept += 1 }
-                  }
-                }
-              } finally in.close()
-            }
-          } finally out.close()
-          if (kept == 0) {
-            // list fully deleted: drop its files and directory so
-            // planning never opens it again
-            efs.delete(tmp, false)
-            files.foreach(f => efs.delete(new Path(f), false))
-            efs.delete(d, false)
-          } else {
-            // swap order: merged file lands as .bin first, old files go
-            // second — a crash in between duplicates rows, never loses
-            // them; a lost rename race (concurrent speculative attempt)
-            // discards this attempt's bytes
-            if (!efs.rename(tmp, target)) efs.delete(tmp, false)
-            files.foreach(f => efs.delete(new Path(f), false))
-          }
-        }
+        rewriteOneList(path, cid, files, bc.value, width)
       }
     // rewritten dirs changed on disk: drop their (driver-side) planning
     // cache entries rather than trusting mtime granularity to do it
@@ -332,6 +271,76 @@ object IvfBinarySource {
       dirCache.remove(new Path(root, s"list=$cid").toString)
     }
     work.size.toLong
+  }
+
+  /** One list's rewrite — the task body of [[rewriteLists]], executed on
+    * an executor and REPLAYABLE: any prefix of a previous attempt's
+    * side effects (partial deletes, a completed swap) leads a re-run to
+    * the same final state with no duplicated rows. Package-private so the
+    * retry contract is unit-testable without staging task failures. */
+  private[graft] def rewriteOneList(path: String, cid: Int,
+      files: Seq[String], drop: Set[Long], width: Int): Unit = {
+    val d = new Path(path, s"list=$cid")
+    val efs = fs(d)
+    // deterministic target name = hash of the input file set → a task
+    // retry reproduces the same swap instead of adding a second copy
+    val gen = java.security.MessageDigest.getInstance("MD5")
+      .digest(files.sorted.mkString("\n").getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    val target = new Path(d, s"part-00000-rw$gen.bin")
+    if (efs.exists(target)) {
+      // a prior attempt already swapped: only finish the cleanup
+      files.foreach { f =>
+        val p = new Path(f)
+        if (p != target && efs.exists(p)) efs.delete(p, false)
+      }
+    } else {
+      val tmp = new Path(d, s"part-00000-rw$gen.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val out = new BufferedOutputStream(efs.create(tmp, true), 1 << 16)
+      val rowBuf = new Array[Byte](width)
+      var kept = 0L
+      try {
+        // inputs deleted by a previous partial attempt are skipped —
+        // their rows live in that attempt's merged file (which, when
+        // any input is missing, must exist; see target check above)
+        files.filter(f => efs.exists(new Path(f))).foreach { f =>
+          val in = new BufferedInputStream(efs.open(new Path(f)), 1 << 16)
+          try {
+            var eof = false
+            while (!eof) {
+              val first = in.read(rowBuf, 0, width)
+              if (first < 0) eof = true
+              else {
+                var off = first
+                while (off < width) {
+                  val m = in.read(rowBuf, off, width - off)
+                  if (m < 0) throw new EOFException(f)
+                  off += m
+                }
+                val id = ByteBuffer.wrap(rowBuf, 0, 8)
+                  .order(ByteOrder.LITTLE_ENDIAN).getLong
+                if (!drop.contains(id)) { out.write(rowBuf, 0, width); kept += 1 }
+              }
+            }
+          } finally in.close()
+        }
+      } finally out.close()
+      if (kept == 0) {
+        // list fully deleted: drop its files and directory so
+        // planning never opens it again
+        efs.delete(tmp, false)
+        files.foreach(f => efs.delete(new Path(f), false))
+        efs.delete(d, false)
+      } else {
+        // swap order: merged file lands as .bin first, old files go
+        // second — a crash in between duplicates rows, never loses
+        // them; a lost rename race (concurrent speculative attempt)
+        // discards this attempt's bytes
+        if (!efs.rename(tmp, target)) efs.delete(tmp, false)
+        files.foreach(f => efs.delete(new Path(f), false))
+      }
+    }
   }
 }
 

@@ -244,6 +244,57 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     assert(IvfBinarySource.compact(spark, p) == 0L)
   }
 
+  test("rewriteOneList replays safely after any prefix of a prior attempt") {
+    val (indexed, _) = built
+    val rows = indexed.select(col("vec_id"),
+      gf.quantize_vec(col("embedding")).as("qvec"), col("centroid_id"))
+    def freshIndex(): (String, Int, Seq[String], Set[(Long, Seq[Byte])]) = {
+      val p = tmp()
+      rows.filter(col("vec_id") % 2 === 0).write
+        .format(IvfBinarySource.FORMAT).mode("append").save(p)
+      rows.filter(col("vec_id") % 2 === 1).write
+        .format(IvfBinarySource.FORMAT).mode("append").save(p)
+      val cid = spark.read.format(IvfBinarySource.FORMAT).load(p)
+        .select("centroid_id").distinct().collect().map(_.getInt(0)).min
+      val files = new java.io.File(p, s"list=$cid").listFiles()
+        .filter(_.getName.endsWith(".bin")).map(_.toString).sorted.toSeq
+      assert(files.size >= 2)
+      val expect = spark.read.format(IvfBinarySource.FORMAT).load(p)
+        .filter(col("centroid_id") === cid)
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+      (p, cid, files, expect)
+    }
+    val dim = spark.read.format(IvfBinarySource.FORMAT)
+      .load(freshIndex()._1).head().getAs[Array[Byte]](1).length - 8
+    val width = 8 + dim + 8
+    def rowsOf(p: String, cid: Int) =
+      spark.read.format(IvfBinarySource.FORMAT).load(p)
+        .filter(col("centroid_id") === cid)
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+
+    // full replay: running the task body twice end-to-end is a no-op
+    val (p1, c1, f1, e1) = freshIndex()
+    IvfBinarySource.rewriteOneList(p1, c1, f1, Set.empty, width)
+    IvfBinarySource.rewriteOneList(p1, c1, f1, Set.empty, width)
+    assert(rowsOf(p1, c1) == e1)
+    assert(new java.io.File(p1, s"list=$c1").listFiles()
+      .count(_.getName.endsWith(".bin")) == 1)
+
+    // partial replay: first attempt swapped the merged file in and got
+    // through deleting ONE original before dying; the retry must finish
+    // cleanup without duplicating rows
+    val (p2, c2, f2, e2) = freshIndex()
+    IvfBinarySource.rewriteOneList(p2, c2, f2, Set.empty, width)
+    // recreate the mid-cleanup state: target exists + one original back
+    val d2 = new java.io.File(p2, s"list=$c2")
+    val merged = d2.listFiles().filter(_.getName.endsWith(".bin")).head
+    val resurrect = new java.io.File(f2.head)
+    java.nio.file.Files.copy(merged.toPath, resurrect.toPath) // stand-in bytes
+    IvfBinarySource.rewriteOneList(p2, c2, f2, Set.empty, width)
+    assert(rowsOf(p2, c2) == e2, "retry after partial cleanup duplicated rows")
+    assert(d2.listFiles().count(_.getName.endsWith(".bin")) == 1)
+  }
+
   test("delete rewrites only affected lists and drops exactly the ids") {
     val (indexed, _) = built
     val rows = indexed.select(col("vec_id"),
