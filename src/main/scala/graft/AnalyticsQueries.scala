@@ -169,10 +169,26 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("total"),
         round(min("v"), 2).as("mn"), round(max("v"), 2).as("mx"))
 
+  /** Per-vector statistics via higher-order array functions ONLY
+    * (aggregate / filter / transform / array_max — all codegen'd
+    * builtins, zero UDFs): L2 norm, positive-lane count, max |x|. The
+    * row-local shape every embedding-hygiene pass (norm clipping, dead
+    * lane detection) uses; embarrassingly parallel, no shuffle at all. */
+  def q71VectorHof(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(sqrt(expr(
+          "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")),
+          4).as("l2"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+        round(expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+          4).as("max_abs"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_grouping_sets" -> q68GroupingSets _,
     "q69_ntile_rank" -> q69NtileRank _,
     "q70_unpivot" -> q70Unpivot _,
+    "q71_vector_hof" -> q71VectorHof _,
     "q62_setops" -> q62Setops _,
     "q63_span_dedup" -> q63SpanDedup _,
     "q64_rolling_window" -> q64RollingWindow _,
@@ -182,6 +198,14 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q71_vector_hof" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  round(list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))), 4) AS max_abs
+        |FROM embeddings""".stripMargin,
     "q70_unpivot" ->
       """WITH u AS (
         |  UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
