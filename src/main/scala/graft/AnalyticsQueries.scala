@@ -184,7 +184,23 @@ object AnalyticsQueries {
         round(expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
           4).as("max_abs"))
 
+  /** Sliding event-time windows in BATCH (10-minute windows every 5
+    * minutes — the overlapping-window operator q12's tumbling buckets and
+    * the streaming `windowedEventStats` don't cover): per (window,
+    * event_type), event count and value sum. Spark's `window()` expands
+    * each row into its ⌈size/slide⌉ windows row-locally, then one
+    * partial-agg shuffle on (window, type) — no self-join. Emitted as
+    * epoch micros so timestamp rendering never enters the hash. */
+  def q72SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(unix_micros(col("w.start")).as("wstart_us"), col("event_type"),
+        col("n"), col("sv"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_sliding_window" -> q72SlidingWindow _,
     "q68_grouping_sets" -> q68GroupingSets _,
     "q69_ntile_rank" -> q69NtileRank _,
     "q70_unpivot" -> q70Unpivot _,
@@ -198,6 +214,20 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // every event lies in exactly two 10-min/5-min-slide windows: the one
+    // starting at its floored 5-min mark and the one 5 min earlier
+    "q72_sliding_window" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT (us // 300000000) * 300000000 AS wstart_us, event_type, value
+        |  FROM e
+        |  UNION ALL
+        |  SELECT (us // 300000000) * 300000000 - 300000000, event_type, value
+        |  FROM e)
+        |SELECT wstart_us, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sv
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q71_vector_hof" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding,

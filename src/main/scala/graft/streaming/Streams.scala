@@ -97,7 +97,7 @@ object Streams {
     * chunk_id (unique while docs chunk under 100k pieces). */
   def runIngestBinary(docsStream: DataFrame, model: IvfIndex.Model,
       indexDir: String, checkpointDir: String,
-      ctxNum: Int = 256, dim: Int = 64): Unit = {
+      ctxNum: Int = 256, dim: Int = 64, compactAfter: Boolean = false): Unit = {
     val q = ingestChunks(docsStream, model, ctxNum, dim)
       .select((col("doc_id") * ChunkVecIdBase + col("chunk_id")).cast("long").as("vec_id"),
         col("qvec"), col("centroid_id").cast("int").as("centroid_id"))
@@ -111,6 +111,11 @@ object Streams {
       }
       .start()
     q.awaitTermination()
+    // each AvailableNow drain leaves one file per (micro-batch, list);
+    // optionally fold them back to one per list while the stream is
+    // stopped — the only moment compaction is safe next to this writer
+    if (compactAfter)
+      graft.sources.IvfBinarySource.compact(docsStream.sparkSession, indexDir)
   }
 
   // ---------- streaming dedup ----------

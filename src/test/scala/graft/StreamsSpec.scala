@@ -67,6 +67,20 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2)))
       .toSet
     assert(got == batch)
+
+    // compactAfter folds the per-batch files back to one per list while
+    // the drained stream is stopped, preserving the exact row set
+    mem.addData((3L, """{"title": "gamma doc", "body": "a third document"}"""))
+    Streams.runIngestBinary(mem.toDF().toDF("doc_id", "text"), model, idx, ckpt,
+      compactAfter = true)
+    val dirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+    assert(dirs.nonEmpty)
+    assert(dirs.forall(_.listFiles().count(_.getName.endsWith(".bin")) == 1))
+    val all = spark.read.format(graft.sources.IvfBinarySource.FORMAT).load(idx)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2)))
+      .toSet
+    assert(all.size > batch.size && batch.subsetOf(all))
   }
 
   test("streaming near-dup pairs equal the batch LSH candidate relation") {
