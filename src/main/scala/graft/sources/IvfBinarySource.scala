@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -68,6 +68,30 @@ object IvfBinarySource {
     * length, ai/aicomms/embed.go:52-54 — a root meta file avoids the
     * probe read on every open). */
   private[sources] def rowWidth(dim: Int): Int = 8 + dim + 8
+
+  // Per-file vec_id zone map, encoded IN THE FILE NAME
+  // (`part-….ids=<min>_<max>.bin`): stats travel with the directory
+  // listing the planner already caches, so id-based file skipping costs
+  // zero extra IO — no sidecar open per file, which matters on object
+  // stores where every stat is a round-trip. Files without the segment
+  // (legacy / foreign) simply never skip.
+  private val StatsRe = raw".*\.ids=(-?\d+)_(-?\d+)\.bin$".r
+  private[sources] def idStats(name: String): Option[(Long, Long)] =
+    name match {
+      case StatsRe(a, b) => Some((a.toLong, b.toLong))
+      case _ => None
+    }
+  private[sources] def statsName(base: String, mn: Long, mx: Long): String =
+    base.stripSuffix(".bin") + s".ids=${mn}_${mx}.bin"
+
+  /** Rename a just-closed part file to carry its vec_id zone map. Rename
+    * failure (exotic FS) is non-fatal: the plain name stays, the file
+    * just never skips. Returns the live path. */
+  private[sources] def sealStats(efs: FileSystem, f: Path, mn: Long,
+      mx: Long): Path = {
+    val named = new Path(f.getParent, statsName(f.getName, mn, mx))
+    if (efs.rename(f, named)) named else f
+  }
 
   private[sources] def fs(p: Path): FileSystem =
     p.getFileSystem(new Configuration())
@@ -138,22 +162,37 @@ object IvfBinarySource {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val efs = fs(new Path(path))
-        val streams = scala.collection.mutable.Map[Int, BufferedOutputStream]()
+        val streams = scala.collection.mutable.Map[Int, OpenPart]()
         val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         try {
           it.foreach { r =>
             val cid = r.getInt(2)
-            val out = streams.getOrElseUpdate(cid, {
+            val id = r.getLong(0)
+            val p = streams.getOrElseUpdate(cid, {
               val d = new Path(path, s"list=$cid")
               efs.mkdirs(d)
-              new BufferedOutputStream(
-                efs.create(new Path(d, f"part-$pid%05d.bin"), true))
+              val f = new Path(d, f"part-$pid%05d.bin")
+              OpenPart(new BufferedOutputStream(efs.create(f, true)), f)
             })
-            head.clear(); head.putLong(r.getLong(0))
-            out.write(head.array())
-            out.write(VectorKernels.quantize(r.getSeq[Float](1).toArray))
+            p.see(id)
+            head.clear(); head.putLong(id)
+            p.out.write(head.array())
+            p.out.write(VectorKernels.quantize(r.getSeq[Float](1).toArray))
           }
-        } finally streams.values.foreach(_.close())
+        } finally streams.values.foreach { p =>
+          p.out.close(); sealStats(efs, p.path, p.mn, p.mx)
+        }
+    }
+  }
+
+  /** An open part file plus its running vec_id range (sealed into the
+    * file name on close — see [[sealStats]]). */
+  private[sources] case class OpenPart(out: BufferedOutputStream, path: Path) {
+    var mn: Long = Long.MaxValue
+    var mx: Long = Long.MinValue
+    def see(id: Long): Unit = {
+      if (id < mn) mn = id
+      if (id > mx) mx = id
     }
   }
 
