@@ -75,13 +75,13 @@ object IvfBinarySource {
   // zero extra IO — no sidecar open per file, which matters on object
   // stores where every stat is a round-trip. Files without the segment
   // (legacy / foreign) simply never skip.
-  private val StatsRe = raw".*\.ids=(-?\d+)_(-?\d+)\.bin$".r
-  private[sources] def idStats(name: String): Option[(Long, Long)] =
+  private val StatsRe = raw".*\.ids=(-?\d+)_(-?\d+)\.bin$$".r
+  private[graft] def idStats(name: String): Option[(Long, Long)] =
     name match {
       case StatsRe(a, b) => Some((a.toLong, b.toLong))
       case _ => None
     }
-  private[sources] def statsName(base: String, mn: Long, mx: Long): String =
+  private[graft] def statsName(base: String, mn: Long, mx: Long): String =
     base.stripSuffix(".bin") + s".ids=${mn}_${mx}.bin"
 
   /** Rename a just-closed part file to carry its vec_id zone map. Rename

@@ -30,6 +30,19 @@ class IvfBinarySourceSpec extends AnyFunSuite {
   }
   private def read() = spark.read.format(IvfBinarySource.FORMAT).load(binPath)
 
+  test("idStats parses the zone-map file-name encoding (and only it)") {
+    // the regex that broke the round-4 build: pin both the parse and the
+    // round-trip through statsName so a rename of the encoding fails here
+    import IvfBinarySource.{idStats, statsName}
+    assert(idStats("part-00003.ids=5_99.bin") == Some((5L, 99L)))
+    assert(idStats("part-00003.ids=-7_-2.bin") == Some((-7L, -2L)))
+    assert(idStats(statsName("part-00000.bin", 123L, 456L)) == Some((123L, 456L)))
+    assert(statsName("part-00000.bin", 1L, 2L) == "part-00000.ids=1_2.bin")
+    assert(idStats("part-00003.bin").isEmpty) // legacy plain name
+    assert(idStats("part-00003.ids=5_99.bin.tmp-x").isEmpty) // not a .bin suffix
+    assert(idStats("part-00003.ids=5.bin").isEmpty) // malformed range
+  }
+
   test("round-trips every row byte-exactly vs the quantize kernel") {
     val (indexed, _) = built
     val back = read()
