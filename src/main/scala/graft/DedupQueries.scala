@@ -81,9 +81,9 @@ object DedupQueries {
   /** SimHash near-dup pairs: hamming distance <= 4 of the 64-bit
     * signatures. Signatures are parsed to integer halves ONCE per row
     * before the pairwise join, so the O(n²) inner loop is pure codegen'd
-    * xor+bit_count. The full pairwise join is oracle-friendly at test SF;
-    * the scale path blocks on signature prefixes so the shuffle key space
-    * stays bounded. */
+    * xor+bit_count. The full pairwise join is the oracle-exact baseline
+    * (fine to ~10⁴ docs); the 100 TB path is [[q24bSimhashBanded]] —
+    * same answer, bucketed join instead of all-pairs. */
   def q24SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val (h1, h2) = gf.hex_to_long_halves(col("simhash"))
     val sig = q23Simhash(s, dir)
@@ -95,6 +95,42 @@ object DedupQueries {
         (bit_count(col("a.h1").bitwiseXOR(col("b.h1"))) +
           bit_count(col("a.h2").bitwiseXOR(col("b.h2")))).as("hamming"))
       .filter(col("hamming") <= 4)
+  }
+
+  /** q24's scale path — LOSSLESS simhash banding (the block-match scheme
+    * of Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3): split the 64-bit signature into 5 disjoint bands of
+    * (13,13,13,13,12) bits. Four differing bits cannot touch all five
+    * bands, so EVERY hamming<=4 pair agrees exactly on >=1 band — the
+    * equi-join on (band, value) has guaranteed recall, and the only
+    * shuffle is on those short band keys, never an all-pairs loop.
+    * Verification (xor+bit_count on the pre-parsed halves) then runs per
+    * candidate, O(|candidates|) not O(n²). Same oracle as q24: the two
+    * forms must agree row-for-row. Band width trades recall threshold
+    * vs bucket size — hamming<=k needs k+1 bands of ~64/(k+1) bits. */
+  def q24bSimhashBanded(s: SparkSession, dir: String): DataFrame = {
+    val (h1, h2) = gf.hex_to_long_halves(col("simhash"))
+    val sig = q23Simhash(s, dir)
+      .withColumn("h1", h1).withColumn("h2", h2)
+      .withColumn("v", shiftleft(col("h1"), 32).bitwiseOR(col("h2")))
+      .localCheckpoint(true) // simhash kernel once, not once per join side
+    val banded = sig.select(col("doc_id"), col("h1"), col("h2"),
+      explode(array((0 to 4).map { i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("v"), 13 * i)
+            .bitwiseAND(lit(if (i == 4) 0xFFFL else 0x1FFFL)).as("bval"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("h1"), col("h2"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.h1").bitwiseXOR(col("b.h1"))) +
+          bit_count(col("a.h2").bitwiseXOR(col("b.h2")))).as("hamming"))
+      .filter(col("hamming") <= 4)
+      .distinct() // a close pair can agree on several bands
   }
 
   /** Batch k-NN: top-10 cosine neighbors for each of the first 5 query
@@ -229,6 +265,7 @@ object DedupQueries {
     "q22_jaccard_neardup" -> q22JaccardNeardup _,
     "q23_simhash" -> q23Simhash _,
     "q24_simhash_pairs" -> q24SimhashPairs _,
+    "q24b_simhash_banded" -> q24bSimhashBanded _,
     "q25_knn_batch" -> q25KnnBatch _,
     "q42_topk_agg" -> q42TopkAgg _,
     "q31_embed_neardup" -> q31EmbedNeardup _,
@@ -312,20 +349,9 @@ object DedupQueries {
       s"""WITH $jaccardPairsCte
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM jp""".stripMargin,
     "q23_simhash" -> simhashSql,
-    "q24_simhash_pairs" ->
-      s"""WITH sig AS ($simhashSql),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS sa, b.simhash AS sb
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
-         |ham AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(sum(bit_count(xor(
-         |      strpos('0123456789abcdef', substr(sa, p, 1)) - 1,
-         |      strpos('0123456789abcdef', substr(sb, p, 1)) - 1))) AS INT) AS hamming
-         |  FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS p)
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4""".stripMargin,
+    "q24_simhash_pairs" -> simhashPairsSql,
+    // banded form answers the SAME question — one oracle, two plans
+    "q24b_simhash_banded" -> simhashPairsSql,
     "q35_bottomk_sketch" ->
       s"""WITH $shingleCte,
          |hs AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
@@ -342,6 +368,23 @@ object DedupQueries {
         |ORDER BY sim DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin,
     "q25_knn_batch" -> knnOracleSql
   )
+
+  /** Shared oracle for q24 (all-pairs) and q24b (banded): hamming<=4
+    * simhash pairs, computed the portable way — per-nibble xor popcount. */
+  private lazy val simhashPairsSql: String =
+    s"""WITH sig AS ($simhashSql),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(sum(bit_count(xor(
+       |      strpos('0123456789abcdef', substr(sa, p, 1)) - 1,
+       |      strpos('0123456789abcdef', substr(sb, p, 1)) - 1))) AS INT) AS hamming
+       |  FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS p)
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4""".stripMargin
 
   /** Shared oracle for the two batch-kNN operators (window form q25,
     * bounded-aggregate form q42) — they must agree row-for-row. */

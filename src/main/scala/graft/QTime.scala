@@ -14,9 +14,11 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      // warm the query ITSELF (plan + JIT), not an arbitrary stand-in —
+      // and let a failure propagate: a broken query must not time as 0
+      fn(spark, sfDir).count()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
