@@ -157,11 +157,17 @@ object SearchService {
     if (docIds.isEmpty) return 0L
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(docIds)
-    val ofDoomedDoc = udf((vid: Long) =>
-      bc.value.contains(vid / graft.streaming.Streams.ChunkVecIdBase))
+    val base = graft.streaming.Streams.ChunkVecIdBase
+    val ofDoomedDoc = udf((vid: Long) => bc.value.contains(vid / base))
+    // doc ids map to contiguous vec_id ranges, so the doomed set has a
+    // pushable envelope [min·base, (max+1)·base): the connector's vec_id
+    // zone maps skip part files wholly outside it (the reference's
+    // B-tree id lookup, database/model.go:9-18); the udf refines exactly
     val victims = spark.read
       .format(graft.sources.IvfBinarySource.FORMAT).load(indexPath)
-      .select("vec_id").filter(ofDoomedDoc(col("vec_id")))
+      .select("vec_id")
+      .filter(col("vec_id").between(docIds.min * base,
+        docIds.max * base + (base - 1)) && ofDoomedDoc(col("vec_id")))
       .as[Long].collect().toSet
     val removed = graft.sources.IvfBinarySource.delete(spark, indexPath, victims)
     val doomed = docIds.toSeq.toDF(docStore.keyCol).localCheckpoint(true)

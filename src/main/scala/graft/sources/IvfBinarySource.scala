@@ -37,7 +37,11 @@ import graft.functions.VectorKernels
   * *connector-level* partition prune: `centroid_id` Equal/In filters are
   * pushed into [[IvfScanBuilder]] and non-probed directories are never
   * opened — the 100 TB property that scan cost follows nprobe, not corpus
-  * size. Column pruning is honoured too: a scan that needs no `qvec`
+  * size. A second prune axis is the per-file vec_id zone map sealed into
+  * part-file names: `vec_id` range/equality/IN conjuncts skip files whose
+  * id range excludes them (see [[idStats]]), which is what makes delete
+  * discovery and id point-reads touch files ∝ the id span, not the index.
+  * Column pruning is honoured too: a scan that needs no `qvec`
   * skips the vector bytes, and a `centroid_id`-only scan (per-list counts)
   * reads NO row bytes at all — row count is file_size / row_width.
   *
@@ -247,9 +251,11 @@ object IvfBinarySource {
     if (!rootFs.exists(root)) return 0L
     val bc = spark.sparkContext.broadcast(ids)
     val hit = org.apache.spark.sql.functions.udf((id: Long) => bc.value.contains(id))
+    // the pushable range conjunct lets the zone maps skip whole files;
+    // the udf (residual) then gives exact membership on survivors
     val affected = spark.read.format(FORMAT).load(path)
       .select("vec_id", "centroid_id")
-      .filter(hit(col("vec_id")))
+      .filter(col("vec_id").between(ids.min, ids.max) && hit(col("vec_id")))
       .select("centroid_id").distinct()
       .collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) return 0L
@@ -455,7 +461,7 @@ private[sources] class IvfDataWriter(path: String, schema: StructType,
   private val iVec = schema.fieldIndex("qvec")
   private val iCid = schema.fieldIndex("centroid_id")
   private val efs = IvfBinarySource.fs(new Path(path))
-  private val streams = scala.collection.mutable.Map[Int, BufferedOutputStream]()
+  private val parts = scala.collection.mutable.Map[Int, IvfBinarySource.OpenPart]()
   private val files = scala.collection.mutable.ArrayBuffer[Path]()
   private val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
   private var dim = 0
@@ -464,20 +470,30 @@ private[sources] class IvfDataWriter(path: String, schema: StructType,
     val cid = row.getInt(iCid)
     val vec = row.getBinary(iVec)
     if (dim == 0) dim = vec.length - 8
-    val out = streams.getOrElseUpdate(cid, {
+    val p = parts.getOrElseUpdate(cid, {
       val d = new Path(path, s"list=$cid")
       efs.mkdirs(d)
       val f = new Path(d, f"part-$partitionId%05d-$taskId.bin")
       files += f
-      new BufferedOutputStream(efs.create(f, true))
+      IvfBinarySource.OpenPart(new BufferedOutputStream(efs.create(f, true)), f)
     })
-    head.clear(); head.putLong(row.getLong(iId))
-    out.write(head.array())
-    out.write(vec)
+    val id = row.getLong(iId)
+    p.see(id)
+    head.clear(); head.putLong(id)
+    p.out.write(head.array())
+    p.out.write(vec)
   }
-  override def commit(): WriterCommitMessage = { close(); IvfCommit(dim) }
+  // commit seals each part's vec_id range into its name (same zone-map
+  // encoding as the helper write path); abort deletes the UNSEALED names
+  override def commit(): WriterCommitMessage = {
+    parts.values.foreach { p =>
+      p.out.close(); IvfBinarySource.sealStats(efs, p.path, p.mn, p.mx)
+    }
+    parts.clear()
+    IvfCommit(dim)
+  }
   override def abort(): Unit = { close(); files.foreach(efs.delete(_, false)) }
-  override def close(): Unit = { streams.values.foreach(_.close()); streams.clear() }
+  override def close(): Unit = { parts.values.foreach(_.out.close()); parts.clear() }
 }
 
 private[sources] class IvfScanBuilder(path: String)
@@ -489,6 +505,11 @@ private[sources] class IvfScanBuilder(path: String)
   private var pushed: Array[Filter] = Array.empty
   // None = no list filter (scan all); Some(set) = probe exactly these
   private var lists: Option[Set[Int]] = None
+  // zone-map bound from vec_id conjuncts: files whose name-encoded id
+  // range misses [idLo, idHi] are never opened (reference analogue: the
+  // B-tree id indexes of database/model.go:9-18)
+  private var idLo: Long = Long.MinValue
+  private var idHi: Long = Long.MaxValue
   // Some(grouped, nCounts): COUNT(*) aggregation fully answered from file
   // sizes on the driver — no task ever iterates rows
   private var countPush: Option[(Boolean, Int)] = None
@@ -499,7 +520,6 @@ private[sources] class IvfScanBuilder(path: String)
       case In("centroid_id", vs) => vs.forall(_.isInstanceOf[Int])
       case _ => false
     }
-    pushed = accepted
     accepted.foreach {
       case EqualTo(_, v: Int) =>
         lists = Some(lists.getOrElse(Set.empty[Int]) ++ Set(v))
@@ -507,7 +527,27 @@ private[sources] class IvfScanBuilder(path: String)
         lists = Some(lists.getOrElse(Set.empty[Int]) ++ vs.map(_.asInstanceOf[Int]))
       case _ =>
     }
-    rest // residual filters stay in the plan (none expected beyond these)
+    // vec_id conjuncts tighten the zone-map bound but STAY residual: the
+    // skip is file-granular, rows inside surviving files still filter.
+    // Strict bounds are kept inclusive — conservative, never over-skips.
+    def lift(v: Any)(f: Long => Unit): Boolean = v match {
+      case n: Number => f(n.longValue()); true
+      case _ => false
+    }
+    val informative = rest.filter {
+      case EqualTo("vec_id", v) =>
+        lift(v)(x => { idLo = math.max(idLo, x); idHi = math.min(idHi, x) })
+      case GreaterThan("vec_id", v) => lift(v)(x => idLo = math.max(idLo, x))
+      case GreaterThanOrEqual("vec_id", v) => lift(v)(x => idLo = math.max(idLo, x))
+      case LessThan("vec_id", v) => lift(v)(x => idHi = math.min(idHi, x))
+      case LessThanOrEqual("vec_id", v) => lift(v)(x => idHi = math.min(idHi, x))
+      case In("vec_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+        val ls = vs.map(_.asInstanceOf[Number].longValue())
+        idLo = math.max(idLo, ls.min); idHi = math.min(idHi, ls.max); true
+      case _ => false
+    }
+    pushed = accepted ++ informative // both prune classes visible in explain
+    rest
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -517,6 +557,9 @@ private[sources] class IvfScanBuilder(path: String)
     * COMPLETE pushdown: the driver answers it from the (cached) file
     * listing and the scan emits one row per group, never per vector. */
   private def canPushCount(agg: Aggregation): Boolean = {
+    // residual vec_id filters already stop Spark from attempting
+    // aggregate pushdown; the guard makes the invariant local
+    if (idLo != Long.MinValue || idHi != Long.MaxValue) return false
     val aggsOk = agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
     val gb = agg.groupByExpressions()
@@ -540,7 +583,7 @@ private[sources] class IvfScanBuilder(path: String)
 
   override def build(): Scan = countPush match {
     case Some((grouped, nCounts)) => new IvfCountScan(path, lists, grouped, nCounts)
-    case None => new IvfScan(path, lists, required)
+    case None => new IvfScan(path, lists, required, idLo, idHi)
   }
 }
 
@@ -612,13 +655,17 @@ private[sources] class IvfCountsReaderFactory(grouped: Boolean, nCounts: Int)
 }
 
 private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
-    required: StructType) extends Scan with Batch
+    required: StructType, idLo: Long = Long.MinValue,
+    idHi: Long = Long.MaxValue) extends Scan with Batch
     with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val probed = lists.map(_.toSeq.sorted.mkString("[", ",", "]")).getOrElse("ALL")
-    s"GraftIvfScan path=$path lists=$probed cols=${required.fieldNames.mkString(",")}"
+    val bound =
+      if (idLo == Long.MinValue && idHi == Long.MaxValue) ""
+      else s" ids=[$idLo,$idHi]"
+    s"GraftIvfScan path=$path lists=$probed$bound cols=${required.fieldNames.mkString(",")}"
   }
 
   /** The layout IS hash-partitioned by list: every input partition (one
@@ -646,6 +693,13 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
       // file length rides along: readers derive row counts without a
       // second FS round-trip, and metaOnly scans never open the file
       IvfBinarySource.listBinFiles(rootFs, d, mtime)
+        // vec_id zone-map skip: the range rides in the file name, so
+        // this costs nothing beyond the listing the planner caches;
+        // files without the segment (legacy / foreign) never skip
+        .filter { case (f, _) =>
+          IvfBinarySource.idStats(new Path(f).getName)
+            .forall { case (mn, mx) => mx >= idLo && mn <= idHi }
+        }
         .map { case (f, len) => IvfInputPartition(f, cid, len): InputPartition }
     }
   }

@@ -105,6 +105,57 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("vec_id zone maps skip files at planning; rows still filter exactly") {
+    import spark.implicits._
+    // controlled layout: ids 0..99, list = id/10 → each list's single
+    // part file carries a tight ids=<10c>_<10c+9> range in its name
+    val df = (0L until 100L).map { id =>
+      (id, Array.fill(8)(id.toFloat / 100f), (id / 10).toInt)
+    }.toDF("vec_id", "embedding", "centroid_id")
+    val p = tmp()
+    IvfBinarySource.write(df, "vec_id", "embedding", p)
+    val all = spark.read.format(IvfBinarySource.FORMAT).load(p)
+    val totalFiles = all.rdd.getNumPartitions
+    assert(totalFiles >= 10, "expected one+ file per list")
+    // every part file must carry the zone-map segment
+    val names = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".bin"))
+    assert(names.nonEmpty && names.forall(n => IvfBinarySource.idStats(n).isDefined))
+    def load() = spark.read.format(IvfBinarySource.FORMAT).load(p)
+    // point lookup: plans exactly the one file whose range holds the id
+    val point = load().filter(col("vec_id") === 55L)
+    assert(point.rdd.getNumPartitions == 1,
+      s"point lookup planned ${point.rdd.getNumPartitions} of $totalFiles files")
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(55L))
+    // range: only the overlapping files plan; results stay exact
+    val range = load().filter(col("vec_id") >= 20L && col("vec_id") < 36L)
+    assert(range.rdd.getNumPartitions == 2, "range [20,36) spans lists 2 and 3")
+    assert(range.collect().map(_.getLong(0)).sorted.toSeq == (20L until 36L))
+    // IN-list: envelope [min,max] bounds the planned files
+    val in = load().filter(col("vec_id").isin(12L, 17L))
+    assert(in.rdd.getNumPartitions == 1)
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(12L, 17L))
+    // zone skip composes with list pruning, and an id outside the probed
+    // list plans ZERO files
+    val cross = load()
+      .filter(col("centroid_id") === 2 && col("vec_id") === 55L)
+    assert(cross.rdd.getNumPartitions == 0)
+    assert(cross.count() == 0)
+    // the V2 writer path seals stats too
+    val p2 = tmp()
+    df.select(col("vec_id"), graft.functions.gf.quantize_vec(col("embedding")).as("qvec"),
+      col("centroid_id")).write.format(IvfBinarySource.FORMAT).mode("overwrite").save(p2)
+    val v2names = new java.io.File(p2).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".bin"))
+    assert(v2names.nonEmpty && v2names.forall(n => IvfBinarySource.idStats(n).isDefined))
+    val v2point = spark.read.format(IvfBinarySource.FORMAT).load(p2)
+      .filter(col("vec_id") === 55L)
+    assert(v2point.rdd.getNumPartitions == 1)
+    assert(v2point.collect().map(_.getLong(0)).toSeq == Seq(55L))
+  }
+
   test("empty index writes meta only and reads back zero rows") {
     val p = tmp()
     IvfBinarySource.write(built._1.filter(lit(false)), "vec_id", "embedding", p)
