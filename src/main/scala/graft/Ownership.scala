@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.ParquetStore
+
+/** The reference's ownership tree — Owner and Category dimension tables
+  * with unique names and FK containment (database/model.go:48-67) — as
+  * two tiny keyed stores with BATCH get-or-create.
+  *
+  * The reference get-or-creates one owner / one category per upload
+  * request (server/upload.go:154-237, behind a cache). A Spark engine
+  * meets the same contract set-wise: one pass resolves EVERY distinct
+  * (owner, category) name pair of an ingest batch, creating only the
+  * missing rows — the coalesce-on-conflict shape, since an existing name
+  * always keeps its id and a replay writes nothing. Dimension tables hold
+  * distinct NAMES, not documents, so they stay tiny at any corpus scale:
+  * the id-assignment window over new names is bounded by construction and
+  * the document fact stream never enters a window or a driver collect.
+  */
+final case class OwnershipStore(root: String) {
+
+  /** Owners keyed by their unique name (uq_owner_name, model.go:63-67). */
+  val owners: ParquetStore = ParquetStore(s"$root/owners", "owner_name", nBuckets = 4)
+
+  /** Categories keyed by the unique composite (owner_id, name)
+    * (uq_category_name, model.go:48-54) encoded as one key column, so the
+    * same category name under different owners stays distinct. */
+  val categories: ParquetStore =
+    ParquetStore(s"$root/categories", "category_key", nBuckets = 4)
+
+  private def keyOf(ownerId: Column, name: Column): Column =
+    concat(ownerId.cast("string"), lit(":"), name)
+
+  private val treeSchema = StructType(Seq(
+    StructField("owner_id", LongType), StructField("owner_name", StringType),
+    StructField("category_id", LongType), StructField("category_name", StringType)))
+
+  private def empty(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Resolve (owner_name, category_name) pairs to ids, creating missing
+    * dimension rows. New ids are max(existing) + dense_rank over the new
+    * names — deterministic for a batch, append-only across batches (an
+    * id, once assigned, never changes — the FK contract the document and
+    * centroid children rely on). Null names are dropped, mirroring the
+    * reference's NOT NULL constraints. Returns the distinct pairs with
+    * (owner_id, category_id) attached. */
+  def getOrCreate(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val dp = pairs
+      .select(col("owner_name").cast("string"), col("category_name").cast("string"))
+      .filter(col("owner_name").isNotNull && col("category_name").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // tiny by definition; cut the fact-scan lineage
+    if (dp.isEmpty) return tree(spark).limit(0)
+
+    // --- owners ---
+    val oNames = dp.select("owner_name").distinct()
+    val newO =
+      if (owners.isInitialized)
+        oNames.join(owners.read(spark), Seq("owner_name"), "left_anti")
+      else oNames
+    if (!newO.isEmpty) {
+      val baseO =
+        if (owners.isInitialized)
+          owners.read(spark).agg(coalesce(max("owner_id"), lit(0L))).head().getLong(0)
+        else 0L
+      val created = newO.withColumn("owner_id",
+        (dense_rank().over(Window.orderBy(col("owner_name"))) + baseO).cast("long"))
+      owners.upsertOrCreate(created)
+    }
+    val allO = owners.read(spark)
+
+    // --- categories (unique within owner) ---
+    val cKeyed = dp.join(allO, Seq("owner_name"))
+      .withColumn("category_key", keyOf(col("owner_id"), col("category_name")))
+    val newC =
+      if (categories.isInitialized)
+        cKeyed.join(categories.read(spark).select("category_key"),
+          Seq("category_key"), "left_anti")
+      else cKeyed
+    if (!newC.isEmpty) {
+      val baseC =
+        if (categories.isInitialized)
+          categories.read(spark).agg(coalesce(max("category_id"), lit(0L))).head().getLong(0)
+        else 0L
+      val created = newC.withColumn("category_id",
+        (dense_rank().over(Window.orderBy(col("owner_name"), col("category_name"))) + baseC)
+          .cast("long"))
+        .select("category_key", "category_id", "category_name", "owner_id")
+      categories.upsertOrCreate(created)
+    }
+
+    dp.join(allO, Seq("owner_name"))
+      .withColumn("category_key", keyOf(col("owner_id"), col("category_name")))
+      .join(categories.read(spark).select("category_key", "category_id"),
+        Seq("category_key"))
+      .select(col("owner_id"), col("owner_name"),
+        col("category_id"), col("category_name"))
+  }
+
+  /** The whole tree, one row per category with its owner — the broadcast
+    * side of any fact-table scoping join. */
+  def tree(spark: SparkSession): DataFrame =
+    if (!owners.isInitialized || !categories.isInitialized) empty(spark, treeSchema)
+    else owners.read(spark)
+      .join(categories.read(spark), Seq("owner_id"))
+      .select(col("owner_id"), col("owner_name"),
+        col("category_id"), col("category_name"))
+
+  /** Category listing of one owner (server/fetch.go:104-128): unknown
+    * owner returns an empty set, not an error — the reference maps
+    * ErrRecordNotFound to an empty name list. */
+  def fetchCategories(spark: SparkSession, ownerName: String): DataFrame =
+    tree(spark).filter(col("owner_name") === ownerName)
+      .select(col("category_id"), col("category_name"))
+}
+
+/** Oracle-gated query surfaces over the ownership tree, derived from the
+  * `documents` table's natural dimensions: owner := source, category :=
+  * lang within that source — the same unique-composite shape as the
+  * reference (a category name repeats across owners; the pair is unique). */
+object OwnershipQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadP(s, dir, "documents")
+      .select(col("source").as("owner_name"), col("lang").as("category_name"))
+
+  private def builtStore(s: SparkSession, dir: String): OwnershipStore = {
+    val store = OwnershipStore(
+      java.nio.file.Files.createTempDirectory("ownership").toString)
+    store.getOrCreate(docs(s, dir))
+    store
+  }
+
+  /** Get-or-create every (owner, category) pair of the corpus through the
+    * dimension stores, then emit the stored tree. The oracle replicates
+    * the deterministic id assignment (dense_rank over names). */
+  def q73OwnershipTree(s: SparkSession, dir: String): DataFrame =
+    builtStore(s, dir).tree(s)
+
+  /** The fetch surface: categories of the lexicographically-first owner
+    * (reference FetchCategoryNames, fetch.go:104-128). */
+  def q74FetchCategories(s: SparkSession, dir: String): DataFrame = {
+    val store = builtStore(s, dir)
+    val first = docs(s, dir).filter(col("owner_name").isNotNull)
+      .agg(min("owner_name")).head().getString(0)
+    store.fetchCategories(s, first)
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_ownership_tree" -> q73OwnershipTree _,
+    "q74_fetch_categories" -> q74FetchCategories _
+  )
+
+  private val namesCte: String =
+    """names AS (
+      |  SELECT DISTINCT source AS owner_name, lang AS category_name
+      |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+      |own AS (
+      |  SELECT owner_name, dense_rank() OVER (ORDER BY owner_name) AS owner_id
+      |  FROM (SELECT DISTINCT owner_name FROM names)),
+      |cat AS (
+      |  SELECT owner_name, category_name,
+      |    dense_rank() OVER (ORDER BY owner_name, category_name) AS category_id
+      |  FROM names)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q73_ownership_tree" ->
+      s"""WITH $namesCte
+         |SELECT own.owner_id, own.owner_name, cat.category_id, cat.category_name
+         |FROM cat JOIN own USING (owner_name)""".stripMargin,
+    "q74_fetch_categories" ->
+      s"""WITH $namesCte
+         |SELECT category_id, category_name FROM cat
+         |WHERE owner_name = (SELECT min(owner_name) FROM names)""".stripMargin
+  )
+}

@@ -100,6 +100,44 @@ class SearchServiceSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("category-scoped search through the ownership tree stays in scope") {
+    // the reference builds centroids PER CATEGORY (dnc/dnc.go:35) and
+    // every search runs inside one (owner, category) scope
+    // (server/search.go:130-160). Engine shape: resolve the scope via the
+    // broadcast-sized ownership tree, left-semi the fact corpus down to
+    // the scope, build that scope's own model, search it.
+    val docsRaw = Tables.load(spark, SparkSuite.sf0001, "documents")
+    val store = OwnershipStore(
+      java.nio.file.Files.createTempDirectory("own_search").toString)
+    store.getOrCreate(docsRaw.select(col("source").as("owner_name"),
+      col("lang").as("category_name")))
+    val row = store.tree(spark).orderBy("owner_id", "category_id")
+      .limit(1).collect().head
+    val (ownerName, catName) = (row.getString(1), row.getString(3))
+    val scopedDocs = docsRaw
+      .filter(col("source") === ownerName && col("lang") === catName)
+      .select(col("doc_id").as("document_id"))
+    val scoped = corpus.join(scopedDocs, Seq("document_id"), "left_semi")
+    val (indexed, model) = IvfIndex.build(scoped, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 2000))
+    val got = SearchService.search(spark, indexed,
+      docsRaw.select(col("doc_id").as("document_id"), col("source"), col("lang")),
+      model, SearchRequest("scoped query", count = 10, centroids = -1)).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getAs[String]("source") == ownerName &&
+      r.getAs[String]("lang") == catName), "search leaked outside its category")
+    // parity: scoped index search == brute force over the scoped corpus
+    val qvec = VectorKernels.dequantize(
+      VectorKernels.noopEmbed("search_query: scoped query", 64))
+    val brute = scoped
+      .select(col("document_id"),
+        gf.cosine_sim(col("embedding"), lit(qvec).cast("array<float>")).as("sim"))
+      .groupBy("document_id").agg(max("sim").as("similarity"))
+      .orderBy(col("similarity").desc, col("document_id").asc)
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == brute)
+  }
+
   test("refreshIndex reassigns through the store, rewriting moved rows only") {
     val store = ParquetStore(
       java.nio.file.Files.createTempDirectory("emb_store").toString,
