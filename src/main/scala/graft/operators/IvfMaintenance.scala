@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+import graft.sources.IvfBinarySource
+
+/** Exchange-free maintenance passes over the on-disk binary IVF index.
+  *
+  * The connector reports `KeyGroupedPartitioning(centroid_id)` — every
+  * input split holds exactly one list — so with
+  * `spark.sql.sources.v2.bucketing.enabled` the per-list aggregations
+  * AND the row⋈stats join below are storage-partitioned: Spark plans
+  * them with ZERO Exchange nodes, each task streams only its own list's
+  * files. At 100 TB this is the difference between a maintenance pass
+  * that shuffles the corpus twice and one that never shuffles at all —
+  * the reference gets the same property for free by iterating one
+  * list's spill file at a time (dnc/dnc.go:402-456 recenter loop).
+  */
+object IvfMaintenance {
+
+  /** Per-list recenter + drift report (the reference's M7 recenter,
+    * dnc.go:402-456, plus the "should this list split/merge?" signal its
+    * operator reads off list sizes): for every list, the refreshed
+    * centroid (member mean, f64 sums), member count, and how far members
+    * sit from the refreshed center (cosine drift, 0 = perfectly tight).
+    *
+    * Plan shape (with v2 bucketing on): scan → partial-free grouped agg
+    * (stats) → storage-partitioned join back to the member rows → second
+    * list-local agg. No Exchange anywhere; scan cost = index size, twice
+    * (the stats and member branches — deliberately NOT checkpointed,
+    * which would erase the partitioning report and force a shuffle). */
+  def recenterReport(spark: SparkSession, path: String): DataFrame = {
+    def members = spark.read.format(IvfBinarySource.FORMAT).load(path)
+      .select(col("centroid_id"), gf.dequantize_vec(col("qvec")).as("v"))
+    val stats = members.groupBy("centroid_id")
+      .agg(gf.vector_mean(col("v")).as("centroid"), count(lit(1)).as("n"))
+    members.join(stats, Seq("centroid_id"))
+      .select(col("centroid_id"), col("centroid"), col("n"),
+        (lit(1.0) - gf.cosine_sim(col("v"), col("centroid"))).as("d"))
+      .groupBy(col("centroid_id"))
+      .agg(first(col("centroid")).as("centroid"), first(col("n")).as("n"),
+        avg(col("d")).as("drift_avg"), max(col("d")).as("drift_max"))
+  }
+
+  /** Lists whose refreshed center moved or spread past tolerance — the
+    * input set for a targeted re-assign (only these lists' members get
+    * re-scored, the rest of the index is untouched). */
+  def driftedLists(report: DataFrame, maxDrift: Double): DataFrame =
+    report.filter(col("drift_avg") > maxDrift).select("centroid_id", "n", "drift_avg")
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IvfMaintenance
+import graft.sources.IvfBinarySource
+
+/** The storage-partitioned maintenance pass: correct recentering AND a
+  * plan with zero Exchange nodes at 1M rows — the proof that the
+  * connector's KeyGroupedPartitioning is a used capability, not a
+  * report. */
+class IvfMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private val N = 1000000
+  private val LISTS = 256
+  private val DIM = 8
+
+  /** 1M constant vectors: id → [c,c,…,c] with c = id%5+1 (constant
+    * vectors quantize exactly: min==max), list = id%256. Analytic means
+    * make the recenter check exact at scale. */
+  private lazy val indexPath: String = {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("ivf_maint").toString
+    val df = spark.range(N).select(
+      col("id").as("vec_id"),
+      array_repeat((col("id") % 5 + 1).cast("float"), DIM).as("embedding"),
+      (col("id") % LISTS).cast("int").as("centroid_id"))
+    IvfBinarySource.write(df, "vec_id", "embedding", p)
+    p
+  }
+
+  test("recenterReport is exchange-free at 1M rows and analytically correct") {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SPJ path
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val report = IvfMaintenance.recenterReport(spark, indexPath)
+      val plan = report.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"maintenance pass must not shuffle a list-partitioned index:\n$plan")
+      val rows = report.collect()
+      assert(rows.length == LISTS)
+      rows.foreach { r =>
+        val cid = r.getInt(0)
+        val centroid = r.getSeq[Float](1)
+        val n = r.getLong(2)
+        // ids in this list: cid, cid+256, … — expected member count and
+        // analytic mean of (id%5+1) over them, f64-exact for small ints
+        val ids = cid.toLong until N.toLong by LISTS.toLong
+        assert(n == ids.size)
+        val expectMean = (ids.map(id => (id % 5 + 1).toDouble).sum / ids.size).toFloat
+        assert(centroid.length == DIM)
+        centroid.foreach(c => assert(math.abs(c - expectMean) < 1e-4f,
+          s"list $cid centroid $c != $expectMean"))
+        // constant positive vectors are colinear with their mean → no drift
+        assert(math.abs(r.getDouble(3)) < 1e-9, s"list $cid drift_avg")
+        assert(math.abs(r.getDouble(4)) < 1e-9, s"list $cid drift_max")
+      }
+      // drift gate: nothing drifts in a colinear corpus
+      assert(IvfMaintenance.driftedLists(report, 1e-6).count() == 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("drifted lists surface when a list's members point apart") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    // list 0: two orthogonal vectors (drift); list 1: colinear (tight)
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f, 0f), 0),
+      (2L, Array(2f, 2f, 0f, 0f), 1),
+      (3L, Array(4f, 4f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "centroid_id")
+    IvfBinarySource.write(rows, "vec_id", "embedding", p)
+    val report = IvfMaintenance.recenterReport(spark, p)
+    val drifted = IvfMaintenance.driftedLists(report, 0.01)
+      .collect().map(_.getInt(0)).toSeq
+    assert(drifted == Seq(0))
+  }
+}
