@@ -29,6 +29,111 @@ final case class NoopProvider(dim: Int = 512) extends EmbedProvider {
     texts.map(t => VectorKernels.noopEmbed(t, dim))
 }
 
+/** Ollama-shaped HTTP provider (reference ai/ollama/embed.go:19-88): one
+  * JSON POST per batch to `<endpoint>/api/embed` with
+  * `{"model": m, "input": [texts…]}`, reading `{"embeddings": [[f…]…]}`
+  * and quantizing each vector to the engine's packed wire format.
+  *
+  * Endpoint selection mirrors the reference's client manager
+  * (ai/httpclient/httpclient.go:44-116 + comms Url rotation): per-JVM
+  * active/total counters per endpoint, each request goes to the
+  * LEAST-CONNECTIONS endpoint (ties broken by fewest total served, so
+  * sequential callers round-robin), and a failed request retries on the
+  * next-best endpoint with linear backoff, up to `maxRetries` sweeps
+  * over the pool. The case class itself is a small serializable config —
+  * the HTTP client and counters live once per executor JVM. */
+final case class HttpProvider(endpoints: Seq[String], model: String,
+    dim: Int, bearerToken: String = "", maxRetries: Int = 3,
+    requestTimeoutMs: Long = 60000L, backoffMs: Long = 100L)
+    extends EmbedProvider {
+  require(endpoints.nonEmpty, "need at least one embed endpoint")
+
+  def embedBatch(texts: Seq[String]): Seq[Array[Byte]] = {
+    if (texts.isEmpty) return Seq.empty
+    val mapper = HttpProvider.mapper
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val arr = root.putArray("input")
+    texts.foreach(arr.add)
+    val body = mapper.writeValueAsString(root)
+    var sweep = 0
+    var lastErr: Throwable = null
+    while (sweep < maxRetries) {
+      // fresh least-connections order each sweep — a dead endpoint sinks
+      // to the back as its failures never bump totals
+      val ordered = endpoints.sortBy(e => HttpProvider.load(e)).iterator
+      while (ordered.hasNext) {
+        val ep = ordered.next()
+        HttpProvider.enter(ep)
+        val resp =
+          try Some(HttpProvider.post(ep, body, bearerToken, requestTimeoutMs))
+          catch { case scala.util.control.NonFatal(e) => lastErr = e; None }
+          finally HttpProvider.exit(ep)
+        resp match {
+          case Some(payload) => return parse(mapper, payload, texts.length)
+          case None =>
+        }
+      }
+      sweep += 1
+      if (sweep < maxRetries) Thread.sleep(backoffMs * sweep)
+    }
+    throw new RuntimeException(
+      s"embed failed after $maxRetries sweeps over ${endpoints.length} endpoints",
+      lastErr)
+  }
+
+  private def parse(mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      body: String, expect: Int): Seq[Array[Byte]] = {
+    val embs = mapper.readTree(body).get("embeddings")
+    require(embs != null && embs.isArray && embs.size() == expect,
+      s"invalid response embeddings count (reference embed.go contract): " +
+        s"got ${if (embs == null) "none" else embs.size().toString}, want $expect")
+    (0 until expect).map { i =>
+      val node = embs.get(i)
+      val v = new Array[Float](node.size())
+      var j = 0
+      while (j < v.length) { v(j) = node.get(j).floatValue(); j += 1 }
+      VectorKernels.quantize(v)
+    }
+  }
+}
+
+object HttpProvider {
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val active =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val total =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def ctr(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+      e: String) =
+    m.computeIfAbsent(e, _ => new java.util.concurrent.atomic.AtomicLong())
+  /** (active, total-served) — the least-connections sort key. */
+  private[functions] def load(e: String): (Long, Long) =
+    (ctr(active, e).get(), ctr(total, e).get())
+  private def enter(e: String): Unit = ctr(active, e).incrementAndGet()
+  private def exit(e: String): Unit = ctr(active, e).decrementAndGet()
+  /** Test/inspection hook: requests actually served per endpoint. */
+  private[graft] def served(e: String): Long = ctr(total, e).get()
+
+  private def post(endpoint: String, body: String, token: String,
+      timeoutMs: Long): String = {
+    val b = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(endpoint.stripSuffix("/") + "/api/embed"))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+    if (token.nonEmpty) b.header("Authorization", "Bearer " + token)
+    val resp = client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new RuntimeException(s"$endpoint (${resp.statusCode()}): ${resp.body()}")
+    ctr(total, endpoint).incrementAndGet() // only successes count as served
+    resp.body()
+  }
+}
+
 object Embedder {
 
   /** Adds `qvec binary` (packed quantized embedding) to `df` by batching

@@ -2,12 +2,112 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{Embedder, NoopProvider, TextKernels, VectorKernels, gf}
+import graft.functions.{Embedder, HttpProvider, NoopProvider, TextKernels, VectorKernels, gf}
 
-/** M8 embed hand-off (batched mapPartitions provider calls) and F10 chat
-  * prompt assembly. */
+/** M8 embed hand-off (batched mapPartitions provider calls), the HTTP
+  * provider against a local stub server, and F10 chat prompt assembly. */
 class EmbedderSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
+
+  /** Ollama-shaped stub: POST /api/embed returns one deterministic
+    * vector per input text ([len, len+1, …]); optionally always fails.
+    * Counts requests and records the last JSON body seen. */
+  private class StubServer(dim: Int, fail: Boolean = false) {
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    @volatile var lastBody: String = ""
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/embed", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      lastBody = body
+      if (fail) {
+        ex.sendResponseHeaders(500, -1); ex.close()
+      } else {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val texts = m.readTree(body).get("input")
+        val out = m.createObjectNode()
+        val embs = out.putArray("embeddings")
+        (0 until texts.size()).foreach { i =>
+          val len = texts.get(i).asText().length
+          val v = embs.addArray()
+          (0 until dim).foreach(j => v.add((len + j).toFloat))
+        }
+        val bytes = m.writeValueAsBytes(out)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    val url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("HttpProvider posts one batch, parses and quantizes the response") {
+    val stub = new StubServer(dim = 4)
+    try {
+      val p = HttpProvider(Seq(stub.url), "test-model", dim = 4)
+      val got = p.embedBatch(Seq("ab", "defgh"))
+      assert(stub.hits.get() == 1, "one batch = ONE request")
+      assert(stub.lastBody.contains("\"model\":\"test-model\""))
+      assert(stub.lastBody.contains("\"input\":[\"ab\",\"defgh\"]"))
+      // wire format: quantized [f32 min][f32 max][codes]; round-trip ≈ source
+      val a = VectorKernels.dequantize(got(0))
+      val b = VectorKernels.dequantize(got(1))
+      assert(a.length == 4 && b.length == 4)
+      a.zipWithIndex.foreach { case (x, j) => assert(math.abs(x - (2 + j)) < 0.05) }
+      b.zipWithIndex.foreach { case (x, j) => assert(math.abs(x - (5 + j)) < 0.05) }
+    } finally stub.stop()
+  }
+
+  test("HttpProvider rotates across endpoints and retries past a dead one") {
+    val s1 = new StubServer(dim = 2)
+    val s2 = new StubServer(dim = 2)
+    val dead = new StubServer(dim = 2, fail = true)
+    try {
+      // healthy pool: sequential batches round-robin by least-total-served
+      val p = HttpProvider(Seq(s1.url, s2.url), "m", dim = 2)
+      (1 to 4).foreach(i => p.embedBatch(Seq(s"text $i")))
+      assert(s1.hits.get() + s2.hits.get() == 4)
+      assert(s1.hits.get() >= 1 && s2.hits.get() >= 1,
+        s"rotation should spread load (${s1.hits.get()}/${s2.hits.get()})")
+      // dead endpoint: request falls through to the healthy one, and the
+      // failure surfaces in neither results nor ordering state
+      val h1 = s1.hits.get(); val h2 = s2.hits.get()
+      val pd = HttpProvider(Seq(dead.url, s1.url, s2.url), "m", dim = 2,
+        backoffMs = 1)
+      val got = pd.embedBatch(Seq("x"))
+      assert(got.length == 1)
+      assert(dead.hits.get() >= 1, "dead endpoint was tried")
+      assert(s1.hits.get() + s2.hits.get() == h1 + h2 + 1, "exactly one retry served")
+      // all endpoints dead → bounded retries then a clear error
+      val allDead = HttpProvider(Seq(dead.url), "m", dim = 2,
+        maxRetries = 2, backoffMs = 1)
+      val before = dead.hits.get()
+      val err = intercept[RuntimeException](allDead.embedBatch(Seq("x")))
+      assert(err.getMessage.contains("after 2 sweeps"))
+      assert(dead.hits.get() == before + 2, "one try per sweep, then stop")
+    } finally { s1.stop(); s2.stop(); dead.stop() }
+  }
+
+  test("HttpProvider drives embedColumn end-to-end through mapPartitions") {
+    val stub = new StubServer(dim = 3)
+    try {
+      import spark.implicits._
+      val docs = Seq((1L, "aa"), (2L, "bbbb"), (3L, "c")).toDF("doc_id", "text")
+      val got = Embedder.embedColumn(docs, "text",
+        HttpProvider(Seq(stub.url), "m", dim = 3), batchSize = 2)
+        .select("doc_id", "qvec").collect()
+        .map(r => r.getLong(0) -> VectorKernels.dequantize(r.getAs[Array[Byte]](1)))
+        .toMap
+      assert(got.keySet == Set(1L, 2L, 3L))
+      assert(math.abs(got(1L)(0) - 2f) < 0.05)
+      assert(math.abs(got(2L)(0) - 4f) < 0.05)
+      assert(math.abs(got(3L)(0) - 1f) < 0.05)
+    } finally stub.stop()
+  }
 
   test("embedColumn matches the noop_embed expression for every row") {
     val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
