@@ -168,7 +168,9 @@ object SearchService {
       .select("vec_id")
       .filter(col("vec_id").between(docIds.min * base,
         docIds.max * base + (base - 1)) && ofDoomedDoc(col("vec_id")))
-      .as[Long].collect().toSet
+    // distributed delete: victims flow to their list's rewrite task via
+    // a centroid-keyed join — a document with a million chunks never
+    // lands its chunk ids on the driver (ADVICE r4)
     val removed = graft.sources.IvfBinarySource.delete(spark, indexPath, victims)
     val doomed = docIds.toSeq.toDF(docStore.keyCol).localCheckpoint(true)
     docStore.deleteKeys(doomed)

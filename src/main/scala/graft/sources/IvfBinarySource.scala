@@ -260,16 +260,69 @@ object IvfBinarySource {
       .collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) return 0L
     val width = rowWidth(readDim(path)).toLong
-    def rowsIn(lists: Set[Int]): Long =
-      listDirs(rootFs, root, Some(lists)).map { case (_, d, _) =>
-        // direct listing, not the mtime cache: correctness of the count
-        // must not depend on mtime granularity
-        rootFs.listStatus(d).filter(_.getPath.getName.endsWith(".bin"))
-          .map(_.getLen / width).sum
-      }.sum
-    val before = rowsIn(affected)
+    val before = rowsIn(rootFs, root, width, affected)
     rewriteLists(spark, path, minFiles = 1, dropIds = ids, only = Some(affected))
-    before - rowsIn(affected)
+    before - rowsIn(rootFs, root, width, affected)
+  }
+
+  /** Exact row count over selected lists from file sizes ÷ row width.
+    * Direct listing, not the mtime cache: correctness of delete's
+    * before/after delta must not depend on mtime granularity. */
+  private def rowsIn(rootFs: FileSystem, root: Path, width: Long,
+      lists: Set[Int]): Long =
+    listDirs(rootFs, root, Some(lists)).map { case (_, d, _) =>
+      rootFs.listStatus(d).filter(_.getPath.getName.endsWith(".bin"))
+        .map(_.getLen / width).sum
+    }.sum
+
+  /** Distributed-victim deletion: the doomed ids arrive as a DataFrame
+    * (first column, castable to long) and meet their list's rewrite task
+    * through a centroid-keyed join — the full victim set never
+    * materializes on the driver, so delete scales to retention sweeps
+    * that doom millions of rows. Only scalars come back: the [lo,hi]
+    * envelope (2 longs, lets the vec_id zone maps skip whole files) and
+    * the affected centroid ids (needed for file listing, which is driver
+    * work in any layout). The broadcast-Set overload above remains the
+    * cheaper call for request-sized deletes (the reference's DELETE
+    * /api/document carries explicit ids, server/delete.go:214-288);
+    * this one is the bulk path. Returns # rows deleted. */
+  def delete(spark: SparkSession, path: String, victims: DataFrame): Long = {
+    val root = new Path(path)
+    val rootFs = fs(root)
+    if (!rootFs.exists(root)) return 0L
+    import org.apache.spark.sql.functions.{collect_set, max => smax, min => smin}
+    val vic = victims
+      .select(col(victims.columns.head).cast("long").as("vec_id")).distinct()
+    val bounds = vic.agg(smin("vec_id"), smax("vec_id")).collect()(0)
+    if (bounds.isNullAt(0)) return 0L // empty victim frame
+    // hits = victims that actually exist in the index, tagged with their
+    // list; id-only columns (no vector bytes read) + zone-map skipping
+    val perList = spark.read.format(FORMAT).load(path)
+      .select("vec_id", "centroid_id")
+      .filter(col("vec_id").between(bounds.getLong(0), bounds.getLong(1)))
+      .join(vic, Seq("vec_id"), "left_semi")
+      .groupBy("centroid_id").agg(collect_set("vec_id").as("doomed"))
+      .persist()
+    val affected = perList.select("centroid_id").collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) { perList.unpersist(); return 0L }
+    val width = rowWidth(readDim(path))
+    val before = rowsIn(rootFs, root, width.toLong, affected)
+    val work = listDirs(rootFs, root, Some(affected)).map { case (cid, d, mtime) =>
+      (cid, listBinFiles(rootFs, d, mtime).map(_._1).toSeq)
+    }.toSeq
+    val workRdd = spark.sparkContext.parallelize(work,
+      math.min(work.size, spark.sparkContext.defaultParallelism))
+    val dropRdd = perList.rdd.map(r => (r.getInt(0), r.getSeq[Long](1)))
+    // inner join routes each list's OWN victims to its rewrite task —
+    // a task holds one list's doom set, never the sweep's
+    workRdd.join(dropRdd).foreach { case (cid, (files, doomed)) =>
+      rewriteOneList(path, cid, files, doomed.toSet, width)
+    }
+    perList.unpersist()
+    work.foreach { case (cid, _) =>
+      dirCache.remove(new Path(root, s"list=$cid").toString)
+    }
+    before - rowsIn(rootFs, root, width.toLong, affected)
   }
 
   /** List-directory enumeration shared by scan planning and maintenance:

@@ -399,4 +399,34 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     // deleting unknown ids is a no-op
     assert(IvfBinarySource.delete(spark, p, Set(Long.MaxValue)) == 0L)
   }
+
+  test("DataFrame-victim delete matches the Set path without a driver set") {
+    val (indexed, _) = built
+    val rows = indexed.select(col("vec_id"),
+      gf.quantize_vec(col("embedding")).as("qvec"), col("centroid_id"))
+    val p = tmp()
+    rows.write.format(IvfBinarySource.FORMAT).mode("overwrite").save(p)
+    def load() = spark.read.format(IvfBinarySource.FORMAT).load(p)
+    // victims spanning SEVERAL lists: each rewrite task must receive its
+    // own list's doom set through the centroid-keyed join
+    val lists = load().select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted.take(3)
+    assert(lists.length > 1, "need multiple lists")
+    val victimIds = load()
+      .filter(col("centroid_id").isin(lists.map(_.asInstanceOf[Any]): _*))
+      .select("vec_id").limit(7).collect().map(_.getLong(0)).toSet
+    assert(victimIds.nonEmpty)
+    val n0 = load().count()
+    // the victim frame also carries ids the index does NOT hold — they
+    // must not count toward the delta
+    val vicDf = spark.createDataFrame(
+      (victimIds + Long.MaxValue).toSeq.map(Tuple1(_))).toDF("vec_id")
+    val dropped = IvfBinarySource.delete(spark, p, vicDf)
+    assert(dropped == victimIds.size.toLong)
+    assert(load().count() == n0 - victimIds.size)
+    assert(load().filter(col("vec_id").isin(victimIds.toSeq: _*)).count() == 0)
+    // empty victim frame is a no-op
+    assert(IvfBinarySource.delete(spark, p,
+      vicDf.filter(col("vec_id") < Long.MinValue + 1)) == 0L)
+  }
 }
