@@ -47,9 +47,42 @@ object SearchService {
       model: IvfIndex.Model, req: SearchRequest,
       vecCol: String = "embedding", dim: Int = 64): DataFrame = {
     val p = clamp(req, model.k)
+    val page = pageGraph(indexed, model, p, req.text, vecCol, dim)
+    // J5 backfill, reference-shaped (database.go WHERE id IN (...)): the
+    // page is ≤ count rows by construction, so collect the hit list and
+    // push an IN-list filter down to the doc store scan instead of
+    // building a broadcast of the whole documents table per query.
+    val hits = page.collect()
+    if (hits.isEmpty) {
+      page.join(documents, Seq("document_id"), "left")
+    } else {
+      val ids = hits.map(_.getLong(0)).toSeq
+      // LocalRelation, NOT sc.parallelize: the parallelize-backed frame
+      // schedules its own task round just to re-emit ≤count driver-held
+      // rows, which profiled as the single largest slice of per-query
+      // latency (ServeProbe: backfill 182 ms of 286 ms at sf0.1). Local
+      // rows broadcast straight from the driver, so the backfill is one
+      // stage over the IN-pushed documents point-read.
+      val hitDf = spark.createDataFrame(
+        java.util.Arrays.asList(hits: _*), page.schema)
+      // coalesce(1)+sortWithinPartitions, NOT orderBy: a global sort
+      // range-partitions, and RangePartitioning runs a SAMPLING job over
+      // the input first — two extra job rounds to order ≤count rows.
+      // One partition sorted locally is the same total order.
+      hitDf.join(documents.filter(col("document_id").isin(ids: _*)),
+        Seq("document_id"), "left")
+        .coalesce(1)
+        .sortWithinPartitions(col("similarity").desc, col("document_id").asc)
+    }
+  }
+
+  /** The probe → pruned scan → per-doc best-chunk → paginated top-k
+    * subgraph shared by every read-path shape. */
+  private def pageGraph(indexed: DataFrame, model: IvfIndex.Model,
+      p: Clamped, text: String, vecCol: String, dim: Int): DataFrame = {
     // reference prefixes "search_query: " before embedding (search.go:128)
     val qvec = VectorKernels.dequantize(
-      VectorKernels.noopEmbed("search_query: " + req.text, dim))
+      VectorKernels.noopEmbed("search_query: " + text, dim))
     val probeIds = model.probe(qvec, p.nprobe)
     val pruned = indexed
       .filter(col("centroid_id").isin(probeIds: _*)) // pruned scan (S4)
@@ -60,7 +93,7 @@ object SearchService {
     // the coalesce). Analytic probes (centroids < 0 → all lists) keep the
     // distributed aggregation.
     val scanBase = if (p.nprobe <= 8) pruned.coalesce(1) else pruned
-    val page = scanBase
+    scanBase
       .select(col("document_id"),
         gf.cosine_sim(col(vecCol), lit(qvec).cast("array<float>")).as("sim"))
       .groupBy("document_id") // A6: best chunk per document
@@ -68,21 +101,31 @@ object SearchService {
       .orderBy(col("similarity").desc, col("document_id").asc)
       .limit(p.offset + p.count) // T2: distributed partial top-k
       .offset(p.offset) // T3: native offset — no window pass
-    // J5 backfill, reference-shaped (database.go WHERE id IN (...)): the
-    // page is ≤ count rows by construction, so collect the hit list and
-    // push an IN-list filter down to the doc store scan instead of
-    // building a broadcast of the whole documents table per query.
-    val hits = page.collect()
-    if (hits.isEmpty) {
-      page.join(documents, Seq("document_id"), "left")
-    } else {
-      val ids = hits.map(_.getLong(0)).toSeq
-      val hitDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(hits.toIndexedSeq, 1), page.schema)
-      hitDf.join(documents.filter(col("document_id").isin(ids: _*)),
-        Seq("document_id"), "left")
-        .orderBy(col("similarity").desc, col("document_id").asc)
-    }
+  }
+
+  /** Low-latency single-query shape: identical semantics to [[search]],
+    * built as ONE execution — the ≤count page joins a BROADCAST of the
+    * documents side, so there is no collect-then-replan round trip.
+    *
+    * When to use which (measured, local[32] sf0.1, ServeProbe): Spark's
+    * per-query floor is one physical-planning pass (~35 ms) plus one
+    * job round (~60 ms) regardless of data size. [[search]] pays both
+    * TWICE (page job, then IN-pushdown backfill job) → ~185 ms/query;
+    * this fused shape pays them once → ~135 ms/query. The price is the
+    * backfill scan shape: the documents side broadcasts WHOLE, with no
+    * IN-list pushdown, so it is only right when the serving payload
+    * projection is dimension-sized (persist it hot). Against a 100 TB
+    * document table keep [[search]] — its backfill is a pushed-down
+    * point read that never scans — or better, amortize the floor across
+    * a request queue with [[searchBatch]] (~24 ms/query at batch 32). */
+  def searchHot(spark: SparkSession, indexed: DataFrame, documents: DataFrame,
+      model: IvfIndex.Model, req: SearchRequest,
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val p = clamp(req, model.k)
+    pageGraph(indexed, model, p, req.text, vecCol, dim)
+      .join(broadcast(documents), Seq("document_id"), "left")
+      .coalesce(1)
+      .sortWithinPartitions(col("similarity").desc, col("document_id").asc)
   }
 
   /** Batched read path — the Spark-honest serving shape. A single-query

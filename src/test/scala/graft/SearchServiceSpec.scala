@@ -82,6 +82,28 @@ class SearchServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("searchHot returns exactly what search returns, fused") {
+    val (indexed, model) = built
+    val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
+      .select(col("doc_id").as("document_id"), col("lang"))
+    val reqs = Seq(
+      SearchRequest("hot alpha", count = 5, offset = 0, centroids = 2),
+      SearchRequest("hot beta", count = 3, offset = 2, centroids = 1),
+      SearchRequest("hot gamma", count = 4, offset = 0, centroids = -1))
+    reqs.foreach { req =>
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("document_id"),
+          r.getAs[Double]("similarity"), r.getAs[String]("lang"))).toSeq
+      val twoPhase = rows(SearchService.search(spark, indexed, docs, model, req))
+      val fused = rows(SearchService.searchHot(spark, indexed, docs, model, req))
+      assert(fused == twoPhase, s"request '${req.text}'")
+    }
+    // the fused shape is one execution: no IN-pushdown collect round trip
+    val plan = SearchService.searchHot(spark, indexed, docs, model, reqs.head)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+  }
+
   test("search with nprobe=all equals a brute-force per-document ranking") {
     val (indexed, model) = built
     val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
