@@ -86,17 +86,26 @@ object RetrievalQueries {
   def q45HybridRrf(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.RankOps
     val docs = t(s, dir, "documents")
+    // Checkpoint both score projections before ranking: range
+    // partitioning (inside globalRowNumber) executes its input TWICE —
+    // a boundary-sampling pass, then the shuffle — and recomputing the
+    // BM25 / cosine pipelines twice dominates the query. The
+    // checkpointed frames are the narrow (doc_id, score) projection —
+    // ~16 bytes/doc at any corpus scale, far cheaper to spill than to
+    // recompute.
     val bm25 = docs.select("doc_id")
       .join(bm25Scores(docs)
         .select(col("doc_id"), round(col("score"), 6).as("score")),
         Seq("doc_id"), "left")
       .na.fill(0.0, Seq("score"))
+      .localCheckpoint(true)
 
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
     val cos = e.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         (round(gf.cosine_sim(col("embedding"), col("qvec")), 6) + 0.0).as("sim"))
+      .localCheckpoint(true)
 
     // exact global ranks via range-partitioned sort + zipWithIndex —
     // never a single-partition window (RankOps scale note)

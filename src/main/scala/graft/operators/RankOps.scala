@@ -1,27 +1,61 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Exact global ranking without the single-partition window.
   *
   * `Window.orderBy(...)` with no partition key moves the whole input to
   * one task — the classic scale cliff (WindowExec even warns). The exact
-  * distributed alternative: range-partitioned sort, then per-partition
-  * offsets — `zipWithIndex` runs one lightweight count job over the
-  * sorted partitions and assigns contiguous indices without moving data
-  * again. Rows must be given a deterministic total order (break ties!)
-  * for ranks to be reproducible.
+  * distributed alternative built here is ONE lazy plan, no driver
+  * actions:
+  *
+  *   1. range-partition on the order (the same shuffle a global sort
+  *      pays — partition i's rows all precede partition i+1's),
+  *   2. per-partition `row_number` — a LOCAL window keyed by
+  *      `spark_partition_id`, no second exchange,
+  *   3. add each partition's global offset, computed by a tiny
+  *      per-partition count aggregate joined back as a broadcast. The
+  *      offsets branch re-uses the range exchange (ReusedExchange), and
+  *      its own cumulative window runs over ≤ shuffle-partitions rows —
+  *      bounded by cluster parallelism, never by data.
+  *
+  * The previous shape (sorted.rdd.zipWithIndex) was exact too, but paid
+  * a separate per-partition count JOB, left Tungsten for Row objects,
+  * and re-encoded the frame — three avoidable costs per ranking that
+  * dominated rank-heavy queries (q45: two rankings per run).
+  *
+  * Rows must be given a deterministic total order (break ties!) for
+  * ranks to be reproducible.
   */
 object RankOps {
 
-  /** Appends `rankCol` = 1-based global row number under `order`. */
+  /** Appends `rankCol` = 1-based global row number under `order`.
+    *
+    * No window over the data: `row_number over (partition by _pid)`
+    * would force a SECOND full exchange (hash by _pid) right after the
+    * range shuffle, plus a redundant in-partition sort. Instead
+    * `monotonically_increasing_id()` — sequential within a partition by
+    * construction — is read off the already-sorted rows, and the local
+    * index is `mono - min(mono in partition)`. The per-partition
+    * (count, base) pairs are deterministic functions of the sorted
+    * partition contents, so the offsets branch agrees with the main
+    * branch even if the exchange is not physically reused. */
   def globalRowNumber(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    val ranged = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mono", monotonically_increasing_id())
+    val offsets = ranged.groupBy("_pid")
+      .agg(count(lit(1)).as("_cnt"), min("_mono").as("_base"))
+      .withColumn("_off",
+        coalesce(sum("_cnt").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_base", "_off")
+    ranged
+      .join(broadcast(offsets), "_pid")
+      .withColumn(rankCol, col("_mono") - col("_base") + col("_off") + 1)
+      .drop("_pid", "_mono", "_base", "_off")
   }
 }
