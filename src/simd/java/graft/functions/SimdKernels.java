@@ -25,24 +25,45 @@ public final class SimdKernels {
 
     private static final VectorSpecies<Float> S = FloatVector.SPECIES_PREFERRED;
 
-    /** Cosine similarity, float-accumulated, zero-norm-safe. */
+    /** Cosine similarity, float-accumulated, zero-norm-safe.
+     *
+     * Two independent accumulator chains per quantity: a single chain
+     * serializes on FMA latency (~4 cycles) while the unit can retire
+     * an FMA every half-cycle — unrolling breaks the dependence and
+     * roughly doubles throughput on dim ≥ 2 vector widths. Unroll depth
+     * 2 (× 3 quantities = 6 live vectors) measured as fast as depth 4
+     * on this kernel and keeps the tail/code simple. */
     public static double cosine(float[] a, float[] b) {
         int n = Math.min(a.length, b.length);
-        int upper = S.loopBound(n);
-        FloatVector dot = FloatVector.zero(S);
-        FloatVector na = FloatVector.zero(S);
-        FloatVector nb = FloatVector.zero(S);
+        int w = S.length();
+        FloatVector dot0 = FloatVector.zero(S), dot1 = FloatVector.zero(S);
+        FloatVector na0 = FloatVector.zero(S), na1 = FloatVector.zero(S);
+        FloatVector nb0 = FloatVector.zero(S), nb1 = FloatVector.zero(S);
         int i = 0;
-        for (; i < upper; i += S.length()) {
+        int upper2 = n - (n % (2 * w));
+        for (; i < upper2; i += 2 * w) {
+            FloatVector va0 = FloatVector.fromArray(S, a, i);
+            FloatVector vb0 = FloatVector.fromArray(S, b, i);
+            FloatVector va1 = FloatVector.fromArray(S, a, i + w);
+            FloatVector vb1 = FloatVector.fromArray(S, b, i + w);
+            dot0 = va0.fma(vb0, dot0);
+            na0 = va0.fma(va0, na0);
+            nb0 = vb0.fma(vb0, nb0);
+            dot1 = va1.fma(vb1, dot1);
+            na1 = va1.fma(va1, na1);
+            nb1 = vb1.fma(vb1, nb1);
+        }
+        int upper = S.loopBound(n);
+        for (; i < upper; i += w) {
             FloatVector va = FloatVector.fromArray(S, a, i);
             FloatVector vb = FloatVector.fromArray(S, b, i);
-            dot = va.fma(vb, dot);
-            na = va.fma(va, na);
-            nb = vb.fma(vb, nb);
+            dot0 = va.fma(vb, dot0);
+            na0 = va.fma(va, na0);
+            nb0 = vb.fma(vb, nb0);
         }
-        double d = dot.reduceLanes(VectorOperators.ADD);
-        double x = na.reduceLanes(VectorOperators.ADD);
-        double y = nb.reduceLanes(VectorOperators.ADD);
+        double d = dot0.add(dot1).reduceLanes(VectorOperators.ADD);
+        double x = na0.add(na1).reduceLanes(VectorOperators.ADD);
+        double y = nb0.add(nb1).reduceLanes(VectorOperators.ADD);
         for (; i < n; i++) {
             double xa = a[i], yb = b[i];
             d += xa * yb;
@@ -53,17 +74,26 @@ public final class SimdKernels {
         return denom == 0.0 ? 0.0 : d / denom;
     }
 
-    /** Dot product, float-accumulated. */
+    /** Dot product, float-accumulated (same unroll rationale as
+     * {@link #cosine}). */
     public static double dot(float[] a, float[] b) {
         int n = Math.min(a.length, b.length);
-        int upper = S.loopBound(n);
-        FloatVector acc = FloatVector.zero(S);
+        int w = S.length();
+        FloatVector acc0 = FloatVector.zero(S), acc1 = FloatVector.zero(S);
         int i = 0;
-        for (; i < upper; i += S.length()) {
-            acc = FloatVector.fromArray(S, a, i)
-                .fma(FloatVector.fromArray(S, b, i), acc);
+        int upper2 = n - (n % (2 * w));
+        for (; i < upper2; i += 2 * w) {
+            acc0 = FloatVector.fromArray(S, a, i)
+                .fma(FloatVector.fromArray(S, b, i), acc0);
+            acc1 = FloatVector.fromArray(S, a, i + w)
+                .fma(FloatVector.fromArray(S, b, i + w), acc1);
         }
-        double d = acc.reduceLanes(VectorOperators.ADD);
+        int upper = S.loopBound(n);
+        for (; i < upper; i += w) {
+            acc0 = FloatVector.fromArray(S, a, i)
+                .fma(FloatVector.fromArray(S, b, i), acc0);
+        }
+        double d = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
         for (; i < n; i++) d += (double) a[i] * b[i];
         return d;
     }
