@@ -162,13 +162,54 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Training-mixture planner — the data-mixing step before a training
+    * run: published recipes reweight DOMAINS toward a target mixture
+    * rather than sampling the crawl proportionally (Gopher/LLaMA-style
+    * mixtures). Per source: token mass, natural share, equal-domain
+    * target share, and the keep-rate (downsample) or epoch factor
+    * (upsample) that hits alloc = budget/|sources| with budget = half
+    * the corpus tokens. One fact scan → per-source agg; the mixture
+    * table is |sources| rows — broadcastable at any corpus scale, and
+    * exactly what q61-style deterministic samplers consume as rates. */
+  def q75MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(s, dir, "documents")
+      .select(col("source"), gf.token_count(col("text")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+    val tot = perSrc.agg(sum("tokens").cast("double").as("total"),
+      count(lit(1)).cast("double").as("n_src"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("total"), 6).as("share"),
+        round(lit(1.0) / col("n_src"), 6).as("target_share"),
+        round(least(lit(1.0),
+          (col("total") * 0.5 / col("n_src")) / col("tokens")), 6).as("keep_rate"),
+        round((col("total") * 0.5 / col("n_src")) / col("tokens"), 6).as("epochs"))
+  }
+
+  /** Dedup impact report over the exact-dedup relation (q18's
+    * fingerprint grouping): cluster-size histogram + how many documents
+    * a keep-one policy removes at each size. The histogram is ≤ max
+    * cluster size rows — the fleet-wide "how much did dedup save"
+    * number, computed without materializing the dedup itself. */
+  def q76DedupImpact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum(col("n_copies")) - count(lit(1))).as("docs_removed"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_inverted_index" -> q56InvertedIndex _,
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
     "q58_pii_scrub" -> q58PiiScrub _,
     "q59_pack_plan" -> q59PackPlan _,
     "q60_bigram_pmi" -> q60BigramPmi _,
-    "q61_stratified_sample" -> q61StratifiedSample _
+    "q61_stratified_sample" -> q61StratifiedSample _,
+    "q75_mixture_plan" -> q75MixturePlan _,
+    "q76_dedup_impact" -> q76DedupImpact _
   )
 
   private val tokCte: String =
@@ -268,6 +309,29 @@ object CurationQueries {
         |  WHEN lang = 'es' THEN nib < 'c'
         |  WHEN lang = 'de' THEN nib < '8'
         |  WHEN lang = 'zh' THEN nib < '4'
-        |  ELSE nib < '2' END""".stripMargin
+        |  ELSE nib < '2' END""".stripMargin,
+    "q75_mixture_plan" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(tokens) AS DOUBLE) AS total,
+        |         CAST(count(*) AS DOUBLE) AS n_src
+        |  FROM per)
+        |SELECT source, n_docs, tokens,
+        |  round(tokens / total, 6) AS share,
+        |  round(1.0 / n_src, 6) AS target_share,
+        |  round(least(1.0, (total * 0.5 / n_src) / tokens), 6) AS keep_rate,
+        |  round((total * 0.5 / n_src) / tokens, 6) AS epochs
+        |FROM per CROSS JOIN tot""".stripMargin,
+    "q76_dedup_impact" ->
+      """WITH cl AS (
+        |  SELECT md5(lower(trim(text))) AS fp, count(*) AS n_copies
+        |  FROM documents GROUP BY 1)
+        |SELECT n_copies, count(*) AS n_clusters,
+        |  sum(n_copies) - count(*) AS docs_removed
+        |FROM cl GROUP BY n_copies""".stripMargin
   )
 }
