@@ -21,18 +21,23 @@ object Bench {
     // untimed warmup: session/codegen/parquet-footer startup costs land
     // here, not on whichever query happens to iterate first
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min of three runs: one timing sample is GC/compilation-noise-bound
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        // a failed run is EXCLUDED from the min rather than silently
+        // timed: a broken query must surface in the errors field, not
+        // report a nonsense sub-second "time"
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
       // checkpoint/broadcast blocks pin block-manager memory until their
       // frames are GC'd; collecting between queries lets ContextCleaner
       // release them instead of inflating later queries' GC time
       System.gc()
-      name -> times.min
+      if (times.isEmpty) { failed += name; name -> 999.0 }
+      else name -> times.min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val micro = micro0 ++ annBench(spark, sfDir)
@@ -51,7 +56,10 @@ object Bench {
         .mkString("{", ",", "}")
       val ms = micro.map { case (k, v) => "\"" + k + "\":" + sig4(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"micro":$ms,"sf":"$sfDir"}"""
+      val errs =
+        if (failed.isEmpty) ""
+        else failed.map("\"" + qkey(_) + "\"").mkString(""","errors":[""", ",", "]")
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"micro":$ms$errs,"sf":"$sfDir"}"""
     }
     val full = line(identity)
     // "q01_pricing_summary" -> "q01" keeps the line parseable if long

@@ -381,23 +381,32 @@ object IvfBinarySource {
     val d = new Path(path, s"list=$cid")
     val efs = fs(d)
     // deterministic target name = hash of the input file set → a task
-    // retry reproduces the same swap instead of adding a second copy
+    // retry reproduces the same swap instead of adding a second copy.
+    // The visible name ALSO carries the kept rows' vec_id zone map
+    // (ids=min_max) so a rewritten list keeps skipping — and that range
+    // is itself a pure function of (files, drop), so the name stays
+    // retry-stable; "already swapped" is a base-name prefix test since
+    // the range isn't known before the merge reads the rows.
     val gen = java.security.MessageDigest.getInstance("MD5")
       .digest(files.sorted.mkString("\n").getBytes("UTF-8"))
       .take(6).map(b => f"${b & 0xff}%02x").mkString
-    val target = new Path(d, s"part-00000-rw$gen.bin")
-    if (efs.exists(target)) {
+    val base = s"part-00000-rw$gen"
+    val swapped = Option(efs.globStatus(new Path(d, base + "*.bin")))
+      .getOrElse(Array.empty).map(_.getPath).toSet
+    if (swapped.nonEmpty) {
       // a prior attempt already swapped: only finish the cleanup
       files.foreach { f =>
         val p = new Path(f)
-        if (p != target && efs.exists(p)) efs.delete(p, false)
+        if (!swapped.contains(p) && efs.exists(p)) efs.delete(p, false)
       }
     } else {
-      val tmp = new Path(d, s"part-00000-rw$gen.tmp-" +
+      val tmp = new Path(d, s"$base.tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
       val out = new BufferedOutputStream(efs.create(tmp, true), 1 << 16)
       val rowBuf = new Array[Byte](width)
       var kept = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
       try {
         // inputs deleted by a previous partial attempt are skipped —
         // their rows live in that attempt's merged file (which, when
@@ -418,7 +427,12 @@ object IvfBinarySource {
                 }
                 val id = ByteBuffer.wrap(rowBuf, 0, 8)
                   .order(ByteOrder.LITTLE_ENDIAN).getLong
-                if (!drop.contains(id)) { out.write(rowBuf, 0, width); kept += 1 }
+                if (!drop.contains(id)) {
+                  out.write(rowBuf, 0, width)
+                  kept += 1
+                  if (id < mn) mn = id
+                  if (id > mx) mx = id
+                }
               }
             }
           } finally in.close()
@@ -433,8 +447,10 @@ object IvfBinarySource {
       } else {
         // swap order: merged file lands as .bin first, old files go
         // second — a crash in between duplicates rows, never loses
-        // them; a lost rename race (concurrent speculative attempt)
-        // discards this attempt's bytes
+        // them; a lost rename race (concurrent speculative attempt,
+        // which computed the IDENTICAL sealed name) discards this
+        // attempt's bytes
+        val target = new Path(d, statsName(base + ".bin", mn, mx))
         if (!efs.rename(tmp, target)) efs.delete(tmp, false)
         files.foreach(f => efs.delete(new Path(f), false))
       }

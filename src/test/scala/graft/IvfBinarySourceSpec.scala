@@ -425,6 +425,20 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     assert(dropped == victimIds.size.toLong)
     assert(load().count() == n0 - victimIds.size)
     assert(load().filter(col("vec_id").isin(victimIds.toSeq: _*)).count() == 0)
+    // rewritten lists re-seal their vec_id zone maps: every merged file
+    // carries a parseable ids=min_max segment, so skipping keeps working
+    // after maintenance
+    lists.foreach { cid =>
+      val dirF = new java.io.File(p, s"list=$cid")
+      if (dirF.exists()) {
+        val bins = dirF.listFiles().filter(_.getName.endsWith(".bin"))
+        assert(bins.nonEmpty)
+        bins.foreach { f =>
+          assert(IvfBinarySource.idStats(f.getName).isDefined,
+            s"rewritten ${f.getName} lost its zone map")
+        }
+      }
+    }
     // empty victim frame is a no-op
     assert(IvfBinarySource.delete(spark, p,
       vicDf.filter(col("vec_id") < Long.MinValue + 1)) == 0L)
