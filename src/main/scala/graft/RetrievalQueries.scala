@@ -86,37 +86,37 @@ object RetrievalQueries {
   def q45HybridRrf(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.RankOps
     val docs = t(s, dir, "documents")
-    // Checkpoint both score projections before ranking: range
-    // partitioning (inside globalRowNumber) executes its input TWICE —
-    // a boundary-sampling pass, then the shuffle — and recomputing the
-    // BM25 / cosine pipelines twice dominates the query. The
-    // checkpointed frames are the narrow (doc_id, score) projection —
-    // ~16 bytes/doc at any corpus scale, far cheaper to spill than to
-    // recompute.
     val bm25 = docs.select("doc_id")
       .join(bm25Scores(docs)
         .select(col("doc_id"), round(col("score"), 6).as("score")),
         Seq("doc_id"), "left")
       .na.fill(0.0, Seq("score"))
-      .localCheckpoint(true)
 
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
     val cos = e.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         (round(gf.cosine_sim(col("embedding"), col("qvec")), 6) + 0.0).as("sim"))
-      .localCheckpoint(true)
 
-    // exact global ranks via range-partitioned sort + zipWithIndex —
-    // never a single-partition window (RankOps scale note)
-    val lexRank = RankOps.globalRowNumber(bm25,
-      Seq(col("score").desc, col("doc_id").asc), "r_lex").select("doc_id", "r_lex")
-    val vecRank = RankOps.globalRowNumber(cos,
-      Seq(col("sim").desc, col("doc_id").asc), "r_vec").select("doc_id", "r_vec")
-    lexRank.join(vecRank, "doc_id")
-      .select(col("doc_id"),
-        round(lit(1.0) / (lit(60) + col("r_lex")) +
-          lit(1.0) / (lit(60) + col("r_vec")), 6).as("rrf"))
+    // Both full-corpus rankings ride ONE wide exchange: tag each leg,
+    // rank per leg (globalRowNumberPer), fold RRF with a groupBy —
+    // replacing two separate range shuffles and a two-sided rank join.
+    // The tagged union is checkpointed first because range partitioning
+    // executes its input twice (boundary sampling, then the shuffle)
+    // and recomputing the BM25/cosine pipelines twice dominates; the
+    // checkpoint is the narrow (doc_id, leg, key) projection — cheap to
+    // spill at any corpus scale. Every doc appears exactly once per leg
+    // (bm25 left-join-fills; doc_id ↔ vec_id is 1:1), so the RRF sum
+    // always sees both ranks.
+    val tagged = bm25.select(col("doc_id"), lit("lex").as("leg"),
+        col("score").as("key"))
+      .unionByName(cos.select(col("doc_id"), lit("vec").as("leg"),
+        col("sim").as("key")))
+      .localCheckpoint(true)
+    RankOps.globalRowNumberPer(tagged, "leg",
+        Seq(col("key").desc, col("doc_id").asc), "r")
+      .groupBy("doc_id")
+      .agg(round(sum(lit(1.0) / (lit(60) + col("r"))), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(20)
   }

@@ -58,4 +58,35 @@ object RankOps {
       .withColumn(rankCol, col("_mono") - col("_base") + col("_off") + 1)
       .drop("_pid", "_mono", "_base", "_off")
   }
+
+  /** Appends `rankCol` = 1-based row number under `order` computed
+    * INDEPENDENTLY per value of `legCol` — n rankings for the price of
+    * one wide exchange. Range-partitioning on (leg, order…) keeps each
+    * leg's rows contiguous and ordered across partitions; a leg may
+    * straddle a partition boundary, which the per-(partition, leg)
+    * base/offset bookkeeping absorbs. The offsets aggregate is
+    * partitions × legs rows — broadcast-sized — and its cumulative
+    * window partitions BY LEG, so it never exceeds partition-count rows
+    * per window. Use when several full-corpus rankings feed one
+    * consumer (q45's RRF: lexical + vector legs), replacing k separate
+    * shuffles and a k-way join with one shuffle and a groupBy. */
+  def globalRowNumberPer(df: DataFrame, legCol: String, order: Seq[Column],
+      rankCol: String): DataFrame = {
+    val fullOrder = col(legCol).asc +: order
+    val ranged = df.repartitionByRange(fullOrder: _*)
+      .sortWithinPartitions(fullOrder: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mono", monotonically_increasing_id())
+    val offsets = ranged.groupBy(col("_pid"), col(legCol))
+      .agg(count(lit(1)).as("_cnt"), min("_mono").as("_base"))
+      .withColumn("_off",
+        coalesce(sum("_cnt").over(Window.partitionBy(legCol)
+          .orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_pid"), col(legCol), col("_base"), col("_off"))
+    ranged
+      .join(broadcast(offsets), Seq("_pid", legCol))
+      .withColumn(rankCol, col("_mono") - col("_base") + col("_off") + 1)
+      .drop("_pid", "_mono", "_base", "_off")
+  }
 }

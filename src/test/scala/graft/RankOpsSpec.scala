@@ -43,6 +43,28 @@ class RankOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRowNumberPer ranks each leg independently in one shuffle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(3000)((rnd.nextLong(),
+        if (rnd.nextBoolean()) "lex" else "vec", rnd.nextInt(5) * 0.2))
+      .toDF("id", "leg", "key").repartition(9)
+    val got = RankOps.globalRowNumberPer(df, "leg",
+        Seq(col("key").desc, col("id").asc), "r")
+      .select("leg", "id", "r").as[(String, Long, Long)].collect()
+      .map { case (l, i, r) => (l, i) -> r }.toMap
+    val want = df.withColumn("r", row_number().over(
+        Window.partitionBy("leg").orderBy(col("key").desc, col("id").asc)))
+      .select("leg", "id", "r").as[(String, Long, Int)].collect()
+      .map { case (l, i, r) => (l, i) -> r.toLong }.toMap
+    assert(got == want)
+    // each leg's ranks are a contiguous 1..n_leg sequence
+    Seq("lex", "vec").foreach { l =>
+      val rs = got.collect { case ((`l`, _), r) => r }.toSeq.sorted
+      assert(rs == (1L to rs.length))
+    }
+  }
+
   test("globalRowNumber on empty input returns empty with the rank column") {
     import spark.implicits._
     val df = Seq.empty[(Long, Double)].toDF("id", "score")
