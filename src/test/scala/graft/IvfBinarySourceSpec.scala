@@ -442,5 +442,10 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     // empty victim frame is a no-op
     assert(IvfBinarySource.delete(spark, p,
       vicDf.filter(col("vec_id") < Long.MinValue + 1)) == 0L)
+    // non-empty frame whose ids all miss the index is also a no-op
+    // (exercises the affected-lists-empty early return)
+    val absent = spark.createDataFrame(
+      Seq(Tuple1(Long.MaxValue), Tuple1(Long.MaxValue - 1))).toDF("vec_id")
+    assert(IvfBinarySource.delete(spark, p, absent) == 0L)
   }
 }
