@@ -29,20 +29,35 @@ object Streams {
 
   // ---------- upload ingestion (reference §3.2 as a stream) ----------
 
-  /** Flatten → chunk → noop-embed → nearest-centroid assign. Stateless and
+  /** Flatten → chunk → embed → nearest-centroid assign. Stateless and
     * partition-local ⇒ valid on a streaming frame; write with
     * `.writeStream.foreachBatch` appending parquet `partitionBy(centroid_id)`
-    * so the IVF search path partition-prunes new data immediately. */
+    * so the IVF search path partition-prunes new data immediately.
+    *
+    * `provider` is the embed seam: None (default — tests, benchmarks,
+    * oracles) keeps the deterministic noop expression inline in
+    * codegen; Some(HttpProvider(...)) batches chunk texts to a real
+    * embed service per partition ([[graft.functions.Embedder]]), which
+    * is the reference's upload lifecycle against Ollama
+    * (server/upload.go → ai/ollama/embed.go). Both paths emit the same
+    * (qvec quantized, embedding dequantized) column pair. */
   def ingestChunks(docs: DataFrame, model: IvfIndex.Model,
-      ctxNum: Int = 256, dim: Int = 64): DataFrame = {
+      ctxNum: Int = 256, dim: Int = 64,
+      provider: Option[graft.functions.EmbedProvider] = None): DataFrame = {
     val chunked = docs
       .withColumn("flat", gf.flatten_doc(col("text")))
       .select(col("doc_id"),
         posexplode(gf.split_chunks(col("flat"), lit("search_document: "), lit(ctxNum)))
           .as(Seq("chunk_id", "chunk")))
-      .withColumn("qvec", gf.noop_embed(col("chunk"), dim))
+    val embedded = provider match {
+      case None =>
+        chunked.withColumn("qvec", gf.noop_embed(col("chunk"), dim))
+      case Some(p) =>
+        graft.functions.Embedder.embedColumn(chunked, "chunk", p) // outCol = qvec
+    }
+    val withVec = embedded
       .withColumn("embedding", gf.dequantize_vec(col("qvec")))
-    IvfIndex.assign(chunked, "embedding", model)
+    IvfIndex.assign(withVec, "embedding", model)
       .select(col("doc_id"), col("chunk_id"), col("chunk"), col("qvec"),
         col("centroid_id"), col("centroid_sim"))
   }

@@ -109,6 +109,43 @@ class EmbedderSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("ingestChunks through a provider equals the inline noop path") {
+    import graft.streaming.Streams
+    import graft.index.IvfIndex
+    val docs = Tables.load(spark, SparkSuite.sf0001, "documents").limit(40)
+    val e = Tables.load(spark, SparkSuite.sf0001, "embeddings")
+    val (_, model) = IvfIndex.build(e, "embedding",
+      IvfIndex.Params(listSize = 20, sampleSize = 1000))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "chunk_id", "chunk", "qvec", "centroid_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getAs[Array[Byte]](3).toSeq, r.getInt(4))).toSet
+    // NoopProvider is the deterministic twin of the inline expression:
+    // routing ingest through the provider seam must not change one row
+    val inline = rows(Streams.ingestChunks(docs, model, dim = 64))
+    val seam = rows(Streams.ingestChunks(docs, model, dim = 64,
+      provider = Some(NoopProvider(64))))
+    assert(seam == inline)
+    assert(inline.nonEmpty)
+  }
+
+  test("ingestChunks drives the HTTP provider against the stub server") {
+    import graft.streaming.Streams
+    import graft.index.IvfIndex
+    val stub = new StubServer(dim = 64)
+    try {
+      val docs = Tables.load(spark, SparkSuite.sf0001, "documents").limit(10)
+      val e = Tables.load(spark, SparkSuite.sf0001, "embeddings")
+      val (_, model) = IvfIndex.build(e, "embedding",
+        IvfIndex.Params(listSize = 20, sampleSize = 1000))
+      val out = Streams.ingestChunks(docs, model, dim = 64,
+        provider = Some(HttpProvider(Seq(stub.url), "m", dim = 64))).collect()
+      assert(out.nonEmpty)
+      assert(stub.hits.get() >= 1, "ingest must reach the embed service")
+    } finally stub.stop()
+  }
+
   test("embedColumn matches the noop_embed expression for every row") {
     val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
       .select("doc_id", "text").limit(100)
