@@ -152,11 +152,15 @@ object OwnershipQueries {
     builtStore(s, dir).tree(s)
 
   /** The fetch surface: categories of the lexicographically-first owner
-    * (reference FetchCategoryNames, fetch.go:104-128). */
+    * (reference FetchCategoryNames, fetch.go:104-128). The first owner
+    * is read off the TINY owners dimension, not another fact scan —
+    * the dim holds exactly the resolved (both-non-null) names of the
+    * oracle's `names` CTE, so this also keeps parity on corpora where
+    * the raw min(source) row carries only null langs. */
   def q74FetchCategories(s: SparkSession, dir: String): DataFrame = {
     val store = builtStore(s, dir)
-    val first = docs(s, dir).filter(col("owner_name").isNotNull)
-      .agg(min("owner_name")).head().getString(0)
+    if (!store.owners.isInitialized) return store.fetchCategories(s, "")
+    val first = store.owners.read(s).agg(min("owner_name")).head().getString(0)
     store.fetchCategories(s, first)
   }
 
