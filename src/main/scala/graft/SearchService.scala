@@ -76,6 +76,26 @@ object SearchService {
     }
   }
 
+  /** Request-level TTL cache + singleflight in front of the read path —
+    * the reference's cache middleware on /api/search
+    * (cache/middleware.go:18-163, 5 s TTL per config/constants.go:15).
+    * Values are the COLLECTED page (≤ count+offset rows), so a hit
+    * costs zero Spark jobs, and concurrent identical requests share ONE
+    * execution instead of stampeding the cluster. Writers must call
+    * [[CachedSearch.invalidate]] after mutating the index/documents
+    * (the reference's delete/upload call cache.Delete the same way). */
+  final class CachedSearch(spark: SparkSession, indexed: DataFrame,
+      documents: DataFrame, model: IvfIndex.Model,
+      ttlMs: Long = 5000L,
+      clock: () => Long = () => System.currentTimeMillis()) {
+    private val cache = new graft.operators.TtlCache[SearchRequest,
+      Array[org.apache.spark.sql.Row]](ttlMs, clock = clock)
+    def search(req: SearchRequest): Array[org.apache.spark.sql.Row] =
+      cache.getOrCompute(req)(
+        searchHot(spark, indexed, documents, model, req).collect())
+    def invalidate(): Unit = cache.invalidateAll()
+  }
+
   /** The probe → pruned scan → per-doc best-chunk → paginated top-k
     * subgraph shared by every read-path shape. */
   private def pageGraph(indexed: DataFrame, model: IvfIndex.Model,
