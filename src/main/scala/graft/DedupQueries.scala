@@ -51,24 +51,31 @@ object DedupQueries {
     * filter (verify stage); it is exact-by-construction here so the
     * oracle can replicate it without minhash error. */
   def q22JaccardNeardup(s: SparkSession, dir: String): DataFrame = {
+    // each shingle row carries its document's distinct-shingle count n
+    // (a doc_id-partitioned window — per-doc groups, never global), so
+    // (a) the size-band prune below fires AT THE JOIN and (b) the final
+    // jaccard needs no separate sizes joins. Checkpointed: feeds both
+    // join sides, and the shingle kernel runs once.
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-      // sh feeds three plan branches (sizes + both join sides); compute
-      // the shingle kernel once
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .localCheckpoint(true)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // self-join (not group+collect_list combinations): measured equal at
     // sf0.1, and the join form lets AQE split a hot-shingle partition
-    // where a collected array cannot be split
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // where a collected array cannot be split. The size band is exact
+    // pruning, not a heuristic: J ≥ 0.8 forces min/max ≥ 0.8 (since
+    // i ≤ min and u ≥ max), i.e. 5·min ≥ 4·max in exact integers —
+    // near-miss pairs die at the join instead of flowing through the
+    // pair aggregation.
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
-        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("j"))
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("j"))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
