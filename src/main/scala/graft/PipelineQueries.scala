@@ -116,6 +116,34 @@ object PipelineQueries {
     t(s, dir, "documents")
       .select(col("doc_id"), round(qualityExpr(col("text")), 4).as("quality"))
 
+  /** The full curation run as ONE declarative manifest query, the gates
+    * chained exactly as a training-data job chains them: quality ≥ 0.5
+    * (q30's expression, compared on the ROUNDED score so the boundary
+    * is engine-stable) → language whitelist → exact-dedup keep-one
+    * (q18's fingerprint, min-doc_id wins) → reproducible split (q52's
+    * md5 nibble). Emits the surviving (doc_id, lang, n_tokens, split)
+    * manifest. Each stage is an already-oracle-checked operator; this
+    * checks the COMPOSITION end-to-end. Dedup keep-one is a window per
+    * fingerprint — groups bounded by duplicate-cluster size, never a
+    * global window; everything else is row-local, so the whole
+    * manifest is one scan plus one fingerprint-key shuffle. */
+  def q77CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val gated = t(s, dir, "documents")
+      .filter(round(qualityExpr(col("text")), 4) >= 0.5 &&
+        col("lang").isin("en", "es", "de", "zh"))
+    val nib = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    gated
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("keep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"),
+        gf.token_count(col("text")).as("n_tokens"),
+        when(nib.isin("c", "d"), "val")
+          .when(nib.isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+  }
+
   /** Multimodal pipeline (rows-only check; kernel semantics pinned in
     * MultimodalSpec): synthesize deterministic media blobs for each doc,
     * decode metadata, frame-sample the payload, aggregate per kind. All
@@ -213,7 +241,8 @@ object PipelineQueries {
     "q27_flatten_chunks" -> q27FlattenChunks _,
     "q28_upload_pipeline" -> q28UploadPipeline _,
     "q29_sessionize" -> q29Sessionize _,
-    "q30_quality_score" -> q30QualityScore _
+    "q30_quality_score" -> q30QualityScore _,
+    "q77_curation_pipeline" -> q77CurationPipeline _
   )
 
   val oracle: Map[String, String] = Map(
@@ -315,6 +344,46 @@ object PipelineQueries {
         |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |        / (CASE WHEN length(trim(text)) = 0 THEN 0
         |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS meanWord
-        |    FROM documents))""".stripMargin
+        |    FROM documents))""".stripMargin,
+    "q77_curation_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text, lang,
+        |    round(CASE WHEN len = 0 OR toks = 0 THEN 0.0
+        |      ELSE (lenScore + alphaScore + punctScore + wordScore) / 4.0 END, 4) AS quality
+        |  FROM (
+        |    SELECT doc_id, text, lang, len, toks,
+        |      CASE WHEN len >= 100 AND len <= 20000 THEN 1.0
+        |           WHEN len >= 20 THEN 0.5 ELSE 0.0 END AS lenScore,
+        |      CASE WHEN alphaRatio >= 0.6 THEN 1.0 ELSE alphaRatio / 0.6 END AS alphaScore,
+        |      CASE WHEN punctRatio <= 0.1 THEN 1.0
+        |           ELSE greatest(0.0, 1.0 - (punctRatio - 0.1) * 5) END AS punctScore,
+        |      CASE WHEN meanWord >= 3 AND meanWord <= 12 THEN 1.0 ELSE 0.5 END AS wordScore
+        |    FROM (
+        |      SELECT doc_id, text, lang,
+        |        CAST(length(text) AS DOUBLE) AS len,
+        |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+        |        CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |          / length(text) AS alphaRatio,
+        |        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |          / length(text) AS punctRatio,
+        |        CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |          / (CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS meanWord
+        |      FROM documents)))
+        |, gated AS (
+        |  SELECT doc_id, text, lang FROM scored
+        |  WHERE quality >= 0.5 AND lang IN ('en', 'es', 'de', 'zh'))
+        |, kept AS (
+        |  SELECT doc_id, text, lang,
+        |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
+        |  FROM gated)
+        |SELECT doc_id, lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM kept WHERE doc_id = keep_id""".stripMargin
   )
 }
