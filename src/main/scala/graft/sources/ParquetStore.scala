@@ -94,6 +94,35 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
     }
   }
 
+  /** Small-file compaction: buckets holding `minFiles`+ parquet parts
+    * rewrite into a single file each via the same dynamic partition
+    * overwrite as upsert — buckets under the threshold keep their
+    * files untouched. Streaming upsert/append lands one file per
+    * (micro-batch, bucket), so per-bucket file count — and every
+    * read's open() cost — grows with batch count until compaction
+    * restores one-file-per-bucket (the relational twin of
+    * [[IvfBinarySource.compact]]). Offline operation: not safe
+    * concurrently with writers. Returns # buckets rewritten. */
+  def compact(spark: SparkSession, minFiles: Int = 2): Long = {
+    val crowded = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("_bucket="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) >= minFiles)
+      .map(_.getName.stripPrefix("_bucket=").toLong)
+    if (crowded.isEmpty) return 0L
+    // one shuffle partition per crowded bucket → one output file per
+    // dir (a hash collision folds two buckets into one task; each dir
+    // still receives exactly one file, written by that task)
+    val rows = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("_bucket").isin(crowded: _*))
+      .repartition(crowded.length, col("_bucket"))
+    val snapshot = rows.localCheckpoint(true)
+    dynamicOverwrite(spark) {
+      snapshot.write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("_bucket").parquet(path)
+    }
+    crowded.length.toLong
+  }
+
   /** True once the store has been materialized on disk. */
   def isInitialized: Boolean = bucketDirs.nonEmpty
 

@@ -92,6 +92,40 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(childStore.read(spark).count() == expected)
   }
 
+  test("compact folds multi-file buckets to one file; sparse buckets untouched") {
+    import spark.implicits._
+    val store = ParquetStore(tmp(), "doc_id", nBuckets = 4)
+    store.create(docs)
+    // three appends → several files per touched bucket
+    (1 to 3).foreach { i =>
+      store.append(Seq((200000L + i, s"late doc $i", "en", "srcZ"))
+        .toDF("doc_id", "text", "lang", "source"))
+    }
+    val rowsBefore = store.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def filesPerBucket: Map[String, Int] =
+      store.bucketDirs.map { d =>
+        d -> new java.io.File(store.path, d).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+      }.toMap
+    val before = filesPerBucket
+    assert(before.values.exists(_ > 1), "appends must have split buckets")
+    val sparse = before.filter(_._2 == 1).keySet
+    val sparseMtimes = filesWithMtime(store.path)
+      .filter { case (p, _) => sparse.exists(d => p.contains(s"/$d/")) }
+    val n = store.compact(spark)
+    assert(n == before.values.count(_ >= 2).toLong)
+    assert(filesPerBucket.values.forall(_ == 1), "every bucket must be one file")
+    // row set byte-identical, sparse buckets' files untouched
+    val rowsAfter = store.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsAfter == rowsBefore)
+    sparseMtimes.foreach { case (p, m) =>
+      assert(new java.io.File(p).lastModified() == m, s"sparse file $p rewritten")
+    }
+    assert(store.compact(spark) == 0L, "already-compact store is a no-op")
+  }
+
   private def filesWithMtime(path: String): Map[String, Long] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
