@@ -88,7 +88,7 @@ object Streams {
     * keyed sinks without transactional storage. */
   def runIngestUpsert(docsStream: DataFrame, model: IvfIndex.Model,
       store: graft.sources.ParquetStore, checkpointDir: String,
-      ctxNum: Int = 256, dim: Int = 64): Unit = {
+      ctxNum: Int = 256, dim: Int = 64, compactAfter: Boolean = false): Unit = {
     val q = ingestChunks(docsStream, model, ctxNum, dim)
       .withColumn("chunk_key",
         concat(col("doc_id"), lit("#"), col("chunk_id")))
@@ -101,6 +101,10 @@ object Streams {
       }
       .start()
     q.awaitTermination()
+    // AvailableNow has drained and the writer stopped — the only moment
+    // store compaction is safe next to this writer (mirrors the binary
+    // index's post-drain hook)
+    if (compactAfter) store.compact(docsStream.sparkSession)
   }
 
   /** Ingest straight into the DSv2 binary index

@@ -311,6 +311,20 @@ class StreamsSpec extends AnyFunSuite {
     val before = snapshot()
     run()
     assert(snapshot() == before)
+
+    // post-drain compaction: after several upserting batches, one more
+    // drained run with compactAfter folds every bucket to one file and
+    // changes no row
+    addFile("c.parquet", Seq((4L, """{"t": "fourth doc"}""")))
+    val stream2 = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir.toString)
+    Streams.runIngestUpsert(stream2, model, store, ckpt, compactAfter = true)
+    store.bucketDirs.foreach { d =>
+      val files = new java.io.File(store.path, d).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$d not compacted ($files files)")
+    }
+    assert(store.read(spark).select("doc_id").distinct().count() == 4)
   }
 
   test("stream-stream join pairs events within the time bound only") {
