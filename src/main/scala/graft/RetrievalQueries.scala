@@ -34,41 +34,47 @@ object RetrievalQueries {
 
   /** Shared BM25 core → (doc_id, score), docs with ≥1 term hit only.
     *
-    * Scale shape: document length is `gf.token_count` — one codegen'd
-    * expression, NOT an explode+groupBy over the token stream; the corpus
-    * stats (N, avgdl) are ONE aggregate action; the token explode
-    * survives only long enough to count the fixed query terms, and that
-    * (doc, term) tf table — bounded by |docs|×|terms| — is the only thing
-    * checkpointed. df/idf is a tiny per-term aggregate broadcast back. */
+    * Scale shape: ZERO wide shuffles. The query term set is fixed, so
+    * per-doc term frequencies are row-local higher-order expressions
+    * (count of exact whitespace tokens equal to each term) — the token
+    * stream is never exploded, never shuffled, never checkpointed. The
+    * per-term document frequencies ride the SAME single-row broadcast
+    * aggregate as the corpus stats (N, avgdl; idf's N is ALL docs while
+    * avgdl averages docs with ≥1 token — the oracle's dl CTE excludes
+    * empty/whitespace/null texts). Scoring is then one row-local
+    * expression per doc: scan → broadcast 1-row stats → arithmetic. */
   private def bm25Scores(docs: DataFrame): DataFrame = {
-    // idf's N is ALL docs; avgdl averages over docs WITH ≥1 token only
-    // (the oracle's dl CTE excludes empty/whitespace/null texts — a
-    // corpus with empty docs must not deflate avgdl). The corpus stats
-    // ride as a broadcast single-row aggregate instead of a blocking
-    // driver action — one fewer job, same IEEE arithmetic (sum/count are
-    // long until the same final double division the driver did).
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    def tfOf(term: String): Column =
+      when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(filter(toks, x => x === term)).cast("long"))
     val tc = gf.token_count(col("text")).cast("long")
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n_all"),
-      count(when(tc > 0, 1)).as("n_tok"),
-      coalesce(sum(tc), lit(0L)).as("tot"))
-      .select(col("n_all"),
+    val perDoc = docs.select(
+      col("doc_id") +: tc.as("dl") +:
+        TERMS.map(t => tfOf(t).as(s"tf_$t")): _*)
+    val aggs =
+      count(lit(1)).cast("double").as("n_all") ::
+        count(when(col("dl") > 0, 1)).as("n_tok") ::
+        coalesce(sum("dl"), lit(0L)).as("tot") ::
+        TERMS.map(t => count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t")).toList
+    val stats = perDoc.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_all") +:
         when(col("n_tok") === 0, 1.0)
-          .otherwise(col("tot").cast("double") / col("n_tok")).as("avgdl"))
-    val tf = tokens(docs).filter(col("tok").isin(TERMS: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds df and the scoring join
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"),
-      gf.token_count(col("text")).cast("long").as("dl"))
-    tf.join(broadcast(df), "tok")
-      .join(dl, "doc_id")
+          .otherwise(col("tot").cast("double") / col("n_tok")).as("avgdl") +:
+        TERMS.map(t => col(s"df_$t")): _*)
+    val termScore = TERMS.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_all") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      when(col(s"tf_$t") > 0,
+        idf * (tf * lit(K1 + 1)) /
+          (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .otherwise(0.0)
+    }.reduce(_ + _)
+    perDoc
+      .filter(TERMS.map(t => col(s"tf_$t") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_all") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("s", col("idf") * (col("tf") * lit(K1 + 1)) /
-        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id").agg(sum("s").as("score"))
+      .select(col("doc_id"), termScore.as("score"))
   }
 
   /** BM25 (Lucene idf variant: ln(1 + (N-df+0.5)/(df+0.5))) scores for
