@@ -36,7 +36,9 @@ class SimdKernelsSpec extends AnyFunSuite {
 
   test("dotFast matches scalar dot within relative 1e-5") {
     val rnd = new scala.util.Random(11)
-    for (len <- Seq(5, 64, 512)) {
+    // sweep the unrolled kernel's boundaries: inside one vector width,
+    // at/around 1x and 2x widths (the unroll-2 stride), and odd tails
+    for (len <- Seq(1, 5, 15, 16, 17, 31, 32, 33, 47, 64, 65, 512, 1000)) {
       val a = Array.fill(len)(rnd.nextFloat() * 2 - 1)
       val b = Array.fill(len)(rnd.nextFloat() * 2 - 1)
       val fast = VectorKernels.dotFast(a, b)
