@@ -22,7 +22,7 @@ object Bench {
     // here, not on whichever query happens to iterate first
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // min of three runs: one timing sample is GC/compilation-noise-bound
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -36,10 +36,13 @@ object Bench {
       // frames are GC'd; collecting between queries lets ContextCleaner
       // release them instead of inflating later queries' GC time
       System.gc()
-      if (times.isEmpty) { failed += name; name -> 999.0 }
-      else name -> times.min
-    }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+      // a query whose three runs all failed contributes NOTHING to the
+      // totals — a 999-style sentinel would skew cross-round comparisons;
+      // it is reported only through the errors array
+      if (times.isEmpty) { failed += name; None }
+      else Some(name -> times.min)
+    }.flatten
+    val total = results.map(_._2).sum
     val micro = micro0 ++ annBench(spark, sfDir)
     // The driver keeps only the last ~2000 chars of output and parses the
     // JSON line out of that tail (BENCH_r{1,2,3}.json all show
@@ -62,8 +65,11 @@ object Bench {
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"micro":$ms$errs,"sf":"$sfDir"}"""
     }
     val full = line(identity)
-    // "q01_pricing_summary" -> "q01" keeps the line parseable if long
-    println(if (full.length <= 1800) full else line(_.take(3)))
+    // "q01_pricing_summary" -> "q01" keeps the line parseable if long;
+    // the key is the full first underscore segment, NOT a fixed-width
+    // prefix — take(3) collided q24_simhash_pairs/q24b_simhash_banded
+    // into one "q24" key and a JSON parser silently dropped one timing
+    println(if (full.length <= 1800) full else line(_.takeWhile(_ != '_')))
     spark.stop()
   }
 

@@ -35,14 +35,19 @@ object CurationQueries {
     * postings (sorted doc ids). The posting list is explicitly bounded —
     * an unbounded collect_list on a hot term is the classic 100 TB
     * failure; real deployments shard postings by (term, doc_id range),
-    * which this per-term cap stands in for. One distinct + one groupBy. */
+    * which this per-term cap stands in for. One distinct + one groupBy.
+    * Postings are emitted comma-joined (sorted numerically first) so the
+    * oracle gate can canonicalize the column — array cells aren't
+    * hashable on the checker side. */
   def q56InvertedIndex(s: SparkSession, dir: String): DataFrame =
     tokens(t(s, dir, "documents"))
       .filter(col("tok").isin(IDX_TERMS: _*))
       .distinct()
       .groupBy("tok")
       .agg(count(lit(1)).as("df"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("postings"))
+        array_join(
+          expr("transform(slice(sort_array(collect_list(doc_id)), 1, 20)," +
+            " x -> cast(x as string))"), ",").as("postings"))
 
   /** Per-document top-3 terms by tf-idf (tf × ln(N/df)) — the document
     * signature every retrieval/clustering pipeline derives. The term df
@@ -53,8 +58,13 @@ object CurationQueries {
     // corpus size rides along as a broadcast single-row aggregate instead
     // of a separate driver-side count() job
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    // tf feeds both the df aggregate and the scoring join, but it is
+    // doc×term — corpus-sized. Same policy as q47's trigram stream: NOT
+    // checkpointed; recomputing it costs one extra scan + partial-agg
+    // exchange, while materializing it pins corpus-scale memory in the
+    // block manager and an executor loss severs the lineage. (Measured
+    // parity at sf0.1; at 100 TB the recompute is strictly safer.)
     val tf = tokens(docs).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds df and the scoring join
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("tok").asc)
@@ -226,7 +236,9 @@ object CurationQueries {
       s"""WITH $tokCte,
          |d AS (SELECT DISTINCT tok, doc_id FROM tk WHERE tok IN ($idxTermList))
          |SELECT tok, count(*) AS df,
-         |  (list_sort(list(doc_id)))[1:20] AS postings
+         |  array_to_string(
+         |    list_transform((list_sort(list(doc_id)))[1:20],
+         |      x -> CAST(x AS VARCHAR)), ',') AS postings
          |FROM d GROUP BY tok""".stripMargin,
     "q57_tfidf_topterms" ->
       s"""WITH $tokCte,
@@ -320,7 +332,7 @@ object CurationQueries {
         |  SELECT CAST(sum(tokens) AS DOUBLE) AS total,
         |         CAST(count(*) AS DOUBLE) AS n_src
         |  FROM per)
-        |SELECT source, n_docs, tokens,
+        |SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
         |  round(tokens / total, 6) AS share,
         |  round(1.0 / n_src, 6) AS target_share,
         |  round(least(1.0, (total * 0.5 / n_src) / tokens), 6) AS keep_rate,
@@ -331,7 +343,7 @@ object CurationQueries {
         |  SELECT md5(lower(trim(text))) AS fp, count(*) AS n_copies
         |  FROM documents GROUP BY 1)
         |SELECT n_copies, count(*) AS n_clusters,
-        |  sum(n_copies) - count(*) AS docs_removed
+        |  CAST(sum(n_copies) - count(*) AS BIGINT) AS docs_removed
         |FROM cl GROUP BY n_copies""".stripMargin
   )
 }
