@@ -206,6 +206,81 @@ object SearchService {
       .orderBy(col("qid").asc, col("similarity").desc, col("document_id").asc)
   }
 
+  /** Chat request semantics (reference server/chat.go:24-30): optional
+    * question prefix, alternating user/assistant history, the question
+    * text, plus context documents — inline JSON blobs and/or store ids
+    * to fetch. */
+  final case class ChatRequest(
+      text: String,
+      prefix: String = "",
+      history: Seq[String] = Nil,
+      documentIds: Seq[Long] = Nil,
+      documents: Seq[String] = Nil) // inline JSON docs, kept FIRST (chat.go:120-123)
+
+  final case class ChatResult(messages: Seq[(String, String)], reply: String)
+
+  /** The /api/chat lifecycle (server/chat.go:109-181): fetch the context
+    * documents by id, assemble the RAG prompt — history turns, a
+    * `"""flattened"""` block per document, the prefixed question — and
+    * call the generate provider. The id fetch is the same bounded
+    * point-read shape as [[search]]'s backfill: an IN-list filter pushed
+    * to the document store scan, never a full-table pass; a chat context
+    * is dozens of documents, so the collect is driver-bounded by
+    * construction. Returns the assembled messages (spec'd byte-exact
+    * against the reference's builder) and the provider's reply.
+    *
+    * `documents` must carry (`idCol`, `jsonCol`) where `jsonCol` is the
+    * stored document JSON (the reference keeps uploads as JSON blobs,
+    * database/model.go; relational tables get there via
+    * `to_json(struct(...))`). Fetched docs append after inline ones in
+    * id order — GORM's `Find(&docs, ids)` primary-key order. */
+  def chat(spark: SparkSession, documents: DataFrame, req: ChatRequest,
+      provider: graft.functions.GenerateProvider,
+      idCol: String = "document_id", jsonCol: String = "doc_json"): ChatResult = {
+    val messages = chatPrompt(documents, req, idCol, jsonCol)
+    ChatResult(messages, provider.chat(messages))
+  }
+
+  /** Streaming twin of [[chat]] — token chunks in arrival order
+    * (server/chat.go streams runes to the client as they decode). */
+  def chatStream(spark: SparkSession, documents: DataFrame, req: ChatRequest,
+      provider: graft.functions.GenerateProvider,
+      idCol: String = "document_id", jsonCol: String = "doc_json"): Iterator[String] =
+    provider.chatStream(chatPrompt(documents, req, idCol, jsonCol))
+
+  /** RAG facade: the reference client's two-call flow (/api/search then
+    * /api/chat with the hit ids) as one engine call — search the index,
+    * feed the page's document ids to [[chat]]. */
+  def ragChat(spark: SparkSession, indexed: DataFrame, documents: DataFrame,
+      model: IvfIndex.Model, req: ChatRequest,
+      provider: graft.functions.GenerateProvider, topK: Int = 3,
+      nprobe: Int = 1, vecCol: String = "embedding", dim: Int = 64,
+      idCol: String = "document_id", jsonCol: String = "doc_json"): ChatResult = {
+    val page = pageGraph(indexed, model,
+      Clamped(count = topK, offset = 0, nprobe = clamp(
+        SearchRequest(req.text, count = topK, centroids = nprobe), model.k).nprobe),
+      req.text, vecCol, dim)
+    val hitIds = page.collect().map(_.getLong(0)).toSeq
+    chat(spark, documents,
+      req.copy(documentIds = (req.documentIds ++ hitIds).distinct),
+      provider, idCol, jsonCol)
+  }
+
+  private def chatPrompt(documents: DataFrame, req: ChatRequest,
+      idCol: String, jsonCol: String): Seq[(String, String)] = {
+    val fetched =
+      if (req.documentIds.isEmpty) Seq.empty[String]
+      else documents
+        .filter(col(idCol).isin(req.documentIds: _*)) // IN-pushed point read
+        .select(col(idCol), col(jsonCol))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getString(1))
+        .toSeq
+    graft.functions.TextKernels.chatMessages(
+      req.history, req.documents ++ fetched, req.prefix, req.text)
+  }
+
   /** Full document DELETE lifecycle (reference server/delete.go:214-288):
     * the relational cascade — document + chunk stores, co-bucketed so only
     * touched buckets rewrite — plus the index half

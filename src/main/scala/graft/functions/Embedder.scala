@@ -50,36 +50,15 @@ final case class HttpProvider(endpoints: Seq[String], model: String,
 
   def embedBatch(texts: Seq[String]): Seq[Array[Byte]] = {
     if (texts.isEmpty) return Seq.empty
-    val mapper = HttpProvider.mapper
+    val mapper = HttpSeam.mapper
     val root = mapper.createObjectNode()
     root.put("model", model)
     val arr = root.putArray("input")
     texts.foreach(arr.add)
     val body = mapper.writeValueAsString(root)
-    var sweep = 0
-    var lastErr: Throwable = null
-    while (sweep < maxRetries) {
-      // fresh least-connections order each sweep — a dead endpoint sinks
-      // to the back as its failures never bump totals
-      val ordered = endpoints.sortBy(e => HttpProvider.load(e)).iterator
-      while (ordered.hasNext) {
-        val ep = ordered.next()
-        HttpProvider.enter(ep)
-        val resp =
-          try Some(HttpProvider.post(ep, body, bearerToken, requestTimeoutMs))
-          catch { case scala.util.control.NonFatal(e) => lastErr = e; None }
-          finally HttpProvider.exit(ep)
-        resp match {
-          case Some(payload) => return parse(mapper, payload, texts.length)
-          case None =>
-        }
-      }
-      sweep += 1
-      if (sweep < maxRetries) Thread.sleep(backoffMs * sweep)
-    }
-    throw new RuntimeException(
-      s"embed failed after $maxRetries sweeps over ${endpoints.length} endpoints",
-      lastErr)
+    val payload = HttpSeam.request(endpoints, "/api/embed", body,
+      bearerToken, requestTimeoutMs, maxRetries, backoffMs, "embed")
+    parse(mapper, payload, texts.length)
   }
 
   private def parse(mapper: com.fasterxml.jackson.databind.ObjectMapper,
@@ -98,10 +77,75 @@ final case class HttpProvider(endpoints: Seq[String], model: String,
   }
 }
 
-object HttpProvider {
+/** OpenAI-shaped HTTP provider (reference ai/openai/embed.go:19-88): POST
+  * `<endpoint>/v1/embeddings` with `{"model": m, "input": [texts…]}` and
+  * bearer auth, reading the standard `{"data": [{"index": i, "embedding":
+  * [f…]}…]}` response (re-ordered by `index` — OpenAI guarantees order
+  * but indexes are authoritative). Quirk note: the reference decodes the
+  * openai response into its OLLAMA response struct (embed.go:84 →
+  * aicomms.EmbedResponse's `embeddings` field), so it only actually works
+  * against ollama-compatible proxies; we accept BOTH shapes — `data` per
+  * the real API, `embeddings` for those proxies. Same endpoint rotation,
+  * retry, and quantized wire format as [[HttpProvider]]. */
+final case class OpenAiEmbedProvider(endpoints: Seq[String], model: String,
+    dim: Int, bearerToken: String = "", maxRetries: Int = 3,
+    requestTimeoutMs: Long = 60000L, backoffMs: Long = 100L)
+    extends EmbedProvider {
+  require(endpoints.nonEmpty, "need at least one embed endpoint")
+
+  def embedBatch(texts: Seq[String]): Seq[Array[Byte]] = {
+    if (texts.isEmpty) return Seq.empty
+    val mapper = HttpSeam.mapper
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val arr = root.putArray("input")
+    texts.foreach(arr.add)
+    val body = mapper.writeValueAsString(root)
+    val payload = HttpSeam.request(endpoints, "/v1/embeddings", body,
+      bearerToken, requestTimeoutMs, maxRetries, backoffMs, "embed")
+    parse(mapper, payload, texts.length)
+  }
+
+  private def parse(mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      body: String, expect: Int): Seq[Array[Byte]] = {
+    val tree = mapper.readTree(body)
+    def vec(node: com.fasterxml.jackson.databind.JsonNode): Array[Byte] = {
+      val v = new Array[Float](node.size())
+      var j = 0
+      while (j < v.length) { v(j) = node.get(j).floatValue(); j += 1 }
+      VectorKernels.quantize(v)
+    }
+    val data = tree.get("data")
+    if (data != null && data.isArray) {
+      require(data.size() == expect,
+        s"invalid response data count: got ${data.size()}, want $expect")
+      val out = new Array[Array[Byte]](expect)
+      (0 until expect).foreach { i =>
+        val item = data.get(i)
+        val idx = if (item.has("index")) item.get("index").intValue() else i
+        out(idx) = vec(item.get("embedding"))
+      }
+      out.toSeq
+    } else {
+      val embs = tree.get("embeddings") // ollama-compatible proxy shape
+      require(embs != null && embs.isArray && embs.size() == expect,
+        s"response has neither data[] nor embeddings[] of length $expect")
+      (0 until expect).map(i => vec(embs.get(i)))
+    }
+  }
+}
+
+/** Shared HTTP transport behind every provider (reference
+  * ai/httpclient/httpclient.go:44-116 + comms Url rotation): per-JVM
+  * active/total counters per endpoint, least-connections endpoint
+  * selection (ties broken by fewest total served, so sequential callers
+  * round-robin), linear-backoff retry sweeps over the pool. Counters are
+  * keyed by endpoint string and shared across provider kinds — like the
+  * reference's per-host client manager. */
+private[graft] object HttpSeam {
   private lazy val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10)).build()
-  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private[functions] lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val active =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val total =
@@ -117,15 +161,81 @@ object HttpProvider {
   /** Test/inspection hook: requests actually served per endpoint. */
   private[graft] def served(e: String): Long = ctr(total, e).get()
 
-  private def post(endpoint: String, body: String, token: String,
-      timeoutMs: Long): String = {
+  /** One logical request: sweep the pool least-connections-first, retry
+    * failed endpoints on the next-best, linear backoff between sweeps.
+    * Returns the 200 response body; throws after `maxRetries` sweeps. */
+  def request(endpoints: Seq[String], path: String, body: String,
+      token: String, timeoutMs: Long, maxRetries: Int, backoffMs: Long,
+      what: String): String =
+    sweep(endpoints, maxRetries, backoffMs, what) { ep =>
+      post(ep, path, body, token, timeoutMs)
+    }
+
+  /** Streaming variant: same selection/retry for CONNECTING, then hands
+    * back the response's line iterator (NDJSON streams). Mid-stream
+    * failures propagate to the consumer — only connection/status errors
+    * rotate, matching the reference (a stream that dies mid-flight is
+    * surfaced, not silently re-run with duplicated prefix). */
+  def requestLines(endpoints: Seq[String], path: String, body: String,
+      token: String, timeoutMs: Long, maxRetries: Int, backoffMs: Long,
+      what: String): Iterator[String] =
+    sweep(endpoints, maxRetries, backoffMs, what) { ep =>
+      val resp = send(ep, path, body, token, timeoutMs,
+        java.net.http.HttpResponse.BodyHandlers.ofLines())
+      if (resp.statusCode() != 200) {
+        val err = resp.body().iterator()
+        val sb = new StringBuilder
+        while (err.hasNext && sb.length < 512) sb.append(err.next())
+        throw new RuntimeException(s"$ep (${resp.statusCode()}): $sb")
+      }
+      ctr(total, ep).incrementAndGet()
+      import scala.jdk.CollectionConverters._
+      resp.body().iterator().asScala
+    }
+
+  private def sweep[A](endpoints: Seq[String], maxRetries: Int,
+      backoffMs: Long, what: String)(one: String => A): A = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxRetries) {
+      // fresh least-connections order each sweep — a dead endpoint sinks
+      // to the back as its failures never bump totals
+      val ordered = endpoints.sortBy(load).iterator
+      while (ordered.hasNext) {
+        val ep = ordered.next()
+        enter(ep)
+        val resp =
+          try Some(one(ep))
+          catch { case scala.util.control.NonFatal(e) => lastErr = e; None }
+          finally exit(ep)
+        resp match {
+          case Some(payload) => return payload
+          case None =>
+        }
+      }
+      attempt += 1
+      if (attempt < maxRetries) Thread.sleep(backoffMs * attempt)
+    }
+    throw new RuntimeException(
+      s"$what failed after $maxRetries sweeps over ${endpoints.length} endpoints",
+      lastErr)
+  }
+
+  private def send[A](endpoint: String, path: String, body: String,
+      token: String, timeoutMs: Long,
+      handler: java.net.http.HttpResponse.BodyHandler[A]): java.net.http.HttpResponse[A] = {
     val b = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(endpoint.stripSuffix("/") + "/api/embed"))
+      .uri(java.net.URI.create(endpoint.stripSuffix("/") + path))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
     if (token.nonEmpty) b.header("Authorization", "Bearer " + token)
-    val resp = client.send(b.build(),
+    client.send(b.build(), handler)
+  }
+
+  private def post(endpoint: String, path: String, body: String,
+      token: String, timeoutMs: Long): String = {
+    val resp = send(endpoint, path, body, token, timeoutMs,
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new RuntimeException(s"$endpoint (${resp.statusCode()}): ${resp.body()}")
