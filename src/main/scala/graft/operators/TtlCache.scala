@@ -52,10 +52,21 @@ final class TtlCache[K, V](ttlMs: Long, cleanupEveryMs: Long = 15000L,
     val hit = store.get(key)
     if (hit != null && fresh(hit, now)) return hit.value
     // singleflight: first caller installs a future and computes; every
-    // concurrent caller for the key awaits the same future
+    // concurrent caller for the key awaits the same future. NOT
+    // reentrant: getOrCompute on the SAME key from inside `f` would
+    // self-deadlock on the join (the reference's middleware has the same
+    // constraint — a handler never calls back into its own cache entry).
     val mine = new CompletableFuture[V]()
     val race = inflight.putIfAbsent(key, mine)
-    if (race != null) return race.join()
+    if (race != null) {
+      // unwrap so waiters see the SAME exception type the winner threw,
+      // not a CompletionException shell around it
+      try return race.join()
+      catch {
+        case e: java.util.concurrent.CompletionException if e.getCause != null =>
+          throw e.getCause
+      }
+    }
     try {
       // double-check: a prior flight may have refreshed the entry
       // between our staleness check and winning the inflight slot

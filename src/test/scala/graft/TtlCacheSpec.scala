@@ -47,6 +47,40 @@ class TtlCacheSpec extends AnyFunSuite {
     assert(results.toArray.forall(_ == 1))
   }
 
+  test("waiters see the winner's ORIGINAL exception, not a CompletionException") {
+    val cache = new TtlCache[String, Int](ttlMs = 60000)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val winnerStarted = new java.util.concurrent.CountDownLatch(1)
+    val caught = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val winner = new Thread(() => {
+      try cache.getOrCompute("k") {
+        winnerStarted.countDown()
+        gate.await() // hold the flight open until waiters have joined
+        throw new IllegalStateException("boom")
+      } catch { case t: Throwable => caught.add(t) }
+    })
+    winner.start()
+    winnerStarted.await()
+    val waiters = (1 to 4).map { _ =>
+      new Thread(() => {
+        try cache.getOrCompute("k")(99)
+        catch { case t: Throwable => caught.add(t) }
+      })
+    }
+    waiters.foreach(_.start())
+    Thread.sleep(100) // let waiters reach join() before the flight fails
+    gate.countDown()
+    (winner +: waiters).foreach(_.join(10000))
+    // a pathologically-delayed waiter may miss the flight and recompute
+    // (fresh value 99, no exception) — every thread that DID observe the
+    // failure must see the raw IllegalStateException on both paths
+    assert(caught.size() >= 2, "winner plus at least one waiter failed")
+    caught.forEach { t =>
+      assert(t.isInstanceOf[IllegalStateException] && t.getMessage == "boom",
+        s"waiter path must unwrap to the winner's exception, got: $t")
+    }
+  }
+
   test("a failed computation caches nothing and the next caller retries") {
     val cache = new TtlCache[String, Int](ttlMs = 60000)
     val attempts = new AtomicInteger()
