@@ -107,18 +107,23 @@ object RetrievalQueries {
     // Both full-corpus rankings ride ONE wide exchange: tag each leg,
     // rank per leg (globalRowNumberPer), fold RRF with a groupBy —
     // replacing two separate range shuffles and a two-sided rank join.
-    // The tagged union is checkpointed first because range partitioning
-    // executes its input twice (boundary sampling, then the shuffle)
-    // and recomputing the BM25/cosine pipelines twice dominates; the
-    // checkpoint is the narrow (doc_id, leg, key) projection — cheap to
-    // spill at any corpus scale. Every doc appears exactly once per leg
-    // (bm25 left-join-fills; doc_id ↔ vec_id is 1:1), so the RRF sum
-    // always sees both ranks.
+    // NOT checkpointed (q47/q57 policy): range partitioning does execute
+    // its input twice (boundary sampling, then the shuffle), but both
+    // legs are cheap deterministic scans — BM25 is row-local arithmetic,
+    // cosine one broadcast kernel pass — and measured A/B at sf0.1 is
+    // parity (1.54 s recompute vs 1.57 s checkpointed; the r5 bench's
+    // 2.11 s was session variance, JobProbe shows q45 planning-bound at
+    // 18 jobs). At 100 TB materializing even the narrow (doc_id, leg,
+    // key) projection pins corpus-scale block-manager memory and an
+    // executor loss severs the lineage — recompute is strictly safer.
+    // Determinism (RankOps' requirement) holds: both legs are pure
+    // functions of the parquet input. Every doc appears exactly once per
+    // leg (bm25 left-join-fills; doc_id ↔ vec_id is 1:1), so the RRF
+    // sum always sees both ranks.
     val tagged = bm25.select(col("doc_id"), lit("lex").as("leg"),
         col("score").as("key"))
       .unionByName(cos.select(col("doc_id"), lit("vec").as("leg"),
         col("sim").as("key")))
-      .localCheckpoint(true)
     RankOps.globalRowNumberPer(tagged, "leg",
         Seq(col("key").desc, col("doc_id").asc), "r")
       .groupBy("doc_id")
