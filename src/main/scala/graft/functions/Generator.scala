@@ -145,18 +145,35 @@ final case class OllamaGenerateProvider(endpoints: Seq[String], model: String,
 /** OpenAI-shaped HTTP chat (reference ai/openai/chat.go:21-83): POST
   * `/v1/chat/completions` with the same messages body plus bearer auth,
   * reading `choices[0].message.content`; streaming reads SSE-ish NDJSON
-  * deltas `choices[0].delta.content` (chat.go:85-163). `generate` maps a
-  * bare prompt to a single-user-message chat, which is how the OpenAI
-  * surface expresses completions today (the reference's openai
-  * generate.go posts to the legacy /v1/completions; the chat mapping is
-  * the supported equivalent). */
+  * deltas `choices[0].delta.content` (chat.go:85-163). `generate` posts
+  * the legacy `/v1/completions` like the reference (generate.go:36) and
+  * accepts BOTH response shapes — `choices[0].text` per the real API,
+  * and the bare `response` field the reference decodes (generate.go
+  * unmarshals into its ollama GenerateResponse struct, so it only works
+  * against proxies answering that shape; we take either). */
 final case class OpenAiGenerateProvider(endpoints: Seq[String], model: String,
     bearerToken: String = "", maxRetries: Int = 3,
     requestTimeoutMs: Long = 120000L, backoffMs: Long = 100L)
     extends GenerateProvider {
   require(endpoints.nonEmpty, "need at least one generate endpoint")
 
-  def generate(prompt: String): String = chat(Seq("user" -> prompt))
+  def generate(prompt: String): String = {
+    val root = HttpSeam.mapper.createObjectNode()
+    root.put("model", model)
+    root.put("prompt", prompt)
+    root.put("stream", false)
+    val payload = HttpSeam.request(endpoints, "/v1/completions",
+      HttpSeam.mapper.writeValueAsString(root), bearerToken,
+      requestTimeoutMs, maxRetries, backoffMs, "generate")
+    val tree = HttpSeam.mapper.readTree(payload)
+    val choiceText = tree.at("/choices/0/text")
+    if (!choiceText.isMissingNode) choiceText.asText()
+    else {
+      val resp = tree.get("response") // ollama-compatible proxy shape
+      require(resp != null, "completions response has neither choices[0].text nor response")
+      resp.asText()
+    }
+  }
 
   def chat(messages: Seq[(String, String)]): String = {
     val payload = HttpSeam.request(endpoints, "/v1/chat/completions",

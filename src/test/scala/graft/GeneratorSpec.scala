@@ -158,9 +158,26 @@ class GeneratorSpec extends AnyFunSuite {
       val p = OpenAiGenerateProvider(Seq(stub.url), "gpt-test", bearerToken = "sk-123")
       assert(p.chat(Seq("user" -> "ping")) == "oa: ping")
       assert(stub.lastAuth == "Bearer sk-123")
-      assert(p.generate("bare prompt") == "oa: bare prompt",
-        "generate maps to a single-user-message chat")
     } finally stub.stop()
+  }
+
+  test("OpenAiGenerateProvider generate posts /v1/completions, either shape") {
+    // real API shape: choices[0].text
+    val api = new Stub(Map("/v1/completions" -> { body =>
+      val prompt = mapper.readTree(body).get("prompt").asText()
+      (200, s"""{"choices":[{"index":0,"text":"cmpl: $prompt"}]}""")
+    }))
+    // the reference's proxy shape: bare `response` (generate.go decodes
+    // the ollama struct)
+    val proxy = new Stub(Map("/v1/completions" -> { body =>
+      val prompt = mapper.readTree(body).get("prompt").asText()
+      (200, s"""{"response":"prox: $prompt"}""")
+    }))
+    try {
+      assert(OpenAiGenerateProvider(Seq(api.url), "m").generate("hi") == "cmpl: hi")
+      assert(api.lastPath == "/v1/completions")
+      assert(OpenAiGenerateProvider(Seq(proxy.url), "m").generate("hi") == "prox: hi")
+    } finally { api.stop(); proxy.stop() }
   }
 
   test("OpenAiGenerateProvider streams delta chunks with SSE framing") {
