@@ -211,6 +211,33 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_clusters"),
         (sum(col("n_copies")) - count(lit(1))).as("docs_removed"))
 
+  /** Model-based quality filtering — the fasttext-shaped step pipelines
+    * run AFTER heuristic gates (q30/q46): a linear classifier over
+    * hashed token features, scored entirely ROW-LOCALLY (one map pass,
+    * zero shuffle, no broadcast — the weight of a token is a pure
+    * function of its hash, standing in for a lookup into a broadcast
+    * weight vector; swapping in trained weights keeps the exact same
+    * plan with one broadcast join added).
+    *
+    * Cross-engine exactness by construction: each token weight
+    * (hex(md5)₄ − 32768)/32768 is an exact binary fraction, so the
+    * double sum is order-independent and bit-equal in Spark and DuckDB;
+    * the score avoids transcendental functions (no sigmoid — the
+    * monotone mean-weight decides, same decision boundary). */
+  def q78QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""filter(split(trim(lower(text)), '\\s+'), t -> length(t) > 0)""").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_toks"),
+        expr("""aggregate(tk, CAST(0.0 AS DOUBLE), (acc, t) ->
+            acc + (CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT) - 32768D)
+                  / 32768D)""").as("wsum"))
+      .select(col("doc_id"), col("n_toks"),
+        when(col("n_toks") > 0, round(col("wsum") / col("n_toks"), 6))
+          .otherwise(0.0).as("qscore"),
+        (col("n_toks") > 0 && col("wsum") >= 0).as("keep"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_inverted_index" -> q56InvertedIndex _,
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
@@ -219,7 +246,8 @@ object CurationQueries {
     "q60_bigram_pmi" -> q60BigramPmi _,
     "q61_stratified_sample" -> q61StratifiedSample _,
     "q75_mixture_plan" -> q75MixturePlan _,
-    "q76_dedup_impact" -> q76DedupImpact _
+    "q76_dedup_impact" -> q76DedupImpact _,
+    "q78_quality_classifier" -> q78QualityClassifier _
   )
 
   private val tokCte: String =
@@ -344,6 +372,19 @@ object CurationQueries {
         |  FROM documents GROUP BY 1)
         |SELECT n_copies, count(*) AS n_clusters,
         |  CAST(sum(n_copies) - count(*) AS BIGINT) AS docs_removed
-        |FROM cl GROUP BY n_copies""".stripMargin
+        |FROM cl GROUP BY n_copies""".stripMargin,
+    "q78_quality_classifier" ->
+      s"""WITH $tokCte,
+         |w AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) - 32768 AS wv
+         |  FROM tk),
+         |agg AS (SELECT doc_id, count(*) AS n, sum(wv) AS s FROM w GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS INT) AS n_toks,
+         |  CASE WHEN agg.n > 0
+         |    THEN round(CAST(agg.s AS DOUBLE) / 32768.0 / agg.n, 6)
+         |    ELSE 0.0 END AS qscore,
+         |  coalesce(agg.n > 0 AND agg.s >= 0, false) AS keep
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
   )
 }

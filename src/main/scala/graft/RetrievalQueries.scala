@@ -86,9 +86,13 @@ object RetrievalQueries {
       .limit(20)
 
   /** Hybrid retrieval: reciprocal-rank fusion (c=60) of the BM25 ranking
-    * and the embedding-cosine ranking against vec 0's embedding
-    * (doc_id ↔ vec_id 1:1 in the corpus). Both rankings cover the whole
-    * corpus with deterministic tie-breaks, so RRF is exact. */
+    * and the embedding-cosine ranking against vec 0's embedding. The
+    * legs need NOT cover the same documents — standard RRF sums 1/(60+r)
+    * over the rankings a doc appears in (at sf0.1 only 2000 of 5000 docs
+    * carry embeddings; a lex-only doc scores from its lexical rank
+    * alone, which is why the oracle joins the rankings FULL OUTER — a
+    * plain join silently dropped vector-less docs, caught by the sf0.1
+    * oracle in round 6). Deterministic tie-breaks make RRF exact. */
   def q45HybridRrf(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.RankOps
     val docs = t(s, dir, "documents")
@@ -107,19 +111,16 @@ object RetrievalQueries {
     // Both full-corpus rankings ride ONE wide exchange: tag each leg,
     // rank per leg (globalRowNumberPer), fold RRF with a groupBy —
     // replacing two separate range shuffles and a two-sided rank join.
-    // NOT checkpointed (q47/q57 policy): range partitioning does execute
-    // its input twice (boundary sampling, then the shuffle), but both
-    // legs are cheap deterministic scans — BM25 is row-local arithmetic,
-    // cosine one broadcast kernel pass — and measured A/B at sf0.1 is
-    // parity (1.54 s recompute vs 1.57 s checkpointed; the r5 bench's
-    // 2.11 s was session variance, JobProbe shows q45 planning-bound at
-    // 18 jobs). At 100 TB materializing even the narrow (doc_id, leg,
-    // key) projection pins corpus-scale block-manager memory and an
-    // executor loss severs the lineage — recompute is strictly safer.
-    // Determinism (RankOps' requirement) holds: both legs are pure
-    // functions of the parquet input. Every doc appears exactly once per
-    // leg (bm25 left-join-fills; doc_id ↔ vec_id is 1:1), so the RRF
-    // sum always sees both ranks.
+    // RankOps pins (localCheckpoints) the post-shuffle ranked rows
+    // internally, which makes the two-consumer agreement structural
+    // (see RankOps scaladoc) — so the tagged union needs no checkpoint
+    // of its own here. The pinned frame is the narrow (doc_id, leg,
+    // key) projection and measured wall-clock is neutral (~1.5-1.6 s at
+    // sf0.1 in all shapes; the r5 bench's 2.11 s reading was session
+    // variance — JobProbe shows q45 planning-bound across 18 jobs).
+    // The lex leg covers every document (left-join-fill, score 0);
+    // the vec leg covers only embedded docs — RRF sums whichever
+    // 1/(60+r) terms exist per doc (see the method scaladoc).
     val tagged = bm25.select(col("doc_id"), lit("lex").as("leg"),
         col("score").as("key"))
       .unionByName(cos.select(col("doc_id"), lit("vec").as("leg"),
@@ -260,8 +261,9 @@ object RetrievalQueries {
          |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r_vec
          |  FROM coss)
          |SELECT doc_id,
-         |  round(1.0 / (60 + r_lex) + 1.0 / (60 + r_vec), 6) AS rrf
-         |FROM lexr JOIN vecr USING (doc_id)
+         |  round(coalesce(1.0 / (60 + r_lex), 0) +
+         |        coalesce(1.0 / (60 + r_vec), 0), 6) AS rrf
+         |FROM lexr FULL JOIN vecr USING (doc_id)
          |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q46_gopher_rules" ->
       s"""WITH $tokCte,

@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   *   2. per-partition `row_number` — a LOCAL window keyed by
   *      `spark_partition_id`, no second exchange,
   *   3. add each partition's global offset, computed by a tiny
-  *      per-partition count aggregate joined back as a broadcast. The
-  *      offsets branch re-uses the range exchange (ReusedExchange), and
-  *      its own cumulative window runs over ≤ shuffle-partitions rows —
-  *      bounded by cluster parallelism, never by data.
+  *      per-partition count aggregate over the pinned ranked rows,
+  *      joined back as a broadcast; its cumulative window runs over
+  *      ≤ shuffle-partitions rows — bounded by cluster parallelism,
+  *      never by data.
   *
   * The previous shape (sorted.rdd.zipWithIndex) was exact too, but paid
   * a separate per-partition count JOB, left Tungsten for Row objects,
@@ -29,15 +29,23 @@ import org.apache.spark.sql.functions._
   * Rows must be given a deterministic total order (break ties!) for
   * ranks to be reproducible.
   *
-  * REQUIREMENT — pin nondeterministic inputs first. The offsets branch
-  * and the main branch each evaluate `ranged`; when the physical plan
-  * does not reuse the exchange (e.g. AQE recomputation) they must
-  * independently arrive at IDENTICAL partition contents. That holds
-  * because range boundaries and `monotonically_increasing_id` (pid<<33
-  * per partition) are deterministic functions of the input — but only
-  * for a deterministic input. Callers ranking a nondeterministic frame
-  * (sampled, rand-tagged, non-idempotent source) must `localCheckpoint`
-  * it first, the q45 convention (RetrievalQueries.scala).
+  * CORRECTNESS — the post-shuffle `ranged` frame is PINNED
+  * (localCheckpoint) with its `_pid`/`_mono` columns MATERIALIZED. The
+  * offsets branch and the main branch both consume `ranged`; without
+  * the pin, correctness rests on an IMPLICIT invariant: if the physical
+  * plan ever re-executes the exchange per consumer (no ReusedExchange —
+  * AQE re-planning can do this), both executions must independently
+  * land on identical partition layouts, which holds only while range
+  * boundary sampling and AQE coalescing stay deterministic functions of
+  * a deterministic input. A divergence would give the same row
+  * different (_pid, _mono) per branch and the offsets equi-join would
+  * silently drop or misrank rows. Pinning after the sort freezes the
+  * partition ids and monos as DATA, so both branches read identical
+  * rows BY CONSTRUCTION — the round-5 review flagged the implicit
+  * invariant; this makes it structural. The cost is one
+  * materialization of the ranked projection — so rank NARROW frames
+  * (q45 ranks (doc_id, leg, key), ~24 bytes/row); measured at sf0.1
+  * this is wall-clock-neutral vs the unpinned shape.
   */
 object RankOps {
 
@@ -48,15 +56,16 @@ object RankOps {
     * range shuffle, plus a redundant in-partition sort. Instead
     * `monotonically_increasing_id()` — sequential within a partition by
     * construction — is read off the already-sorted rows, and the local
-    * index is `mono - min(mono in partition)`. The per-partition
-    * (count, base) pairs are deterministic functions of the sorted
-    * partition contents, so the offsets branch agrees with the main
-    * branch even if the exchange is not physically reused. */
+    * index is `mono - min(mono in partition)`. The checkpoint freezes
+    * (_pid, _mono) as data so the offsets branch and the main branch
+    * see the same values by construction (see object scaladoc). */
   def globalRowNumber(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
-    val ranged = df.repartitionByRange(order: _*)
+    val ranged = df
+      .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mono", monotonically_increasing_id())
+      .localCheckpoint(true) // correctness pin — see object scaladoc
     // constant partition key: the aggregate is ≤ shuffle-partitions rows,
     // so a single-partition window is the intended plan; the key only
     // suppresses the unpartitioned-window warning so it stays meaningful
@@ -89,10 +98,12 @@ object RankOps {
   def globalRowNumberPer(df: DataFrame, legCol: String, order: Seq[Column],
       rankCol: String): DataFrame = {
     val fullOrder = col(legCol).asc +: order
-    val ranged = df.repartitionByRange(fullOrder: _*)
+    val ranged = df
+      .repartitionByRange(fullOrder: _*)
       .sortWithinPartitions(fullOrder: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mono", monotonically_increasing_id())
+      .localCheckpoint(true) // correctness pin — see object scaladoc
     val offsets = ranged.groupBy(col("_pid"), col(legCol))
       .agg(count(lit(1)).as("_cnt"), min("_mono").as("_base"))
       .withColumn("_off",
