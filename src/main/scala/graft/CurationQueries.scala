@@ -225,18 +225,51 @@ object CurationQueries {
     * the score avoids transcendental functions (no sigmoid — the
     * monotone mean-weight decides, same decision boundary). */
   def q78QualityClassifier(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("""filter(split(trim(lower(text)), '\\s+'), t -> length(t) > 0)""").as("tk"))
-      .select(col("doc_id"),
-        size(col("tk")).as("n_toks"),
+    scoreQuality(t(s, dir, "documents"))
+      .select("doc_id", "n_toks", "qscore", "keep")
+
+  /** The q78 scorer as a reusable transform: appends n_toks / qscore /
+    * keep to any frame with a `text` column. Pure row-local map — no
+    * shuffle, no state — so it applies unchanged to a STREAMING frame
+    * ([[graft.streaming.Streams.qualityGate]]). */
+  private[graft] def scoreQuality(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk",
+        expr("""filter(split(trim(lower(text)), '\\s+'), t -> length(t) > 0)"""))
+      .withColumn("n_toks", size(col("tk")))
+      .withColumn("wsum",
         expr("""aggregate(tk, CAST(0.0 AS DOUBLE), (acc, t) ->
             acc + (CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT) - 32768D)
-                  / 32768D)""").as("wsum"))
-      .select(col("doc_id"), col("n_toks"),
+                  / 32768D)"""))
+      .withColumn("qscore",
         when(col("n_toks") > 0, round(col("wsum") / col("n_toks"), 6))
-          .otherwise(0.0).as("qscore"),
-        (col("n_toks") > 0 && col("wsum") >= 0).as("keep"))
+          .otherwise(0.0))
+      .withColumn("keep", col("n_toks") > 0 && col("wsum") >= 0)
+      .drop("tk", "wsum")
+
+  /** Deterministic epoch shuffle + shard assignment — the step that
+    * fixes training data ORDER: every doc gets a position in a
+    * pseudo-random permutation (md5 of a seeded key — rerunning with a
+    * different seed string is a new epoch, reproducible bit-for-bit on
+    * any cluster size), a round-robin shard, and its index within the
+    * shard. The permutation is a RANGE SHUFFLE on the hash key — md5 is
+    * uniform, so partitions balance regardless of doc-id clustering —
+    * and the global position comes from [[graft.operators.RankOps
+    * .globalRowNumber]] (per-partition local index + broadcast offsets),
+    * never a single-partition window: the one corpus-sized exchange is
+    * the permutation itself, which is the job being asked for. Shard
+    * and shard_pos are pure arithmetic on pos — no second shuffle. */
+  def q79EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankOps
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("epoch0:"), col("doc_id"))).as("skey"))
+    RankOps.globalRowNumber(keyed,
+        Seq(col("skey").asc, col("doc_id").asc), "pos")
+      .select(col("doc_id"), col("pos"),
+        expr("CAST((pos - 1) % 8 AS INT)").as("shard"),
+        expr("(pos - 1) DIV 8 + 1").as("shard_pos"))
+  }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_inverted_index" -> q56InvertedIndex _,
@@ -247,7 +280,8 @@ object CurationQueries {
     "q61_stratified_sample" -> q61StratifiedSample _,
     "q75_mixture_plan" -> q75MixturePlan _,
     "q76_dedup_impact" -> q76DedupImpact _,
-    "q78_quality_classifier" -> q78QualityClassifier _
+    "q78_quality_classifier" -> q78QualityClassifier _,
+    "q79_epoch_shuffle" -> q79EpochShuffle _
   )
 
   private val tokCte: String =
@@ -385,6 +419,18 @@ object CurationQueries {
          |    THEN round(CAST(agg.s AS DOUBLE) / 32768.0 / agg.n, 6)
          |    ELSE 0.0 END AS qscore,
          |  coalesce(agg.n > 0 AND agg.s >= 0, false) AS keep
-         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    "q79_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |  FROM k)
+        |SELECT doc_id, pos,
+        |  CAST((pos - 1) % 8 AS INT) AS shard,
+        |  (pos - 1) // 8 + 1 AS shard_pos
+        |FROM r""".stripMargin
   )
 }

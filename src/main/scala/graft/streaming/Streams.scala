@@ -150,6 +150,16 @@ object Streams {
       .withWatermark(watermarkCol, lateness)
       .dropDuplicates("fp")
 
+  /** Model-based quality gating on a document stream — the streaming
+    * twin of q78 (`CurationQueries.q78QualityClassifier`), sharing its
+    * scorer verbatim. Stateless pure map (no shuffle, no watermark, no
+    * state store), so it composes in front of any ingest stream and a
+    * failed micro-batch replays identically. Emits the input columns
+    * plus n_toks / qscore / keep; filter on `keep` (or a stricter
+    * qscore threshold) before the expensive embed step. */
+  def qualityGate(docs: DataFrame): DataFrame =
+    graft.CurationQueries.scoreQuality(docs)
+
   /** Incremental-ingest dedup against the HISTORICAL corpus: drop stream
     * documents whose content fingerprint (same md5(lower(trim)) as
     * q18/streamingExactDedup) already exists in a static fingerprint

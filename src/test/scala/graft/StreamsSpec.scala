@@ -187,6 +187,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows2 == Set(21L), rows2)
   }
 
+  test("streaming quality gate scores identically to batch q78") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(40)
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Streams.qualityGate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qgate_out")
+      .outputMode(OutputMode.Append).start()
+    val (a, b) = docs.splitAt(17) // two micro-batches
+    mem.addData(a.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qgate_out")
+      .select("doc_id", "n_toks", "qscore", "keep")
+      .as[(Long, Int, Double, Boolean)].collect().toSet
+    val batch = CurationQueries
+      .q78QualityClassifier(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id").isin(docs.map(_._1): _*))
+      .as[(Long, Int, Double, Boolean)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._4) && streamed.exists(!_._4),
+      "gate should both pass and reject in the sample")
+  }
+
   test("windowed event stats emit closed windows only, late data dropped") {
     import spark.implicits._
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
