@@ -119,18 +119,23 @@ object PipelineQueries {
   /** The full curation run as ONE declarative manifest query, the gates
     * chained exactly as a training-data job chains them: quality ≥ 0.5
     * (q30's expression, compared on the ROUNDED score so the boundary
-    * is engine-stable) → language whitelist → exact-dedup keep-one
-    * (q18's fingerprint, min-doc_id wins) → reproducible split (q52's
-    * md5 nibble). Emits the surviving (doc_id, lang, n_tokens, split)
-    * manifest. Each stage is an already-oracle-checked operator; this
-    * checks the COMPOSITION end-to-end. Dedup keep-one is a window per
-    * fingerprint — groups bounded by duplicate-cluster size, never a
-    * global window; everything else is row-local, so the whole
-    * manifest is one scan plus one fingerprint-key shuffle. */
+    * is engine-stable) → language whitelist → model-based quality gate
+    * (q78's hashed-feature scorer, applied BEFORE dedup so a rejected
+    * doc can't be a cluster's keeper) → exact-dedup keep-one (q18's
+    * fingerprint, min-doc_id wins) → reproducible split (q52's md5
+    * nibble). Emits the surviving (doc_id, lang, n_tokens, qscore,
+    * split) manifest. Each stage is an already-oracle-checked operator;
+    * this checks the COMPOSITION end-to-end. Dedup keep-one is a window
+    * per fingerprint — groups bounded by duplicate-cluster size, never
+    * a global window; everything else (heuristic gates AND the model
+    * score) is row-local, so the whole manifest is STILL one scan plus
+    * one fingerprint-key shuffle. */
   def q77CurationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val gated = t(s, dir, "documents")
-      .filter(round(qualityExpr(col("text")), 4) >= 0.5 &&
-        col("lang").isin("en", "es", "de", "zh"))
+    val gated = graft.CurationQueries.scoreQuality(
+        t(s, dir, "documents")
+          .filter(round(qualityExpr(col("text")), 4) >= 0.5 &&
+            col("lang").isin("en", "es", "de", "zh")))
+      .filter(col("keep"))
     val nib = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
     gated
       .withColumn("fp", md5(lower(trim(col("text")))))
@@ -139,6 +144,7 @@ object PipelineQueries {
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("lang"),
         gf.token_count(col("text")).as("n_tokens"),
+        col("qscore"),
         when(nib.isin("c", "d"), "val")
           .when(nib.isin("e", "f"), "test")
           .otherwise("train").as("split"))
@@ -374,13 +380,26 @@ object PipelineQueries {
         |, gated AS (
         |  SELECT doc_id, text, lang FROM scored
         |  WHERE quality >= 0.5 AND lang IN ('en', 'es', 'de', 'zh'))
+        |, wtok AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) - 32768 AS wv
+        |  FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(tok) > 0)
+        |, wagg AS (SELECT doc_id, count(*) AS n, sum(wv) AS s FROM wtok GROUP BY doc_id)
+        |, mgated AS (
+        |  SELECT g.doc_id, g.text, g.lang,
+        |    round(CAST(w.s AS DOUBLE) / 32768.0 / w.n, 6) AS qscore
+        |  FROM gated g JOIN wagg w ON g.doc_id = w.doc_id
+        |  WHERE w.n > 0 AND w.s >= 0)
         |, kept AS (
-        |  SELECT doc_id, text, lang,
+        |  SELECT doc_id, text, lang, qscore,
         |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
-        |  FROM gated)
+        |  FROM mgated)
         |SELECT doc_id, lang,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  qscore,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
         |       ELSE 'train' END AS split
