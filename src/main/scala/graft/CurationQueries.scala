@@ -293,6 +293,27 @@ object CurationQueries {
       .withColumn("dup_frac",
         round(lit(1.0) - col("approx_distinct") / col("n_docs"), 4))
 
+  /** Sequence-length quantiles per language — the planning input for
+    * packing (q59 needs a bin size ≥ the typical doc) and for truncation
+    * budgets, computed with `percentile_approx`'s Greenwald-Khanna
+    * summaries: bounded-size MERGEABLE sketches with a rank-error
+    * guarantee of n/accuracy, combined map-side like q80's HLL — the
+    * exact quantile would SORT the corpus per language. Rank error at
+    * accuracy 10k is ≤0.01% of rows; SketchSpec asserts the guarantee
+    * against driver-side exact ranks (no DuckDB oracle — GK picks one
+    * of the rank-feasible elements, an engine-specific choice). */
+  def q81LengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), gf.token_count(col("text")).cast("double").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("toks"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("qs"), 1).cast("int").as("p50_toks"),
+        element_at(col("qs"), 2).cast("int").as("p90_toks"),
+        element_at(col("qs"), 3).cast("int").as("p99_toks"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_inverted_index" -> q56InvertedIndex _,
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
@@ -304,7 +325,8 @@ object CurationQueries {
     "q76_dedup_impact" -> q76DedupImpact _,
     "q78_quality_classifier" -> q78QualityClassifier _,
     "q79_epoch_shuffle" -> q79EpochShuffle _,
-    "q80_cardinality_sketch" -> q80CardinalitySketch _
+    "q80_cardinality_sketch" -> q80CardinalitySketch _,
+    "q81_length_quantiles" -> q81LengthQuantiles _
   )
 
   private val tokCte: String =

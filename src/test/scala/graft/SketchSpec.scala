@@ -49,4 +49,35 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(run() == run())
   }
+
+  test("q81 quantiles honor the GK rank-error guarantee, per language") {
+    val approx = CurationQueries
+      .q81LengthQuantiles(spark, SparkSuite.sf001)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val exact = Tables.load(spark, SparkSuite.sf001, "documents")
+      .select(col("lang"), graft.functions.gf.token_count(col("text")).as("toks"))
+      .collect().groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getInt(1)).sorted }
+    assert(approx.keySet == exact.keySet)
+    for ((lang, sorted) <- exact; (p, got) <- Seq(0.5, 0.9, 0.99).zip(approx(lang))) {
+      val n = sorted.length
+      // GK guarantee: the returned value's rank is within n/accuracy of
+      // the target rank (plus the discretization of one element)
+      val lo = sorted.count(_ < got).toDouble / n
+      val hi = sorted.count(_ <= got).toDouble / n
+      val tol = 1.0 / 10000 + 1.0 / n
+      assert(p >= lo - tol && p <= hi + tol,
+        s"$lang p$p: got $got rank [$lo,$hi] n=$n")
+    }
+  }
+
+  test("q81 sketch aggregates partially before the exchange") {
+    val plan = CurationQueries
+      .q81LengthQuantiles(spark, SparkSuite.sf001)
+      .queryExecution.executedPlan.toString
+    val exch = plan.indexOf("Exchange hashpartitioning(lang")
+    val partial = plan.indexOf("partial_percentile_approx")
+    assert(exch > 0 && partial > exch, plan.take(2000))
+  }
 }
