@@ -2,8 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Frozen expected outputs at sf0.001 for the five queries the DuckDB
-  * oracle cannot express (k-means / custom-kernel dependent). They are
+/** Frozen expected outputs at sf0.001 for the queries the DuckDB
+  * oracle cannot express (k-means / custom-kernel / sketch dependent). They are
   * fully deterministic (seeded builds, stub codecs), so any drift is a
   * regression — this is their row-level gate, alongside the driver's
   * rows-only check and the semantic specs (recall, subset, parity). */
@@ -48,5 +48,18 @@ class GoldenRowsSpec extends AnyFunSuite {
     assert(canon("q34_media_pipeline") ==
       "audio|167|830.994|334 ;; image|167|832.6228|334 ;; " +
       "video|166|831.0843|332")
+  }
+
+  test("q80_cardinality_sketch golden rows") {
+    // sf0.001 has no duplicate texts, so every estimate lands exactly on
+    // the group count — the golden also re-proves HLL exactness on small n
+    assert(canon("q80_cardinality_sketch") ==
+      (0 to 19).map(i => s"src$i|25|25|0.0").sorted.mkString(" ;; "))
+  }
+
+  test("q81_length_quantiles golden rows") {
+    assert(canon("q81_length_quantiles") ==
+      "de|71|55|93|99 ;; en|193|53|90|98 ;; es|80|60|90|99 ;; " +
+      "fr|82|62|91|99 ;; zh|74|56|87|96")
   }
 }
