@@ -115,17 +115,42 @@ object DedupQueries {
     * candidate, O(|candidates|) not O(n²). Same oracle as q24: the two
     * forms must agree row-for-row. Band width trades recall threshold
     * vs bucket size — hamming<=k needs k+1 bands of ~64/(k+1) bits. */
-  def q24bSimhashBanded(s: SparkSession, dir: String): DataFrame = {
+  def q24bSimhashBanded(s: SparkSession, dir: String): DataFrame =
+    simhashBandedPairs(simhashSig(s, dir), 4)
+
+  /** The checkpointed (doc_id, h1, h2, v) signature frame over a corpus
+    * dir — simhash kernel run once, halves pre-parsed for xor+bit_count
+    * verification, v the recombined 64-bit signature for banding. */
+  def simhashSig(s: SparkSession, dir: String): DataFrame = {
     val (h1, h2) = gf.hex_to_long_halves(col("simhash"))
-    val sig = q23Simhash(s, dir)
+    q23Simhash(s, dir)
       .withColumn("h1", h1).withColumn("h2", h2)
       .withColumn("v", shiftleft(col("h1"), 32).bitwiseOR(col("h2")))
       .localCheckpoint(true) // simhash kernel once, not once per join side
+  }
+
+  /** Generalized Manku banding at a configurable radius: hamming<=r
+    * pairs must agree exactly on >=1 of r+1 disjoint bands covering all
+    * 64 bits (pigeonhole — r differing bits cannot touch every band), so
+    * the (band, value) equi-join has GUARANTEED recall at radius r. The
+    * radius is the occupancy knob the 10M probe documents: wider bands
+    * (smaller r) mean exponentially fewer collisions — r=4 gives
+    * (13,13,13,13,12)-bit bands (q24b's exact layout, walls at ~1M
+    * uniform docs/shard), r=2 gives (22,21,21)-bit bands whose
+    * n/2^21-per-bucket occupancy holds to ~10M+ docs. Verification
+    * (xor+bit_count) runs per candidate, O(|candidates|) not O(n²). */
+  def simhashBandedPairs(sig: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 1 && radius <= 7, s"radius $radius out of range")
+    val nBands = radius + 1
+    val base = 64 / nBands
+    val extra = 64 % nBands // first `extra` bands are one bit wider
+    val widths = (0 until nBands).map(i => if (i < extra) base + 1 else base)
+    val offs = widths.scanLeft(0)(_ + _)
     val banded = sig.select(col("doc_id"), col("h1"), col("h2"),
-      explode(array((0 to 4).map { i =>
+      explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
-          shiftrightunsigned(col("v"), 13 * i)
-            .bitwiseAND(lit(if (i == 4) 0xFFFL else 0x1FFFL)).as("bval"))
+          shiftrightunsigned(col("v"), offs(i))
+            .bitwiseAND(lit((1L << widths(i)) - 1)).as("bval"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("h1"), col("h2"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
@@ -136,7 +161,7 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (bit_count(col("a.h1").bitwiseXOR(col("b.h1"))) +
           bit_count(col("a.h2").bitwiseXOR(col("b.h2")))).as("hamming"))
-      .filter(col("hamming") <= 4)
+      .filter(col("hamming") <= radius)
       .distinct() // a close pair can agree on several bands
   }
 

@@ -71,4 +71,25 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got == expectKeep)
     assert(pairs.nonEmpty, "q22 should find near-dups at sf0.01")
   }
+
+  test("banded simhash recall guarantee holds at every radius 1..4") {
+    // brute-force hamming over all sf0.001 signature pairs is the ground
+    // truth (500 docs → 125k pairs); every banding radius must find
+    // EXACTLY the pairs at its hamming threshold — recall is guaranteed
+    // by pigeonhole, precision by the per-candidate verify filter
+    val sig = DedupQueries.simhashSig(spark, SparkSuite.sf0001)
+    val rows = sig.select("doc_id", "h1", "h2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = (for {
+      (ida, a1, a2) <- rows; (idb, b1, b2) <- rows if ida < idb
+      h = java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+    } yield (ida, idb, h)).toSeq
+    for (radius <- 1 to 4) {
+      val want = exact.filter(_._3 <= radius)
+        .map { case (a, b, h) => (a, b, h) }.toSet
+      val got = DedupQueries.simhashBandedPairs(sig, radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"radius $radius: got ${got.size}, want ${want.size}")
+    }
+  }
 }
