@@ -72,4 +72,25 @@ class RankOpsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("id", "score", "r"))
     assert(out.count() == 0)
   }
+
+  test("the correctness pin is present: both branches read checkpointed rows") {
+    // the offsets branch and the main branch must consume the PINNED
+    // (_pid, _mono) rows (object scaladoc) — if the localCheckpoint is
+    // ever removed, the ranked frame's plan reverts to a live range
+    // exchange and this pin-detector fails before any rare AQE
+    // divergence could misrank in production
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 11).toDouble))
+      .toDF("id", "score")
+    Seq(
+      RankOps.globalRowNumber(df, Seq(col("score").desc, col("id").asc), "r"),
+      RankOps.globalRowNumberPer(df.withColumn("leg", col("id") % 2),
+        "leg", Seq(col("score").desc, col("id").asc), "r")
+    ).foreach { out =>
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"), s"pin missing:\n${p.take(800)}")
+      assert(!p.contains("rangepartitioning"),
+        "ranked rows must come from the pin, not a live range exchange")
+    }
+  }
 }
