@@ -118,6 +118,12 @@ object DedupQueries {
   def q24bSimhashBanded(s: SparkSession, dir: String): DataFrame =
     simhashBandedPairs(simhashSig(s, dir), 4)
 
+  /** The tighter-radius instance (hamming<=2, (22,21,21)-bit bands) —
+    * the occupancy point that holds to 10M+ docs per shard (see
+    * [[simhashBandedPairs]]; 10M-corpus timing in BASELINE.md). */
+  def q24cSimhashR2(s: SparkSession, dir: String): DataFrame =
+    simhashBandedPairs(simhashSig(s, dir), 2)
+
   /** The checkpointed (doc_id, h1, h2, v) signature frame over a corpus
     * dir — simhash kernel run once, halves pre-parsed for xor+bit_count
     * verification, v the recombined 64-bit signature for banding. */
@@ -298,6 +304,7 @@ object DedupQueries {
     "q23_simhash" -> q23Simhash _,
     "q24_simhash_pairs" -> q24SimhashPairs _,
     "q24b_simhash_banded" -> q24bSimhashBanded _,
+    "q24c_simhash_r2" -> q24cSimhashR2 _,
     "q25_knn_batch" -> q25KnnBatch _,
     "q42_topk_agg" -> q42TopkAgg _,
     "q31_embed_neardup" -> q31EmbedNeardup _,
@@ -384,6 +391,9 @@ object DedupQueries {
     "q24_simhash_pairs" -> simhashPairsSql,
     // banded form answers the SAME question — one oracle, two plans
     "q24b_simhash_banded" -> simhashPairsSql,
+    // tighter-radius banding: the 10M+-shard occupancy point, oracle-
+    // checked at its own hamming threshold
+    "q24c_simhash_r2" -> simhashPairsSqlAt(2),
     "q35_bottomk_sketch" ->
       s"""WITH $shingleCte,
          |hs AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
@@ -401,9 +411,10 @@ object DedupQueries {
     "q25_knn_batch" -> knnOracleSql
   )
 
-  /** Shared oracle for q24 (all-pairs) and q24b (banded): hamming<=4
-    * simhash pairs, computed the portable way — per-nibble xor popcount. */
-  private lazy val simhashPairsSql: String =
+  /** Shared oracle for q24 (all-pairs), q24b (banded, radius 4) and q24c
+    * (banded, radius 2): hamming<=radius simhash pairs, computed the
+    * portable way — per-nibble xor popcount. */
+  private def simhashPairsSqlAt(radius: Int): String =
     s"""WITH sig AS ($simhashSql),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -416,7 +427,9 @@ object DedupQueries {
        |      strpos('0123456789abcdef', substr(sb, p, 1)) - 1))) AS INT) AS hamming
        |  FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS p)
        |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4""".stripMargin
+       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $radius""".stripMargin
+
+  private lazy val simhashPairsSql: String = simhashPairsSqlAt(4)
 
   /** Shared oracle for the two batch-kNN operators (window form q25,
     * bounded-aggregate form q42) — they must agree row-for-row. */
