@@ -65,6 +65,56 @@ object AnalyticsQueries {
         round(coalesce(col("n_shared") / col("n_spans"), lit(0.0)), 4).as("shared_frac"))
   }
 
+  /** Span-dedup REWRITE — the removal step q63 only signals (the
+    * "drop the duplicated substring, keep the first occurrence" rewrite
+    * of Lee et al. 2021 §3, at non-overlapping 8-token-chunk
+    * granularity; cf. reference compute semantics only — the reference
+    * has no corpus rewriter, this is a pipeline extension). Each doc is
+    * cut into consecutive 8-token chunks (last chunk may be shorter); a
+    * chunk is REMOVED when an identical chunk occurs earlier in
+    * (doc_id, idx) corpus order; the kept chunks are reassembled in
+    * position order as the cleaned text.
+    *
+    * Scale shape: corpus text crosses the wire ONCE — the
+    * first-occurrence window shuffles (chunk, doc_id, idx) rows on the
+    * chunk key (bounded groups, high cardinality), the removal verdicts
+    * come back as per-doc int arrays over a doc_id shuffle, and the
+    * cleaned text is rebuilt ROW-LOCALLY from a second colocated scan of
+    * the doc (q47/q57 recompute-over-materialize policy: re-chunking a
+    * doc is cheaper than shuffling its text a second time through a
+    * collect_list). No all-pairs step anywhere; removal is exact, not
+    * hash-approximate, because the chunk string itself is the key. */
+  def q82SpanRewrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = when(length(trim(col("text"))) === 0,
+        expr("cast(array() as array<string>)"))
+      .otherwise(split(trim(lower(col("text"))), "\\s+"))
+    val withChunks = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) === 0, expr("cast(array() as array<string>)"))
+          .otherwise(expr(
+            """transform(sequence(0, cast((size(t) - 1) / 8 as int)),
+              |  i -> array_join(slice(t, i * 8 + 1, 8), ' '))""".stripMargin))
+          .as("ch"))
+    // branch 1: first-occurrence verdicts over the exploded chunk stream
+    val exploded = withChunks
+      .select(col("doc_id"), posexplode(col("ch")).as(Seq("idx", "c")))
+    val w = Window.partitionBy("c").orderBy(col("doc_id").asc, col("idx").asc)
+    val removed = exploded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("idx"))).as("rem"))
+    // branch 2: rebuild the cleaned text row-locally from the chunk array
+    withChunks.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ch")).cast("bigint").as("n_chunks"),
+        coalesce(size(col("rem")), lit(0)).cast("bigint").as("n_removed"),
+        array_join(expr(
+          "filter(ch, (x, i) -> NOT coalesce(array_contains(rem, i), false))"),
+          " ").as("text_kept"))
+  }
+
   /** Trailing-24h rolling count + sum per event (RANGE frame over event
     * time in microseconds — the frame type q29/q59's ROWS frames don't
     * cover). Per-user partitions keep the window distributed; a range
@@ -207,6 +257,7 @@ object AnalyticsQueries {
     "q71_vector_hof" -> q71VectorHof _,
     "q62_setops" -> q62Setops _,
     "q63_span_dedup" -> q63SpanDedup _,
+    "q82_span_rewrite" -> q82SpanRewrite _,
     "q64_rolling_window" -> q64RollingWindow _,
     "q65_zipf_spectrum" -> q65ZipfSpectrum _,
     "q66_event_argmax" -> q66EventArgmax _,
@@ -294,6 +345,33 @@ object AnalyticsQueries {
         |  coalesce(n_shared, 0) AS n_shared,
         |  round(coalesce(n_shared * 1.0 / n_spans, 0.0), 4) AS shared_frac
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    "q82_span_rewrite" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0, CAST((len(t) - 1) // 8 AS INT))) AS idx
+        |  FROM toks WHERE len(t) > 0),
+        |ch AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(t[(idx * 8 + 1):(idx * 8 + 8)], ' ') AS c
+        |  FROM ix),
+        |rk AS (
+        |  SELECT doc_id, idx, c,
+        |    row_number() OVER (PARTITION BY c ORDER BY doc_id, idx) AS rn
+        |  FROM ch),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    string_agg(CASE WHEN rn = 1 THEN c END, ' ' ORDER BY idx) AS kept
+        |  FROM rk GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_chunks, 0) AS n_chunks,
+        |  coalesce(n_removed, 0) AS n_removed,
+        |  coalesce(kept, '') AS text_kept
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q64_rolling_window" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, value FROM events)

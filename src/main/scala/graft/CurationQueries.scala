@@ -314,6 +314,39 @@ object CurationQueries {
         element_at(col("qs"), 2).cast("int").as("p90_toks"),
         element_at(col("qs"), 3).cast("int").as("p99_toks"))
 
+  /** Exact φ-frequent tokens (φ = 1/(k+1), k = 31) via a two-pass
+    * Misra-Gries sketch: pass 1 builds a size-k MG summary PER PARTITION
+    * ([[graft.functions.MisraGries]]) and unions the surviving keys — by
+    * the MG guarantee (and pigeonhole across partitions: if an item's
+    * global count exceeds n/(k+1) = Σnₚ/(k+1), some partition has it
+    * above its local nₚ/(k+1)) this union is a SUPERSET of every
+    * φ-frequent token, with ≤ k·partitions entries — bounded by cluster
+    * parallelism, never by data, so collecting it to the driver is
+    * legitimate. Pass 2 exactly counts ONLY the candidates (IN-filter
+    * pushed to the scan) and keeps those above threshold: output is
+    * exact and deterministic — the sketch only pruned the shuffle, which
+    * carries ≤ k·partitions distinct keys instead of the whole
+    * vocabulary. The q38 vocabulary build is the exact-everything twin;
+    * this is the shape for vocabularies too large to shuffle whole. */
+  def q83FrequentTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 31
+    val toks = tokens(t(s, dir, "documents"))
+    val cands = toks.select("tok").as[String]
+      .mapPartitions { it =>
+        val mg = new graft.functions.MisraGries(k)
+        mg.addAll(it).candidates
+      }
+      .distinct().collect().toSeq.sorted // ≤ k·partitions rows
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.filter(col("tok").isin(cands: _*))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * (k + 1) > col("n_total"))
+      .select(col("tok"), col("freq"),
+        round(col("freq") / col("n_total"), 6).as("frac"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_inverted_index" -> q56InvertedIndex _,
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
@@ -326,7 +359,8 @@ object CurationQueries {
     "q78_quality_classifier" -> q78QualityClassifier _,
     "q79_epoch_shuffle" -> q79EpochShuffle _,
     "q80_cardinality_sketch" -> q80CardinalitySketch _,
-    "q81_length_quantiles" -> q81LengthQuantiles _
+    "q81_length_quantiles" -> q81LengthQuantiles _,
+    "q83_frequent_tokens" -> q83FrequentTokens _
   )
 
   private val tokCte: String =
@@ -476,6 +510,15 @@ object CurationQueries {
         |SELECT doc_id, pos,
         |  CAST((pos - 1) % 8 AS INT) AS shard,
         |  (pos - 1) // 8 + 1 AS shard_pos
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // exact-by-construction despite the sketch: the MG pass only prunes
+    // candidates, so the oracle is the plain threshold aggregate
+    "q83_frequent_tokens" ->
+      s"""WITH $tokCte,
+         |tot AS (SELECT count(*) AS n FROM tk)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         |  round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS frac
+         |FROM tk GROUP BY tok
+         |HAVING count(*) * 32 > (SELECT n FROM tot)""".stripMargin
   )
 }

@@ -80,4 +80,70 @@ class SketchSpec extends AnyFunSuite {
     val partial = plan.indexOf("partial_percentile_approx")
     assert(exch > 0 && partial > exch, plan.take(2000))
   }
+
+  /** Skewed synthetic stream: 5 hot items (~8% each) over a 2000-key
+    * uniform tail — hot items sit far above the n/(k+1) threshold at
+    * k=19, the tail far below, with seeded determinism. */
+  private def skewedStream(seed: Int, n: Int): IndexedSeq[String] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(n) {
+      if (rnd.nextInt(100) < 40) s"hot${rnd.nextInt(5)}"
+      else s"cold${rnd.nextInt(2000)}"
+    }
+  }
+
+  test("MisraGries keeps every item above n/(k+1) and undercounts by at most it") {
+    val stream = skewedStream(seed = 42, n = 20000)
+    val k = 19
+    val mg = new graft.functions.MisraGries(k).addAll(stream.iterator)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val thr = stream.size.toDouble / (k + 1)
+    val est = mg.estimates
+    assert(mg.n == stream.size && est.size <= k)
+    for ((x, f) <- exact if f > thr)
+      assert(est.contains(x), s"frequent item $x (freq $f > $thr) missing")
+    for ((x, e) <- est) {
+      val f = exact(x)
+      assert(e <= f, s"$x overcounted: est $e > true $f")
+      assert(f - e <= thr, s"$x undercount ${f - e} exceeds bound $thr")
+    }
+  }
+
+  test("MisraGries merge preserves both bounds at the combined n") {
+    val stream = skewedStream(seed = 7, n = 30000)
+    val k = 19
+    // build 7 independent summaries over uneven slices, merge left-fold
+    val parts = stream.grouped(4567).toSeq
+    val merged = parts.map(p => new graft.functions.MisraGries(k)
+        .addAll(p.iterator))
+      .reduceLeft((a, b) => a.merge(b))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val thr = stream.size.toDouble / (k + 1)
+    val est = merged.estimates
+    assert(merged.n == stream.size && est.size <= k)
+    for ((x, f) <- exact if f > thr)
+      assert(est.contains(x), s"frequent item $x lost in merge")
+    for ((x, e) <- est)
+      assert(e <= exact(x) && exact(x) - e <= thr,
+        s"$x: est $e vs true ${exact(x)} bound $thr")
+  }
+
+  test("q83 sketch-pruned frequent tokens equal the exact threshold aggregate") {
+    val got = CurationQueries.q83FrequentTokens(spark, SparkSuite.sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val toks = Tables.load(spark, SparkSuite.sf001, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val exact = counts.filter { case (_, f) => f * 32 > n }
+    assert(got.keySet == exact.keySet,
+      s"got ${got.keySet.size} tokens, exact ${exact.size}")
+    for ((tok, f) <- exact) {
+      assert(got(tok)._1 == f)
+      assert(math.abs(got(tok)._2 - (f.toDouble / n)) < 1e-6 + 1e-9)
+    }
+    assert(got.nonEmpty, "threshold must bite on the test corpus")
+  }
 }
