@@ -115,6 +115,24 @@ object AnalyticsQueries {
           " ").as("text_kept"))
   }
 
+  /** Z-order layout key per event ([[graft.operators.ZOrder]]): Morton
+    * interleave of the bucketed (user, hour) dimensions, plus the
+    * 2^14-granularity z-cell a layout compactor would bin rows into.
+    * The key itself is what a 100 TB OPTIMIZE-ZORDER rewrite sorts on
+    * (`ZOrder.cluster` — one range exchange); this query oracle-checks
+    * the bit-spread ladder end to end, per row, against DuckDB's 64-bit
+    * integer ops. Row-local (zero shuffles, zero UDFs — the whole
+    * ladder is codegen'd shift/and/or). */
+  def q84ZorderKey(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    t(s, dir, "events")
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("u"),
+        pmod(expr("unix_micros(ts) div 3600000000"), lit(65536L)).as("h"))
+      .withColumn("zkey", ZOrder.morton2(col("u"), col("h")))
+      .withColumn("zcell", shiftright(col("zkey"), 14))
+  }
+
   /** Trailing-24h rolling count + sum per event (RANGE frame over event
     * time in microseconds — the frame type q29/q59's ROWS frames don't
     * cover). Per-user partitions keep the window distributed; a range
@@ -258,6 +276,7 @@ object AnalyticsQueries {
     "q62_setops" -> q62Setops _,
     "q63_span_dedup" -> q63SpanDedup _,
     "q82_span_rewrite" -> q82SpanRewrite _,
+    "q84_zorder_key" -> q84ZorderKey _,
     "q64_rolling_window" -> q64RollingWindow _,
     "q65_zipf_spectrum" -> q65ZipfSpectrum _,
     "q66_event_argmax" -> q66EventArgmax _,
@@ -372,6 +391,28 @@ object AnalyticsQueries {
         |  coalesce(n_removed, 0) AS n_removed,
         |  coalesce(kept, '') AS text_kept
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q84_zorder_key" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    user_id % 65536 AS u,
+        |    ((epoch_ns(ts) // 1000) // 3600000000) % 65536 AS h
+        |  FROM events),
+        |s1 AS (SELECT event_id, u, h,
+        |    (u | (u << 8)) & 16711935 AS ua,
+        |    (h | (h << 8)) & 16711935 AS ha FROM e),
+        |s2 AS (SELECT event_id, u, h,
+        |    (ua | (ua << 4)) & 252645135 AS ua,
+        |    (ha | (ha << 4)) & 252645135 AS ha FROM s1),
+        |s3 AS (SELECT event_id, u, h,
+        |    (ua | (ua << 2)) & 858993459 AS ua,
+        |    (ha | (ha << 2)) & 858993459 AS ha FROM s2),
+        |s4 AS (SELECT event_id, u, h,
+        |    (ua | (ua << 1)) & 1431655765 AS ua,
+        |    (ha | (ha << 1)) & 1431655765 AS ha FROM s3)
+        |SELECT event_id, u, h,
+        |  (ua | (ha << 1)) AS zkey,
+        |  (ua | (ha << 1)) >> 14 AS zcell
+        |FROM s4""".stripMargin,
     "q64_rolling_window" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, value FROM events)
