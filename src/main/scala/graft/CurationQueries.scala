@@ -347,6 +347,29 @@ object CurationQueries {
         round(col("freq") / col("n_total"), 6).as("frac"))
   }
 
+  /** Reproducible weighted document sample (expected size 200, weight =
+    * n_chars): include a doc iff u/2^32 < k*w/W, with u the first 32
+    * md5 bits of the seeded doc_id — the Bernoulli twin of
+    * [[graft.operators.WeightedSample]]'s exact-k A-ES sampler, kept
+    * integer-exact so the oracle hash-matches: the comparison is
+    * u*W < k*w*2^32 in decimal(38) space, which holds exactly even at
+    * 100 TB weight sums (u < 2^32, W < 10^15 → product < 10^25 « 10^38;
+    * doubles would break ties at the margin, and engines' pow/log ulp
+    * differences would flip membership). One scan + one broadcast
+    * single-row total; row-local decision, no shuffle. */
+  def q85WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val u = conv(substring(
+        md5(concat(lit("ws"), col("doc_id").cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long")
+    val tot = d.agg(sum("n_chars").cast("decimal(38,0)").as("tw"))
+    d.select(col("doc_id"), col("lang"), col("n_chars").as("w"), u.as("u"))
+      .crossJoin(broadcast(tot))
+      .filter(col("u").cast("decimal(38,0)") * col("tw") <
+        lit(200).cast("decimal(38,0)") * col("w") * lit(4294967296L))
+      .select("doc_id", "lang", "w")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_inverted_index" -> q56InvertedIndex _,
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
@@ -360,7 +383,8 @@ object CurationQueries {
     "q79_epoch_shuffle" -> q79EpochShuffle _,
     "q80_cardinality_sketch" -> q80CardinalitySketch _,
     "q81_length_quantiles" -> q81LengthQuantiles _,
-    "q83_frequent_tokens" -> q83FrequentTokens _
+    "q83_frequent_tokens" -> q83FrequentTokens _,
+    "q85_weighted_sample" -> q85WeightedSample _
   )
 
   private val tokCte: String =
@@ -519,6 +543,18 @@ object CurationQueries {
          |SELECT tok, CAST(count(*) AS BIGINT) AS freq,
          |  round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS frac
          |FROM tk GROUP BY tok
-         |HAVING count(*) * 32 > (SELECT n FROM tot)""".stripMargin
+         |HAVING count(*) * 32 > (SELECT n FROM tot)""".stripMargin,
+    // integer-exact membership: HUGEINT on the DuckDB side mirrors the
+    // decimal(38) products on the Spark side, so the sampled set is
+    // bit-identical by construction
+    "q85_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars AS w,
+        |    CAST(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS u
+        |  FROM documents),
+        |tot AS (SELECT SUM(w) AS tw FROM d)
+        |SELECT doc_id, lang, w FROM d, tot
+        |WHERE CAST(u AS HUGEINT) * tw < CAST(200 AS HUGEINT) * w * 4294967296""".stripMargin
   )
 }

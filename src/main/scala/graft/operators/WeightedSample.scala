@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weighted sampling without replacement, distributed and reproducible.
+  *
+  * The mixture-construction step after planning (q75 decides RATES per
+  * domain; this picks the DOCUMENTS): exact-k per group via the
+  * Efraimidis-Spirakis one-pass scheme — every row gets the key
+  * u^(1/w) with u a seeded-hash uniform in (0,1), and the k largest
+  * keys per group are the sample. One scan, one hash exchange on the
+  * group key for the per-group top-k window; no global sort, no
+  * driver-side state, same result at any partitioning because the key
+  * depends only on (seed, row id, weight).
+  *
+  * The transcendental key means bit-parity across engines is NOT
+  * guaranteed (pow/log differ at ulp level), so this operator is
+  * spec-gated (determinism, exact-k, weight-bias properties) while the
+  * oracle-gated twin q85 uses integer-exact expected-k Bernoulli
+  * arithmetic instead. Reference scope: the reference engine has no
+  * sampler beyond the uniform index-build sample (dnc/dnc.go:159);
+  * this is a pipeline extension.
+  */
+object WeightedSample {
+
+  /** Seeded uniform in (0,1] from a row id: 63 usable xxhash64 bits.
+    * (0 maps to 1.0 — pow(1, 1/w) = 1 stays a valid key.) */
+  private def uniform(id: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(seed), id), lit(Long.MaxValue)).cast("double") + 1.0) /
+      Long.MaxValue.toDouble
+
+  /** A-ES sort key u^(1/w); rows with non-positive weight get key -1
+    * (never sampled). */
+  def aresKey(id: Column, weight: Column, seed: Long): Column =
+    when(weight > 0,
+      pow(uniform(id, seed), lit(1.0) / weight.cast("double")))
+      .otherwise(lit(-1.0))
+
+  /** The k rows with the largest A-ES keys per group — a weighted
+    * sample without replacement of size min(k, group size), inclusion
+    * odds rising with weight. `id` must be unique per row (it seeds
+    * the per-row uniform); ties are broken by id for determinism. */
+  def exactKPerGroup(df: DataFrame, group: Column, id: Column,
+                     weight: Column, k: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(group)
+      .orderBy(col("_wskey").desc, id.asc)
+    df.withColumn("_wskey", aresKey(id, weight, seed))
+      .filter(col("_wskey") >= 0)
+      .withColumn("_wsrank", row_number().over(w))
+      .filter(col("_wsrank") <= k)
+      .drop("_wskey", "_wsrank")
+  }
+}
