@@ -370,6 +370,36 @@ object CurationQueries {
       .select("doc_id", "lang", "w")
   }
 
+  /** Snapshot diff — the incremental-crawl step: classify every doc as
+    * added / removed / changed between two corpus versions and emit the
+    * delta work-list (unchanged rows are dropped — at 100 TB the output
+    * is churn-sized, not corpus-sized). The versions are derived
+    * deterministically from the one test table (old skips doc_id%7==0
+    * and perturbs text for %5==0; new skips %11==0), but the SHAPE is
+    * the production one: fingerprints are computed row-local at the
+    * scan, the full-outer join carries only (doc_id, 32-byte fp) —
+    * document text never crosses the wire — and both sides shuffle
+    * once on the id key. */
+  def q86SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(5)) === 0,
+            expr("substring(text, 2)")).otherwise(col("text"))
+          .cast("binary")).as("old_fp"))
+    val cur = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("new_fp"))
+    prev.join(cur, Seq("doc_id"), "full")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"),
+        coalesce(col("old_fp"), lit("")).as("old_fp"),
+        coalesce(col("new_fp"), lit("")).as("new_fp"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_inverted_index" -> q56InvertedIndex _,
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
@@ -384,7 +414,8 @@ object CurationQueries {
     "q80_cardinality_sketch" -> q80CardinalitySketch _,
     "q81_length_quantiles" -> q81LengthQuantiles _,
     "q83_frequent_tokens" -> q83FrequentTokens _,
-    "q85_weighted_sample" -> q85WeightedSample _
+    "q85_weighted_sample" -> q85WeightedSample _,
+    "q86_snapshot_diff" -> q86SnapshotDiff _
   )
 
   private val tokCte: String =
@@ -555,6 +586,23 @@ object CurationQueries {
         |  FROM documents),
         |tot AS (SELECT SUM(w) AS tw FROM d)
         |SELECT doc_id, lang, w FROM d, tot
-        |WHERE CAST(u AS HUGEINT) * tw < CAST(200 AS HUGEINT) * w * 4294967296""".stripMargin
+        |WHERE CAST(u AS HUGEINT) * tw < CAST(200 AS HUGEINT) * w * 4294967296""".stripMargin,
+    "q86_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN substr(text, 2) ELSE text END)
+        |      AS old_fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |cur AS (
+        |  SELECT doc_id, md5(text) AS new_fp
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT doc_id,
+        |  CASE WHEN old_fp IS NULL THEN 'added'
+        |       WHEN new_fp IS NULL THEN 'removed'
+        |       WHEN old_fp <> new_fp THEN 'changed' END AS status,
+        |  COALESCE(old_fp, '') AS old_fp,
+        |  COALESCE(new_fp, '') AS new_fp
+        |FROM prev FULL JOIN cur USING (doc_id)
+        |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp""".stripMargin
   )
 }
