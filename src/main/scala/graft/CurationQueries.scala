@@ -381,7 +381,12 @@ object CurationQueries {
     * document text never crosses the wire — and both sides shuffle
     * once on the id key. */
   def q86SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // plain load, NOT the loadP parallelism floor: loadP's repartition
+    // would sit below the fingerprint projection and push corpus TEXT
+    // through its exchange — here the md5 must collapse into the scan
+    // side so only (doc_id, fp) reaches the join shuffle (the join's
+    // own hash exchange is the first and only wire crossing)
+    val docs = Tables.load(s, dir, "documents")
     val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
       .select(col("doc_id"),
         md5(when(pmod(col("doc_id"), lit(5)) === 0,
