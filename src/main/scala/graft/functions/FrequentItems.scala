@@ -73,3 +73,22 @@ final class MisraGries(val k: Int) extends Serializable {
   /** Superset of every item with true frequency > n/(k+1). */
   def candidates: Iterator[String] = counters.keysIterator.toSeq.iterator
 }
+
+object MisraGries {
+  /** Rebuild a summary from exported (n, keys, counts) — the streaming
+    * state-store round trip: counters are the summary's entire state,
+    * so restore-then-add continues the stream exactly where the
+    * exported summary stopped, bounds intact. */
+  def restore(k: Int, n: Long, keys: Array[String],
+              counts: Array[Long]): MisraGries = {
+    require(keys.length == counts.length && keys.length <= k)
+    val mg = new MisraGries(k)
+    var i = 0
+    while (i < keys.length) {
+      mg.counters.update(keys(i), counts(i))
+      i += 1
+    }
+    mg.processed = n
+    mg
+  }
+}

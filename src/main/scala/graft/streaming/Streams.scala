@@ -214,6 +214,49 @@ object Streams {
 
   // ---------- stateful sessionization ----------
 
+  // ---------- incremental heavy hitters ----------
+
+  final case class MgState(n: Long, keys: Array[String], counts: Array[Long])
+  final case class BucketCandidates(bucket: Long, n: Long,
+                                    candidates: Seq[String])
+
+  /** Streaming heavy-hitter candidates — the incremental twin of q83's
+    * Misra-Gries pruning pass. Tokens hash into `buckets` keyed groups,
+    * each holding ONE bounded [[graft.functions.MisraGries]] summary in
+    * state: k counters per bucket, so state is k·buckets forever,
+    * independent of stream length. Every occurrence of a token lands in
+    * the same bucket, so the token's in-bucket count IS its global
+    * count while the bucket absorbs at most the whole stream — the MG
+    * no-false-negative guarantee transfers: any token with global
+    * frequency > n/(k+1) of the TOTAL stream is in its bucket's
+    * candidate set. Update-mode output re-emits a bucket's refreshed
+    * candidates whenever a batch touches it (take the max-n row per
+    * bucket for the current view); the exact verification count stays
+    * q83's batch pass 2 over the candidate union. */
+  def frequentTokenCandidates(docs: DataFrame, k: Int = 31,
+      buckets: Int = 64)(implicit spark: SparkSession)
+      : Dataset[BucketCandidates] = {
+    import spark.implicits._
+    docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("tok"),
+        pmod(xxhash64(col("tok")), lit(buckets.toLong)).as("bucket"))
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (bucket: Long, rows: Iterator[(String, Long)],
+         st: GroupState[MgState]) => {
+          val mg = st.getOption
+            .map(s => graft.functions.MisraGries.restore(k, s.n, s.keys, s.counts))
+            .getOrElse(new graft.functions.MisraGries(k))
+          mg.addAll(rows.map(_._1))
+          val (ks, cs) = mg.estimates.toArray.unzip
+          st.update(MgState(mg.n, ks, cs))
+          BucketCandidates(bucket, mg.n, ks.toSeq.sorted)
+        })
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessState(startUs: Long, lastUs: Long, n: Int)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

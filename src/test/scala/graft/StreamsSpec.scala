@@ -187,6 +187,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows2 == Set(21L), rows2)
   }
 
+  test("streaming MG candidates cover every frequent token across batches") {
+    import spark.implicits._
+    implicit val s = spark
+    // skewed corpus: 5 hot tokens woven through a uniform tail, split
+    // over three micro-batches so state must survive the round trips
+    val rnd = new scala.util.Random(5)
+    val docs = IndexedSeq.tabulate(120) { i =>
+      val words = IndexedSeq.fill(25) {
+        if (rnd.nextInt(100) < 35) s"hot${rnd.nextInt(5)}"
+        else s"cold${rnd.nextInt(400)}"
+      }
+      (i.toLong, words.mkString(" "))
+    }
+    val k = 19
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Streams.frequentTokenCandidates(
+        mem.toDF().toDF("doc_id", "text"), k = k, buckets = 4)
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode(OutputMode.Update).start()
+    docs.grouped(41).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // current view = each bucket's highest-n emission
+    val view = spark.table("mg_out")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy(col("n").desc)))
+      .filter(col("r") === 1)
+    val cands = view.select(explode(col("candidates")))
+      .as[String].collect().toSet
+    val perBucket = view.select("candidates").as[Seq[String]].collect()
+    assert(perBucket.forall(_.size <= k), "state must stay k-bounded")
+    // exact frequent tokens of the WHOLE stream at the global threshold
+    val toks = docs.flatMap(_._2.split("\\s+"))
+    val exact = toks.groupBy(identity).view.mapValues(_.size).toMap
+    val thr = toks.size.toDouble / (k + 1)
+    val frequent = exact.filter { case (_, f) => f > thr }.keySet
+    assert(frequent.nonEmpty, "threshold must bite on the test stream")
+    assert(frequent.subsetOf(cands),
+      s"missing frequent tokens: ${frequent -- cands}")
+  }
+
   test("streaming quality gate scores identically to batch q78") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
