@@ -295,10 +295,48 @@ object DedupQueries {
       .filter(col("n_shared") >= 3)
   }
 
+  /** q55 at benchmark-suite scale: the SAME contamination question, but
+    * planned for a benchmark shingle set too big to broadcast as a hash
+    * relation. q55's broadcast join stops working around ~10M benchmark
+    * shingles; the fallback is a shuffle join — and then the corpus side
+    * (the 100 TB side) pays a full exchange of every shingle, matching
+    * or not. This variant builds a Bloom filter over the benchmark
+    * shingle hashes (distributed aggregate; ~115 MB at 100M items / 1%
+    * fpp — broadcastable long after the exact set is not) and prunes the
+    * corpus side ROW-LOCALLY before the shuffle: only shingles that
+    * might match cross the wire (1% of non-matches at the chosen fpp).
+    * False positives die in the exact join; false negatives are
+    * impossible — output is row-identical to q55, same oracle. */
+  def q87BloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+    val bench = sh.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("bench_doc"), col("s"))
+    // distributed build: per-partition filters OR-merged up a tree (the
+    // stat.bloomFilter shape, but safe on a zero-row benchmark side,
+    // which NPEs Spark's own implementation)
+    val bf = bench.select(xxhash64(col("s")).as("h")).rdd
+      .map(_.getLong(0))
+      .treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(1 << 16, 0.01))(
+        (f, h) => { f.putLong(h); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bc = s.sparkContext.broadcast(bf)
+    sh.filter(col("doc_id") >= 10)
+      .filter(gf.bloom_might_contain(xxhash64(col("s")), bc))
+      // deliberately un-hinted: the exact verify join shuffles only the
+      // bloom survivors (AQE may still choose broadcast at test scale)
+      .join(bench, "s")
+      .groupBy(col("bench_doc"), col("doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_bottomk_sketch" -> q35BottomkSketch _,
     "q53_repetition" -> q53Repetition _,
     "q55_contamination" -> q55Contamination _,
+    "q87_bloom_contamination" -> q87BloomContamination _,
     "q21_minhash_lsh" -> q21MinhashLsh _,
     "q22_jaccard_neardup" -> q22JaccardNeardup _,
     "q23_simhash" -> q23Simhash _,
@@ -347,6 +385,17 @@ object DedupQueries {
        |    JOIN sizes sb ON sb.doc_id = doc_b)
        |  WHERE j >= 0.8)""".stripMargin
 
+  /** Shared oracle for q55 (broadcast join) and q87 (bloom-pruned
+    * shuffle join): contamination is one question with two plans. */
+  private lazy val contaminationSql: String =
+    s"""WITH $shingleCte,
+       |bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id < 10)
+       |SELECT bench_doc, a.doc_id AS corpus_doc, count(*) AS n_shared
+       |FROM sh a JOIN bench b ON a.s = b.s
+       |WHERE a.doc_id >= 10
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 3""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q53_repetition" ->
       s"""WITH $shingleCte,
@@ -357,14 +406,9 @@ object DedupQueries {
          |  round(coalesce(1.0 - dst * 1.0 / tot, 0.0), 4) AS rep_frac
          |FROM (SELECT doc_id FROM documents) d
          |LEFT JOIN per USING (doc_id)""".stripMargin,
-    "q55_contamination" ->
-      s"""WITH $shingleCte,
-         |bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id < 10)
-         |SELECT bench_doc, a.doc_id AS corpus_doc, count(*) AS n_shared
-         |FROM sh a JOIN bench b ON a.s = b.s
-         |WHERE a.doc_id >= 10
-         |GROUP BY 1, 2
-         |HAVING count(*) >= 3""".stripMargin,
+    "q55_contamination" -> contaminationSql,
+    // bloom-pruned twin answers the SAME question — one oracle, two plans
+    "q87_bloom_contamination" -> contaminationSql,
     "q21_minhash_lsh" ->
       s"""WITH $shingleCte,
          |seeds AS (SELECT unnest(generate_series(0, ${K - 1})) AS seed),

@@ -112,6 +112,33 @@ case class NoopEmbed(child: Expression, dim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** bloom_might_contain(bigint) → boolean — probe a broadcast
+  * [[org.apache.spark.util.sketch.BloomFilter]] from inside whole-stage
+  * codegen. The filter ships once per executor via the broadcast (the
+  * codegen'd row loop only calls `mightContainLong`), so a 100M-item /
+  * 1% fpp filter (~115 MB) is a per-executor constant, never per-task
+  * state — the runtime-filter shape Spark itself uses for join pruning,
+  * exposed here as a first-class pre-shuffle prune (DedupQueries q87). */
+case class BloomMightContain(
+    child: Expression,
+    bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child -> LongType))
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+  override protected def nullSafeEval(h: Any): Any =
+    bf.value.mightContainLong(h.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", bf,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, h =>
+      s"((org.apache.spark.util.sketch.BloomFilter) $ref.value()).mightContainLong($h)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Manual input-type checks (AbstractDataType is private[sql] in Spark 4,
   * so ExpectsInputTypes is unavailable to third-party expressions). */
 private[functions] object GraftExprChecks {

@@ -39,6 +39,13 @@ object gf {
     * shape: quantized binary, header min=-1/max=1). */
   def noop_embed(text: Column, dim: Int = 512): Column = col(NoopEmbed(expr(text), dim))
 
+  /** Probe a broadcast Bloom filter with a `bigint` hash column — the
+    * pre-shuffle membership prune (see [[graft.DedupQueries]] q87). */
+  def bloom_might_contain(
+      h: Column,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    col(BloomMightContain(expr(h), bf))
+
   // ---- document pipeline (UDFs) ----
   // Null policy: a null text behaves as EMPTY text (no tokens/shingles,
   // sentinel signatures) — Scala UDFs receive null Strings as-is and
