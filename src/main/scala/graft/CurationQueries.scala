@@ -405,6 +405,80 @@ object CurationQueries {
         coalesce(col("new_fp"), lit("")).as("new_fp"))
   }
 
+  /** DSIR-style importance evidence (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc by
+    * how much its hashed-unigram distribution resembles a TARGET domain
+    * (lang='en' here, standing in for the curated target corpus) versus
+    * the raw corpus. Tokens hash into 4096 buckets (portable md5 nibble
+    * hash, q78's trick), so the whole target/raw contrast compresses to
+    * a ≤4096-row dim table — broadcast, independent of corpus size; the
+    * per-doc aggregation shuffles only (doc_id, partial-sum) rows. The
+    * token stream feeds the dim build and the scoring join — recomputed,
+    * not checkpointed (q57's policy: one extra scan beats pinning a
+    * corpus-sized intermediate in the block manager).
+    *
+    * Emits the INTEGER-EXACT per-doc evidence (feature count, summed
+    * target/raw bucket counts) — oracle-checked; the transcendental
+    * log-ratio itself is [[dsirScore]], spec-gated against a driver-side
+    * recompute (ln can never hash-match across engines — q85 pattern). */
+  def q88DsirEvidence(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int"))
+    val dim = toks.groupBy("bucket").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"),
+      count(lit(1)).as("raw_cnt"))
+    val per = toks.join(broadcast(dim), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum("tgt_cnt").as("tgt_hits"),
+        sum("raw_cnt").as("raw_hits"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("tgt_hits"), lit(0L)).as("tgt_hits"),
+        coalesce(col("raw_hits"), lit(0L)).as("raw_hits"))
+  }
+
+  /** The DSIR log-likelihood-ratio score over q88's bucket statistics:
+    * per doc, Σ_tokens [ln(tgt_cnt(b)+1) − ln(raw_cnt(b)+1)]
+    * + n_feats·ln((R+B)/(T+B)) — the add-one-smoothed ln p̂_tgt/p̂_raw of
+    * the doc's hashed features. Same plan as q88 (broadcast dim, one
+    * doc_id shuffle); the corpus totals (T, R) ride a 1-row broadcast.
+    * Spec-gated (DsirSpec): exact parity with a driver-side recompute
+    * plus the separation property (target-domain docs score higher).
+    * Importance RESAMPLING is composition: feed exp(score/τ) into
+    * [[graft.operators.WeightedSample]]. */
+  def dsirScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int"))
+    val dim = toks.groupBy("bucket").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"),
+      count(lit(1)).as("raw_cnt"))
+    val totals = dim.agg(
+      (sum("tgt_cnt") + lit(4096L)).cast("double").as("t_norm"),
+      (sum("raw_cnt") + lit(4096L)).cast("double").as("r_norm"))
+    val per = toks.join(broadcast(dim), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(log(col("tgt_cnt") + 1) - log(col("raw_cnt") + 1)).as("lsum"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("lsum") + col("n_feats") * log(col("r_norm") / col("t_norm")),
+          lit(0.0)).as("dsir_score"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_inverted_index" -> q56InvertedIndex _,
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
@@ -420,7 +494,8 @@ object CurationQueries {
     "q81_length_quantiles" -> q81LengthQuantiles _,
     "q83_frequent_tokens" -> q83FrequentTokens _,
     "q85_weighted_sample" -> q85WeightedSample _,
-    "q86_snapshot_diff" -> q86SnapshotDiff _
+    "q86_snapshot_diff" -> q86SnapshotDiff _,
+    "q88_dsir_evidence" -> q88DsirEvidence _
   )
 
   private val tokCte: String =
@@ -608,6 +683,31 @@ object CurationQueries {
         |  COALESCE(old_fp, '') AS old_fp,
         |  COALESCE(new_fp, '') AS new_fp
         |FROM prev FULL JOIN cur USING (doc_id)
-        |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp""".stripMargin
+        |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp""".stripMargin,
+    "q88_dsir_evidence" ->
+      """WITH tkl AS (
+        |  SELECT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(tok) > 0),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(tok), 1, 3)) AS BIGINT) AS bucket
+        |  FROM tkl),
+        |dim AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt,
+        |    count(*) AS raw_cnt
+        |  FROM bk GROUP BY bucket),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n,
+        |    sum(tgt_cnt) AS th, sum(raw_cnt) AS rh
+        |  FROM bk JOIN dim USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n, 0) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(per.th, 0) AS BIGINT) AS tgt_hits,
+        |  CAST(coalesce(per.rh, 0) AS BIGINT) AS raw_hits
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
   )
 }
