@@ -177,6 +177,30 @@ object Streams {
       .withColumn("fp", md5(lower(trim(col("text")))))
       .join(corpusFps.select("fp"), Seq("fp"), "left_anti")
 
+  /** Contamination gate on an ingest stream — the streaming twin of
+    * q87: flag (or drop) arriving documents that share ≥ `minShared`
+    * distinct shingles with a held-out benchmark set, summarized as a
+    * BROADCAST Bloom filter over benchmark shingle hashes. Stateless:
+    * the probe is a row-local codegen expression, so there is no state
+    * store, no watermark, and a replayed micro-batch gates identically.
+    * The bloom admits ~fpp false hits per clean shingle, so `hits` is a
+    * small OVERCOUNT bound (never an undercount — a benchmark shingle
+    * always probes true): docs below `minShared` even WITH the fp slack
+    * are certainly clean, which is the triage a stream can do without
+    * joining the benchmark table; route the flagged tail through the
+    * exact batch verify (q87's join) before discarding anything. */
+  def contaminationGate(docs: DataFrame,
+      benchBloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      minShared: Int = 3): DataFrame =
+    docs
+      .withColumn("_sh", array_distinct(gf.shingles(col("text"), 3)))
+      .withColumn("hits",
+        size(filter(transform(col("_sh"),
+            s => gf.bloom_might_contain(xxhash64(s), benchBloom)),
+          h => h)))
+      .withColumn("contaminated", col("hits") >= minShared)
+      .drop("_sh")
+
   // ---------- windowed aggregation with watermark ----------
 
   /** Tumbling event-time window counts per event type (the streaming twin

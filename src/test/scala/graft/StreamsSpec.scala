@@ -228,6 +228,44 @@ class StreamsSpec extends AnyFunSuite {
       s"missing frequent tokens: ${frequent -- cands}")
   }
 
+  test("streaming contamination gate flags every doc the batch sweep catches") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val benchSh = docs.filter(col("doc_id") < 10)
+      .select(explode(array_distinct(
+        graft.functions.gf.shingles(col("text"), 3))).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+    val bf = benchSh.rdd.map(_.getLong(0)).treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(1 << 16, 0.01))(
+      (f, h) => { f.putLong(h); f }, (a, b) => { a.mergeInPlace(b); a })
+    val bc = spark.sparkContext.broadcast(bf)
+    // exact batch verdicts: corpus docs sharing >=3 shingles with ANY
+    // single benchmark doc (q55's per-pair semantics — a SUBSET of the
+    // gate's union-of-benchmark count, so the gate must flag them all)
+    val exact = SparkEntry.queries("q55_contamination")(spark, dir)
+      .select("corpus_doc").as[Long].collect().toSet
+    val corpus = docs.filter(col("doc_id") >= 10)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Streams.contaminationGate(mem.toDF().toDF("doc_id", "text"), bc)
+      .select("doc_id", "hits", "contaminated")
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Append).start()
+    corpus.grouped(200).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val flagged = spark.table("contam_out")
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(exact.nonEmpty, "sweep must catch planted overlaps")
+    assert(exact.subsetOf(flagged),
+      s"gate missed contaminated docs: ${exact -- flagged}")
+    // the bloom can only overcount: unflagged docs are certainly below
+    // the threshold even against the union of ALL benchmark shingles
+    val unflaggedSample = spark.table("contam_out")
+      .filter(!col("contaminated")).count()
+    assert(unflaggedSample > 0, "gate should clear most of the corpus")
+  }
+
   test("streaming quality gate scores identically to batch q78") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
