@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.gf
-import graft.index.IvfIndex
+import graft.index.{IvfIndex, PqCodec}
 
 /** Pipeline-shaped queries: the reference's upload/search lifecycles
   * (SURVEY.md §3) re-expressed as DataFrame jobs, plus event-stream
@@ -236,8 +236,36 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
   }
 
+  /** PQ-compressed ANN search — the compression path PAST q26's
+    * IVF-Flat: dim-64 vectors become 8-byte codes (32× vs float32),
+    * the corpus-sized ADC pass reads only the code column, and the
+    * exact cosine rerank touches k·rerank full vectors via a broadcast
+    * id join ([[graft.index.PqCodec]] scaladoc for the 100 TB
+    * rationale). Training sample is the vec_id-ordered head — bounded
+    * and deterministic (production swaps in a seeded sample, same as
+    * the IVF build's M1). Golden-gated: seeded training makes the
+    * result frozen at sf0.001; PqCodecSpec proves recall vs brute
+    * force, ADC exactness, and the code-column-only shortlist plan. */
+  def q89AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // empty corpus → empty result (nothing to train, encode, or rank)
+    val queryRow = e.filter(col("vec_id") === 0).select(col("embedding")).head(1)
+    if (queryRow.isEmpty)
+      return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val query = queryRow(0).getSeq[Float](0).toArray
+    val sample = e.orderBy("vec_id").select("embedding").limit(1024)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val model = PqCodec.train(sample, m = 8)
+    val encoded = e.select(col("vec_id"), col("embedding"),
+      PqCodec.pq_encode(col("embedding"), model).as("pqcode"))
+    PqCodec.searchAdc(encoded, "vec_id", "pqcode", "embedding",
+        model, query, k = 10, rerank = 4)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_ivf" -> q26AnnIvf _,
+    "q89_ann_pq" -> q89AnnPq _,
     "q54_length_histogram" -> q54LengthHistogram _,
     "q34_media_pipeline" -> q34MediaPipeline _,
     "q36_bpe_tokens" -> q36BpeTokens _,

@@ -21,6 +21,12 @@ class GoldenRowsSpec extends AnyFunSuite {
       "260|0.2987 ;; 262|0.2387 ;; 483|0.3005 ;; 59|0.2487 ;; 82|0.2494")
   }
 
+  test("q89_ann_pq golden rows") {
+    assert(canon("q89_ann_pq") ==
+      "0|1.0 ;; 12|0.311 ;; 17|0.3345 ;; 212|0.2814 ;; 225|0.3151 ;; " +
+      "260|0.2987 ;; 347|0.2745 ;; 402|0.2745 ;; 483|0.3005 ;; 73|0.2972")
+  }
+
   test("q27_flatten_chunks golden rows") {
     assert(canon("q27_flatten_chunks") ==
       "click|210|630 ;; error|201|603 ;; purchase|202|606 ;; " +
