@@ -193,13 +193,29 @@ object PqCodec {
       .orderBy(col("_adc").desc, col(idCol).asc)
       .limit(k * rerank)
       .select(idCol)
-    val spark = index.sparkSession
     val qlit = lit(VectorKernels.l2Normalize(query))
     index.join(broadcast(shortlist), idCol)
       .select(col(idCol),
         gf.cosine_sim(col(vecCol), qlit.cast(ArrayType(FloatType))).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF-PQ: the composed 100 TB serving shape — the coarse quantizer
+    * prunes to nprobe lists (on a centroid_id-partitioned store that is
+    * PARTITION pruning: unprobed lists are never planned, exactly like
+    * `IvfIndex.search`), then the ADC pass ranks only the probed lists'
+    * codes and the exact rerank touches k·rerank full vectors. Stacked
+    * reductions: 100 TB of floats → nprobe/k of the corpus → m bytes
+    * per row → k·rerank rows. `indexed` is an IVF-assigned frame
+    * (`centroid_id` column) carrying a PQ code column. */
+  def searchIvfAdc(indexed: DataFrame, ivf: IvfIndex.Model, idCol: String,
+                   codeCol: String, vecCol: String, model: Model,
+                   query: Array[Float], k: Int, nprobe: Int,
+                   rerank: Int = 4): DataFrame = {
+    val probeIds = ivf.probe(query, nprobe)
+    searchAdc(indexed.filter(col("centroid_id").isin(probeIds: _*)),
+      idCol, codeCol, vecCol, model, query, k, rerank)
   }
 }
 

@@ -105,6 +105,35 @@ class PqCodecSpec extends AnyFunSuite {
       s"shortlist must scan codes only: $schemaLine")
   }
 
+  test("IVF-PQ equals plain ADC at nprobe=all and tracks IVF-Flat when pruned") {
+    import graft.index.IvfIndex
+    val e = Tables.load(spark, dir, "embeddings")
+    val (indexed, ivf) = IvfIndex.build(e, "embedding",
+      IvfIndex.Params(listSize = 100))
+    val withCodes = indexed.select(col("vec_id"), col("embedding"),
+      col("centroid_id"), PqCodec.pq_encode(col("embedding"), model).as("pqcode"))
+      .cache()
+    try {
+      val q = vecs.head._2
+      val all = PqCodec.searchIvfAdc(withCodes, ivf, "vec_id", "pqcode",
+        "embedding", model, q, k = 10, nprobe = 0)
+        .collect().map(_.toSeq).toSeq
+      val plain = PqCodec.searchAdc(withCodes, "vec_id", "pqcode",
+        "embedding", model, q, k = 10)
+        .collect().map(_.toSeq).toSeq
+      assert(all == plain, "nprobe=all must degenerate to the full ADC search")
+      // pruned: exact-within-lists IVF-Flat is the yardstick; the PQ
+      // shortlist may miss codes only past the rerank horizon
+      val flat = IvfIndex.search(indexed, ivf, "vec_id", "embedding",
+        q, k = 10, nprobe = 2).select("vec_id").as[Long].collect().toSet
+      val pq = PqCodec.searchIvfAdc(withCodes, ivf, "vec_id", "pqcode",
+        "embedding", model, q, k = 10, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      assert(flat.intersect(pq).size >= 8,
+        s"IVF-PQ strayed from IVF-Flat: ${flat -- pq} missing")
+    } finally withCodes.unpersist()
+  }
+
   test("q89 returns the true nearest neighbor first") {
     val rows = SparkEntry.queries("q89_ann_pq")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
