@@ -50,17 +50,21 @@ object DedupQueries {
     * Shuffles on shingle keys — at 100 TB this runs AFTER q21's LSH
     * filter (verify stage); it is exact-by-construction here so the
     * oracle can replicate it without minhash error. */
-  def q22JaccardNeardup(s: SparkSession, dir: String): DataFrame = {
-    // each shingle row carries its document's distinct-shingle count n
-    // (a doc_id-partitioned window — per-doc groups, never global), so
-    // (a) the size-band prune below fires AT THE JOIN and (b) the final
-    // jaccard needs no separate sizes joins. Checkpointed: feeds both
-    // join sides, and the shingle kernel runs once.
-    val sh = t(s, dir, "documents")
+  /** doc_id → exploded distinct shingles, each row carrying its
+    * document's distinct-shingle count n (a doc_id-partitioned window —
+    * per-doc groups, never global), so (a) the size-band prune fires AT
+    * THE JOIN and (b) the final jaccard needs no separate sizes joins.
+    * Checkpointed: feeds both join sides (q22) / both side filters
+    * (q91), and the shingle kernel runs once. */
+  private def shingleCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .localCheckpoint(true)
+
+  def q22JaccardNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleCounts(s, dir)
     // self-join (not group+collect_list combinations): measured equal at
     // sf0.1, and the join form lets AQE split a hot-shingle partition
     // where a collected array cannot be split. The size band is exact
@@ -78,6 +82,34 @@ object DedupQueries {
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("j"))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** Cross-corpus near-dup — the incremental-ingest dedup gate: an
+    * incoming batch (odd doc_ids stand in for the new crawl slice) is
+    * checked against the existing corpus (even doc_ids) and only
+    * cross-side pairs are emitted; the corpus is never self-joined.
+    * Same exact-jaccard + integer size-band machinery as [[q22JaccardNeardup]],
+    * but the pair space is |new|·|old ∩ shared-shingle|, not |corpus|²/2.
+    * At 100 TB the asymmetry is the whole point: the batch side is
+    * crawl-sized while the corpus side contributes only rows whose
+    * shingle actually occurs in the batch — the join's equi-key does the
+    * semi-filtering for free, and everything downstream of the join is
+    * bounded by the batch, not the corpus. The batch twin of the
+    * streaming stream-static gate (`Streams.corpusDedupStream`). */
+  def q91CrossDedup(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleCounts(s, dir)
+    val corpus = sh.filter(col("doc_id") % 2 === 0)
+    val batch = sh.filter(col("doc_id") % 2 === 1)
+    corpus.as("a")
+      .join(batch.as("b"), col("a.s") === col("b.s") &&
+        col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+      .groupBy(col("a.doc_id").as("doc_old"), col("b.doc_id").as("doc_new"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .select(col("doc_old"), col("doc_new"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("j"))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_old"), col("doc_new"), round(col("j"), 4).as("jaccard"))
   }
 
   /** Per-document 64-bit SimHash signature (16 hex chars, md5-portable). */
@@ -339,6 +371,7 @@ object DedupQueries {
     "q87_bloom_contamination" -> q87BloomContamination _,
     "q21_minhash_lsh" -> q21MinhashLsh _,
     "q22_jaccard_neardup" -> q22JaccardNeardup _,
+    "q91_cross_dedup" -> q91CrossDedup _,
     "q23_simhash" -> q23Simhash _,
     "q24_simhash_pairs" -> q24SimhashPairs _,
     "q24b_simhash_banded" -> q24bSimhashBanded _,
@@ -431,6 +464,23 @@ object DedupQueries {
     "q22_jaccard_neardup" ->
       s"""WITH $jaccardPairsCte
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM jp""".stripMargin,
+    "q91_cross_dedup" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_old, b.doc_id AS doc_new, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT doc_old, doc_new, j FROM (
+         |    SELECT doc_old, doc_new,
+         |      i * 1.0 / (sa.n + sb.n - i) AS j
+         |    FROM inter
+         |    JOIN sizes sa ON sa.doc_id = doc_old
+         |    JOIN sizes sb ON sb.doc_id = doc_new)
+         |  WHERE j >= 0.8)
+         |SELECT doc_old, doc_new, round(j, 4) AS jaccard FROM jp""".stripMargin,
     "q23_simhash" -> simhashSql,
     "q24_simhash_pairs" -> simhashPairsSql,
     // banded form answers the SAME question — one oracle, two plans

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.RankOps
+
+/** Corpus-selection operators — the policy layer of a training-data
+  * pipeline: which documents (and how many of each) make it into the
+  * mix. Complements the per-doc scoring in RetrievalQueries (q46/q47)
+  * and the mixture arithmetic in CurationQueries (q75): these queries
+  * APPLY caps/filters/buckets, each in the shape that survives 100 TB.
+  */
+object SelectionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "documents" || name == "embeddings") Tables.loadP(s, dir, name)
+    else Tables.load(s, dir, name)
+
+  /** Per-domain document cap (the Common-Crawl "max N pages per host"
+    * rule, C4/Gopher §A.2 flavor). */
+  private val CAP = 20
+  /** Salt fan-out for the hot-domain pre-prune. */
+  private val SALT = 16
+
+  /** Cap each source at CAP docs, keeping the highest-quality ones
+    * (n_chars DESC, doc_id tiebreak — any deterministic priority works).
+    *
+    * Scale shape — domain counts are Zipf: almost all domains are under
+    * the cap, a handful are enormous. So (1) under-cap sources NEVER
+    * enter a window: a broadcast anti-join against the (tiny) over-cap
+    * source list passes them straight through — the bulk of the corpus
+    * moves zero times; (2) over-cap sources are pre-pruned per salt
+    * group first (any row outside its salt group's local top-CAP cannot
+    * be in the source's global top-CAP), so the final per-source window
+    * sees ≤ SALT·CAP rows per source — a mega-domain never lands on one
+    * task as a full partition, only as its already-capped survivors. */
+  def q90DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // domain-count aggregate: |sources| rows, broadcast to both branches
+    val over = docs.groupBy("source").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > CAP).select("source")
+    val pass = docs.join(broadcast(over), Seq("source"), "left_anti")
+    val prio = Seq(col("n_chars").desc, col("doc_id").asc)
+    val localW = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(SALT)))
+      .orderBy(prio: _*)
+    val finalW = Window.partitionBy("source").orderBy(prio: _*)
+    val capped = docs.join(broadcast(over), Seq("source"), "left_semi")
+      .withColumn("_lrn", row_number().over(localW)).filter(col("_lrn") <= CAP)
+      .withColumn("_rn", row_number().over(finalW)).filter(col("_rn") <= CAP)
+      .drop("_lrn", "_rn")
+    pass.unionByName(capped).select("doc_id", "source", "n_chars")
+  }
+
+  /** Banned-term filter (the C4 "bad words" gate): count blocklist hits
+    * per document with a higher-order array expression — ONE codegen'd
+    * scan, zero exchanges, no explode, no UDF. The blocklist is a
+    * literal here; a real deployment's list (10⁴-ish terms) compiles
+    * into the same IN-set (Catalyst turns large IN into a hash set) or
+    * rides as a broadcast join on token — either way the corpus never
+    * shuffles for a per-row verdict. Plain load (not the loadP floor):
+    * the verdict is one cheap expression per row, so parallelism should
+    * come from file splits alone — the plan stays EXCHANGE-FREE
+    * (spec-pinned), which is the whole point of the shape. */
+  def q92BlocklistFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr(
+        """size(filter(split(trim(lower(text)), '\\s+'),
+          |  tk -> tk IN ('slow', 'drop', 'stale')))""".stripMargin).as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0)
+
+  /** CCNet-style perplexity bucketing: score every document under the
+    * corpus-trained character-trigram LM (q47), then split EACH LANGUAGE
+    * into head/middle/tail thirds by score (ntile(3) semantics, exactly).
+    *
+    * Scale shape — the naive plan is `ntile(3) over (partition by lang
+    * order by score)`: 5 languages → 5 tasks, each globally sorting its
+    * language's share of the corpus. Instead the ranking runs through
+    * [[RankOps.globalRowNumberPer]] (one RANGE exchange shared by all
+    * languages, rows spread over all partitions) and the rank→tercile
+    * arithmetic reproduces ntile's remainder rule from the broadcast
+    * per-language counts — bucket boundaries cost integer math, not a
+    * per-language sort bottleneck. */
+  def q93CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val lm = RetrievalQueries.q47TrigramLm(s, dir) // doc_id, avg_logp
+    val scored = lm.join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+    val ranked = RankOps.globalRowNumberPer(scored, "lang",
+      Seq(col("avg_logp").desc, col("doc_id").asc), "r")
+    val sizes = ranked.groupBy("lang").agg(count(lit(1)).as("_n"))
+    // ntile(3) remainder rule: the first (n mod 3) buckets get one extra
+    // row. The else-branch divides by _s only when r exceeds the fat
+    // buckets, which implies _s >= 1 (when _s = 0 the fat buckets hold
+    // every row) — the conditional guards the division by construction.
+    ranked.join(broadcast(sizes), "lang")
+      .withColumn("_s", expr("_n div 3")).withColumn("_rem", col("_n") % 3)
+      .withColumn("bucket", when(col("r") <= col("_rem") * (col("_s") + 1),
+          expr("CAST(ceil(r / CAST(_s + 1 AS DOUBLE)) AS INT)"))
+        .otherwise(expr(
+          "CAST(_rem + ceil((r - _rem * (_s + 1)) / CAST(_s AS DOUBLE)) AS INT)")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), round(avg("avg_logp"), 4).as("mean_logp"))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_domain_cap" -> q90DomainCap _,
+    "q92_blocklist_filter" -> q92BlocklistFilter _,
+    "q93_ccnet_buckets" -> q93CcnetBuckets _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q90_domain_cap" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $CAP""".stripMargin,
+    "q92_blocklist_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    tk -> tk IN ('slow', 'drop', 'stale'))) AS INT) AS n_hits,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    tk -> tk IN ('slow', 'drop', 'stale'))) = 0 AS keep
+        |FROM documents""".stripMargin,
+    "q93_ccnet_buckets" ->
+      """WITH tri AS (
+        |  SELECT doc_id, unnest([substr(text, i, 3)
+        |    FOR i IN generate_series(1, greatest(length(text) - 2, 0))]) AS tri
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tri),
+        |freq AS (SELECT tri, count(*) AS c FROM tri GROUP BY tri),
+        |lm AS (
+        |  SELECT doc_id, round(sum(ln(c / total)) / count(*), 4) AS avg_logp
+        |  FROM tri JOIN freq USING (tri) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT d.lang, lm.avg_logp,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY lm.avg_logp DESC, lm.doc_id) AS bucket
+        |  FROM lm JOIN documents d USING (doc_id))
+        |SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+        |  round(avg(avg_logp), 4) AS mean_logp
+        |FROM r GROUP BY lang, bucket""".stripMargin
+  )
+}

@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.registry ++ DedupQueries.registry ++ PipelineQueries.registry ++
       RetrievalQueries.registry ++ CurationQueries.registry ++
-      AnalyticsQueries.registry ++ OwnershipQueries.registry
+      AnalyticsQueries.registry ++ OwnershipQueries.registry ++
+      SelectionQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ DedupQueries.oracle ++ PipelineQueries.oracle ++
       RetrievalQueries.oracle ++ CurationQueries.oracle ++
-      AnalyticsQueries.oracle ++ OwnershipQueries.oracle
+      AnalyticsQueries.oracle ++ OwnershipQueries.oracle ++
+      SelectionQueries.oracle
 }
