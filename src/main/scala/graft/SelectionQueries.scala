@@ -20,8 +20,6 @@ object SelectionQueries {
   /** Per-domain document cap (the Common-Crawl "max N pages per host"
     * rule, C4/Gopher §A.2 flavor). */
   private val CAP = 20
-  /** Salt fan-out for the hot-domain pre-prune. */
-  private val SALT = 16
 
   /** Cap each source at CAP docs, keeping the highest-quality ones
     * (n_chars DESC, doc_id tiebreak — any deterministic priority works).
@@ -30,26 +28,45 @@ object SelectionQueries {
     * the cap, a handful are enormous. So (1) under-cap sources NEVER
     * enter a window: a broadcast anti-join against the (tiny) over-cap
     * source list passes them straight through — the bulk of the corpus
-    * moves zero times; (2) over-cap sources are pre-pruned per salt
-    * group first (any row outside its salt group's local top-CAP cannot
-    * be in the source's global top-CAP), so the final per-source window
-    * sees ≤ SALT·CAP rows per source — a mega-domain never lands on one
-    * task as a full partition, only as its already-capped survivors. */
+    * moves zero times; (2) over-cap sources pre-prune to a local
+    * top-CAP per INPUT partition with ZERO exchange: sort within the
+    * scan partitions on (source, priority), read the per-row position
+    * off `monotonically_increasing_id` (sequential within a partition
+    * by construction), and subtract each (partition, source) group's
+    * min — an aggregate of |partitions|·|over-cap sources| rows that
+    * comes back as a broadcast. Any row outside its partition's local
+    * top-CAP cannot be in the source's global top-CAP, so the one real
+    * window runs over ≤ partitions·CAP rows per source — bounded by
+    * cluster parallelism, never by domain size. (A salted window would
+    * still exchange every over-cap row and leave domain/SALT-sized
+    * tasks; this shape's only corpus-sized work is the local sort.)
+    *
+    * Determinism note (why no RankOps-style checkpoint pin): the bases
+    * aggregate and the main branch re-execute the same lineage, but
+    * below them sits no exchange at all — a deterministic parquet split
+    * plan, a broadcast semi-join, and a TOTAL-ORDER local sort (doc_id
+    * tiebreak), so (_pid, _mono) is a pure function of the data and
+    * both consumers see identical values by construction. */
   def q90DomainCap(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // domain-count aggregate: |sources| rows, broadcast to both branches
     val over = docs.groupBy("source").agg(count(lit(1)).as("_n"))
       .filter(col("_n") > CAP).select("source")
     val pass = docs.join(broadcast(over), Seq("source"), "left_anti")
+      .select("doc_id", "source", "n_chars")
     val prio = Seq(col("n_chars").desc, col("doc_id").asc)
-    val localW = Window
-      .partitionBy(col("source"), pmod(col("doc_id"), lit(SALT)))
-      .orderBy(prio: _*)
+    val sorted = docs.join(broadcast(over), Seq("source"), "left_semi")
+      .sortWithinPartitions(col("source").asc +: prio: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mono", monotonically_increasing_id())
+    val bases = sorted.groupBy("_pid", "source")
+      .agg(min("_mono").as("_base")) // |partitions|·|over-cap sources| rows
     val finalW = Window.partitionBy("source").orderBy(prio: _*)
-    val capped = docs.join(broadcast(over), Seq("source"), "left_semi")
-      .withColumn("_lrn", row_number().over(localW)).filter(col("_lrn") <= CAP)
+    val capped = sorted.join(broadcast(bases), Seq("_pid", "source"))
+      .withColumn("_lrn", col("_mono") - col("_base") + 1)
+      .filter(col("_lrn") <= CAP) // ≤ partitions·CAP rows per source remain
       .withColumn("_rn", row_number().over(finalW)).filter(col("_rn") <= CAP)
-      .drop("_lrn", "_rn")
+      .select("doc_id", "source", "n_chars")
     pass.unionByName(capped).select("doc_id", "source", "n_chars")
   }
 

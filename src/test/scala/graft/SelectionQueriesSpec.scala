@@ -22,7 +22,18 @@ class SelectionQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("q90: salted two-phase cap equals the plain per-source window") {
+  test("q90: exactly one window — the pre-prune is exchange-free local ranking") {
+    val p = SelectionQueries.q90DomainCap(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.sliding(7).count(_ == "Window ") == 1,
+      s"expected exactly one Window node (final cap), got plan:\n$p")
+    // the surviving window must run over locally pre-pruned rows
+    val winAt = p.indexOf("Window ")
+    assert(p.indexOf("_lrn", winAt) > winAt,
+      s"final window input is not the local-rank pre-prune:\n$p")
+  }
+
+  test("q90: two-phase cap equals the plain per-source window") {
     val docs = Tables.load(spark, dir, "documents")
     val w = Window.partitionBy("source")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
