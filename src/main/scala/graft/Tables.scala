@@ -9,17 +9,37 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-    // rejects; read nanos as long and narrow to micros TimestampType.
+    // events.parquet has carried TIMESTAMP(NANOS) (rejected by the
+    // vectorized reader — read nanos as long, narrow to micros) and plain
+    // TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ)
+    // across driver data generations. Normalize either shape to session-TZ
+    // TimestampType (sessions pin UTC) so downstream code sees one type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // Integer division: `/` would promote to double, and epoch nanos
-      // (~1.8e18) exceed double's 53-bit exact range (ULP ≈ 256ns).
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType =>
+          // Integer division: `/` would promote to double, and epoch nanos
+          // (~1.8e18) exceed double's 53-bit exact range (ULP ≈ 256ns).
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else normalizeNtz(df)
+  }
+
+  /** Cast any TIMESTAMP_NTZ column to session-TZ TimestampType (UTC): the
+    * parquet writer's isAdjustedToUTC flag varies by generator version and
+    * every consumer (unix_micros, watermarks, window()) wants LTZ. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
   }
 
   /** Natural key per table — the hash-repartition column for [[loadP]]. */

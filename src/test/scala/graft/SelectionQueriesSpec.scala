@@ -27,9 +27,11 @@ class SelectionQueriesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.sliding(7).count(_ == "Window ") == 1,
       s"expected exactly one Window node (final cap), got plan:\n$p")
-    // the surviving window must run over locally pre-pruned rows
+    // the surviving window must run over locally pre-pruned rows; the
+    // local rank shows up either as the named _lrn column or inlined by
+    // Catalyst into the join condition ((_mono - _base) + 1 <= CAP)
     val winAt = p.indexOf("Window ")
-    assert(p.indexOf("_lrn", winAt) > winAt,
+    assert(p.indexOf("_lrn", winAt) > winAt || p.indexOf("_mono", winAt) > winAt,
       s"final window input is not the local-rank pre-prune:\n$p")
   }
 

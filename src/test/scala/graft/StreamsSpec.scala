@@ -351,11 +351,15 @@ class StreamsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(SparkSuite.sf0001, "events.parquet"),
       srcDir.resolve("part-0.parquet"))
     val batchEv = Tables.load(spark, SparkSuite.sf0001, "events")
-    // stream the same file: nanos ts arrives as long (nanosAsLong), narrow
-    // to micros exactly like the batch loader
+    // stream the same file, normalizing ts exactly like the batch loader:
+    // nanos-as-long generations narrow to micros, NTZ generations cast LTZ
     val rawSchema = spark.read.parquet(srcDir.toString).schema
-    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val stream = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val q = Streams.windowedEventStats(stream, window_ = "1 hour", lateness = "0 seconds")
       .writeStream.format("memory").queryName("win_parity_out")
       .outputMode(OutputMode.Complete).start()
