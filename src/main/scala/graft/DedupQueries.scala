@@ -364,8 +364,56 @@ object DedupQueries {
       .filter(col("n_shared") >= 3)
   }
 
+  /** SemDeDup pair threshold on 4dp-rounded cosine (the synthetic
+    * embeddings have no true near-dups — within-cluster sims top out
+    * ~0.5, so 0.35 yields a meaningful ε-neighbor graph at every SF). */
+  private val SemEps = 0.35
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space, compare pairs only WITHIN a cluster, and inside
+    * each ε-neighborhood keep the example farthest from its cluster
+    * centroid (the paper's keep-low-centroid-similarity rule: the most
+    * central points are the redundant ones). The `label` column stands in
+    * for the cluster assignment so the DuckDB oracle can replicate the
+    * decision exactly; the production path swaps in the IVF assignment
+    * (q32's blocking — k-means is not SQL-expressible), whose listSize
+    * bounds every cluster.
+    *
+    * Scale shape: centroids are |clusters| rows (broadcast — the corpus
+    * never shuffles for scoring); the self-join shuffles by cluster key
+    * only, pair space is Σ|cluster|² — the SemDeDup cost model; and the
+    * keep decision is a SINGLE-PASS dominance rule, not iterative
+    * union-find: drop a vector iff some ε-neighbor ranks strictly lower
+    * by (centroid_sim, vec_id). Emits every vector with its verdict so
+    * the output is corpus-sized and stable, not threshold-sized. */
+  def q94SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cent = e.groupBy("label")
+      .agg(gf.vector_mean(col("embedding")).as("centroid"))
+    val scored = e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        (round(gf.cosine_sim(col("embedding"), col("centroid")), 4) + 0.0)
+          .as("cent_sim"))
+      .localCheckpoint(true) // score once, not once per self-join side
+    val dom = scored.as("a")
+      .join(scored.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          round(gf.cosine_sim(col("a.embedding"), col("b.embedding")), 4) >= SemEps)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(when(struct(col("b.cent_sim"), col("b.vec_id")) <
+          struct(col("a.cent_sim"), col("a.vec_id")), 1).otherwise(0)).as("_dom"))
+    scored.join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cent_sim"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("_dom"), lit(0)) === 0).as("kept"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_bottomk_sketch" -> q35BottomkSketch _,
+    "q94_semdedup" -> q94SemDedup _,
     "q53_repetition" -> q53Repetition _,
     "q55_contamination" -> q55Contamination _,
     "q87_bloom_contamination" -> q87BloomContamination _,
@@ -430,6 +478,32 @@ object DedupQueries {
        |HAVING count(*) >= 3""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q94_semdedup" ->
+      s"""WITH cent AS (
+         |  SELECT label, list(CAST(m AS REAL) ORDER BY idx) AS centroid
+         |  FROM (SELECT label, idx, avg(val) AS m
+         |        FROM (SELECT label, unnest(embedding) AS val,
+         |                unnest(generate_series(1, len(embedding))) AS idx
+         |              FROM embeddings)
+         |        GROUP BY label, idx)
+         |  GROUP BY label),
+         |e AS (
+         |  SELECT v.vec_id, v.label, v.embedding,
+         |    round(CAST(list_cosine_similarity(v.embedding, c.centroid)
+         |      AS DOUBLE), 4) + 0 AS cent_sim
+         |  FROM embeddings v JOIN cent c USING (label)),
+         |nb AS (
+         |  SELECT a.vec_id, count(*) AS n_dups,
+         |    max(CASE WHEN (b.cent_sim, b.vec_id) < (a.cent_sim, a.vec_id)
+         |        THEN 1 ELSE 0 END) AS dom
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |    AND round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+         |      AS DOUBLE), 4) >= $SemEps
+         |  GROUP BY a.vec_id)
+         |SELECT e.vec_id, e.label, e.cent_sim,
+         |  CAST(coalesce(nb.n_dups, 0) AS BIGINT) AS n_dups,
+         |  coalesce(nb.dom, 0) = 0 AS kept
+         |FROM e LEFT JOIN nb USING (vec_id)""".stripMargin,
     "q53_repetition" ->
       s"""WITH $shingleCte,
          |sha AS (SELECT doc_id, unnest(sl) AS s FROM shl),
