@@ -48,4 +48,37 @@ object IvfMaintenance {
     * re-scored, the rest of the index is untouched). */
   def driftedLists(report: DataFrame, maxDrift: Double): DataFrame =
     report.filter(col("drift_avg") > maxDrift).select("centroid_id", "n", "drift_avg")
+
+  /** TWO-index divergence audit — the replica-consistency / delta-vs-main
+    * maintenance shape: per list, how many rows live only in A, only in
+    * B, and in both. The reference's single-node twin walks both spill
+    * files for a list side by side; here the join key (centroid_id,
+    * vec_id) CONTAINS the partition key, so with v2 bucketing the two
+    * indexes' `KeyGroupedPartitioning(centroid_id)` reports satisfy the
+    * join's distribution requirement directly (with
+    * `requireAllClusterKeysForCoPartition=false` — the keys are a
+    * superset of the partition key): Spark plans a storage-partitioned
+    * full-outer join — each task cogroups one list's files from each
+    * index, ZERO Exchange below the join (spec-pinned at 100k rows), and
+    * column pruning keeps vector bytes on disk. The full-outer USING key
+    * is a coalesce of both sides, so the per-list rollup can't prove
+    * partitioning over it; the plan's ONLY Exchange moves map-side
+    * partial counters — ≤ |lists|·|tasks| rows. At 100 TB the
+    * alternative is shuffling both indexes end to end — this shape reads
+    * each exactly once and moves only per-list counters. */
+  def indexDiff(spark: SparkSession, pathA: String, pathB: String): DataFrame = {
+    def side(p: String, tag: String) =
+      spark.read.format(IvfBinarySource.FORMAT).load(p)
+        .select(col("centroid_id"), col("vec_id"), lit(1).as(tag))
+    side(pathA, "_a")
+      .join(side(pathB, "_b"), Seq("centroid_id", "vec_id"), "full_outer")
+      .groupBy("centroid_id")
+      .agg(
+        sum(when(col("_a").isNotNull && col("_b").isNull, 1L).otherwise(0L))
+          .as("only_a"),
+        sum(when(col("_b").isNotNull && col("_a").isNull, 1L).otherwise(0L))
+          .as("only_b"),
+        sum(when(col("_a").isNotNull && col("_b").isNotNull, 1L).otherwise(0L))
+          .as("both"))
+  }
 }

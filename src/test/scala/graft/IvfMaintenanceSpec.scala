@@ -68,6 +68,60 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("indexDiff joins two indexes storage-partitioned: zero Exchange") {
+    val n = 100000
+    val lists = 64
+    import spark.implicits._
+    def base = spark.range(n).select(
+      col("id").as("vec_id"),
+      array_repeat((col("id") % 5 + 1).cast("float"), DIM).as("embedding"),
+      (col("id") % lists).cast("int").as("centroid_id"))
+    val pa = java.nio.file.Files.createTempDirectory("ivf_diff_a").toString
+    val pb = java.nio.file.Files.createTempDirectory("ivf_diff_b").toString
+    IvfBinarySource.write(base, "vec_id", "embedding", pa)
+    // replica B: drops every 97th row, gains 500 new trailing rows
+    val extras = spark.range(n, n + 500).select(
+      col("id").as("vec_id"),
+      array_repeat(lit(1f), DIM).as("embedding"),
+      (col("id") % lists).cast("int").as("centroid_id"))
+    IvfBinarySource.write(
+      base.filter(col("vec_id") % 97 =!= 0).unionByName(extras),
+      "vec_id", "embedding", pb)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      // join keys (centroid_id, vec_id) are a SUPERSET of the partition
+      // key; co-partitioning on the partition-key prefix needs this off
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val diff = IvfMaintenance.indexDiff(spark, pa, pb)
+      val plan = diff.queryExecution.executedPlan.toString
+      // the corpus-sized frames never shuffle: the single Exchange sits
+      // ABOVE the join and carries per-list partial counters only
+      val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+      assert(exchanges == 1 && plan.indexOf("Exchange") < plan.indexOf("Join") &&
+        plan.indexOf("partial_sum") > plan.indexOf("Exchange"),
+        s"two-index audit must not shuffle either index:\n$plan")
+      val rows = diff.collect().map(r =>
+        r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(rows.size == lists)
+      (0 until lists).foreach { cid =>
+        val ids = cid.toLong until n.toLong by lists.toLong
+        val dropped = ids.count(_ % 97 == 0).toLong
+        val gained = (n.toLong until n + 500L).count(_ % lists == cid).toLong
+        assert(rows(cid) == ((dropped, gained, ids.size - dropped)),
+          s"list $cid diff ${rows(cid)}")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("drifted lists surface when a list's members point apart") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempDirectory("ivf_drift").toString
