@@ -386,30 +386,10 @@ object DedupQueries {
     * union-find: drop a vector iff some ε-neighbor ranks strictly lower
     * by (centroid_sim, vec_id). Emits every vector with its verdict so
     * the output is corpus-sized and stable, not threshold-sized. */
-  def q94SemDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val cent = e.groupBy("label")
-      .agg(gf.vector_mean(col("embedding")).as("centroid"))
-    val scored = e.join(broadcast(cent), "label")
-      .select(col("vec_id"), col("label"), col("embedding"),
-        (round(gf.cosine_sim(col("embedding"), col("centroid")), 4) + 0.0)
-          .as("cent_sim"))
-      .localCheckpoint(true) // score once, not once per self-join side
-    val dom = scored.as("a")
-      .join(scored.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.vec_id") =!= col("b.vec_id") &&
-          round(gf.cosine_sim(col("a.embedding"), col("b.embedding")), 4) >= SemEps)
-      .groupBy(col("a.vec_id").as("vec_id"))
-      .agg(count(lit(1)).as("n_dups"),
-        max(when(struct(col("b.cent_sim"), col("b.vec_id")) <
-          struct(col("a.cent_sim"), col("a.vec_id")), 1).otherwise(0)).as("_dom"))
-    scored.join(dom, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("label"), col("cent_sim"),
-        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-        (coalesce(col("_dom"), lit(0)) === 0).as("kept"))
-  }
+  def q94SemDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupOps.semDedup(
+      t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding")),
+      "vec_id", "label", "embedding", SemEps)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_bottomk_sketch" -> q35BottomkSketch _,

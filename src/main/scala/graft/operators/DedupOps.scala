@@ -97,6 +97,51 @@ object DedupOps {
     labels
   }
 
+  /** SemDeDup verdict pass (Abbas et al. 2023) over a pre-clustered
+    * embedding frame: per cluster, compare members pairwise (the pair
+    * space is Σ|cluster|², never n²), and inside each ε-neighborhood
+    * keep the member farthest from its cluster centroid — the paper's
+    * keep-low-centroid-similarity rule — via a SINGLE-PASS dominance
+    * decision on (centroid_sim, id), no iterative components. Centroids
+    * are |clusters| rows and ride a broadcast; the corpus shuffles once,
+    * by cluster key, for the self-join. Similarities are rounded to 4dp
+    * before thresholding/comparison so verdicts are reproducible across
+    * engines (the q94 DuckDB oracle replicates them exactly).
+    *
+    * Emits every input id with (cluster, cent_sim, n_dups, kept). */
+  def semDedup(e: DataFrame, idCol: String, clusterCol: String,
+      vecCol: String, eps: Double): DataFrame = {
+    import graft.functions.gf
+    val cent = e.groupBy(clusterCol)
+      .agg(gf.vector_mean(col(vecCol)).as("_centroid"))
+    val scored = e.join(broadcast(cent), clusterCol)
+      .select(col(idCol), col(clusterCol), col(vecCol),
+        (round(gf.cosine_sim(col(vecCol), col("_centroid")), 4) + 0.0)
+          .as("cent_sim"))
+      // CORRECTNESS pin, not just a perf trade (RankOps convention): the
+      // scored subtree is consumed three times (both self-join sides +
+      // the verdict join-back). vector_mean merges float partials in
+      // shuffle-arrival order, so three independent re-executions could
+      // produce centroids differing in low bits and a cent_sim that
+      // rounds differently per consumer — splitting one vector's verdict.
+      // Pinning freezes cent_sim as data. MEMORY_AND_DISK, corpus-sized:
+      // the one materialization this operator pays by design.
+      .localCheckpoint(true)
+    val dom = scored.as("a")
+      .join(scored.as("b"),
+        col(s"a.$clusterCol") === col(s"b.$clusterCol") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol") &&
+          round(gf.cosine_sim(col(s"a.$vecCol"), col(s"b.$vecCol")), 4) >= eps)
+      .groupBy(col(s"a.$idCol").as(idCol))
+      .agg(count(lit(1)).as("n_dups"),
+        max(when(struct(col("b.cent_sim"), col(s"b.$idCol")) <
+          struct(col("a.cent_sim"), col(s"a.$idCol")), 1).otherwise(0)).as("_dom"))
+    scored.join(dom, Seq(idCol), "left")
+      .select(col(idCol), col(clusterCol), col("cent_sim"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("_dom"), lit(0)) === 0).as("kept"))
+  }
+
   /** Keep-set dedup: every doc not in a duplicate cluster survives; each
     * cluster keeps its minimum id. Anti-join shaped — the doc table never
     * shuffles whole, only ids do. */
