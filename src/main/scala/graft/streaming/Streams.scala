@@ -288,6 +288,41 @@ object Streams {
 
   // ---------- streaming near-dup candidate pairs (MinHash LSH) ----------
 
+  /** Semantic near-dup gate on an embedding stream — the incremental
+    * twin of q94/[[graft.operators.DedupOps.semDedup]], completing the
+    * streaming gate trio: exact fingerprint ([[dedupAgainstCorpus]]),
+    * syntactic LSH ([[streamingNeardupPairs]]), semantic (here). Each
+    * arriving vector is assigned to its nearest centroid by the SAME
+    * broadcast codegen argmax the batch index uses, then compared only
+    * against that one cluster's corpus members via a stream-static
+    * equi-join on centroid_id — the SemDeDup cost model (Σ per-arrival
+    * cluster sizes, never a corpus cross-join), and when the corpus side
+    * is the list-partitioned index, partition pruning per micro-batch.
+    * Emits every arrival with its assignment and the `dup` verdict at ε.
+    *
+    * Stateless BY CONSTRUCTION: the exists-a-neighbor verdict is a
+    * stream-static left_semi / left_anti pair — no state store, no
+    * watermark, and crucially no streaming aggregation (a groupBy-max
+    * formulation would pin every vec_id ever seen in the state store) —
+    * so a replayed batch gates identically; snapshot semantics as
+    * [[dedupAgainstCorpus]] (restart to see corpus growth). In-stream
+    * duplicates are NOT decided here: land accepted vectors and run the
+    * batch verdict ([[graft.operators.DedupOps.semDedup]]) on a cadence,
+    * which also supplies per-pair detail (best match, similarity) that a
+    * stateless gate cannot aggregate. */
+  def semanticGate(vecsStream: DataFrame, model: IvfIndex.Model,
+      corpus: DataFrame, eps: Double = 0.35): DataFrame = {
+    val assigned = IvfIndex.assign(vecsStream, "embedding", model)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val members = corpus.select(col("centroid_id").as("_ccid"),
+      col("embedding").as("_cvec"))
+    val near = col("centroid_id") === col("_ccid") &&
+      (round(gf.cosine_sim(col("embedding"), col("_cvec")), 4) + 0.0) >= eps
+    assigned.join(members, near, "left_semi").withColumn("dup", lit(true))
+      .unionByName(
+        assigned.join(members, near, "left_anti").withColumn("dup", lit(false)))
+  }
+
   /** Streaming LSH candidate generation — the incremental twin of
     * q21_minhash_lsh. Incoming docs explode to (band-bucket, doc) keys;
     * per-bucket state holds ONLY the first (canonical) doc ever seen, so

@@ -345,6 +345,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.select("fp").as[String].collect().toSet == batchFps)
   }
 
+  test("semantic gate flags corpus near-dups, passes novel vectors, statelessly") {
+    import spark.implicits._
+    // corpus: 32 orthogonal basis vectors (dim 64) — any copy is sim 1,
+    // any unused basis direction is sim 0 to every member
+    def basis(b: Int, scale: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == b) scale else 0f)
+    val corpusDf = (0 until 32)
+      .map(i => (i.toLong, basis(i, 2f))).toDF("vec_id", "embedding")
+    val (indexed, model) = graft.index.IvfIndex.build(corpusDf, "embedding",
+      graft.index.IvfIndex.Params(listSize = 8, sampleSize = 32))
+    val corpus = indexed.select("centroid_id", "embedding")
+      .localCheckpoint(true)
+    // arrivals: 5 copies of corpus members (dups), 5 novel directions
+    val srcDir = java.nio.file.Files.createTempDirectory("sem_gate")
+    ((0 until 5).map(i => (100L + i, basis(i, 3f))) ++
+      (0 until 5).map(j => (200L + j, basis(40 + j, 1f))))
+      .toDF("vec_id", "embedding")
+      .write.parquet(srcDir.resolve("b0").toString)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("path", srcDir.resolve("b0").toString).format("parquet").load()
+    val gated = Streams.semanticGate(stream, model, corpus)
+    val q = gated.writeStream.format("memory").queryName("sem_gate_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sem_gate_out")
+      .select("vec_id", "dup").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 10)
+    (0 until 5).foreach(i => assert(got(100L + i), s"copy of member $i must flag"))
+    (0 until 5).foreach(j => assert(!got(200L + j), s"novel ${200 + j} must pass"))
+    // stateless: the physical plan carries no stateful operator
+    val progress = q.lastProgress
+    assert(progress.stateOperators.isEmpty,
+      s"gate must be stateless, got ${progress.stateOperators.length} state ops")
+  }
+
   test("windowed stats on the real events stream equal the batch computation") {
     val srcDir = java.nio.file.Files.createTempDirectory("ev_stream")
     java.nio.file.Files.copy(
