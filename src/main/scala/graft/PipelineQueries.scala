@@ -263,7 +263,69 @@ object PipelineQueries {
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** BPE merge-table learning (Sennrich et al. 2016) — tokenizer
+    * TRAINING over the corpus, the op upstream of q36's segmentation.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct-word
+    * frequency table — the only corpus-sized aggregation; everything
+    * after is VOCABULARY-sized (Zipf-bounded: new words grow ~n^0.5
+    * while tokens grow ~n, so at 100 TB the word table is orders of
+    * magnitude smaller than the corpus). Each round then (1) counts
+    * adjacent symbol pairs over word forms weighted by word frequency —
+    * a vocab-sized explode with map-side partial aggregation, (2) takes
+    * the global argmax pair via TakeOrdered (deterministic tie-break:
+    * count desc, pair asc), (3) applies the merge with the codegen
+    * [[graft.functions.BpeMergePass]] kernel. The loop is
+    * driver-bounded (nMerges rounds, like the reference's k-means
+    * iteration loop); forms pin per round (vocab-sized localCheckpoint)
+    * so lineage doesn't stack across rounds.
+    *
+    * Returns (merge table: rank/pair_a/pair_b/pair_count, final forms:
+    * freq/sym) — the merge table IS the trained tokenizer artifact. */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var forms = words.select(col("freq"), expr(
+      """concat(transform(sequence(1, length(w)),
+        |  i -> substring(w, i, 1)), array('</w>'))""".stripMargin).as("sym"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val top = forms
+        .filter(size(col("sym")) >= 2) // sequence(1,0) is DESCENDING, not empty
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), i -> struct(sym[i-1] AS a, sym[i] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, c))
+        forms = forms
+          .select(col("freq"), gf.bpe_merge(col("sym"), a, b).as("sym"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    (merges.toSeq.toDF("rank", "pair_a", "pair_b", "pair_count"), forms)
+  }
+
+  /** The learned 8-rule merge table over `documents` (driver gate:
+    * rows-only — the iterative argmax loop is not SQL-expressible;
+    * BpeSpec proves the algorithm against a driver-side exact recompute
+    * and the textbook example, GoldenRowsSpec pins the sf0.01 table). */
+  def q95BpeMerges(s: SparkSession, dir: String): DataFrame =
+    learnBpeMerges(t(s, dir, "documents"), nMerges = 8)._1
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_bpe_merges" -> q95BpeMerges _,
     "q26_ann_ivf" -> q26AnnIvf _,
     "q89_ann_pq" -> q89AnnPq _,
     "q54_length_histogram" -> q54LengthHistogram _,

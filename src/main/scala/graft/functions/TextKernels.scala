@@ -22,6 +22,29 @@ object TextKernels {
   private val mapper = new ObjectMapper()
   private val excessNewline = "\n\n+".r
 
+  /** One BPE merge pass (Sennrich et al. 2016 tokenizer training): the
+    * left-to-right greedy non-overlapping replacement of the adjacent
+    * symbol pair (a, b) by its concatenation — ["a","a","a"] under merge
+    * (a,a) → ["aa","a"], the textbook scan order. Operates on Catalyst
+    * ArrayData so [[BpeMergePass]] stays inside whole-stage codegen. */
+  def bpeMergePass(sym: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sym.numElements()
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = sym.getUTF8String(i)
+      if (i + 1 < n && s == a && sym.getUTF8String(i + 1) == b) {
+        out.add(org.apache.spark.unsafe.types.UTF8String.concat(a, b))
+        i += 2
+      } else { out.add(s); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(Array.empty[AnyRef]))
+  }
+
   /** JSON text → canonical flattened text (reference server/format.go:17-89). */
   def flattenJson(json: String): String =
     try flatten(mapper.readTree(json))

@@ -112,6 +112,33 @@ case class NoopEmbed(child: Expression, dim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** bpe_merge_pass(array<string>) → array<string> with the merge pair
+  * (a, b) embedded as expression constants (the pair is one learned
+  * rule, not data) — one left-to-right greedy pass of BPE tokenizer
+  * training ([[TextKernels.bpeMergePass]]), inside whole-stage codegen. */
+case class BpeMergePass(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_merge_pass expects array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_merge_pass"
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.bpeMergePass(v.asInstanceOf[ArrayData], ua, ub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ar = ctx.addReferenceObj("bpeA", ua, "org.apache.spark.unsafe.types.UTF8String")
+    val br = ctx.addReferenceObj("bpeB", ub, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.TextKernels.bpeMergePass($v, $ar, $br)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** bloom_might_contain(bigint) → boolean — probe a broadcast
   * [[org.apache.spark.util.sketch.BloomFilter]] from inside whole-stage
   * codegen. The filter ships once per executor via the broadcast (the

@@ -122,6 +122,11 @@ object gf {
 
   /** Whitespace token count — expression-composed (codegen'd, and the exact
     * semantics are reproducible in the DuckDB oracle). */
+  /** One BPE merge pass over an `array<string>` symbol column — the
+    * learned pair rides as expression constants (codegen, no UDF). */
+  def bpe_merge(sym: Column, a: String, b: String): Column =
+    col(BpeMergePass(expr(sym), a, b))
+
   def token_count(text: Column): Column =
     // Go strings.Fields semantics: empty/whitespace-only → 0 (split of ""
     // yields [""], so guard), else trim + split on whitespace runs.

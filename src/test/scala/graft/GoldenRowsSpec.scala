@@ -39,6 +39,12 @@ class GoldenRowsSpec extends AnyFunSuite {
       "8|47 ;; 9|50")
   }
 
+  test("q95_bpe_merges golden rows") {
+    assert(canon("q95_bpe_merges") ==
+      "1|e|r|4650 ;; 2|e|</w>|4644 ;; 3|n|</w>|2898 ;; 4|o|r|2880 ;; " +
+      "5|t|</w>|2850 ;; 6|er|</w>|2781 ;; 7|o|w|2763 ;; 8|ow|</w>|2763")
+  }
+
   test("q32_blocked_neardup golden rows") {
     assert(canon("q32_blocked_neardup") ==
       "106|263|0.426 ;; 119|403|0.4188 ;; 136|241|0.4348 ;; " +
