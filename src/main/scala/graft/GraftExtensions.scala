@@ -39,6 +39,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t, Literal(d: Int, _)) => NoopEmbed(t, d)
         case _ => throw new IllegalArgumentException("noop_embed(text[, dim])")
       }))
+    ext.injectFunction((FunctionIdentifier("bpe_merge_pass"),
+      info("bpe_merge_pass",
+        "bpe_merge_pass(sym, 'a', 'b') - one greedy BPE merge pass over a symbol array"),
+      (es: Seq[Expression]) => es match {
+        case Seq(sym, Literal(a, _: org.apache.spark.sql.types.StringType),
+            Literal(b, _: org.apache.spark.sql.types.StringType)) =>
+          BpeMergePass(sym, a.toString, b.toString)
+        case _ => throw new IllegalArgumentException(
+          "bpe_merge_pass(sym, 'a', 'b') — the pair must be string literals")
+      }))
     // engine marker: lets a deploy assert the extensions actually loaded
     ext.injectFunction((FunctionIdentifier("graft_engine_version"),
       info("graft_engine_version", "graft_engine_version() - engine version string"),

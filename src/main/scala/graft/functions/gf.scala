@@ -219,5 +219,13 @@ object gf {
     reg.createOrReplaceTempFunction("dequantize_vec", es => DequantizeVec(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("noop_embed", es => NoopEmbed(es.head, 512), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_merge_pass", {
+      case Seq(sym,
+          org.apache.spark.sql.catalyst.expressions.Literal(a, _: org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.catalyst.expressions.Literal(b, _: org.apache.spark.sql.types.StringType)) =>
+        BpeMergePass(sym, a.toString, b.toString)
+      case _ => throw new IllegalArgumentException(
+        "bpe_merge_pass(sym, 'a', 'b') — the pair must be string literals")
+    }, "scala_udf")
   }
 }

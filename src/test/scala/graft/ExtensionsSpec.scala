@@ -21,6 +21,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 512)
   }
 
+  test("bpe_merge_pass is SQL-callable with literal pairs, and only those") {
+    val out = spark.sql(
+      "SELECT bpe_merge_pass(array('a', 'a', 'a'), 'a', 'a') AS m")
+      .head().getSeq[String](0)
+    assert(out == Seq("aa", "a"))
+    val e = intercept[Exception](
+      spark.sql("SELECT bpe_merge_pass(array('a'), 'a', lower('B'))").head())
+    assert(e.getMessage.contains("string literals") ||
+      e.getCause != null && e.getCause.getMessage.contains("string literals"))
+  }
+
   test("function descriptions are visible to DESCRIBE FUNCTION") {
     val desc = spark.sql("DESCRIBE FUNCTION cosine_sim")
       .collect().map(_.getString(0)).mkString("\n")
