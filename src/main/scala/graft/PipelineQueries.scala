@@ -295,13 +295,7 @@ object PipelineQueries {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
-      val top = forms
-        .filter(size(col("sym")) >= 2) // sequence(1,0) is DESCENDING, not empty
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(sym) - 1), i -> struct(sym[i-1] AS a, sym[i] AS b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("freq").as("cnt"))
+      val top = bpePairCounts(forms)
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -316,6 +310,18 @@ object PipelineQueries {
     import spark.implicits._
     (merges.toSeq.toDF("rank", "pair_a", "pair_b", "pair_count"), forms)
   }
+
+  /** One merge round's frequency-weighted adjacent-pair count over the
+    * (freq, sym) forms frame — vocab-sized in and out (Plans.scala shows
+    * this stage's plan: explode → map-side partial agg → TakeOrdered). */
+  private[graft] def bpePairCounts(forms: DataFrame): DataFrame =
+    forms
+      .filter(size(col("sym")) >= 2) // sequence(1,0) is DESCENDING, not empty
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(sym) - 1), i -> struct(sym[i-1] AS a, sym[i] AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
 
   /** The learned 8-rule merge table over `documents` (driver gate:
     * rows-only — the iterative argmax loop is not SQL-expressible;
