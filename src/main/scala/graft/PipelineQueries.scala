@@ -323,6 +323,38 @@ object PipelineQueries {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("freq").as("cnt"))
 
+  /** Tokenizer ENCODE with a learned merge table + per-language fertility
+    * stats (the multilingual tokenizer-quality metric: tokens/word and
+    * bytes/token — high fertility means the vocabulary serves that
+    * language poorly). Scale shape: the merge list folds over the
+    * DISTINCT word forms only — vocabulary-sized, Zipf-bounded — and the
+    * corpus pays a broadcast dictionary lookup, never the merge scans:
+    * encode the vocab once, join everywhere (the same reason production
+    * tokenizers ship precomputed vocab→ids). nMerges codegen kernel
+    * passes stack in ONE projection over the vocab frame (no shuffles
+    * between passes — column composition, not jobs). */
+  def q96BpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = learnBpeMerges(docs, nMerges = 8)._1.collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sym0 = expr(
+      """concat(transform(sequence(1, length(w)),
+        |  i -> substring(w, i, 1)), array('</w>'))""".stripMargin)
+    val encoded = merges.foldLeft(sym0) { case (sym, (a, b)) =>
+      gf.bpe_merge(sym, a, b)
+    }
+    val vocab = words.select("w").distinct()
+      .select(col("w"), size(encoded).as("n_tok"), length(col("w")).as("n_bytes"))
+    words.join(broadcast(vocab), "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum("n_tok") / count(lit(1)), 4).as("fertility"),
+        round(sum("n_bytes") / sum("n_tok").cast("double"), 4).as("bytes_per_token"))
+  }
+
   /** The learned 8-rule merge table over `documents` (driver gate:
     * rows-only — the iterative argmax loop is not SQL-expressible;
     * BpeSpec proves the algorithm against a driver-side exact recompute
@@ -332,6 +364,7 @@ object PipelineQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bpe_merges" -> q95BpeMerges _,
+    "q96_bpe_fertility" -> q96BpeFertility _,
     "q26_ann_ivf" -> q26AnnIvf _,
     "q89_ann_pq" -> q89AnnPq _,
     "q54_length_histogram" -> q54LengthHistogram _,

@@ -32,6 +32,41 @@ class BpeSpec extends AnyFunSuite {
       (4, "l", "o", 7L), (5, "lo", "w", 7L)))
   }
 
+  test("q96 fertility equals an exact driver recompute") {
+    val dir = SparkSuite.sf0001
+    val merges = PipelineQueries.q95BpeMerges(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    def encode(w: String): Vector[String] = {
+      var sym = w.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.result()
+      }
+      sym
+    }
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = words.groupBy(_._1).map { case (lang, ws) =>
+      val toks = ws.map { case (_, w) => encode(w).size.toLong }.sum
+      val bytes = ws.map(_._2.length.toLong).sum
+      lang -> ((ws.length.toLong, r4(toks.toDouble / ws.length),
+        r4(bytes.toDouble / toks)))
+    }
+    val got = PipelineQueries.q96BpeFertility(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+  }
+
   test("q95 equals an exact driver recompute on the real corpus") {
     val dir = SparkSuite.sf0001
     // driver-side reference implementation from collected word counts

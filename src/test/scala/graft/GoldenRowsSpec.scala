@@ -45,6 +45,13 @@ class GoldenRowsSpec extends AnyFunSuite {
       "5|t|</w>|2850 ;; 6|er|</w>|2781 ;; 7|o|w|2763 ;; 8|ow|</w>|2763")
   }
 
+  test("q96_bpe_fertility golden rows") {
+    assert(canon("q96_bpe_fertility") ==
+      "de|4070|4.5568|0.9814 ;; en|10343|4.5651|0.9855 ;; " +
+      "es|4516|4.5682|0.9874 ;; fr|4926|4.5587|0.9894 ;; " +
+      "zh|4084|4.549|0.99")
+  }
+
   test("q32_blocked_neardup golden rows") {
     assert(canon("q32_blocked_neardup") ==
       "106|263|0.426 ;; 119|403|0.4188 ;; 136|241|0.4348 ;; " +
