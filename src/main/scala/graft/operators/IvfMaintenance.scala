@@ -66,10 +66,15 @@ object IvfMaintenance {
     * partial counters — ≤ |lists|·|tasks| rows. At 100 TB the
     * alternative is shuffling both indexes end to end — this shape reads
     * each exactly once and moves only per-list counters. */
-  def indexDiff(spark: SparkSession, pathA: String, pathB: String): DataFrame = {
-    def side(p: String, tag: String) =
-      spark.read.format(IvfBinarySource.FORMAT).load(p)
+  def indexDiff(spark: SparkSession, pathA: String, pathB: String,
+      only: Option[Seq[Int]] = None): DataFrame = {
+    def side(p: String, tag: String) = {
+      val df = spark.read.format(IvfBinarySource.FORMAT).load(p)
         .select(col("centroid_id"), col("vec_id"), lit(1).as(tag))
+      // the In filter reaches the connector: non-listed list= dirs are
+      // never planned, so a targeted audit reads only the flagged lists
+      only.fold(df)(ls => df.filter(col("centroid_id").isin(ls: _*)))
+    }
     side(pathA, "_a")
       .join(side(pathB, "_b"), Seq("centroid_id", "vec_id"), "full_outer")
       .groupBy("centroid_id")
@@ -80,5 +85,33 @@ object IvfMaintenance {
           .as("only_b"),
         sum(when(col("_a").isNotNull && col("_b").isNotNull, 1L).otherwise(0L))
           .as("both"))
+  }
+
+  /** Per-list content digest — (centroid_id, n, id_xor, id_sum) from an
+    * id-only scan (vector bytes stay on disk; with v2 bucketing the agg
+    * is exchange-free). A digest is lists-sized: remember it, and the
+    * next audit is INCREMENTAL — [[changedLists]] against the remembered
+    * frame flags churn, then [[indexDiff]] with `only=flagged` reads just
+    * those lists instead of both full indexes. The digest is a drift
+    * DETECTOR, not proof of equality (equal digests can collide only on
+    * an adversarially crafted id multiset): certainty comes from running
+    * the full per-row diff on exactly the flagged lists. */
+  def listDigest(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(IvfBinarySource.FORMAT).load(path)
+      .select(col("centroid_id"), col("vec_id"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(vec_id)").as("id_xor"),
+        sum("vec_id").as("id_sum"))
+
+  /** Lists whose digest differs between the current index and a
+    * remembered [[listDigest]] frame — including lists that appeared or
+    * vanished. Both inputs are lists-sized; the comparison is trivial. */
+  def changedLists(current: DataFrame, remembered: DataFrame): DataFrame = {
+    val cur = current.select(col("centroid_id"), struct("n", "id_xor", "id_sum").as("_c"))
+    val old = remembered.select(col("centroid_id"), struct("n", "id_xor", "id_sum").as("_o"))
+    cur.join(old, Seq("centroid_id"), "full_outer")
+      .filter(col("_c").isNull || col("_o").isNull || col("_c") =!= col("_o"))
+      .select("centroid_id")
   }
 }

@@ -122,6 +122,45 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("digest-driven incremental audit reads only the churned lists") {
+    val n = 10000
+    val lists = 16
+    import spark.implicits._
+    def base = spark.range(n).select(
+      col("id").as("vec_id"),
+      array_repeat((col("id") % 5 + 1).cast("float"), DIM).as("embedding"),
+      (col("id") % lists).cast("int").as("centroid_id"))
+    val pa = java.nio.file.Files.createTempDirectory("ivf_dig_a").toString
+    val pb = java.nio.file.Files.createTempDirectory("ivf_dig_b").toString
+    IvfBinarySource.write(base, "vec_id", "embedding", pa)
+    // replica churn confined to lists 3 and 7
+    IvfBinarySource.write(
+      base.filter(!(col("vec_id") % lists === 3 && col("vec_id") % 97 === 3))
+        .unionByName(spark.range(n, n + 5).select(
+          col("id").as("vec_id"),
+          array_repeat(lit(1f), DIM).as("embedding"),
+          lit(7).cast("int").as("centroid_id"))),
+      "vec_id", "embedding", pb)
+    val remembered = IvfMaintenance.listDigest(spark, pa)
+    val flagged = IvfMaintenance.changedLists(
+      IvfMaintenance.listDigest(spark, pb), remembered)
+      .as[Int].collect().sorted
+    assert(flagged.toSeq == Seq(3, 7), s"flagged ${flagged.toSeq}")
+    val targeted = IvfMaintenance.indexDiff(spark, pa, pb, Some(flagged.toSeq))
+    // connector-level pruning: the scans plan only the flagged lists
+    val scans = targeted.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("GraftIvfScan")).toSeq
+    assert(scans.size == 2 && scans.forall(_.contains("lists=[3,7]")),
+      s"targeted audit must prune to the flagged lists:\n${scans.mkString("\n")}")
+    val rows = targeted.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ids3 = (3L until n.toLong by lists.toLong)
+    val dropped3 = ids3.count(_ % 97 == 3).toLong
+    assert(rows.keySet == Set(3, 7))
+    assert(rows(3) == ((dropped3, 0L, ids3.size - dropped3)))
+    assert(rows(7) == ((0L, 5L, (7L until n.toLong by lists.toLong).size.toLong)))
+  }
+
   test("drifted lists surface when a list's members point apart") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempDirectory("ivf_drift").toString
