@@ -323,6 +323,57 @@ object Streams {
         assigned.join(members, near, "left_anti").withColumn("dup", lit(false)))
   }
 
+  /** [[semanticGate]] with the DSv2 BINARY INDEX as the corpus side and
+    * per-batch connector pruning: the generic gate's stream-static join
+    * cannot prune the static scan (the batch's probe lists are runtime
+    * data, and the connector does not implement runtime V2 filtering),
+    * so a full-corpus-scan-per-micro-batch lurks at scale. This runner
+    * closes that gap with foreachBatch: per batch it assigns arrivals,
+    * collects their DISTINCT probe lists (micro-batch-bounded, tiny),
+    * and reads the index with an explicit `centroid_id.isin(lists)`
+    * filter — which the connector pushes, so only the probed `list=`
+    * directories are planned and their vector bytes dequantized (the
+    * spec pins `lists=[…]` in the per-batch plan). Each batch reads
+    * O(arrivals · listSize) index bytes, never the corpus. Verdicts land
+    * in `outDir` as parquet. Same snapshot caveat as the generic gate:
+    * index growth is picked up per BATCH here (each batch re-plans the
+    * connector listing), one step fresher than the static-frame form. */
+  def runSemanticGateBinary(vecsStream: DataFrame, model: IvfIndex.Model,
+      indexPath: String, outDir: String, checkpointDir: String,
+      eps: Double = 0.35, onBatchPlan: String => Unit = _ => ()): Unit = {
+    val q = vecsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val assigned = IvfIndex.assign(batch, "embedding", model)
+          .select(col("vec_id"), col("embedding"), col("centroid_id"))
+          .localCheckpoint(true) // assign once: probed-list collect + join
+        val lists = assigned.select("centroid_id").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (lists.isEmpty) ()
+        else {
+          val members = spark.read
+            .format(graft.sources.IvfBinarySource.FORMAT).load(indexPath)
+            .filter(col("centroid_id").isin(lists: _*))
+            .select(col("centroid_id").as("_ccid"),
+              gf.dequantize_vec(col("qvec")).as("_cvec"))
+          val near = col("centroid_id") === col("_ccid") &&
+            (round(gf.cosine_sim(col("embedding"), col("_cvec")), 4) + 0.0) >= eps
+          val verdicts = assigned.join(members, near, "left_semi")
+            .withColumn("dup", lit(true))
+            .unionByName(assigned.join(members, near, "left_anti")
+              .withColumn("dup", lit(false)))
+            .drop("embedding")
+          onBatchPlan(verdicts.queryExecution.executedPlan.toString)
+          verdicts.write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming LSH candidate generation — the incremental twin of
     * q21_minhash_lsh. Incoming docs explode to (band-bucket, doc) keys;
     * per-bucket state holds ONLY the first (canonical) doc ever seen, so

@@ -383,6 +383,44 @@ class StreamsSpec extends AnyFunSuite {
       s"gate must be stateless, got ${progress.stateOperators.length} state ops")
   }
 
+  test("binary-index semantic gate prunes to the batch's probe lists") {
+    import spark.implicits._
+    def basis(b: Int, scale: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == b) scale else 0f)
+    val corpusDf = (0 until 32)
+      .map(i => (i.toLong, basis(i, 2f))).toDF("vec_id", "embedding")
+    val (indexed, model) = graft.index.IvfIndex.build(corpusDf, "embedding",
+      graft.index.IvfIndex.Params(listSize = 8, sampleSize = 32))
+    val idxPath = java.nio.file.Files.createTempDirectory("sem_bin_idx").toString
+    graft.sources.IvfBinarySource.write(indexed, "vec_id", "embedding", idxPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("sem_bin_src")
+    ((0 until 3).map(i => (100L + i, basis(i, 3f))) ++
+      (0 until 3).map(j => (200L + j, basis(40 + j, 1f))))
+      .toDF("vec_id", "embedding")
+      .write.parquet(srcDir.resolve("b0").toString)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(srcDir.resolve("b0").toString)
+    val outDir = java.nio.file.Files.createTempDirectory("sem_bin_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sem_bin_ck").toString
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    Streams.runSemanticGateBinary(stream, model, idxPath, outDir, ckpt,
+      onBatchPlan = plans += _)
+    val got = spark.read.parquet(outDir)
+      .select("vec_id", "dup").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 6)
+    (0 until 3).foreach(i => assert(got(100L + i), s"copy of member $i must flag"))
+    (0 until 3).foreach(j => assert(!got(200L + j), s"novel ${200 + j} must pass"))
+    // the batch plan scanned ONLY the probed lists (pushed In filter),
+    // never the whole index
+    assert(plans.size == 1)
+    val scans = plans.head.linesIterator
+      .filter(_.contains("GraftIvfScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(s =>
+      s.contains("lists=[") && !s.contains("lists=ALL")),
+      s"corpus scan must be list-pruned:\n${scans.mkString("\n")}")
+  }
+
   test("windowed stats on the real events stream equal the batch computation") {
     val srcDir = java.nio.file.Files.createTempDirectory("ev_stream")
     java.nio.file.Files.copy(
