@@ -726,11 +726,59 @@ private[sources] class IvfCountsReaderFactory(grouped: Boolean, nCounts: Int)
 private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
     required: StructType, idLo: Long = Long.MinValue,
     idHi: Long = Long.MaxValue) extends Scan with Batch
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+
+  /** Runtime-narrowed probe set (the DPP shape): when this scan sits
+    * under a join on centroid_id with a selective build side, Spark
+    * executes the build side first and hands the observed key values
+    * here as an IN predicate — so a batch join against the index prunes
+    * to the joined lists with NO application-level collect step (the
+    * foreachBatch workaround in Streams.runSemanticGateBinary predates
+    * this). Intersected with the statically pushed lists. */
+  @volatile private var runtimeLists: Option[Set[Int]] = None
+
+  private def effectiveLists: Option[Set[Int]] = (lists, runtimeLists) match {
+    case (Some(a), Some(b)) => Some(a.intersect(b))
+    case (a, b) => a.orElse(b)
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (required.fieldNames.contains("centroid_id"))
+      Array(Expressions.column("centroid_id"))
+    else Array.empty
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val vals = scala.collection.mutable.Set.empty[Int]
+    var sawIn = false
+    predicates.foreach { p =>
+      if (p.name() == "IN") {
+        val ch = p.children()
+        val onCid = ch.headOption.exists {
+          case r: NamedReference => r.fieldNames().sameElements(Array("centroid_id"))
+          case _ => false
+        }
+        val lits = ch.drop(1)
+        if (onCid && lits.nonEmpty && lits.forall(
+            _.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]])) {
+          sawIn = true
+          lits.foreach { l =>
+            vals += l.asInstanceOf[
+              org.apache.spark.sql.connector.expressions.Literal[_]]
+              .value.asInstanceOf[Number].intValue()
+          }
+        }
+      }
+    }
+    // an unparsed predicate shape simply skips pruning — never unsound
+    if (sawIn) runtimeLists = Some(vals.toSet)
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
-    val probed = lists.map(_.toSeq.sorted.mkString("[", ",", "]")).getOrElse("ALL")
+    val probed = effectiveLists.map(_.toSeq.sorted.mkString("[", ",", "]"))
+      .getOrElse("ALL")
     val bound =
       if (idLo == Long.MinValue && idHi == Long.MaxValue) ""
       else s" ids=[$idLo,$idHi]"
@@ -754,11 +802,28 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         plannedPartitions.length)
 
-  private lazy val plannedPartitions: Array[InputPartition] = {
+  // planning may run before runtime filtering (outputPartitioning sizes
+  // the KeyGroupedPartitioning during EnsureRequirements, filter() fires
+  // at execution prep) — so partitions are cached PER effective list set
+  // and recomputed when a runtime predicate narrows it; the underlying
+  // FS listing is dirCache-backed, so a re-plan costs no FS round-trips
+  private var plannedKey: Option[Option[Set[Int]]] = None
+  private var plannedParts: Array[InputPartition] = _
+
+  private def plannedPartitions: Array[InputPartition] = synchronized {
+    val key = Some(effectiveLists)
+    if (plannedKey != key) {
+      plannedParts = computePartitions(effectiveLists)
+      plannedKey = key
+    }
+    plannedParts
+  }
+
+  private def computePartitions(probe: Option[Set[Int]]): Array[InputPartition] = {
     val root = new Path(path)
     val rootFs = IvfBinarySource.fs(root)
     // connector-level partition prune: non-probed lists are never opened
-    IvfBinarySource.listDirs(rootFs, root, lists).flatMap { case (cid, d, mtime) =>
+    IvfBinarySource.listDirs(rootFs, root, probe).flatMap { case (cid, d, mtime) =>
       // file length rides along: readers derive row counts without a
       // second FS round-trip, and metaOnly scans never open the file
       IvfBinarySource.listBinFiles(rootFs, d, mtime)

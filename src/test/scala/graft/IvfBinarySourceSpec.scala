@@ -91,6 +91,38 @@ class IvfBinarySourceSpec extends AnyFunSuite {
       all.filter(col("centroid_id") === one).cache().count())
   }
 
+  test("runtime V2 filtering: a selective join prunes lists with no collect") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("ivf_dpp").toString
+    val df = spark.range(6400).select(
+      col("id").as("vec_id"),
+      array_repeat((col("id") % 5 + 1).cast("float"), 8).as("embedding"),
+      (col("id") % 64).cast("int").as("centroid_id"))
+    IvfBinarySource.write(df, "vec_id", "embedding", p)
+    // the dim must be storage-backed: an in-memory LocalRelation folds
+    // the selective filter away and PartitionPruning sees no predicate
+    val dimP = java.nio.file.Files.createTempDirectory("ivf_dpp_dim").toString
+    (0 until 64).map(i => (i, if (i == 3 || i == 7) "hot" else "cold"))
+      .toDF("centroid_id", "tag").write.mode("overwrite").parquet(dimP)
+    val dim = spark.read.parquet(dimP)
+    val scan = spark.read.format(IvfBinarySource.FORMAT).load(p)
+      .select("vec_id", "centroid_id")
+    val joined = scan.join(dim.filter(col("tag") === "hot"), "centroid_id")
+    // collect() executes THIS QueryExecution — each QE builds its own
+    // Scan instance, so probing any other (e.g. count()'s) sees nothing
+    assert(joined.collect().length == 200) // 100 rows in each hot list
+    val exec = joined.queryExecution.executedPlan
+    val plan = exec.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"join must hand the scan a runtime filter:\n$plan")
+    // filter() narrowed the planned lists to the build side's hot keys:
+    // the executed scan's description renders the runtime probe set
+    // (instance introspection can't reach it — AQE query stages are
+    // leaf wrappers that plan.collect does not descend into)
+    assert(plan.contains("lists=[3,7]"),
+      s"runtime filter must prune the planned lists:\n$plan")
+  }
+
   test("column pruning: id-only and centroid-only scans match the full scan") {
     val full = read().cache()
     val n = full.count()
