@@ -736,42 +736,51 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
     * foreachBatch workaround in Streams.runSemanticGateBinary predates
     * this). Intersected with the statically pushed lists. */
   @volatile private var runtimeLists: Option[Set[Int]] = None
+  // runtime vec_id bound: an IN over join-observed ids (the delete
+  // discovery / id point-read shape) tightens the zone-map window to
+  // the set's min..max, composing with the statically pushed bound
+  @volatile private var runtimeIdLo: Long = Long.MinValue
+  @volatile private var runtimeIdHi: Long = Long.MaxValue
 
   private def effectiveLists: Option[Set[Int]] = (lists, runtimeLists) match {
     case (Some(a), Some(b)) => Some(a.intersect(b))
     case (a, b) => a.orElse(b)
   }
+  private def effIdLo: Long = math.max(idLo, runtimeIdLo)
+  private def effIdHi: Long = math.min(idHi, runtimeIdHi)
 
-  override def filterAttributes(): Array[NamedReference] =
-    if (required.fieldNames.contains("centroid_id"))
-      Array(Expressions.column("centroid_id"))
-    else Array.empty
+  override def filterAttributes(): Array[NamedReference] = {
+    val cols = Seq("centroid_id", "vec_id").filter(required.fieldNames.contains)
+    cols.map(Expressions.column).toArray
+  }
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    val vals = scala.collection.mutable.Set.empty[Int]
-    var sawIn = false
-    predicates.foreach { p =>
-      if (p.name() == "IN") {
-        val ch = p.children()
-        val onCid = ch.headOption.exists {
-          case r: NamedReference => r.fieldNames().sameElements(Array("centroid_id"))
-          case _ => false
-        }
-        val lits = ch.drop(1)
-        if (onCid && lits.nonEmpty && lits.forall(
-            _.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]])) {
-          sawIn = true
-          lits.foreach { l =>
-            vals += l.asInstanceOf[
-              org.apache.spark.sql.connector.expressions.Literal[_]]
-              .value.asInstanceOf[Number].intValue()
-          }
-        }
+    def inValues(p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+        field: String): Option[Seq[Long]] = {
+      if (p.name() != "IN") return None
+      val ch = p.children()
+      val onField = ch.headOption.exists {
+        case r: NamedReference => r.fieldNames().sameElements(Array(field))
+        case _ => false
       }
+      val lits = ch.drop(1)
+      if (onField && lits.nonEmpty && lits.forall(
+          _.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]))
+        Some(lits.toSeq.map(_.asInstanceOf[
+          org.apache.spark.sql.connector.expressions.Literal[_]]
+          .value.asInstanceOf[Number].longValue()))
+      else None
     }
     // an unparsed predicate shape simply skips pruning — never unsound
-    if (sawIn) runtimeLists = Some(vals.toSet)
+    predicates.foreach { p =>
+      inValues(p, "centroid_id").foreach(vs =>
+        runtimeLists = Some(vs.map(_.toInt).toSet))
+      inValues(p, "vec_id").foreach { vs =>
+        runtimeIdLo = vs.min
+        runtimeIdHi = vs.max
+      }
+    }
   }
 
   override def readSchema(): StructType = required
@@ -780,8 +789,8 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
     val probed = effectiveLists.map(_.toSeq.sorted.mkString("[", ",", "]"))
       .getOrElse("ALL")
     val bound =
-      if (idLo == Long.MinValue && idHi == Long.MaxValue) ""
-      else s" ids=[$idLo,$idHi]"
+      if (effIdLo == Long.MinValue && effIdHi == Long.MaxValue) ""
+      else s" ids=[$effIdLo,$effIdHi]"
     s"GraftIvfScan path=$path lists=$probed$bound cols=${required.fieldNames.mkString(",")}"
   }
 
@@ -807,11 +816,11 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
   // at execution prep) — so partitions are cached PER effective list set
   // and recomputed when a runtime predicate narrows it; the underlying
   // FS listing is dirCache-backed, so a re-plan costs no FS round-trips
-  private var plannedKey: Option[Option[Set[Int]]] = None
+  private var plannedKey: Option[(Option[Set[Int]], Long, Long)] = None
   private var plannedParts: Array[InputPartition] = _
 
   private def plannedPartitions: Array[InputPartition] = synchronized {
-    val key = Some(effectiveLists)
+    val key = Some((effectiveLists, effIdLo, effIdHi))
     if (plannedKey != key) {
       plannedParts = computePartitions(effectiveLists)
       plannedKey = key
@@ -832,7 +841,7 @@ private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
         // files without the segment (legacy / foreign) never skip
         .filter { case (f, _) =>
           IvfBinarySource.idStats(new Path(f).getName)
-            .forall { case (mn, mx) => mx >= idLo && mn <= idHi }
+            .forall { case (mn, mx) => mx >= effIdLo && mn <= effIdHi }
         }
         .map { case (f, len) => IvfInputPartition(f, cid, len): InputPartition }
     }

@@ -123,6 +123,31 @@ class IvfBinarySourceSpec extends AnyFunSuite {
       s"runtime filter must prune the planned lists:\n$plan")
   }
 
+  test("runtime vec_id IN tightens the zone-map window at execution") {
+    import spark.implicits._
+    // ids 0..99, list = id/10 → each list's single file carries a tight
+    // ids=<10c>_<10c+9> zone map; a runtime bound of [42,44] overlaps
+    // only list 4's file
+    val p = tmp()
+    val df = (0L until 100L).map { id =>
+      (id, Array.fill(8)(id.toFloat / 100f), (id / 10).toInt)
+    }.toDF("vec_id", "embedding", "centroid_id")
+    IvfBinarySource.write(df, "vec_id", "embedding", p)
+    val vicP = java.nio.file.Files.createTempDirectory("ivf_vic").toString
+    (0L until 100L).map(i => (i, if (i >= 42 && i <= 44) "doomed" else "live"))
+      .toDF("vec_id", "tag").write.mode("overwrite").parquet(vicP)
+    val victims = spark.read.parquet(vicP).filter(col("tag") === "doomed")
+    val joined = spark.read.format(IvfBinarySource.FORMAT).load(p)
+      .select("vec_id", "centroid_id")
+      .join(victims.select("vec_id"), "vec_id") // the delete-discovery shape
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq == Seq(42L, 43L, 44L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"id join must hand the scan a runtime filter:\n$plan")
+    assert(plan.contains("ids=[42,44]"),
+      s"runtime IN must tighten the zone-map window:\n$plan")
+  }
+
   test("column pruning: id-only and centroid-only scans match the full scan") {
     val full = read().cache()
     val n = full.count()
