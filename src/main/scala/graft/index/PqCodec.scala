@@ -186,8 +186,17 @@ object PqCodec {
     * vectors. Returns (idCol, sim) — top-k, ties (sim, id ASC). */
   def searchAdc(index: DataFrame, idCol: String, codeCol: String,
                 vecCol: String, model: Model, query: Array[Float],
-                k: Int, rerank: Int = 4): DataFrame = {
-    val lutFlat = model.lut(query)
+                k: Int, rerank: Int = 4): DataFrame =
+    searchAdcLut(index, idCol, codeCol, vecCol, model.lut(query), query,
+      k, rerank)
+
+  /** [[searchAdc]] with a caller-supplied LUT — the ADC stage only needs
+    * the codes and a query LUT, so OPQ ([[OpqCodec]]) reuses the whole
+    * two-stage shape by lut-ing its rotated query; the exact rerank is
+    * rotation-invariant (raw cosine on the stored vectors). */
+  private[index] def searchAdcLut(index: DataFrame, idCol: String,
+                codeCol: String, vecCol: String, lutFlat: Array[Double],
+                query: Array[Float], k: Int, rerank: Int): DataFrame = {
     val shortlist = index
       .select(col(idCol), adc_dot(col(codeCol), lutFlat).as("_adc"))
       .orderBy(col("_adc").desc, col(idCol).asc)
