@@ -362,9 +362,32 @@ object PipelineQueries {
   def q95BpeMerges(s: SparkSession, dir: String): DataFrame =
     learnBpeMerges(t(s, dir, "documents"), nMerges = 8)._1
 
+  /** q89's OPQ twin: same two-stage shape, same 8-byte codes, with the
+    * learned rotation in front ([[graft.index.OpqCodec]] — on real
+    * correlated embeddings the rotation buys ~1.6× lower quantization
+    * error for free at search time; on this synthetic isotropic corpus
+    * it is recall-neutral by construction, which the golden rows pin).
+    * Golden-gated like q89: seeded training freezes the result. */
+  def q97AnnOpq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queryRow = e.filter(col("vec_id") === 0).select(col("embedding")).head(1)
+    if (queryRow.isEmpty)
+      return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val query = queryRow(0).getSeq[Float](0).toArray
+    val sample = e.orderBy("vec_id").select("embedding").limit(1024)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val model = graft.index.OpqCodec.train(sample, m = 8)
+    val encoded = e.select(col("vec_id"), col("embedding"),
+      graft.index.OpqCodec.opq_encode(col("embedding"), model).as("opqcode"))
+    graft.index.OpqCodec.searchAdc(encoded, "vec_id", "opqcode", "embedding",
+        model, query, k = 10, rerank = 4)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bpe_merges" -> q95BpeMerges _,
     "q96_bpe_fertility" -> q96BpeFertility _,
+    "q97_ann_opq" -> q97AnnOpq _,
     "q26_ann_ivf" -> q26AnnIvf _,
     "q89_ann_pq" -> q89AnnPq _,
     "q54_length_histogram" -> q54LengthHistogram _,

@@ -39,6 +39,12 @@ class GoldenRowsSpec extends AnyFunSuite {
       "8|47 ;; 9|50")
   }
 
+  test("q97_ann_opq golden rows") {
+    assert(canon("q97_ann_opq") ==
+      "0|1.0 ;; 12|0.311 ;; 17|0.3345 ;; 212|0.2814 ;; 225|0.3151 ;; " +
+      "260|0.2987 ;; 347|0.2745 ;; 402|0.2745 ;; 483|0.3005 ;; 73|0.2972")
+  }
+
   test("q95_bpe_merges golden rows") {
     assert(canon("q95_bpe_merges") ==
       "1|e|r|4650 ;; 2|e|</w>|4644 ;; 3|n|</w>|2898 ;; 4|o|r|2880 ;; " +
