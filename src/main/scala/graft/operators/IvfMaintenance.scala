@@ -107,11 +107,33 @@ object IvfMaintenance {
   /** Lists whose digest differs between the current index and a
     * remembered [[listDigest]] frame — including lists that appeared or
     * vanished. Both inputs are lists-sized; the comparison is trivial. */
-  def changedLists(current: DataFrame, remembered: DataFrame): DataFrame = {
-    val cur = current.select(col("centroid_id"), struct("n", "id_xor", "id_sum").as("_c"))
-    val old = remembered.select(col("centroid_id"), struct("n", "id_xor", "id_sum").as("_o"))
-    cur.join(old, Seq("centroid_id"), "full_outer")
+  def changedLists(current: DataFrame, remembered: DataFrame): DataFrame =
+    changedKeys(current, remembered, "centroid_id")
+
+  /** Roll a [[listDigest]] up one level: shard = centroid_id >> shardBits.
+    * count and id_sum add, id_xor folds — so the rollup is EXACTLY the
+    * digest computed at shard granularity (mergeability, spec-pinned),
+    * the same property that lets the leaf digest combine map-side. A
+    * fleet-scale replica audit then ships |shards| rows per replica,
+    * drills into the changed shards' list digests, and reads only the
+    * changed lists: three levels, each message churn-bounded. */
+  def shardDigest(digest: DataFrame, shardBits: Int = 6): DataFrame =
+    digest
+      .groupBy(shiftright(col("centroid_id"), shardBits).cast("int").as("shard"))
+      .agg(sum("n").as("n"), expr("bit_xor(id_xor)").as("id_xor"),
+        sum("id_sum").as("id_sum"))
+
+  /** Shards whose rollup differs — the drill-down set for [[changedLists]]
+    * restricted to those shards' lists. */
+  def changedShards(current: DataFrame, remembered: DataFrame): DataFrame =
+    changedKeys(current, remembered, "shard")
+
+  private def changedKeys(current: DataFrame, remembered: DataFrame,
+      keyCol: String): DataFrame = {
+    val cur = current.select(col(keyCol), struct("n", "id_xor", "id_sum").as("_c"))
+    val old = remembered.select(col(keyCol), struct("n", "id_xor", "id_sum").as("_o"))
+    cur.join(old, Seq(keyCol), "full_outer")
       .filter(col("_c").isNull || col("_o").isNull || col("_c") =!= col("_o"))
-      .select("centroid_id")
+      .select(keyCol)
   }
 }

@@ -161,6 +161,49 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(rows(7) == ((0L, 5L, (7L until n.toLong by lists.toLong).size.toLong)))
   }
 
+  test("shard rollup is mergeable and drills down to the churned lists") {
+    val n = 8192
+    val lists = 64 // shardBits=3 → 8 shards of 8 lists
+    import spark.implicits._
+    def base = spark.range(n).select(
+      col("id").as("vec_id"),
+      array_repeat((col("id") % 5 + 1).cast("float"), DIM).as("embedding"),
+      (col("id") % lists).cast("int").as("centroid_id"))
+    val pa = java.nio.file.Files.createTempDirectory("ivf_shard_a").toString
+    val pb = java.nio.file.Files.createTempDirectory("ivf_shard_b").toString
+    IvfBinarySource.write(base, "vec_id", "embedding", pa)
+    // churn one list in shard 2 (list 21) and one in shard 5 (list 44)
+    IvfBinarySource.write(
+      base.filter(!(col("vec_id") % lists === 21 && col("vec_id") < 1000) &&
+        !(col("vec_id") % lists === 44 && col("vec_id") < 500)),
+      "vec_id", "embedding", pb)
+    val (da, db) = (IvfMaintenance.listDigest(spark, pa),
+      IvfMaintenance.listDigest(spark, pb))
+    // mergeability: rolling the list digest up equals digesting shards
+    // directly off the rows
+    val rolled = IvfMaintenance.shardDigest(da, shardBits = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val direct = spark.read.format(IvfBinarySource.FORMAT).load(pa)
+      .groupBy(shiftright(col("centroid_id"), 3).cast("int").as("shard"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(vec_id)").as("x"),
+        sum("vec_id").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rolled.toSeq == direct.toSeq)
+    // level 1: exactly the two churned shards flag
+    val shards = IvfMaintenance.changedShards(
+      IvfMaintenance.shardDigest(db, 3), IvfMaintenance.shardDigest(da, 3))
+      .as[Int].collect().sorted
+    assert(shards.toSeq == Seq(2, 5), s"shards ${shards.toSeq}")
+    // level 2: within those shards' lists, exactly the churned lists flag
+    val inShards = (c: org.apache.spark.sql.DataFrame) =>
+      c.filter(shiftright(col("centroid_id"), 3).isin(shards.toSeq: _*))
+    val flagged = IvfMaintenance.changedLists(inShards(db), inShards(da))
+      .as[Int].collect().sorted
+    assert(flagged.toSeq == Seq(21, 44), s"lists ${flagged.toSeq}")
+  }
+
   test("drifted lists surface when a list's members point apart") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempDirectory("ivf_drift").toString
