@@ -128,6 +128,20 @@ object OpqCodec {
                 k: Int, rerank: Int = 4): DataFrame =
     PqCodec.searchAdcLut(index, idCol, codeCol, vecCol, model.lut(query),
       query, k, rerank)
+
+  /** IVF-OPQ: the coarse quantizer prunes lists in the ORIGINAL space
+    * (centroid assignment is rotation-independent — the IVF model never
+    * sees the rotation), then the OPQ ADC ranks only the probed lists'
+    * codes. Same stacked-reduction shape as [[PqCodec.searchIvfAdc]]. */
+  def searchIvfAdc(indexed: DataFrame, ivf: IvfIndex.Model, idCol: String,
+                   codeCol: String, vecCol: String, model: Model,
+                   query: Array[Float], k: Int, nprobe: Int,
+                   rerank: Int = 4): DataFrame = {
+    val probeIds = ivf.probe(query, nprobe)
+    searchAdc(indexed.filter(
+        org.apache.spark.sql.functions.col("centroid_id").isin(probeIds: _*)),
+      idCol, codeCol, vecCol, model, query, k, rerank)
+  }
 }
 
 /** opq_encode(array<float>) → binary(m) — rotate then per-subspace argmin. */

@@ -87,6 +87,30 @@ class OpqCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-OPQ equals plain OPQ ADC at nprobe=all") {
+    val df = sample.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("vec_id", "embedding")
+    val (indexed0, ivf) = graft.index.IvfIndex.build(df, "embedding",
+      graft.index.IvfIndex.Params(listSize = 64, sampleSize = N))
+    val indexed = indexed0
+      .withColumn("opqcode", OpqCodec.opq_encode(col("embedding"), opq))
+      .localCheckpoint(true)
+    val q = sample(29)
+    val full = OpqCodec.searchAdc(indexed, "vec_id", "opqcode", "embedding",
+      opq, q, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfAll = OpqCodec.searchIvfAdc(indexed, ivf, "vec_id", "opqcode",
+      "embedding", opq, q, k = 5, nprobe = ivf.centroids.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll == full)
+    // pruned probes return a subset of the unpruned candidates' ids
+    val pruned = OpqCodec.searchIvfAdc(indexed, ivf, "vec_id", "opqcode",
+      "embedding", opq, q, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.nonEmpty && pruned.subsetOf(
+      indexed.filter(col("centroid_id").isin(ivf.probe(q, 1): _*))
+        .select("vec_id").collect().map(_.getLong(0)).toSet))
+  }
+
   test("two-stage OPQ search returns the true nearest neighbor first") {
     val df = sample.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("vec_id", "embedding")
