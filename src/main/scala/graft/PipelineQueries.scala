@@ -326,33 +326,36 @@ object PipelineQueries {
   /** Tokenizer ENCODE with a learned merge table + per-language fertility
     * stats (the multilingual tokenizer-quality metric: tokens/word and
     * bytes/token — high fertility means the vocabulary serves that
-    * language poorly). Scale shape: the merge list folds over the
-    * DISTINCT word forms only — vocabulary-sized, Zipf-bounded — and the
-    * corpus pays a broadcast dictionary lookup, never the merge scans:
-    * encode the vocab once, join everywhere (the same reason production
-    * tokenizers ship precomputed vocab→ids). nMerges codegen kernel
-    * passes stack in ONE projection over the vocab frame (no shuffles
-    * between passes — column composition, not jobs). */
+    * language poorly). Scale shape: the corpus-sized word
+    * stream collapses IMMEDIATELY to per-(lang, word) counts — map-side
+    * combine does the heavy lifting — and everything after is
+    * vocabulary-sized (Zipf-bounded). The merge list folds over each
+    * distinct word ONCE (nMerges codegen kernel passes stacked in one
+    * projection — column composition, not jobs), weighted by the
+    * counts; no corpus-sized join, and no broadcast of a
+    * possibly-100M-entry vocabulary anywhere. */
   def q96BpeFertility(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val merges = learnBpeMerges(docs, nMerges = 8)._1.collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val words = docs
+    val langWords = docs
       .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
+      .groupBy("lang", "w").agg(count(lit(1)).as("n")) // corpus -> vocab x lang
     val sym0 = expr(
       """concat(transform(sequence(1, length(w)),
         |  i -> substring(w, i, 1)), array('</w>'))""".stripMargin)
     val encoded = merges.foldLeft(sym0) { case (sym, (a, b)) =>
       gf.bpe_merge(sym, a, b)
     }
-    val vocab = words.select("w").distinct()
-      .select(col("w"), size(encoded).as("n_tok"), length(col("w")).as("n_bytes"))
-    words.join(broadcast(vocab), "w")
+    langWords
+      .select(col("lang"), col("n"), size(encoded).as("n_tok"),
+        length(col("w")).as("n_bytes"))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_words"),
-        round(sum("n_tok") / count(lit(1)), 4).as("fertility"),
-        round(sum("n_bytes") / sum("n_tok").cast("double"), 4).as("bytes_per_token"))
+      .agg(sum("n").as("n_words"),
+        round(sum(col("n_tok") * col("n")) / sum("n"), 4).as("fertility"),
+        round(sum(col("n_bytes") * col("n")) /
+          sum(col("n_tok") * col("n")).cast("double"), 4).as("bytes_per_token"))
   }
 
   /** The learned 8-rule merge table over `documents` (driver gate:
