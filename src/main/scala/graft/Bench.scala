@@ -251,6 +251,40 @@ object Bench {
       "cos_simd_500x512_s" -> cosSimdSec,
       "simd_on" -> (if (VectorKernels.simdAvailable) 1.0 else 0.0),
       "quant_1000x512_s" -> qSec,
-      "dequant_1000x512_s" -> dqSec)
+      "dequant_1000x512_s" -> dqSec) ++ opqBench()
+  }
+
+  /** OPQ yardstick on a seeded correlated sample (the regime the
+    * rotation exists for): mean reconstruction error ratio PQ/OPQ at the
+    * same 8-byte code size (>1 = rotation wins), plus train wall-clock. */
+  private def opqBench(): Map[String, Double] = {
+    import graft.functions.VectorKernels
+    val rnd = new scala.util.Random(7L)
+    val dim = 64
+    val a = Array.fill(dim, dim)((rnd.nextGaussian() / math.sqrt(dim)).toFloat)
+    val w = Array.tabulate(dim)(i => 1.0f / (1 + i / 4))
+    val sample = Array.fill(1024) {
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += a(i)(j) * w(i) * g(j); j += 1 }
+        s.toFloat
+      }
+    }
+    val t0 = System.nanoTime()
+    val opq = graft.index.OpqCodec.train(sample, m = 8)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val pq = graft.index.PqCodec.train(sample, m = 8)
+    val xs = sample.map(VectorKernels.l2Normalize)
+    def pqMse(x: Array[Float]): Double = {
+      val b = pq.decode(pq.encode(x))
+      var d = 0.0
+      var i = 0
+      while (i < dim) { val df = x(i) - b(i); d += df * df; i += 1 }
+      d
+    }
+    Map("opq_train_s" -> trainSec,
+      "opq_gain" -> xs.map(pqMse).sum / xs.map(opq.mse).sum)
   }
 }
