@@ -726,7 +726,35 @@ private[sources] class IvfCountsReaderFactory(grouped: Boolean, nCounts: Int)
 private[sources] class IvfScan(path: String, lists: Option[Set[Int]],
     required: StructType, idLo: Long = Long.MinValue,
     idHi: Long = Long.MaxValue) extends Scan with Batch
-    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
+
+  /** True byte/row counts of the PLANNED (pruned) file set — fixed-width
+    * rows make both exact, and the listing is already cached. Without
+    * this Spark assumes defaultSizeInBytes (effectively infinite) for a
+    * V2 relation, so a one-list pruned scan could never be the broadcast
+    * side of a join; with it, join strategy follows the pruned size, the
+    * same way parquet relations shrink after partition pruning. */
+  override def estimateStatistics(): Statistics =
+    try {
+      val width = IvfBinarySource.rowWidth(IvfBinarySource.readDim(path)).toLong
+      val bytes = plannedPartitions.map(_.asInstanceOf[IvfInputPartition].length).sum
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes / width)
+      }
+    } catch {
+      // missing/corrupt meta: report nothing and let Spark use defaults
+      // rather than failing the whole query at planning
+      case _: java.io.IOException => new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
 
   /** Runtime-narrowed probe set (the DPP shape): when this scan sits
     * under a join on centroid_id with a selective build side, Spark

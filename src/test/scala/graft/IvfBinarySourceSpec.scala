@@ -123,29 +123,70 @@ class IvfBinarySourceSpec extends AnyFunSuite {
       s"runtime filter must prune the planned lists:\n$plan")
   }
 
+  test("reported statistics shrink with pruning: pruned scan broadcasts") {
+    import spark.implicits._
+    val p = tmp()
+    val df = spark.range(64000).select(
+      col("id").as("vec_id"),
+      array_repeat((col("id") % 5 + 1).cast("float"), 8).as("embedding"),
+      (col("id") % 64).cast("int").as("centroid_id"))
+    IvfBinarySource.write(df, "vec_id", "embedding", p)
+    // the big side: a frame Spark won't broadcast (above the threshold)
+    val big = spark.range(200000).select(col("id").as("vec_id"),
+      lit("x" * 64).as("pad"))
+    def planOf(scan: org.apache.spark.sql.DataFrame): String =
+      scan.join(big, "vec_id").queryExecution.executedPlan.toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+      // full index: 64000 rows × 24B ≈ 1.5 MB > threshold → no broadcast
+      val full = planOf(spark.read.format(IvfBinarySource.FORMAT).load(p)
+        .select("vec_id", "centroid_id"))
+      assert(!full.contains("BroadcastHashJoin"),
+        s"full scan must exceed the broadcast threshold:\n$full")
+      // one pruned list: ~24 KB — the reported statistics make it the
+      // build side (without SupportsReportStatistics a V2 relation
+      // defaults to an effectively infinite size and NEVER broadcasts)
+      val pruned = planOf(spark.read.format(IvfBinarySource.FORMAT).load(p)
+        .filter(col("centroid_id") === 3).select("vec_id", "centroid_id"))
+      assert(pruned.contains("BroadcastHashJoin"),
+        s"pruned scan must broadcast from its reported size:\n$pruned")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("runtime vec_id IN tightens the zone-map window at execution") {
     import spark.implicits._
-    // ids 0..99, list = id/10 → each list's single file carries a tight
-    // ids=<10c>_<10c+9> zone map; a runtime bound of [42,44] overlaps
-    // only list 4's file
+    // contiguous ids per list → each list's file carries a tight
+    // ids=<1000c>_<1000c+999> zone map; a runtime bound of [42000,42002]
+    // overlaps only list 42's file. The index must be big enough that
+    // its OWN reported statistics don't just broadcast it (which would
+    // legitimately moot the runtime filter) — hence 64k rows and a
+    // lowered broadcast threshold.
     val p = tmp()
-    val df = (0L until 100L).map { id =>
-      (id, Array.fill(8)(id.toFloat / 100f), (id / 10).toInt)
-    }.toDF("vec_id", "embedding", "centroid_id")
+    val df = spark.range(64000).select(
+      col("id").as("vec_id"),
+      array_repeat((col("id") % 5 + 1).cast("float"), 8).as("embedding"),
+      (col("id") / 1000).cast("int").as("centroid_id"))
     IvfBinarySource.write(df, "vec_id", "embedding", p)
     val vicP = java.nio.file.Files.createTempDirectory("ivf_vic").toString
-    (0L until 100L).map(i => (i, if (i >= 42 && i <= 44) "doomed" else "live"))
-      .toDF("vec_id", "tag").write.mode("overwrite").parquet(vicP)
+    spark.range(64000).select(col("id").as("vec_id"),
+      when(col("id").between(42000, 42002), "doomed").otherwise("live").as("tag"))
+      .write.mode("overwrite").parquet(vicP)
     val victims = spark.read.parquet(vicP).filter(col("tag") === "doomed")
-    val joined = spark.read.format(IvfBinarySource.FORMAT).load(p)
-      .select("vec_id", "centroid_id")
-      .join(victims.select("vec_id"), "vec_id") // the delete-discovery shape
-    assert(joined.collect().map(_.getLong(0)).sorted.toSeq == Seq(42L, 43L, 44L))
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
-      s"id join must hand the scan a runtime filter:\n$plan")
-    assert(plan.contains("ids=[42,44]"),
-      s"runtime IN must tighten the zone-map window:\n$plan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+      val joined = spark.read.format(IvfBinarySource.FORMAT).load(p)
+        .select("vec_id", "centroid_id")
+        .join(victims.select("vec_id"), "vec_id") // the delete-discovery shape
+      assert(joined.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(42000L, 42001L, 42002L))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+        s"id join must hand the scan a runtime filter:\n$plan")
+      assert(plan.contains("ids=[42000,42002]"),
+        s"runtime IN must tighten the zone-map window:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("column pruning: id-only and centroid-only scans match the full scan") {
