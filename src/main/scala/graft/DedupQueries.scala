@@ -391,7 +391,44 @@ object DedupQueries {
       t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding")),
       "vec_id", "label", "embedding", SemEps)
 
+  /** The PRODUCTION near-dup verify shape: exact Jaccard computed only
+    * over q21's LSH candidate pairs, via row-local set intersection of
+    * the two docs' distinct-shingle arrays — the standard two-stage
+    * (generate candidates → verify candidates) pipeline, vs q22's
+    * exact-by-construction corpus-wide shingle self-join.
+    *
+    * Scale shape: downstream of candidate generation EVERYTHING is
+    * bounded by |candidates| — the two doc_id equi-joins ship each doc's
+    * shingle array (≈ doc bytes) once per side and the pair rows once;
+    * q22's shingle-key self-join instead ships one row PER (doc,
+    * shingle) instance and replicates hot shingles across tasks. The
+    * shingle arrays are deliberately NOT checkpointed: each join side
+    * pipelines scan → kernel → exchange, and materializing a corpus×
+    * shingle-array table costs more than the second kernel pass (the
+    * q57/q47 materialization policy). 10M-doc wall-clock vs q22 in
+    * BASELINE.md. Exactness: intersection of distinct-shingle sets IS
+    * the Jaccard numerator — no estimate anywhere; misses only what LSH
+    * itself missed (measured 99.9% recall at 10M docs). */
+  def q100VerifyLsh(s: SparkSession, dir: String): DataFrame = {
+    val cands = q21MinhashLsh(s, dir).select("doc_a", "doc_b")
+    def sets(as: String) = t(s, dir, "documents")
+      .select(col("doc_id").as(as),
+        array_distinct(gf.shingles(col("text"), N)).as(s"sh_$as"))
+    val i = size(array_intersect(col("sh_doc_a"), col("sh_doc_b")))
+    val na = size(col("sh_doc_a"))
+    val nb = size(col("sh_doc_b"))
+    cands
+      .join(sets("doc_a"), "doc_a")
+      .join(sets("doc_b"), "doc_b")
+      .filter(na > 0 && nb > 0) // J undefined on shingle-less docs
+      .select(col("doc_a"), col("doc_b"),
+        (i.cast("double") / (na + nb - i)).as("j"))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_verify_lsh" -> q100VerifyLsh _,
     "q35_bottomk_sketch" -> q35BottomkSketch _,
     "q94_semdedup" -> q94SemDedup _,
     "q53_repetition" -> q53Repetition _,
@@ -446,6 +483,25 @@ object DedupQueries {
        |    JOIN sizes sb ON sb.doc_id = doc_b)
        |  WHERE j >= 0.8)""".stripMargin
 
+  /** Shared oracle fragment (requires $shingleCte above it): the q21
+    * MinHash-LSH machinery ending in `bands(doc_id, bucket)` — consumed
+    * by the q21 oracle and by q100's candidate set. */
+  private val lshBandsCte: String =
+    s"""seeds AS (SELECT unnest(generate_series(0, ${K - 1})) AS seed),
+       |mins AS (
+       |  SELECT doc_id, seed, min(md5(seed || ':' || s)) AS h
+       |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+       |mh AS (
+       |  SELECT d.doc_id, se.seed, coalesce(m.h, 'z') AS h
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN seeds se
+       |  LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.seed = se.seed),
+       |sigs AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id,
+       |    b || ':' || md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b))""".stripMargin
+
   /** Shared oracle for q55 (broadcast join) and q87 (bloom-pruned
     * shuffle join): contamination is one question with two plans. */
   private lazy val contaminationSql: String =
@@ -498,23 +554,27 @@ object DedupQueries {
     "q87_bloom_contamination" -> contaminationSql,
     "q21_minhash_lsh" ->
       s"""WITH $shingleCte,
-         |seeds AS (SELECT unnest(generate_series(0, ${K - 1})) AS seed),
-         |mins AS (
-         |  SELECT doc_id, seed, min(md5(seed || ':' || s)) AS h
-         |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
-         |mh AS (
-         |  SELECT d.doc_id, se.seed, coalesce(m.h, 'z') AS h
-         |  FROM (SELECT DISTINCT doc_id FROM documents) d
-         |  CROSS JOIN seeds se
-         |  LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.seed = se.seed),
-         |sigs AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id,
-         |    b || ':' || md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
-         |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b))
+         |$lshBandsCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    "q100_verify_lsh" ->
+      s"""WITH $shingleCte,
+         |$lshBandsCte,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sets AS (SELECT doc_id, list(DISTINCT s) AS sh FROM sh GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+         |  FROM cand
+         |  JOIN sets sa ON sa.doc_id = cand.doc_a
+         |  JOIN sets sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+         |FROM scored WHERE j >= 0.8""".stripMargin,
     "q22_jaccard_neardup" ->
       s"""WITH $jaccardPairsCte
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM jp""".stripMargin,

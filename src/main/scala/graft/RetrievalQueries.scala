@@ -197,11 +197,128 @@ object RetrievalQueries {
       .agg(round(sum("lp") / count(lit(1)), 4).as("avg_logp"))
   }
 
+  /** Fixed evaluation query set: one query per embedding vec_id < 8.
+    * Relevance = label match (embeddings.label is the class column), the
+    * standard labeled-eval protocol for embedding retrieval. */
+  private val EVAL_QUERIES = 8
+  private val EVAL_K = 10
+
+  /** Per-query (qid, qlabel, candidate vec_id, sim, rel) similarity frame.
+    * Relevance is packed into the candidate id (id2 = vec_id·2 + rel) so
+    * the bounded TopKAgg carries it through the shuffle — the alternative
+    * label-backfill join would re-scan the corpus. Packing preserves the
+    * (sim DESC, vec_id ASC) tie order: a < b ⇒ 2a+1 < 2b. */
+  private def evalSims(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < EVAL_QUERIES)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qvec"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"),
+        (round(gf.cosine_sim(col("embedding"), col("qvec")), 6) + 0.0).as("sim"),
+        (col("vec_id") * 2 +
+          when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("id2"))
+  }
+
+  /** Retrieval-quality evaluation over the labeled embedding corpus:
+    * recall@10, MRR@10 and nDCG@10 per query (binary relevance = label
+    * match, self excluded; ideal DCG from the true relevant count).
+    * The eval harness every retrieval/training-data pipeline needs to
+    * judge its index and embedding quality.
+    *
+    * Scale shape: the query set is fixed and broadcast; ranking is the
+    * bounded TopKAgg (≤k rows per (task, query) cross the exchange —
+    * never a corpus-sized per-query window); the relevant-count side is
+    * a label-cardinality aggregate broadcast back. One corpus scan. */
+  def q98RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val sims = evalSims(e)
+    // true relevant count per query = |label class| − 1 (self excluded)
+    val nrel = e.groupBy(col("label").as("qlabel"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = sims.groupBy("qid", "qlabel")
+      .agg(gf.top_k_by(col("sim"), col("id2"), EVAL_K).as("top"))
+      .select(col("qid"), col("qlabel"),
+        posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("qid"), col("qlabel"), (col("pos") + 1).as("r"),
+        (col("sc").getField("_2") % 2).cast("int").as("rel"))
+    top.groupBy("qid", "qlabel")
+      .agg(
+        sum(col("rel")).as("hits"),
+        sum(col("rel") / log2(col("r") + 1)).as("dcg"),
+        max(when(col("rel") === 1, lit(1.0) / col("r")).otherwise(0.0)).as("rr"))
+      .join(broadcast(nrel), Seq("qlabel"))
+      .withColumn("n_rel", col("cnt") - 1)
+      .select(col("qid"),
+        round(col("hits").cast("double") / least(lit(EVAL_K), col("n_rel")), 6)
+          .as("recall_10"),
+        round(col("rr"), 6).as("mrr_10"),
+        round(col("dcg") / expr(
+          "aggregate(sequence(1, int(least(10, n_rel))), cast(0.0 as double)," +
+            " (acc, i) -> acc + 1.0/log2(cast(i as double) + 1.0))"), 6)
+          .as("ndcg_10"))
+      .orderBy("qid")
+  }
+
+  /** Contrastive hard-negative mining: for each eval query, the top-5
+    * most-similar embeddings whose label DIFFERS — the negatives that
+    * most confuse the model, the standard mining step for contrastive /
+    * embedding training data. Same bounded-TopK shape as q98; the label
+    * filter runs BEFORE ranking so positives can't crowd negatives out. */
+  def q99HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    evalSims(e)
+      .filter(col("id2") % 2 === 0) // different-label candidates only
+      .groupBy("qid")
+      .agg(gf.top_k_by(col("sim"), col("id2"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("qid"), (col("pos") + 1).as("r"),
+        shiftright(col("sc").getField("_2"), 1).as("vec_id"),
+        // rank at 6 digits (stable ties), EMIT at 4: the f64 kernels of
+        // the two engines disagree in the last ulp, which flips a 6th
+        // decimal on .5 boundaries (q31's convention)
+        (round(col("sc").getField("_1"), 4) + 0.0).as("sim"))
+      .orderBy("qid", "r")
+  }
+
+  /** The q99 scale path: the same mining through the IVF index machinery
+    * (per-query label-filtered nprobe search) instead of a brute-force
+    * corpus cross join — spec-proven equal to q99 at nprobe = all
+    * (`RetrievalEvalSpec`). The query set is fixed/bounded, so the
+    * per-query loop is driver-bounded like the bench's search loop. */
+  def hardNegativesIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import graft.index.IvfIndex
+    val e = t(s, dir, "embeddings")
+    val (idx, model) = IvfIndex.build(e, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 50000))
+    val cached = idx.persist()
+    cached.count()
+    val queries = e.filter(col("vec_id") < EVAL_QUERIES)
+      .select("vec_id", "label", "embedding").collect()
+    val out = queries.map { row =>
+      val qid = row.getLong(0)
+      val qlabel = row.getInt(1)
+      val qvec = row.getSeq[Float](2).toArray
+      IvfIndex.search(
+          cached.filter(col("label") =!= qlabel && col("vec_id") =!= qid),
+          model, "vec_id", "embedding", qvec, 5, nprobe)
+        .select(lit(qid).as("qid"), col("vec_id"),
+          (round(col("sim"), 6) + 0.0).as("sim"))
+    }.reduce(_ unionByName _)
+    out.withColumn("r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)))
+      .select("qid", "r", "vec_id", "sim")
+      .orderBy("qid", "r")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_bm25" -> q44Bm25 _,
     "q45_hybrid_rrf" -> q45HybridRrf _,
     "q46_gopher_rules" -> q46GopherRules _,
-    "q47_trigram_lm" -> q47TrigramLm _
+    "q47_trigram_lm" -> q47TrigramLm _,
+    "q98_retrieval_eval" -> q98RetrievalEval _,
+    "q99_hard_negatives" -> q99HardNegatives _
   )
 
   private val tokCte: String =
@@ -230,7 +347,45 @@ object RetrievalQueries {
        |  CROSS JOIN stats CROSS JOIN n
        |  GROUP BY tf.doc_id)""".stripMargin
 
+  private val evalSimsCte: String =
+    """q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+      |      FROM embeddings WHERE vec_id < 8),
+      |sims AS (
+      |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+      |    round(CAST(list_cosine_similarity(e.embedding, q.qvec) AS DOUBLE), 6) + 0 AS sim
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q98_retrieval_eval" ->
+      s"""WITH $evalSimsCte,
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS r
+         |  FROM sims),
+         |nrel AS (SELECT label AS qlabel, count(*) - 1 AS n_rel
+         |         FROM embeddings GROUP BY label),
+         |top AS (SELECT qid, qlabel, r,
+         |          CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+         |        FROM ranked WHERE r <= 10),
+         |m AS (
+         |  SELECT qid, qlabel, sum(rel) AS hits,
+         |    sum(rel / log2(r + 1)) AS dcg,
+         |    max(CASE WHEN rel = 1 THEN 1.0 / r ELSE 0 END) AS rr
+         |  FROM top GROUP BY qid, qlabel)
+         |SELECT m.qid,
+         |  round(CAST(hits AS DOUBLE) / least(10, n_rel), 6) AS recall_10,
+         |  round(rr, 6) AS mrr_10,
+         |  round(dcg / list_sum([1.0/log2(i+1)
+         |    FOR i IN generate_series(1, CAST(least(10, n_rel) AS BIGINT))]), 6) AS ndcg_10
+         |FROM m JOIN nrel USING (qlabel)
+         |ORDER BY qid""".stripMargin,
+    "q99_hard_negatives" ->
+      s"""WITH $evalSimsCte,
+         |neg AS (SELECT qid, vec_id, sim FROM sims WHERE label <> qlabel),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS r
+         |  FROM neg)
+         |SELECT qid, r, vec_id, round(sim, 4) + 0 AS sim FROM ranked WHERE r <= 5
+         |ORDER BY qid, r""".stripMargin,
     "q47_trigram_lm" ->
       """WITH tri AS (
         |  SELECT doc_id, unnest([substr(text, i, 3)

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.{col, lit}
@@ -579,9 +579,10 @@ private[sources] class IvfScanBuilder(path: String)
   // B-tree id indexes of database/model.go:9-18)
   private var idLo: Long = Long.MinValue
   private var idHi: Long = Long.MaxValue
-  // Some(grouped, nCounts): COUNT(*) aggregation fully answered from file
-  // sizes on the driver — no task ever iterates rows
-  private var countPush: Option[(Boolean, Int)] = None
+  // Some(grouped, kinds): COUNT(*)/MIN(vec_id)/MAX(vec_id) aggregation
+  // fully answered from file sizes + name-encoded zone maps on the
+  // driver — no task ever iterates rows
+  private var aggPush: Option[(Boolean, Seq[IvfAggScan.Kind])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
@@ -621,51 +622,100 @@ private[sources] class IvfScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   /** Fixed-width rows make COUNT(*) a pure metadata computation
-    * (file_size ÷ row_width), and the layout partitions by the only
-    * grouping key we accept — so `COUNT(*) [GROUP BY centroid_id]` is a
-    * COMPLETE pushdown: the driver answers it from the (cached) file
-    * listing and the scan emits one row per group, never per vector. */
-  private def canPushCount(agg: Aggregation): Boolean = {
+    * (file_size ÷ row_width), the name-encoded zone maps are EXACT
+    * per-file [min,max] of vec_id (sealed from the written rows, not
+    * estimates), and the layout partitions by the only grouping key we
+    * accept — so `COUNT(*) / MIN(vec_id) / MAX(vec_id) [GROUP BY
+    * centroid_id]` is a COMPLETE pushdown: the driver answers it from
+    * the (cached) file listing and the scan emits one row per group,
+    * never per vector. MIN/MAX additionally require every planned file
+    * to carry its zone segment and every planned group to be non-empty
+    * (an unsealed legacy file or an empty group would need row reads /
+    * a null the non-null schema can't express) — otherwise the pushdown
+    * is refused and Spark aggregates normally. */
+  private def pushableKinds(agg: Aggregation): Option[Seq[IvfAggScan.Kind]] = {
     // residual vec_id filters already stop Spark from attempting
     // aggregate pushdown; the guard makes the invariant local
-    if (idLo != Long.MinValue || idHi != Long.MaxValue) return false
-    val aggsOk = agg.aggregateExpressions().nonEmpty &&
-      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+    if (idLo != Long.MinValue || idHi != Long.MaxValue) return None
+    def vecIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: NamedReference => f.fieldNames().sameElements(Array("vec_id"))
+        case _ => false
+      }
+    val kinds = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(IvfAggScan.Count)
+      case m: Min if vecIdRef(m.column()) => Some(IvfAggScan.MinId)
+      case m: Max if vecIdRef(m.column()) => Some(IvfAggScan.MaxId)
+      case _ => None
+    }
+    if (kinds.isEmpty || kinds.exists(_.isEmpty)) return None
     val gb = agg.groupByExpressions()
     val gbOk = gb.isEmpty || (gb.length == 1 && (gb(0) match {
       case f: NamedReference => f.fieldNames().sameElements(Array("centroid_id"))
       case _ => false
     }))
-    aggsOk && gbOk
+    if (!gbOk) return None
+    val resolved = kinds.map(_.get)
+    if (resolved.exists(_ != IvfAggScan.Count) && !zonesAnswerable) None
+    else Some(resolved)
   }
+
+  /** MIN/MAX precondition: every planned file sealed, no empty planned
+    * group, index non-empty. Uses the same cached listing planning uses. */
+  private def zonesAnswerable: Boolean =
+    try {
+      val root = new Path(path)
+      val rootFs = IvfBinarySource.fs(root)
+      if (!rootFs.exists(root)) return false
+      val perList = IvfBinarySource.listDirs(rootFs, root, lists).map {
+        case (_, d, mtime) => IvfBinarySource.listBinFiles(rootFs, d, mtime)
+      }
+      perList.nonEmpty && perList.forall(fs =>
+        fs.nonEmpty && fs.forall { case (name, _) =>
+          IvfBinarySource.idStats(new Path(name).getName).isDefined
+        })
+    } catch { case _: java.io.IOException => false }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canPushCount(agg)
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    if (!canPushCount(agg)) return false
-    countPush = Some((agg.groupByExpressions().nonEmpty,
-      agg.aggregateExpressions().length))
-    true
-  }
+    pushableKinds(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    pushableKinds(agg) match {
+      case Some(kinds) =>
+        aggPush = Some((agg.groupByExpressions().nonEmpty, kinds)); true
+      case None => false
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = countPush match {
-    case Some((grouped, nCounts)) => new IvfCountScan(path, lists, grouped, nCounts)
+  override def build(): Scan = aggPush match {
+    case Some((grouped, kinds)) => new IvfAggScan(path, lists, grouped, kinds)
     case None => new IvfScan(path, lists, required, idLo, idHi)
   }
 }
 
-/** Completely-pushed COUNT(*) [GROUP BY centroid_id]: per-list row counts
-  * are file_size ÷ row_width over the (mtime-cached) listing — computed on
-  * the DRIVER at planning time; the single input partition just replays
-  * the precomputed group rows. */
-private[sources] class IvfCountScan(path: String, lists: Option[Set[Int]],
-    grouped: Boolean, nCounts: Int) extends Scan with Batch {
+private[sources] object IvfAggScan {
+  sealed trait Kind
+  case object Count extends Kind
+  case object MinId extends Kind
+  case object MaxId extends Kind
+}
+
+/** Completely-pushed COUNT(*) / MIN(vec_id) / MAX(vec_id) [GROUP BY
+  * centroid_id]: per-list row counts are file_size ÷ row_width and id
+  * extremes fold the name-encoded zone maps, both over the (mtime-cached)
+  * listing — computed on the DRIVER at planning time; the single input
+  * partition just replays the precomputed group rows. The builder only
+  * selects this scan when every planned file is sealed and every planned
+  * group non-empty, so the folds below are total. */
+private[sources] class IvfAggScan(path: String, lists: Option[Set[Int]],
+    grouped: Boolean, kinds: Seq[IvfAggScan.Kind]) extends Scan with Batch {
+  import IvfAggScan._
 
   override def readSchema(): StructType = {
-    val aggFields = (0 until nCounts).map(i =>
-      StructField(s"count_$i", LongType, nullable = false))
+    val aggFields = kinds.zipWithIndex.map { case (_, i) =>
+      StructField(s"agg_$i", LongType, nullable = false)
+    }
     if (grouped)
       StructType(StructField("centroid_id", IntegerType, nullable = false) +: aggFields)
     else StructType(aggFields)
@@ -673,50 +723,62 @@ private[sources] class IvfCountScan(path: String, lists: Option[Set[Int]],
   override def toBatch: Batch = this
   override def description(): String = {
     val probed = lists.map(_.toSeq.sorted.mkString("[", ",", "]")).getOrElse("ALL")
-    s"GraftIvfCountScan path=$path lists=$probed grouped=$grouped"
+    s"GraftIvfAggScan path=$path lists=$probed grouped=$grouped aggs=${kinds.mkString(",")}"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
     val rootFs = IvfBinarySource.fs(root)
-    // missing/empty index: a grouped count has zero groups, but a pushed
+    // missing/empty index: a grouped agg has zero groups, but a pushed
     // GLOBAL count must still emit its single zero row (there is no
-    // aggregate exec above to produce it)
+    // aggregate exec above to produce it; min/max never plan here — the
+    // builder refused the pushdown on an empty index)
     if (!rootFs.exists(root))
-      return Array(IvfCountsPartition(
-        if (grouped) Array.empty else Array((-1, 0L))))
+      return Array(IvfAggPartition(
+        if (grouped) Array.empty else Array((-1, kinds.map(_ => 0L).toArray))))
     val width = IvfBinarySource.rowWidth(IvfBinarySource.readDim(path)).toLong
+    def fold(files: Array[(String, Long)], k: Kind): Long = k match {
+      case Count => files.map(_._2 / width).sum
+      case MinId => files.map { case (n, _) =>
+        IvfBinarySource.idStats(new Path(n).getName).get._1 }.min
+      case MaxId => files.map { case (n, _) =>
+        IvfBinarySource.idStats(new Path(n).getName).get._2 }.max
+    }
     val perList = IvfBinarySource.listDirs(rootFs, root, lists)
       .map { case (cid, d, mtime) =>
         cid -> IvfBinarySource.listBinFiles(rootFs, d, mtime)
-          .map(_._2 / width).sum
       }
       .sortBy(_._1)
     val rows =
-      if (grouped) perList.map { case (cid, n) => (cid, n) }
-      else Array((-1, perList.map(_._2).sum)) // global count: one row
-    Array(IvfCountsPartition(rows))
+      if (grouped) perList.map { case (cid, fs) =>
+        (cid, kinds.map(fold(fs, _)).toArray)
+      }
+      else {
+        val all = perList.flatMap(_._2)
+        Array((-1, kinds.map(fold(all, _)).toArray)) // global: one row
+      }
+    Array(IvfAggPartition(rows))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IvfCountsReaderFactory(grouped, nCounts)
+    new IvfAggReaderFactory(grouped)
 }
 
-private[sources] case class IvfCountsPartition(rows: Array[(Int, Long)])
+private[sources] case class IvfAggPartition(rows: Array[(Int, Array[Long])])
     extends InputPartition
 
-private[sources] class IvfCountsReaderFactory(grouped: Boolean, nCounts: Int)
+private[sources] class IvfAggReaderFactory(grouped: Boolean)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val rows = p.asInstanceOf[IvfCountsPartition].rows
+    val rows = p.asInstanceOf[IvfAggPartition].rows
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
-        val (cid, n) = rows(i)
-        val counts: Seq[Any] = Seq.fill(nCounts)(n)
-        if (grouped) InternalRow.fromSeq(cid +: counts)
-        else InternalRow.fromSeq(counts)
+        val (cid, vals) = rows(i)
+        val aggs: Seq[Any] = vals.toSeq
+        if (grouped) InternalRow.fromSeq(cid +: aggs)
+        else InternalRow.fromSeq(aggs)
       }
       override def close(): Unit = ()
     }

@@ -289,8 +289,8 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     // grouped: one row per list, derived from the listing at plan time
     val grouped = read().groupBy("centroid_id").agg(count(lit(1)).as("n"))
     val gPlan = grouped.queryExecution.executedPlan.toString
-    assert(gPlan.contains("GraftIvfCountScan"),
-      s"grouped count should hit the pushed count scan:\n$gPlan")
+    assert(gPlan.contains("GraftIvfAggScan"),
+      s"grouped count should hit the pushed agg scan:\n$gPlan")
     // no aggregate exec survives above a complete pushdown
     assert(!gPlan.contains("HashAggregate"), gPlan)
     val viaPush = grouped.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -303,7 +303,7 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     val total = read().agg(count(lit(1))).collect().head.getLong(0)
     assert(total == expect.values.sum)
     val tPlan = read().agg(count(lit(1))).queryExecution.executedPlan.toString
-    assert(tPlan.contains("GraftIvfCountScan"), tPlan)
+    assert(tPlan.contains("GraftIvfAggScan"), tPlan)
     // pruned + pushed compose: count of one probed list only
     val one = expect.keys.min
     val pruned = read().filter(col("centroid_id") === one)
@@ -311,17 +311,57 @@ class IvfBinarySourceSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains(s"lists=[$one]"))
     assert(pruned.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
       Map(one -> expect(one)))
-    // an aggregate the source cannot answer (count on qvec could differ
-    // under nulls? no — min(vec_id) here) falls back to the row scan
-    val fallback = read().groupBy("centroid_id").agg(min("vec_id"))
+    // an aggregate the source cannot answer falls back to the row scan
+    val fallback = read().groupBy("centroid_id").agg(sum("vec_id"))
     assert(!fallback.queryExecution.executedPlan.toString
-      .contains("GraftIvfCountScan"))
+      .contains("GraftIvfAggScan"))
     // missing index root: a completely-pushed GLOBAL count must still
     // emit its one zero row (no aggregate exec above to produce it)
     val missing = spark.read.format(IvfBinarySource.FORMAT)
       .load(tmp() + "/never_written")
     assert(missing.count() == 0L)
     assert(missing.groupBy("centroid_id").count().collect().isEmpty)
+  }
+
+  test("MIN/MAX(vec_id) push down from zone maps; unsealed file refuses") {
+    // mixed grouped aggregate: count from file sizes, extremes from the
+    // name-encoded zone maps — all at plan time, zero row bytes
+    val mixed = read().groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("lo"), max("vec_id").as("hi"))
+    val mPlan = mixed.queryExecution.executedPlan.toString
+    assert(mPlan.contains("GraftIvfAggScan"), mPlan)
+    assert(!mPlan.contains("HashAggregate"), mPlan)
+    val viaPush = mixed.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expect = read().select("centroid_id", "vec_id")
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("lo"), max("vec_id").as("hi"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(viaPush == expect)
+    // global min/max: one row, still metadata-only
+    val g = read().agg(min("vec_id"), max("vec_id")).collect().head
+    assert((g.getLong(0), g.getLong(1)) ==
+      (expect.values.map(_._2).min, expect.values.map(_._3).max))
+    // strip ONE file's zone segment: min/max must refuse the pushdown
+    // (falls back to row reads, stays correct); count still pushes
+    val dir = new java.io.File(binPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list=")).head
+    val f = dir.listFiles().filter(_.getName.endsWith(".bin")).head
+    val plain = new java.io.File(dir, "part-unsealed.bin")
+    assert(f.renameTo(plain))
+    try {
+      val after = read().groupBy("centroid_id").agg(min("vec_id").as("lo"))
+      assert(!after.queryExecution.executedPlan.toString
+        .contains("GraftIvfAggScan"))
+      assert(after.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+        expect.view.mapValues(_._2).toMap)
+      val cnt = read().groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      assert(cnt.queryExecution.executedPlan.toString.contains("GraftIvfAggScan"))
+    } finally {
+      val back = new java.io.File(dir, f.getName)
+      assert(plain.renameTo(back))
+    }
   }
 
   test("reported key-grouped partitioning: per-list agg plans with no exchange") {

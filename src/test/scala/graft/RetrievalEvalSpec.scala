@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate for the retrieval-evaluation family (q98 metrics, q99 hard
+  * negatives): metric correctness against a driver-side recompute,
+  * the IVF scale path's equality with the brute-force oracle query,
+  * and the bounded-TopK plan shape that avoids per-query corpus
+  * windows. The cross-engine values themselves are oracle-gated
+  * (DuckDB) via the registry. */
+class RetrievalEvalSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  /** Driver-side exact recompute of the metric protocol from raw rows. */
+  private def bruteMetrics(dir: String): Map[Long, (Double, Double, Double)] = {
+    val rows = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val byLabel = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    rows.filter(_._1 < 8).map { case (qid, qlabel, qvec) =>
+      val ranked = rows.filter(_._1 != qid)
+        .map { case (id, lab, v) =>
+          val sim = BigDecimal(graft.functions.VectorKernels.cosine(v, qvec))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, lab, sim)
+        }
+        .sortBy { case (id, _, sim) => (-sim, id) }
+      val top = ranked.take(10)
+      val rels = top.zipWithIndex.map { case ((_, lab, _), i) =>
+        (i + 1, if (lab == qlabel) 1 else 0)
+      }
+      val nRel = byLabel(qlabel) - 1
+      val hits = rels.map(_._2).sum
+      val recall = hits.toDouble / math.min(10, nRel)
+      val mrr = rels.collectFirst { case (r, 1) => 1.0 / r }.getOrElse(0.0)
+      val dcg = rels.map { case (r, rel) => rel / (math.log(r + 1) / math.log(2)) }.sum
+      val idcg = (1 to math.min(10, nRel))
+        .map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      qid -> (r6(recall), r6(mrr), r6(dcg / idcg))
+    }.toMap
+  }
+
+  test("q98 metrics equal a driver-side exact recompute (sf0.001)") {
+    val got = RetrievalQueries.q98RetrievalEval(spark, SparkSuite.sf001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = bruteMetrics(SparkSuite.sf001)
+    assert(got.keySet == want.keySet && got.keySet == (0L until 8L).toSet)
+    got.foreach { case (qid, (rec, mrr, ndcg)) =>
+      val (wr, wm, wn) = want(qid)
+      assert(math.abs(rec - wr) < 1e-9, s"q$qid recall $rec vs $wr")
+      assert(math.abs(mrr - wm) < 1e-9, s"q$qid mrr $mrr vs $wm")
+      assert(math.abs(ndcg - wn) < 1e-6, s"q$qid ndcg $ndcg vs $wn")
+    }
+  }
+
+  test("q99 negatives never share the query's label; exactly 5 per query") {
+    val e = Tables.load(spark, SparkSuite.sf001, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = RetrievalQueries.q99HardNegatives(spark, SparkSuite.sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.groupBy(_._1).forall { case (_, g) =>
+      g.map(_._2).sorted.toSeq == (1 to 5)
+    })
+    rows.foreach { case (qid, _, vid) =>
+      assert(e(vid) != e(qid), s"query $qid retrieved same-label $vid")
+      assert(vid != qid)
+    }
+  }
+
+  test("IVF hard-negative mining at nprobe=all equals the brute-force set") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = sets(RetrievalQueries.q99HardNegatives(spark, SparkSuite.sf001))
+    val ivf = sets(RetrievalQueries.hardNegativesIvf(spark, SparkSuite.sf001,
+      nprobe = 1000))
+    assert(ivf.keySet == brute.keySet)
+    // set equality per query: raw-vs-rounded sim ordering may permute
+    // ranks WITHIN the returned 5 only if two sims collide at 1e-6 —
+    // membership is the invariant the mining contract needs
+    brute.foreach { case (qid, want) =>
+      assert(ivf(qid) == want, s"query $qid: ${ivf(qid)} vs $want")
+    }
+  }
+
+  test("q98 ranks through the bounded TopKAgg, not a per-query corpus window") {
+    val plan = RetrievalQueries.q98RetrievalEval(spark, SparkSuite.sf001)
+      .queryExecution.executedPlan.toString
+    // the only Window in the plan would be a corpus-sized per-query rank;
+    // the TopK aggregate must appear instead (ObjectHashAggregate carries
+    // the udaf buffer), with a partial pass below the qid exchange
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+  }
+}
