@@ -168,6 +168,28 @@ object PipelineQueries {
         sum(col("n_frames")).as("total_frames"))
   }
 
+  /** Media perceptual-hash near-dup (rows-only check; hash locality,
+    * planted-pair recovery and brute-force equality pinned in
+    * MultimodalSpec): every 10th blob is a lightly-perturbed copy of its
+    * predecessor (recompression-noise stand-in); pHash fingerprints each
+    * blob and the banded hamming join recovers the copies. The media
+    * analogue of the q24b text pipeline — same banding operator, new
+    * fingerprint. */
+  def q101MediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.mm
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END").as("base"))
+      .select(col("doc_id"),
+        mm.synthesize_media(col("base"), lit(0), lit(2048)).as("orig"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 9,
+          mm.mutate_media(col("orig"), col("doc_id"), lit(4)))
+          .otherwise(col("orig")).as("bytes"))
+    mm.phashPairs(media, "doc_id", "bytes", 4)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Token counting, sub-word flavored: whitespace tokens plus a BPE-ish
     * segmentation (letter runs | single digits | single symbols — the
     * pre-tokenizer shape of GPT-style BPE vocabularies) — both codegen'd
@@ -395,6 +417,7 @@ object PipelineQueries {
     "q89_ann_pq" -> q89AnnPq _,
     "q54_length_histogram" -> q54LengthHistogram _,
     "q34_media_pipeline" -> q34MediaPipeline _,
+    "q101_media_phash" -> q101MediaPhash _,
     "q36_bpe_tokens" -> q36BpeTokens _,
     "q37_neardup_dedup" -> q37NeardupDedup _,
     "q38_vocab" -> q38Vocab _,

@@ -87,6 +87,95 @@ object MediaKernels {
     }.toArray
   }
 
+  // DCT-II basis rows for the 32→8 low-frequency projection (pHash core)
+  private val COS: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, x) => math.cos(math.Pi * (2 * x + 1) * u / 64.0))
+
+  /** 64-bit perceptual hash (classic pHash structure: plane → 32×32
+    * block means → 2-D DCT-II → 8×8 low-frequency coefficients →
+    * median-threshold bits). The DCT/threshold math is the REAL
+    * algorithm; only the "pixel plane" is the stub-decoded payload
+    * bytes — a production build decodes real luma ahead of the same
+    * block-mean step and nothing downstream changes. Locality: a few
+    * changed payload bytes perturb a few block means slightly, so only
+    * coefficients already straddling the median can flip — near-identical
+    * media land within a small hamming radius, unrelated media at ~32. */
+  def perceptualHash(bytes: Array[Byte]): Long = {
+    decodeMeta(bytes) // header check; production decodes pixels here
+    val n = bytes.length - HEADER_LEN
+    require(n > 0, "empty media payload")
+    val g = new Array[Double](1024) // 32×32 block means over the plane
+    var c = 0
+    while (c < 1024) {
+      val from = HEADER_LEN + (c.toLong * n / 1024).toInt
+      val to = HEADER_LEN + ((c + 1).toLong * n / 1024).toInt
+      if (to == from) g(c) = 0.0
+      else {
+        var s = 0.0
+        var i = from
+        while (i < to) { s += bytes(i) & 0xff; i += 1 }
+        g(c) = s / (to - from)
+      }
+      c += 1
+    }
+    // separable DCT: t(u,y) = Σx g[x][y]·cos_u(x); c(u,v) = Σy t(u,y)·cos_v(y)
+    val t = Array.ofDim[Double](8, 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += g(x * 32 + y) * COS(u)(x); x += 1 }
+        t(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 32) { s += t(u)(y) * COS(v)(y); y += 1 }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    // median of the 63 AC coefficients (DC is raw brightness — it still
+    // contributes a bit, thresholded against the AC median like the rest)
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (coef(i) > med) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** Deterministic small perturbation of the payload (near-dup synthesis
+    * for tests/probes): flips the low bit of `nFlips` seeded positions —
+    * the byte-plane analogue of recompression noise. */
+  def mutatePayload(bytes: Array[Byte], seed: Long, nFlips: Int): Array[Byte] = {
+    val out = bytes.clone()
+    val n = out.length - HEADER_LEN
+    var state = seed
+    var i = 0
+    while (i < nFlips) {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      val pos = HEADER_LEN + ((((z ^ (z >>> 31)) % n) + n) % n).toInt
+      out(pos) = (out(pos) ^ 0x01).toByte
+      i += 1
+    }
+    out
+  }
+
   /** STUB feature extraction: deterministic embedding of the media bytes
     * (fnv over the payload seeding the same splitmix noop embedder the
     * text path uses) — the hand-off point for a real vision/audio encoder. */
@@ -152,6 +241,35 @@ object mm {
   def media_embed(bytes: Column, dim: Int): Column = {
     val u = udf((b: Array[Byte]) => MediaKernels.embed(b, dim))
     u(bytes)
+  }
+
+  /** binary → 64-bit perceptual hash (see [[MediaKernels.perceptualHash]]). */
+  def phash64(bytes: Column): Column = {
+    val u = udf((b: Array[Byte]) => MediaKernels.perceptualHash(b))
+    u(bytes)
+  }
+
+  def mutate_media(bytes: Column, seed: Column, nFlips: Column): Column = {
+    val u = udf((b: Array[Byte], s: Long, n: Int) =>
+      MediaKernels.mutatePayload(b, s, n))
+    u(bytes, seed, nFlips)
+  }
+
+  /** Media near-dup pairs: perceptual hash per blob, then the SAME
+    * lossless banded hamming join the text SimHash path ships
+    * ([[graft.DedupQueries.simhashBandedPairs]] — r+1 disjoint bands,
+    * pigeonhole-guaranteed recall at hamming ≤ radius). The only
+    * shuffle is on short band keys; the blobs themselves never shuffle —
+    * at 100 TB of media the pair scan is signature-sized (8 bytes/blob),
+    * which is the whole point of fingerprinting before joining. */
+  def phashPairs(df: DataFrame, idCol: String, bytesCol: String,
+      radius: Int): DataFrame = {
+    val sig = df
+      .select(col(idCol).as("doc_id"), phash64(col(bytesCol)).as("v"))
+      .withColumn("h1", shiftrightunsigned(col("v"), 32))
+      .withColumn("h2", col("v").bitwiseAND(lit(0xffffffffL)))
+      .localCheckpoint(true) // decode+DCT kernel once, not once per join side
+    graft.DedupQueries.simhashBandedPairs(sig, radius)
   }
 
   /** Batched partition-local decode (the mapInPandas shape on the JVM):

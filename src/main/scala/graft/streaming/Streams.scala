@@ -137,6 +137,58 @@ object Streams {
       graft.sources.IvfBinarySource.compact(docsStream.sparkSession, indexDir)
   }
 
+  /** Incremental corpus-growth tracking — the streaming twin of q80's
+    * dedup-savings estimator: per source, an exact running doc count and
+    * a Datasketches HLL sketch of distinct content fingerprints,
+    * maintained across micro-batches in a |sources|-row parquet store.
+    *
+    * Why this shape scales: the stored state is |sources| rows of a few
+    * KB each FOREVER (independent of stream length), each micro-batch
+    * contributes one map-side-combined sketch per source, and the merge
+    * is register-wise max — associative and commutative, so the stored
+    * estimate is IDENTICAL to sketching the whole corpus in one batch
+    * (spec-pinned exact, not approximate, equality), and a batch
+    * replayed after a crash only re-maxes registers it already fed
+    * (idempotent merge; the doc counter is the at-least-once caveat).
+    * The merged frame is localCheckpointed before the overwrite so the
+    * read-modify-write on one path never races its own scan. */
+  def runGrowthTracker(docsStream: DataFrame, storeDir: String,
+      checkpointDir: String, lgK: Int = 14): Unit = {
+    val q = docsStream
+      .select(col("source"), md5(lower(trim(col("text")))).as("fp"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val delta = batch.groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              hll_sketch_agg(col("fp"), lit(lgK)).as("sk"))
+          val existing =
+            if (new java.io.File(storeDir).exists()) s.read.parquet(storeDir)
+            else delta.limit(0)
+          val merged = existing.unionByName(delta)
+            .groupBy("source")
+            .agg(sum("n_docs").as("n_docs"), hll_union_agg(col("sk")).as("sk"))
+            .localCheckpoint(true) // pin rows BEFORE overwriting their source
+          merged.write.mode("overwrite").parquet(storeDir)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the tracker store as the q80-shaped report (per source: exact
+    * doc count, estimated distinct fingerprints, duplicate fraction). */
+  def growthReport(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(storeDir)
+      .select(col("source"), col("n_docs"),
+        hll_sketch_estimate(col("sk")).as("approx_distinct"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("approx_distinct") / col("n_docs"), 4))
+
   // ---------- streaming dedup ----------
 
   /** Exact streaming dedup by content fingerprint: keep the first arrival

@@ -89,4 +89,49 @@ class MultimodalSpec extends AnyFunSuite {
     // 2048-byte payload, 256-byte frames, every 4th → 2 frames per blob
     rows.foreach(r => assert(r.getLong(3) == r.getLong(1) * 2))
   }
+
+  test("perceptual hash: deterministic, local under small edits, far apart otherwise") {
+    // ids spaced 997 apart: synthesize()'s splitmix stream makes blob
+    // id+k a k-byte-SHIFTED stream of blob id, and pHash (like the real
+    // one) tolerates small translations — adjacent ids land ~8 bits
+    // apart BY DESIGN, so "unrelated" needs well-separated ids whose
+    // shift exceeds the block grid
+    val blobs = (0L until 40L).map(i => MediaKernels.synthesize(i * 997, 0, 2048))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // deterministic
+    assert(blobs.map(MediaKernels.perceptualHash) ==
+      blobs.map(MediaKernels.perceptualHash))
+    // locality: a 4-bit payload perturbation moves few block means →
+    // only median-straddling DCT coefficients can flip
+    blobs.zipWithIndex.foreach { case (b, i) =>
+      val mutated = MediaKernels.mutatePayload(b, seed = 1000L + i, nFlips = 4)
+      val d = ham(MediaKernels.perceptualHash(b), MediaKernels.perceptualHash(mutated))
+      assert(d <= 4, s"blob $i drifted $d bits under a tiny edit")
+    }
+    // separation: unrelated blobs sit near the 32-bit expectation
+    val hs = blobs.map(MediaKernels.perceptualHash)
+    for (i <- hs.indices; j <- hs.indices if i < j)
+      assert(ham(hs(i), hs(j)) > 10, s"unrelated $i,$j too close")
+  }
+
+  test("q101 phash near-dup equals brute-force hamming<=4 and finds the planted copies") {
+    val got = PipelineQueries.q101MediaPhash(spark, SparkSuite.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // driver-side brute force over the same synthesis rule
+    val blobs = (0L until 500L).map { id =>
+      val base = if (id % 10 == 9) id - 1 else id
+      val orig = MediaKernels.synthesize(base, 0, 2048)
+      id -> (if (id % 10 == 9) MediaKernels.mutatePayload(orig, id, 4) else orig)
+    }
+    val hs = blobs.map { case (id, b) => id -> MediaKernels.perceptualHash(b) }
+    val brute = for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d)
+    assert(got.toSet == brute.toSet,
+      s"banded ${got.length} vs brute ${brute.length}")
+    // every planted (id-1, id) copy pair recovered
+    val planted = (0L until 500L).filter(_ % 10 == 9).map(id => (id - 1, id)).toSet
+    assert(planted.subsetOf(got.map(p => (p._1, p._2)).toSet))
+  }
 }

@@ -580,4 +580,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.contains((1L, base + 45 * min, base + 45 * min, 1)), rows) // closed by timeout
     assert(rows.contains((2L, base + 10 * min, base + 10 * min, 1)), rows) // closed by timeout
   }
+
+  test("growth tracker: incremental HLL merge equals one-shot sketch, bounded state") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("growth_store").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("growth_ckpt").toString
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "source", "text")
+    def drain(): Unit = Streams.runGrowthTracker(stream, store, ckpt, lgK = 12)
+
+    // three micro-batches with cross-batch duplicates (same text reappears)
+    val b1 = (0L until 200L).map(i => (i, s"src${i % 3}", s"text number ${i % 150}"))
+    val b2 = (200L until 350L).map(i => (i, s"src${i % 3}", s"text number ${i % 120}"))
+    val b3 = (350L until 400L).map(i => (i, s"src${i % 3}", s"text number $i"))
+    mem.addData(b1.toIndexedSeq: _*); drain()
+    mem.addData(b2.toIndexedSeq: _*); drain()
+    mem.addData(b3.toIndexedSeq: _*); drain()
+
+    val got = Streams.growthReport(spark, store)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // HLL register merge is associative+commutative ⇒ the incrementally
+    // maintained sketch must equal sketching the WHOLE corpus at once —
+    // exact equality, not a tolerance band
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "source", "text")
+    val oneShot = all
+      .select(col("source"), md5(lower(trim(col("text")))).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_estimate(hll_sketch_agg(col("fp"), lit(12))).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == oneShot, s"$got vs $oneShot")
+
+    // the estimate is honest: within 2% of the true distinct count
+    val exact = all.select(col("source"), md5(lower(trim(col("text")))).as("fp"))
+      .groupBy("source").agg(countDistinct("fp").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (src, d) =>
+      assert(math.abs(got(src)._2 - d).toDouble / d < 0.02, s"$src: ${got(src)._2} vs $d")
+    }
+    // stored state is |sources| rows — independent of stream length
+    assert(spark.read.parquet(store).count() == 3)
+  }
 }
