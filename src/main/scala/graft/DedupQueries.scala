@@ -397,29 +397,35 @@ object DedupQueries {
     * (generate candidates → verify candidates) pipeline, vs q22's
     * exact-by-construction corpus-wide shingle self-join.
     *
-    * Scale shape: downstream of candidate generation EVERYTHING is
-    * bounded by |candidates| — the two doc_id equi-joins ship each doc's
-    * shingle array (≈ doc bytes) once per side and the pair rows once;
-    * q22's shingle-key self-join instead ships one row PER (doc,
-    * shingle) instance and replicates hot shingles across tasks. The
-    * shingle arrays are deliberately NOT checkpointed: each join side
-    * pipelines scan → kernel → exchange, and materializing a corpus×
-    * shingle-array table costs more than the second kernel pass (the
-    * q57/q47 materialization policy). 10M-doc wall-clock vs q22 in
-    * BASELINE.md. Exactness: intersection of distinct-shingle sets IS
-    * the Jaccard numerator — no estimate anywhere; misses only what LSH
-    * itself missed (measured 99.9% recall at 10M docs). */
+    * Scale shape: the pair set MELTS to (pair, member) rows, so ONE
+    * doc_id equi-join attaches shingle arrays — the shingle kernel runs
+    * once and the corpus-side arrays cross one exchange; the second
+    * exchange (pair-key re-group) carries arrays only for CANDIDATE
+    * docs, bounded by |candidates|. q22's shingle-key self-join instead
+    * ships one row PER (doc, shingle) instance and replicates hot
+    * shingles across tasks. A naive two-join version (one join per pair
+    * side) measured ~equal to q22 at 10M docs — the kernel ran twice
+    * and the full corpus shuffled twice; this shape is what makes the
+    * two-stage pipeline actually cheaper (BASELINE.md). Exactness:
+    * intersection of distinct-shingle sets IS the Jaccard numerator —
+    * no estimate anywhere; misses only what LSH itself missed
+    * (measured 99.9% recall at 10M docs). */
   def q100VerifyLsh(s: SparkSession, dir: String): DataFrame = {
     val cands = q21MinhashLsh(s, dir).select("doc_a", "doc_b")
-    def sets(as: String) = t(s, dir, "documents")
-      .select(col("doc_id").as(as),
-        array_distinct(gf.shingles(col("text"), N)).as(s"sh_$as"))
-    val i = size(array_intersect(col("sh_doc_a"), col("sh_doc_b")))
-    val na = size(col("sh_doc_a"))
-    val nb = size(col("sh_doc_b"))
-    cands
-      .join(sets("doc_a"), "doc_a")
-      .join(sets("doc_b"), "doc_b")
+    val melt = cands.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    val sets = t(s, dir, "documents").select(col("doc_id"),
+      array_distinct(gf.shingles(col("text"), N)).as("sh"))
+    val i = size(array_intersect(col("sha"), col("shb")))
+    val na = size(col("sha"))
+    val nb = size(col("shb"))
+    melt.join(sets, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true)
+          .as("sha"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true)
+          .as("shb"))
       .filter(na > 0 && nb > 0) // J undefined on shingle-less docs
       .select(col("doc_a"), col("doc_b"),
         (i.cast("double") / (na + nb - i)).as("j"))

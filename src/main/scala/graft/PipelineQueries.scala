@@ -190,6 +190,28 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** PCA spectrum of the embedding corpus (rows-only; eigen-structure,
+    * optimality and plan shape pinned in PcaSpec): top-8 principal
+    * variances and the cumulative fraction of total variance they
+    * capture — the dimensionality-budget report a pipeline reads before
+    * choosing the reduced dim for indexing/semantic dedup. One corpus
+    * pass (partial-merged moments), driver-side Jacobi eigensolve,
+    * 8-row output. */
+  def q102PcaSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val e = t(s, dir, "embeddings")
+    val dim = e.select("embedding").head().getSeq[Float](0).length
+    val m = Pca.fit(e, "embedding", dim) // full spectrum: total = Σλ
+    val total = m.eigenvalues.sum
+    val rows = (0 until 8).map { i =>
+      (i + 1, BigDecimal(m.eigenvalues(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(m.eigenvalues.take(i + 1).sum / total)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import s.implicits._
+    rows.toDF("component", "variance", "cum_explained")
+  }
+
   /** Token counting, sub-word flavored: whitespace tokens plus a BPE-ish
     * segmentation (letter runs | single digits | single symbols — the
     * pre-tokenizer shape of GPT-style BPE vocabularies) — both codegen'd
@@ -418,6 +440,7 @@ object PipelineQueries {
     "q54_length_histogram" -> q54LengthHistogram _,
     "q34_media_pipeline" -> q34MediaPipeline _,
     "q101_media_phash" -> q101MediaPhash _,
+    "q102_pca_spectrum" -> q102PcaSpectrum _,
     "q36_bpe_tokens" -> q36BpeTokens _,
     "q37_neardup_dedup" -> q37NeardupDedup _,
     "q38_vocab" -> q38Vocab _,
