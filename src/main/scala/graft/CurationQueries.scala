@@ -97,6 +97,31 @@ object CurationQueries {
           phoneRe, "<PHONE>").cast("binary")).as("redacted_fp"))
   }
 
+  /** Unicode NFC normalization gate (q58's pattern: the corpus is ASCII,
+    * so deterministic DECOMPOSED unicode is grafted on per row first —
+    * the operator under test is the codegen'd [[graft.functions.NfcNormalize]]
+    * pass, the normalization step curation pipelines run before
+    * fingerprinting so visually-identical texts dedup together).
+    * Verified by codepoint-count delta (each combining pair composes to
+    * one char) and the exact fingerprint of the normalized text. One
+    * map pass, no shuffle. DuckDB twin: `nfc_normalize` — both are
+    * Unicode-conformant canonical composition. */
+  def q103UnicodeClean(s: SparkSession, dir: String): DataFrame = {
+    // DECOMPOSED pairs (base char + combining mark: U+0301/030A/0308/0303)
+    // so the normalizer has real work; all BMP, so Spark UTF-16 length
+    // equals DuckDB's codepoint length
+    val suffixes = array(lit(" café"), lit(" Ångstrom"),
+      lit(" töne"), lit(" mañana"))
+    val aug = concat(col("text"),
+      element_at(suffixes, (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        length(col("aug")).as("len_raw"),
+        length(gf.nfc_normalize(col("aug"))).as("len_nfc"),
+        md5(gf.nfc_normalize(col("aug")).cast("binary")).as("nfc_fp"))
+  }
+
   /** Sequence-packing plan: documents packed in doc_id order into
     * 2048-token bins, per language (packing is stratified by lang/domain
     * in practice, which is also exactly what keeps the running-sum window
@@ -483,6 +508,7 @@ object CurationQueries {
     "q56_inverted_index" -> q56InvertedIndex _,
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
     "q58_pii_scrub" -> q58PiiScrub _,
+    "q103_unicode_clean" -> q103UnicodeClean _,
     "q59_pack_plan" -> q59PackPlan _,
     "q60_bigram_pmi" -> q60BigramPmi _,
     "q61_stratified_sample" -> q61StratifiedSample _,
@@ -545,6 +571,21 @@ object CurationQueries {
         |  md5(regexp_replace(
         |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM a""".stripMargin,
+    "q103_unicode_clean" ->
+      """WITH a AS (
+        |  SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN ' cafe' || chr(769)
+        |      WHEN 1 THEN ' A' || chr(778) || 'ngstrom'
+        |      WHEN 2 THEN ' to' || chr(776) || 'ne'
+        |      ELSE ' man' || chr(771) || 'ana'
+        |    END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(aug) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(aug)) AS INT) AS len_nfc,
+        |  md5(nfc_normalize(aug)) AS nfc_fp
         |FROM a""".stripMargin,
     "q59_pack_plan" ->
       """WITH t AS (

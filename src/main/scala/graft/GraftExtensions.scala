@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l2_normalize"),
       info("l2_normalize", "l2_normalize(a) - L2-normalize a float array"),
       (es: Seq[Expression]) => L2Normalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     ext.injectFunction((FunctionIdentifier("noop_embed"),
       info("noop_embed", "noop_embed(text[, dim]) - deterministic fake embedding"),
       (es: Seq[Expression]) => es match {

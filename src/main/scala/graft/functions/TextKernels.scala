@@ -205,6 +205,15 @@ object TextKernels {
 
   def hammingDist64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Unicode NFC canonical composition (é as e+◌́ → single é, etc.) —
+    * the normalization pass curation pipelines run before fingerprinting
+    * so visually-identical texts dedup together. Codegen entry for
+    * [[NfcNormalize]]; DuckDB's `nfc_normalize` replicates it (both are
+    * Unicode-conformant canonical composition). */
+  def nfcU(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
   /** Engine-portable 64-bit SimHash rendered as 16 hex chars (nibble p
     * holds bits p*4..p*4+3, LSB-first within the nibble). Token hash =
     * first 16 hex chars of md5(token); bit i of the signature is the

@@ -96,6 +96,23 @@ case class L2Normalize(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** nfc_normalize(string) → string — Unicode NFC canonical composition
+  * (see TextKernels.nfcU). Stays in whole-stage codegen via the static
+  * kernel call like every expression here. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child -> StringType))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.nfcU(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.nfcU($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** noop_embed(string) → binary(8+512) — deterministic fake embedder
   * mirroring the reference's noop provider shape (noop/ai.go:47-64). */
 case class NoopEmbed(child: Expression, dim: Int)

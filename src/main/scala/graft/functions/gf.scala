@@ -29,6 +29,9 @@ object gf {
   /** `array<float>` → packed quantized `binary(dim+8)` ([f32 min][f32 max][codes]). */
   def quantize_vec(a: Column): Column = col(QuantizeVec(expr(a)))
 
+  /** Unicode NFC canonical composition of a string column. */
+  def nfc_normalize(a: Column): Column = col(NfcNormalize(expr(a)))
+
   /** packed quantized `binary` → `array<float>`. */
   def dequantize_vec(a: Column): Column = col(DequantizeVec(expr(a)))
 
@@ -218,6 +221,7 @@ object gf {
     reg.createOrReplaceTempFunction("quantize_vec", es => QuantizeVec(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("dequantize_vec", es => DequantizeVec(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("noop_embed", es => NoopEmbed(es.head, 512), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_merge_pass", {
       case Seq(sym,

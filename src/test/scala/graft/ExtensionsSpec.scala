@@ -19,6 +19,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0)
     assert(r.getInt(1) == 3)
     assert(r.getInt(2) == 512)
+    // NFC: decomposed e+U+0301 composes to one codepoint (the combining
+    // mark is embedded directly — Spark's chr() is ASCII-only)
+    val nfc = spark.sql(
+      "SELECT length(nfc_normalize('café')) AS n").head()
+    assert(nfc.getInt(0) == 4)
   }
 
   test("bpe_merge_pass is SQL-callable with literal pairs, and only those") {
