@@ -122,6 +122,47 @@ object CurationQueries {
         md5(gf.nfc_normalize(col("aug")).cast("binary")).as("nfc_fp"))
   }
 
+  /** HTML → text extraction (the crawl-curation step in front of every
+    * filter here: strip script/style blocks, strip tags, decode
+    * entities, collapse whitespace — the C4/WET extraction shape).
+    * q58's pattern: the corpus is plain text, so each row is first
+    * wrapped in deterministic HTML (head/style boilerplate, headings,
+    * entities, a script block keyed by doc_id) and the operator under
+    * test is the codegen'd regexp/replace extraction chain, gated by
+    * exact extracted-bytes fingerprint + length. One map pass, no
+    * shuffle; every pattern is RE2-safe so the DuckDB twin runs the
+    * SAME expressions. */
+  def q104HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      lit("<html><head><title>doc </title><style>body { color: red }</style>" +
+        "</head><body><h1 class=\"hd\">Doc &amp; heading</h1><p>"),
+      col("text"),
+      lit("</p><script type=\"text/javascript\">var x = "),
+      col("doc_id").cast("string"),
+      lit("; alert(x)</script><div>tail &lt;quote&gt; &#39;q&#39;</div>" +
+        "</body></html>"))
+    // extraction chain (order matters: blocks, then tags, then entities)
+    def extract(c: org.apache.spark.sql.Column) = {
+      val noScript = regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
+      val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+      val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+      // entity strings are regex-metachar-free, so the same literal
+      // patterns run under Java regex here and RE2 in DuckDB; &amp; LAST
+      // (double-escape safety)
+      val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&#39;" -> "'",
+        "&quot;" -> "\"", "&amp;" -> "&")
+      val decoded = entities.foldLeft(noTags) { case (cc, (e, ch)) =>
+        regexp_replace(cc, e, ch)
+      }
+      trim(regexp_replace(decoded, "\\s+", " "))
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), extract(aug).as("clean"))
+      .select(col("doc_id"),
+        length(col("clean")).as("len_clean"),
+        md5(col("clean").cast("binary")).as("clean_fp"))
+  }
+
   /** Sequence-packing plan: documents packed in doc_id order into
     * 2048-token bins, per language (packing is stratified by lang/domain
     * in practice, which is also exactly what keeps the running-sum window
@@ -509,6 +550,7 @@ object CurationQueries {
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
     "q58_pii_scrub" -> q58PiiScrub _,
     "q103_unicode_clean" -> q103UnicodeClean _,
+    "q104_html_extract" -> q104HtmlExtract _,
     "q59_pack_plan" -> q59PackPlan _,
     "q60_bigram_pmi" -> q60BigramPmi _,
     "q61_stratified_sample" -> q61StratifiedSample _,
@@ -572,6 +614,37 @@ object CurationQueries {
         |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
         |FROM a""".stripMargin,
+    "q104_html_extract" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc </title><style>body { color: red }</style></head><body><h1 class="hd">Doc &amp; heading</h1><p>'
+        |    || text ||
+        |    '</p><script type="text/javascript">var x = ' || CAST(doc_id AS VARCHAR) ||
+        |    '; alert(x)</script><div>tail &lt;quote&gt; &#39;q&#39;</div></body></html>' AS aug
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(aug, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&#39;', '''', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM a)
+        |SELECT doc_id, CAST(length(clean) AS INT) AS len_clean,
+        |  md5(clean) AS clean_fp
+        |FROM e""".stripMargin,
     "q103_unicode_clean" ->
       """WITH a AS (
         |  SELECT doc_id, text ||

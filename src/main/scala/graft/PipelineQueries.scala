@@ -200,7 +200,13 @@ object PipelineQueries {
   def q102PcaSpectrum(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pca
     val e = t(s, dir, "embeddings")
-    val dim = e.select("embedding").head().getSeq[Float](0).length
+    val head = e.select("embedding").take(1)
+    if (head.isEmpty) { // empty corpus: empty spectrum, not a crash
+      import s.implicits._
+      return Seq.empty[(Int, Double, Double)]
+        .toDF("component", "variance", "cum_explained")
+    }
+    val dim = head(0).getSeq[Float](0).length
     val m = Pca.fit(e, "embedding", dim) // full spectrum: total = Σλ
     val total = m.eigenvalues.sum
     val rows = (0 until 8).map { i =>

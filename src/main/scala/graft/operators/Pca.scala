@@ -97,8 +97,17 @@ object Pca {
     val head = df.select(vecCol).take(1)
     require(head.nonEmpty, "PCA on an empty frame")
     val d = head(0).getSeq[Float](0).length
-    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
     val m = momentsFrame(df, vecCol, d).head().getSeq[Double](0).toArray
+    modelFromMoments(m, d, k)
+  }
+
+  /** Solve the model from a raw moments buffer ([n, Σx, ΣxxT upper]) —
+    * the buffer is ADDITIVE across any partitioning of the corpus, so
+    * incremental maintenance (the streaming moments tracker) merges
+    * buffers element-wise and refits without re-scanning history. */
+  def modelFromMoments(m: Array[Double], d: Int, k: Int): Model = {
+    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
+    require(m.length == 1 + d + d * (d + 1) / 2, "moments buffer shape")
     val n = m(0)
     require(n > 1, "PCA needs at least 2 rows")
     val mean = Array.tabulate(d)(i => m(1 + i) / n)

@@ -189,6 +189,50 @@ object Streams {
       .withColumn("dup_frac",
         round(lit(1.0) - col("approx_distinct") / col("n_docs"), 4))
 
+  /** Incremental PCA — the streaming twin of [[graft.operators.Pca.fit]]:
+    * each micro-batch contributes its (n, Σx, ΣxxT) moments buffer (one
+    * partial-merged aggregate, a single fixed-width row), and the store
+    * holds the element-wise SUM of every batch's buffer — moments are
+    * additive over any partitioning of the corpus, so refitting from the
+    * store equals fitting the whole history in one pass (up to f64
+    * summation order; spec pins ~1e-9 relative agreement) without ever
+    * re-scanning it. The model-refresh-under-ingest shape: state is ONE
+    * d(d+3)/2-double row forever. */
+  def runMomentsTracker(vecsStream: DataFrame, vecCol: String, dim: Int,
+      storeDir: String, checkpointDir: String): Unit = {
+    val q = vecsStream
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          import s.implicits._
+          val delta = graft.operators.Pca.momentsFrame(batch, vecCol, dim)
+            .head().getSeq[Double](0).toArray
+          val merged =
+            if (new java.io.File(storeDir).exists()) {
+              val cur = s.read.parquet(storeDir).head().getSeq[Double](0).toArray
+              require(cur.length == delta.length, "moments dim changed mid-stream")
+              cur.zip(delta).map { case (a, b) => a + b }
+            } else delta
+          // one tiny row: write-then-swap not needed, the frame is local
+          Seq(Tuple1(merged.toSeq)).toDF("m")
+            .write.mode("overwrite").parquet(storeDir)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Refit the PCA model from the tracked moments store. */
+  def pcaModel(s: SparkSession, storeDir: String, dim: Int,
+      k: Int): graft.operators.Pca.Model = {
+    val m = s.read.parquet(storeDir).head().getSeq[Double](0).toArray
+    graft.operators.Pca.modelFromMoments(m, dim, k)
+  }
+
   // ---------- streaming dedup ----------
 
   /** Exact streaming dedup by content fingerprint: keep the first arrival

@@ -110,6 +110,32 @@ class PcaSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges exchanges in a single-agg plan:\n$plan")
   }
 
+  test("incremental moments tracker refits the same model as one-shot fit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("pca_store").toString + "/m"
+    val ckpt = java.nio.file.Files.createTempDirectory("pca_ckpt").toString
+    val mem = MemoryStream[Seq[Float]](spark)
+    val stream = mem.toDF().toDF("embedding")
+    val chunks = sample.map(_.toSeq).grouped(700).toSeq
+    chunks.foreach { c =>
+      mem.addData(c: _*)
+      graft.streaming.Streams.runMomentsTracker(stream, "embedding", dim, store, ckpt)
+    }
+    val inc = graft.streaming.Streams.pcaModel(spark, store, dim, 4)
+    val one = Pca.fit(df, "embedding", 4)
+    // moments are additive: the incremental model equals the one-shot
+    // model up to f64 summation order
+    inc.eigenvalues.zip(one.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9 * math.max(1.0, b), s"$a vs $b")
+    }
+    inc.components.zip(one.components).foreach { case (u, v) =>
+      val dot = u.zip(v).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - 1.0) < 1e-6, s"component dot $dot")
+    }
+    assert(inc.mean.zip(one.mean).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("reduced-dim neighbor search keeps neighborhood structure") {
     // on the anisotropic sample, 6-dim PCA distances must rank the true
     // 16-dim nearest neighbor into the top-3 for most query points —
