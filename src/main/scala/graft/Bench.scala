@@ -115,6 +115,12 @@ object Bench {
       }
       val (ms1, r1) = ivfRun(1)
       val (ms4, r4) = ivfRun(4)
+      // measured nprobe auto-tune: minimal nprobe hitting 0.9 recall on
+      // the same query sample (the knob a deployment would actually set)
+      val tCal = System.nanoTime()
+      val (npCal, _) = IvfIndex.calibrateNprobe(idx, model, "vec_id",
+        "embedding", queries.map(_._2).toSeq, 10, 0.9)
+      val calSec = (System.nanoTime() - tCal) / 1e9
       // the reference's full /api/search flow (probe + pruned scan +
       // per-doc dedup + paginated top-k + payload join), end to end
       val docs = Tables.load(spark, sfDir, "documents")
@@ -164,7 +170,9 @@ object Bench {
         "ivf_np1_ms" -> ms1,
         "ivf_np1_recall" -> r1,
         "ivf_np4_ms" -> ms4,
-        "ivf_np4_recall" -> r4)
+        "ivf_np4_recall" -> r4,
+        "nprobe_cal_090" -> npCal.toDouble,
+        "nprobe_cal_sec" -> calSec)
     } catch { case _: Throwable => Map("ann_bench_failed" -> 1.0) }
   }
 

@@ -373,6 +373,46 @@ object IvfIndex {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Auto-tune nprobe to a recall target — the knob every IVF deployment
+    * has to pick, chosen here by MEASUREMENT on a bounded query sample
+    * instead of folklore: exact brute-force truth per sample query, then
+    * a binary search over nprobe (mean recall@k is monotone in nprobe:
+    * the probed pool only GROWS, scoring is exact, and a true top-k
+    * member in the pool is only ever displaced by other true top-k
+    * members — so recall per query is |true ∩ pool|, non-decreasing).
+    * Returns the MINIMAL nprobe whose mean recall meets the target,
+    * plus the measured (nprobe → recall) points for the report. Driver
+    * cost: O(|sample| · log C) searches — sample and C are bounded, the
+    * same budget the bench's recall micro already spends. */
+  def calibrateNprobe(
+      indexed: DataFrame, model: Model, idCol: String, vecCol: String,
+      sampleQueries: Seq[Array[Float]], k: Int,
+      targetRecall: Double): (Int, Map[Int, Double]) = {
+    require(sampleQueries.nonEmpty, "need sample queries to calibrate")
+    val nC = model.centroids.length
+    val truth = sampleQueries.map { q =>
+      search(indexed, model, idCol, vecCol, q, k, nC)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val memo = scala.collection.mutable.Map[Int, Double]()
+    def recallAt(np: Int): Double = memo.getOrElseUpdate(np, {
+      val hits = sampleQueries.zip(truth).map { case (q, t) =>
+        val got = search(indexed, model, idCol, vecCol, q, k, np)
+          .collect().map(_.getLong(0)).toSet
+        if (t.isEmpty) 1.0 else (got & t).size.toDouble / t.size
+      }
+      hits.sum / hits.length
+    })
+    var lo = 1
+    var hi = nC
+    if (recallAt(1) >= targetRecall) hi = 1
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (recallAt(mid) >= targetRecall) hi = mid else lo = mid + 1
+    }
+    (hi, memo.toMap)
+  }
 }
 
 /** `nearest_centroid(array<float>)` → `struct(centroid_id int, sim double)`

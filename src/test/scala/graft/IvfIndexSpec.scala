@@ -175,4 +175,42 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert((ivf intersect brute).size >= 4, s"recall ${(ivf intersect brute).size}/10")
   }
+
+  test("calibrateNprobe returns the MINIMAL nprobe meeting the recall target") {
+    val (indexed, model) = IvfIndex.build(embeddings, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 1000))
+    val idx = indexed.persist()
+    idx.count()
+    val queries = embeddings.filter(col("vec_id") < 6)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val nC = model.centroids.length
+    assert(nC >= 3, s"need several lists, got $nC")
+    // independent full curve via the public search API
+    def recallAt(np: Int): Double = {
+      val r = queries.map { q =>
+        val t = IvfIndex.search(idx, model, "vec_id", "embedding", q, 10, nC)
+          .collect().map(_.getLong(0)).toSet
+        val g = IvfIndex.search(idx, model, "vec_id", "embedding", q, 10, np)
+          .collect().map(_.getLong(0)).toSet
+        (g & t).size.toDouble / t.size
+      }
+      r.sum / r.length
+    }
+    val curve = (1 to nC).map(np => np -> recallAt(np)).toMap
+    // monotone (the property the binary search relies on)
+    (1 until nC).foreach(np =>
+      assert(curve(np) <= curve(np + 1) + 1e-12, s"recall not monotone at $np"))
+    assert(curve(nC) == 1.0)
+    for (target <- Seq(0.5, 0.9, 1.0)) {
+      val (np, measured) = IvfIndex.calibrateNprobe(
+        idx, model, "vec_id", "embedding", queries, 10, target)
+      assert(curve(np) >= target, s"chosen np=$np misses target $target")
+      if (np > 1)
+        assert(curve(np - 1) < target, s"np=$np not minimal for $target")
+      measured.foreach { case (p, r) =>
+        assert(math.abs(r - curve(p)) < 1e-12, s"measured point $p disagrees")
+      }
+    }
+    idx.unpersist()
+  }
 }
