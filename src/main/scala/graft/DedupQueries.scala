@@ -45,6 +45,25 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** q21's 100 TB-rate twin — ONE md5 per shingle instead of k=16
+    * (Kirsch-Mitzenmacher double hashing, see
+    * [[graft.functions.TextKernels.minhashFast]]): same LSH banding,
+    * same candidate-join shape, same collision guarantees, 16× fewer
+    * digests in the kernel that dominates the 10M pair-gen sweep
+    * (BASELINE.md). Different hash family ⇒ different (equally valid)
+    * candidate sets, so it carries its own oracle rather than q21's. */
+  def q21bMinhashFast(s: SparkSession, dir: String): DataFrame = {
+    val bands = t(s, dir, "documents")
+      .select(col("doc_id"), gf.minhash_fast(col("text"), N, K).as("sig"))
+      .select(col("doc_id"), explode(gf.lsh_bands_long(col("sig"), BANDS)).as("bucket"))
+      .localCheckpoint(true)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (j >= 0.8): explode distinct
     * 3-token shingles, self-join on shingle, count intersections.
     * Shuffles on shingle keys — at 100 TB this runs AFTER q21's LSH
@@ -441,6 +460,7 @@ object DedupQueries {
     "q55_contamination" -> q55Contamination _,
     "q87_bloom_contamination" -> q87BloomContamination _,
     "q21_minhash_lsh" -> q21MinhashLsh _,
+    "q21b_minhash_fast" -> q21bMinhashFast _,
     "q22_jaccard_neardup" -> q22JaccardNeardup _,
     "q91_cross_dedup" -> q91CrossDedup _,
     "q23_simhash" -> q23Simhash _,
@@ -561,6 +581,31 @@ object DedupQueries {
     "q21_minhash_lsh" ->
       s"""WITH $shingleCte,
          |$lshBandsCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    "q21b_minhash_fast" ->
+      s"""WITH $shingleCte,
+         |seeds AS (SELECT unnest(generate_series(0, ${K - 1})) AS seed),
+         |parsed AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+         |    CAST(('0x' || substr(md5(s), 16, 14)) AS BIGINT) AS h2
+         |  FROM sh),
+         |mins AS (
+         |  SELECT doc_id, seed, min(h1 + seed * h2) AS v
+         |  FROM parsed CROSS JOIN seeds GROUP BY doc_id, seed),
+         |mh AS (
+         |  SELECT d.doc_id, se.seed,
+         |    coalesce(m.v, 9223372036854775807) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN seeds se
+         |  LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.seed = se.seed),
+         |sigs AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id,
+         |    b || ':' || md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,

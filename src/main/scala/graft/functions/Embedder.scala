@@ -264,4 +264,69 @@ object Embedder {
       }
     }(enc)
   }
+
+  /** Content-addressed incremental embedding — the re-ingest cost saver:
+    * a crawl refresh re-uploads mostly-unchanged documents, and the
+    * embed service call is the expensive step (reference: every upload
+    * pays `ai/ollama/embed.go` for every chunk). Texts whose
+    * fingerprint already exists in the cache reuse the stored vector;
+    * ONLY cache misses reach the provider. Returns (embedded frame,
+    * updated cache).
+    *
+    * Scale shape: the cache join is a fingerprint equi-join (vectors
+    * ride the cache side once); misses deduplicate BY FINGERPRINT
+    * before embedding, so a text repeated across the batch is embedded
+    * once regardless of fan-out; the updated cache appends only the new
+    * fingerprints (churn-sized, like q86's work-list). Determinism:
+    * same provider ⇒ byte-identical vectors whether served from cache
+    * or embedded fresh (spec-pinned, including the exact provider call
+    * count). */
+  def embedIncremental(df: DataFrame, textCol: String,
+      cache: DataFrame, provider: EmbedProvider,
+      batchSize: Int = 1000, outCol: String = "qvec")
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val withFp = df.withColumn("_fp", md5(col(textCol).cast("binary")))
+    val hits = withFp.join(cache.select(col("fp").as("_fp"),
+        col("vec").as(outCol)), Seq("_fp"), "inner")
+    val missTexts = withFp
+      .join(cache.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+      .select(col("_fp"), col(textCol))
+      .dropDuplicates("_fp") // embed each distinct text ONCE
+    val fresh = embedColumn(missTexts, textCol, provider, batchSize, "vec")
+      .select(col("_fp").as("fp"), col("vec"))
+      .localCheckpoint(true) // pin: consumed by the result AND the cache
+    val misses = withFp
+      .join(cache.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+      .join(fresh.select(col("fp").as("_fp"), col("vec").as(outCol)), Seq("_fp"))
+    val out = hits.unionByName(misses).drop("_fp")
+    (out, cache.unionByName(fresh))
+  }
+
+  /** [[embedIncremental]] against a PERSISTENT fingerprint-keyed
+    * [[graft.sources.ParquetStore]]: the cache survives across jobs and
+    * sessions (the production shape — embedding spend is the budget
+    * line re-ingest must not re-pay). Only the fresh (fp, vec) rows are
+    * upserted — bucket-pruned, churn-sized writes. Returns the embedded
+    * frame. */
+  def embedWithStore(df: DataFrame, textCol: String,
+      store: graft.sources.ParquetStore, provider: EmbedProvider,
+      batchSize: Int = 1000, outCol: String = "qvec"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cache =
+      if (store.isInitialized) store.read(spark).select("fp", "vec")
+      else Seq.empty[(String, Array[Byte])].toDF("fp", "vec")
+    val (out, _) = embedIncremental(df, textCol, cache, provider, batchSize, outCol)
+    val pinned = out.localCheckpoint(true) // compute ONCE: result + upsert read it
+    val fresh = pinned
+      .withColumn("fp", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col(textCol).cast("binary")))
+      .select(org.apache.spark.sql.functions.col("fp"),
+        org.apache.spark.sql.functions.col(outCol).as("vec"))
+      .join(cache.select("fp"), Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+    store.upsertOrCreate(fresh)
+    pinned
+  }
 }

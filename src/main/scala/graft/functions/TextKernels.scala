@@ -185,6 +185,45 @@ object TextKernels {
     Array.tabulate(bands)(b => b.toString + ":" + md5Hex(sig.slice(b * r, (b + 1) * r).mkString("|")))
   }
 
+  /** Fast k-permutation MinHash via Kirsch-Mitzenmacher double hashing:
+    * ONE md5 per shingle yields (h1, h2) = (60-bit, 56-bit) halves of
+    * the digest, and permutation i scores the shingle as h1 + i·h2 —
+    * two universal hashes simulate k independent ones with the same
+    * LSH collision guarantees (Kirsch & Mitzenmacher, ESA'06). The
+    * classic kernel ([[minhash]]) digests every shingle k TIMES
+    * (docs × shingles × k md5 calls — the measured bottleneck of the
+    * 10M pair-gen sweep); this one digests once. Bounds keep every
+    * value in signed-64 range on BOTH engines (h1 < 2⁶⁰, i·h2 <
+    * 15·2⁵⁶ < 2⁶⁰), so the DuckDB oracle reproduces the arithmetic
+    * exactly; empty docs take Long.MaxValue sentinels (the 'z'
+    * analogue). */
+  def minhashFast(text: String, n: Int, k: Int): Array[Long] = {
+    val sh = shingles(text, n)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val hex = md5Hex(sh(i))
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(15, 29), 16)
+      var s = 0
+      while (s < k) {
+        val v = h1 + s * h2
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Band keys over a long-valued signature (fast-minhash twin of
+    * [[lshBands]]): values joined by '|' in decimal, md5'd per band. */
+  def lshBandsLong(sig: Array[Long], bands: Int): Array[String] = {
+    val r = sig.length / bands
+    Array.tabulate(bands)(b =>
+      b.toString + ":" + md5Hex(sig.slice(b * r, (b + 1) * r).mkString("|")))
+  }
+
   /** 64-bit SimHash over lowercase tokens (fnv1a64 token hashes, bitwise
     * majority vote). */
   def simhash64(text: String): Long = {

@@ -89,6 +89,16 @@ object gf {
       TextKernels.lshBands(if (s == null) Array.empty[String] else s.toArray, b))
     u(sig, F.lit(bands))
   }
+  def minhash_fast(text: Column, n: Int, k: Int): Column = {
+    val u = F.udf((s: String, nn: Int, kk: Int) =>
+      TextKernels.minhashFast(if (s == null) "" else s, nn, kk))
+    u(text, F.lit(n), F.lit(k))
+  }
+  def lsh_bands_long(sig: Column, bands: Int): Column = {
+    val u = F.udf((s: Seq[Long], b: Int) =>
+      TextKernels.lshBandsLong(if (s == null) Array.empty[Long] else s.toArray, b))
+    u(sig, F.lit(bands))
+  }
   val simhash: Column => Column = {
     val u = F.udf((s: String) => TextKernels.simhash64(if (s == null) "" else s)); c => u(c)
   }

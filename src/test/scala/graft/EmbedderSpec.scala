@@ -188,4 +188,74 @@ class EmbedderSpec extends AnyFunSuite {
     val msgs = TextKernels.chatMessages(Nil, Nil, "", "just asking")
     assert(msgs == Seq(("user", "My question is: just asking")))
   }
+
+  test("embedIncremental embeds ONLY cache misses, byte-identical either way") {
+    import spark.implicits._
+    EmbedCounter.texts.set(0)
+    val dim = 64
+    val counting = CountingNoopProvider(dim)
+    val empty = Seq.empty[(String, Array[Byte])].toDF("fp", "vec")
+
+    // batch 1: 6 rows over 4 distinct texts — provider sees each
+    // distinct text exactly once
+    val b1 = Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma",
+      4L -> "alpha", 5L -> "delta", 6L -> "beta").toDF("id", "text")
+    val (out1, cache1) = Embedder.embedIncremental(b1, "text", empty, counting)
+    val got1 = out1.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("qvec")).toMap
+    assert(got1.size == 6 && EmbedCounter.texts.get() == 4)
+    assert(cache1.count() == 4)
+    // equality with the plain full-embed path, byte for byte
+    val full = Embedder.embedColumn(b1, "text", NoopProvider(dim))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("qvec")).toMap
+    got1.foreach { case (id, v) => assert(v.sameElements(full(id)), s"row $id") }
+
+    // batch 2: 3 cached texts + 2 new ones — provider sees ONLY the 2
+    val c1 = cache1.localCheckpoint(true)
+    EmbedCounter.texts.set(0)
+    val b2 = Seq(7L -> "alpha", 8L -> "epsilon", 9L -> "beta",
+      10L -> "zeta", 11L -> "gamma").toDF("id", "text")
+    val (out2, cache2) = Embedder.embedIncremental(b2, "text", c1, counting)
+    val got2 = out2.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("qvec")).toMap
+    assert(got2.size == 5 && EmbedCounter.texts.get() == 2,
+      s"provider saw ${EmbedCounter.texts.get()} texts")
+    assert(cache2.count() == 6)
+    val full2 = Embedder.embedColumn(b2, "text", NoopProvider(dim))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("qvec")).toMap
+    got2.foreach { case (id, v) => assert(v.sameElements(full2(id)), s"row $id") }
+  }
+  test("embedWithStore persists the cache across jobs; second run pays only churn") {
+    import spark.implicits._
+    val dim = 32
+    val store = graft.sources.ParquetStore(
+      java.nio.file.Files.createTempDirectory("embcache").toString + "/s", "fp", 8)
+    EmbedCounter.texts.set(0)
+    val b1 = Seq(1L -> "one", 2L -> "two", 3L -> "three").toDF("id", "text")
+    val out1 = Embedder.embedWithStore(b1, "text", store, CountingNoopProvider(dim))
+    assert(out1.count() == 3 && EmbedCounter.texts.get() == 3)
+    assert(store.read(spark).count() == 3)
+
+    EmbedCounter.texts.set(0)
+    val b2 = Seq(4L -> "two", 5L -> "four", 6L -> "three").toDF("id", "text")
+    val out2 = Embedder.embedWithStore(b2, "text", store, CountingNoopProvider(dim))
+    val got = out2.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("qvec")).toMap
+    assert(got.size == 3 && EmbedCounter.texts.get() == 1,
+      s"provider saw ${EmbedCounter.texts.get()} texts")
+    assert(store.read(spark).count() == 4)
+    val full = Embedder.embedColumn(b2, "text", NoopProvider(dim))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("qvec")).toMap
+    got.foreach { case (id, v) => assert(v.sameElements(full(id)), s"row $id") }
+  }
+}
+
+/** Executor-side call counter (local-mode shared JVM). */
+object EmbedCounter {
+  val texts = new java.util.concurrent.atomic.AtomicInteger()
+}
+
+final case class CountingNoopProvider(dim: Int)
+    extends graft.functions.EmbedProvider {
+  def embedBatch(ts: Seq[String]): Seq[Array[Byte]] = {
+    EmbedCounter.texts.addAndGet(ts.size)
+    NoopProvider(dim).embedBatch(ts)
+  }
 }

@@ -131,6 +131,28 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(agree(sa, sc) < 0.2)
   }
 
+  test("minhashFast: deterministic, in-bounds, sentinel on empty, tracks jaccard") {
+    import graft.functions.TextKernels.minhashFast
+    val a = "the quick brown fox jumps over the lazy dog and runs away fast today"
+    val b = "the quick brown fox jumps over the lazy dog and runs away fast now"
+    val c = "completely different words appear in this unrelated sentence about spark"
+    val sa = minhashFast(a, 3, 16)
+    assert(sa.toSeq == minhashFast(a, 3, 16).toSeq && sa.length == 16)
+    // Kirsch-Mitzenmacher bound: h1 + 15·h2 < 2⁶⁰ + 15·2⁵⁶ < 2⁶¹ — every
+    // value positive, no overflow on either engine
+    Seq(a, b, c).foreach(t => minhashFast(t, 3, 16).foreach(v =>
+      assert(v > 0 && v < (1L << 61))))
+    assert(minhashFast("", 3, 16).forall(_ == Long.MaxValue))
+    def agree(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.length
+    val (fa, fb, fc) = (minhashFast(a, 3, 64), minhashFast(b, 3, 64), minhashFast(c, 3, 64))
+    assert(agree(fa, fb) > 0.5)
+    assert(agree(fa, fc) < 0.2)
+    // identical texts are ALWAYS candidates: equal shingle sets ⇒ equal
+    // signatures ⇒ every band collides (the deterministic LSH guarantee)
+    assert(fa.toSeq == minhashFast(a, 3, 64).toSeq)
+  }
+
   test("simhash: near-dup texts land at small hamming distance") {
     val a = simhash64("the quick brown fox jumps over the lazy dog and keeps running through the field")
     val b = simhash64("the quick brown fox jumps over the lazy dog and keeps running through the meadow")
