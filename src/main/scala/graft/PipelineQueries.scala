@@ -150,6 +150,36 @@ object PipelineQueries {
           .otherwise("train").as("split"))
   }
 
+  /** Curation PROVENANCE — the debugging surface behind q77: every
+    * document's verdict, i.e. the FIRST gate that rejected it (quality →
+    * lang → model → duplicate) or 'kept'. Pipelines live and die by
+    * this report: a filter change is judged by which stage's rejection
+    * mass moved. Same gate expressions and ordering as q77, so
+    * verdict='kept' is exactly q77's manifest membership; the dedup
+    * stage judges only docs that survived the earlier gates (a rejected
+    * doc can't be a cluster's keeper). Row-local gates + one
+    * fingerprint-key window over survivors — q77's cost, output
+    * corpus-sized by design (it's per-doc provenance). */
+  def q105RejectionReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val pre = graft.CurationQueries.scoreQuality(docs)
+      .withColumn("hq", round(qualityExpr(col("text")), 4))
+      .withColumn("verdict",
+        when(col("hq") < 0.5, "quality")
+          .when(!col("lang").isin("en", "es", "de", "zh"), "lang")
+          .when(!col("keep"), "model")
+          .otherwise(lit(null).cast("string")))
+    val surv = pre.filter(col("verdict").isNull)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("keep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), "duplicate")
+          .otherwise("kept").as("verdict"))
+    pre.filter(col("verdict").isNotNull).select("doc_id", "verdict")
+      .unionByName(surv)
+  }
+
   /** Multimodal pipeline (rows-only check; kernel semantics pinned in
     * MultimodalSpec): synthesize deterministic media blobs for each doc,
     * decode metadata, frame-sample the payload, aggregate per kind. All
@@ -455,7 +485,8 @@ object PipelineQueries {
     "q28_upload_pipeline" -> q28UploadPipeline _,
     "q29_sessionize" -> q29Sessionize _,
     "q30_quality_score" -> q30QualityScore _,
-    "q77_curation_pipeline" -> q77CurationPipeline _
+    "q77_curation_pipeline" -> q77CurationPipeline _,
+    "q105_rejection_report" -> q105RejectionReport _
   )
 
   val oracle: Map[String, String] = Map(
@@ -558,6 +589,54 @@ object PipelineQueries {
         |        / (CASE WHEN length(trim(text)) = 0 THEN 0
         |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS meanWord
         |    FROM documents))""".stripMargin,
+    "q105_rejection_report" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text, lang,
+        |    round(CASE WHEN len = 0 OR toks = 0 THEN 0.0
+        |      ELSE (lenScore + alphaScore + punctScore + wordScore) / 4.0 END, 4) AS quality
+        |  FROM (
+        |    SELECT doc_id, text, lang, len, toks,
+        |      CASE WHEN len >= 100 AND len <= 20000 THEN 1.0
+        |           WHEN len >= 20 THEN 0.5 ELSE 0.0 END AS lenScore,
+        |      CASE WHEN alphaRatio >= 0.6 THEN 1.0 ELSE alphaRatio / 0.6 END AS alphaScore,
+        |      CASE WHEN punctRatio <= 0.1 THEN 1.0
+        |           ELSE greatest(0.0, 1.0 - (punctRatio - 0.1) * 5) END AS punctScore,
+        |      CASE WHEN meanWord >= 3 AND meanWord <= 12 THEN 1.0 ELSE 0.5 END AS wordScore
+        |    FROM (
+        |      SELECT doc_id, text, lang,
+        |        CAST(length(text) AS DOUBLE) AS len,
+        |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+        |        CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |          / length(text) AS alphaRatio,
+        |        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |          / length(text) AS punctRatio,
+        |        CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |          / (CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS meanWord
+        |      FROM documents)))
+        |, wtok AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) - 32768 AS wv
+        |  FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(tok) > 0)
+        |, wagg AS (SELECT doc_id, count(*) AS n, sum(wv) AS s FROM wtok GROUP BY doc_id)
+        |, pre AS (
+        |  SELECT sc.doc_id, sc.text,
+        |    CASE WHEN sc.quality < 0.5 THEN 'quality'
+        |         WHEN sc.lang NOT IN ('en', 'es', 'de', 'zh') THEN 'lang'
+        |         WHEN coalesce(w.n, 0) = 0 OR coalesce(w.s, 0) < 0 THEN 'model'
+        |         ELSE NULL END AS verdict
+        |  FROM scored sc LEFT JOIN wagg w ON w.doc_id = sc.doc_id)
+        |, surv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+        |         THEN 'duplicate' ELSE 'kept' END AS verdict
+        |  FROM pre WHERE verdict IS NULL)
+        |SELECT doc_id, verdict FROM pre WHERE verdict IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id, verdict FROM surv""".stripMargin,
     "q77_curation_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, text, lang,
