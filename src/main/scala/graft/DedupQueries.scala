@@ -429,8 +429,21 @@ object DedupQueries {
     * intersection of distinct-shingle sets IS the Jaccard numerator —
     * no estimate anywhere; misses only what LSH itself missed
     * (measured 99.9% recall at 10M docs). */
-  def q100VerifyLsh(s: SparkSession, dir: String): DataFrame = {
-    val cands = q21MinhashLsh(s, dir).select("doc_a", "doc_b")
+  def q100VerifyLsh(s: SparkSession, dir: String): DataFrame =
+    verifyCandidatePairs(s, dir, q21MinhashLsh(s, dir).select("doc_a", "doc_b"))
+
+  /** The FULLY-fast production configuration: q21b's double-hashing
+    * pair-gen feeding the same candidate-bounded exact verify — at 10M
+    * docs the whole near-dup sweep runs in the pair-gen+verify budget
+    * the classic kernel spends on pair-gen ALONE (BASELINE.md). Own
+    * oracle (q21b's candidate family). */
+  def q106FastNeardup(s: SparkSession, dir: String): DataFrame =
+    verifyCandidatePairs(s, dir, q21bMinhashFast(s, dir).select("doc_a", "doc_b"))
+
+  /** Exact Jaccard over a candidate pair set (the q100/q106 verify
+    * core) — see [[q100VerifyLsh]]'s scaladoc for the melt shape. */
+  private def verifyCandidatePairs(s: SparkSession, dir: String,
+      cands: DataFrame): DataFrame = {
     val melt = cands.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     val sets = t(s, dir, "documents").select(col("doc_id"),
@@ -461,6 +474,7 @@ object DedupQueries {
     "q87_bloom_contamination" -> q87BloomContamination _,
     "q21_minhash_lsh" -> q21MinhashLsh _,
     "q21b_minhash_fast" -> q21bMinhashFast _,
+    "q106_fast_neardup" -> q106FastNeardup _,
     "q22_jaccard_neardup" -> q22JaccardNeardup _,
     "q91_cross_dedup" -> q91CrossDedup _,
     "q23_simhash" -> q23Simhash _,
@@ -528,6 +542,31 @@ object DedupQueries {
        |    b || ':' || md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
        |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b))""".stripMargin
 
+  /** Shared oracle fragment (requires $shingleCte above it): the q21b
+    * fast-minhash machinery ending in `bands(doc_id, bucket)` —
+    * consumed by the q21b oracle and by q106's candidate set. */
+  private val fastBandsCte: String =
+    s"""seeds AS (SELECT unnest(generate_series(0, ${K - 1})) AS seed),
+       |parsed AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(s), 16, 14)) AS BIGINT) AS h2
+       |  FROM sh),
+       |mins AS (
+       |  SELECT doc_id, seed, min(h1 + seed * h2) AS v
+       |  FROM parsed CROSS JOIN seeds GROUP BY doc_id, seed),
+       |mh AS (
+       |  SELECT d.doc_id, se.seed,
+       |    coalesce(m.v, 9223372036854775807) AS v
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN seeds se
+       |  LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.seed = se.seed),
+       |sigs AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id,
+       |    b || ':' || md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b))""".stripMargin
+
   /** Shared oracle for q55 (broadcast join) and q87 (bloom-pruned
     * shuffle join): contamination is one question with two plans. */
   private lazy val contaminationSql: String =
@@ -586,29 +625,27 @@ object DedupQueries {
          |GROUP BY 1, 2""".stripMargin,
     "q21b_minhash_fast" ->
       s"""WITH $shingleCte,
-         |seeds AS (SELECT unnest(generate_series(0, ${K - 1})) AS seed),
-         |parsed AS (
-         |  SELECT doc_id,
-         |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
-         |    CAST(('0x' || substr(md5(s), 16, 14)) AS BIGINT) AS h2
-         |  FROM sh),
-         |mins AS (
-         |  SELECT doc_id, seed, min(h1 + seed * h2) AS v
-         |  FROM parsed CROSS JOIN seeds GROUP BY doc_id, seed),
-         |mh AS (
-         |  SELECT d.doc_id, se.seed,
-         |    coalesce(m.v, 9223372036854775807) AS v
-         |  FROM (SELECT DISTINCT doc_id FROM documents) d
-         |  CROSS JOIN seeds se
-         |  LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.seed = se.seed),
-         |sigs AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id,
-         |    b || ':' || md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
-         |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b))
+         |$fastBandsCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    "q106_fast_neardup" ->
+      s"""WITH $shingleCte,
+         |$fastBandsCte,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sets AS (SELECT doc_id, list(DISTINCT s) AS sh FROM sh GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+         |  FROM cand
+         |  JOIN sets sa ON sa.doc_id = cand.doc_a
+         |  JOIN sets sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+         |FROM scored WHERE j >= 0.8""".stripMargin,
     "q100_verify_lsh" ->
       s"""WITH $shingleCte,
          |$lshBandsCte,
