@@ -545,7 +545,96 @@ object CurationQueries {
           lit(0.0)).as("dsir_score"))
   }
 
+  /** Leakage-safe train/val/test split — the fix for the classic eval
+    * bug q52's per-doc split cannot see: two near-duplicate documents
+    * landing on opposite sides of the train/test fence leak training
+    * content into the benchmark. The split key is the near-dup CLUSTER
+    * canon (connected components over the exact-Jaccard ≥ 0.8 pair
+    * graph, min doc_id per component), so a whole cluster moves as one
+    * unit and no q22 pair can ever straddle splits (property pinned in
+    * CurationExtrasSpec). Scale: components run on the PAIR graph only
+    * (ids, not documents — DedupOps' adaptive union-find); the label
+    * table is duplicate-clusters-sized ≪ corpus, so it broadcasts back
+    * onto the doc scan and the split itself stays a pure row-local
+    * md5-nibble map, same rule as q52. */
+  def q107LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.q22JaccardNeardup(s, dir)
+    val comps = graft.operators.DedupOps
+      .connectedComponents(pairs, "doc_a", "doc_b")
+    val nib = substring(
+      md5(col("canon_id").cast("string").cast("binary")), 1, 1)
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(broadcast(comps), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canon_id"))
+      .select(col("doc_id"), col("canon_id"),
+        when(nib.isin("c", "d"), "val")
+          .when(nib.isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+  }
+
+  /** Batch-padding waste report — the batching planner's cost model:
+    * docs are bucketed by length (q54's power-of-two-ish bands), sorted
+    * long-first inside each (lang, bucket) lane, and cut into batches of
+    * 32; every batch pads its members to the batch max, and the report
+    * says how many pad tokens each lane burns vs the used tokens. The
+    * per-lane ranking goes through RankOps.globalRowNumberPer — ONE
+    * range exchange ranks every lane in parallel, no per-lane
+    * single-task window, so the plan survives a corpus where one lane
+    * holds billions of rows. The batch rollup is map-side combinable. */
+  def q108PaddingWaste(s: SparkSession, dir: String): DataFrame = {
+    val toks = gf.token_count(col("text")).cast("long")
+    val bucket = when(toks === 0, "0")
+      .when(toks < 32, "001-031")
+      .when(toks < 64, "032-063")
+      .when(toks < 128, "064-127")
+      .when(toks < 256, "128-255")
+      .when(toks < 512, "256-511")
+      .otherwise("512+")
+    val lanes = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), toks.as("toks"), bucket.as("bucket"))
+      .withColumn("lane", concat_ws("|", col("lang"), col("bucket")))
+    val ranked = graft.operators.RankOps.globalRowNumberPer(
+      lanes, "lane", Seq(col("toks").desc, col("doc_id").asc), "rk")
+    ranked
+      .withColumn("batch", floor((col("rk") - 1) / 32))
+      .groupBy(col("lang"), col("bucket"), col("batch"))
+      .agg(max("toks").as("mx"), count(lit(1)).as("cnt"), sum("toks").as("st"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum("cnt").as("n_docs"),
+        sum(col("mx") * col("cnt") - col("st")).as("pad_tokens"),
+        sum("st").as("used_tokens"))
+  }
+
+  /** Quality-cutoff sweep — "what survives if I cut at score X": docs
+    * and tokens binned by q30's rounded quality score into tenth-bands,
+    * with DESCENDING cumulative kept_docs/kept_tokens per band, i.e. the
+    * corpus left at each candidate threshold. One scan, one bounded
+    * groupBy; the cumulative window runs over ≤ 11 band rows (constant
+    * partition key per the repo's bounded-window convention). */
+  def q109QualityCutoffs(s: SparkSession, dir: String): DataFrame = {
+    val q = round(graft.PipelineQueries.qualityExpr(col("text")), 4)
+    val band = least(floor(q * 10), lit(9.0)).cast("int")
+    val toks = gf.token_count(col("text")).cast("long")
+    val perBand = t(s, dir, "documents")
+      .select(band.as("band"), toks.as("toks"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val w = Window.partitionBy(gf.one_partition(col("band")))
+      .orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBand
+      .withColumn("kept_docs", sum("n_docs").over(w))
+      .withColumn("kept_tokens", sum("n_tokens").over(w))
+      .select(round(col("band") / 10.0, 1).as("cutoff"),
+        col("n_docs"), col("n_tokens"), col("kept_docs"), col("kept_tokens"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_leakage_split" -> q107LeakageSafeSplit _,
+    "q108_padding_waste" -> q108PaddingWaste _,
+    "q109_quality_cutoffs" -> q109QualityCutoffs _,
     "q56_inverted_index" -> q56InvertedIndex _,
     "q57_tfidf_topterms" -> q57TfidfTopterms _,
     "q58_pii_scrub" -> q58PiiScrub _,
@@ -576,6 +665,92 @@ object CurationQueries {
   private val idxTermList = IDX_TERMS.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q107_leakage_split" ->
+      s"""WITH RECURSIVE ${DedupQueries.jaccardPairsCte},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jp),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+         |comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+         |canon AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canon_id
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT doc_id, canon_id,
+         |  CASE WHEN substr(md5(CAST(canon_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+         |       WHEN substr(md5(CAST(canon_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM canon""".stripMargin,
+    "q108_padding_waste" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, toks,
+        |    CASE WHEN toks = 0 THEN '0'
+        |      WHEN toks < 32 THEN '001-031'
+        |      WHEN toks < 64 THEN '032-063'
+        |      WHEN toks < 128 THEN '064-127'
+        |      WHEN toks < 256 THEN '128-255'
+        |      WHEN toks < 512 THEN '256-511'
+        |      ELSE '512+' END AS bucket
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, bucket, toks,
+        |    row_number() OVER (PARTITION BY lang, bucket
+        |                       ORDER BY toks DESC, doc_id) AS rk
+        |  FROM b),
+        |g AS (
+        |  SELECT lang, bucket, CAST(floor((rk - 1) / 32.0) AS BIGINT) AS batch,
+        |    max(toks) AS mx, count(*) AS cnt, CAST(sum(toks) AS BIGINT) AS st
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT lang, bucket,
+        |  count(*) AS n_batches,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  CAST(sum(mx * cnt - st) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(st) AS BIGINT) AS used_tokens
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "q109_quality_cutoffs" ->
+      """WITH scored AS (
+        |  SELECT round(CASE WHEN len = 0 OR toks = 0 THEN 0.0
+        |    ELSE (lenScore + alphaScore + punctScore + wordScore) / 4.0 END, 4) AS q,
+        |    CAST(toks AS BIGINT) AS toks
+        |  FROM (
+        |    SELECT len, toks,
+        |      CASE WHEN len >= 100 AND len <= 20000 THEN 1.0
+        |           WHEN len >= 20 THEN 0.5 ELSE 0.0 END AS lenScore,
+        |      CASE WHEN alphaRatio >= 0.6 THEN 1.0 ELSE alphaRatio / 0.6 END AS alphaScore,
+        |      CASE WHEN punctRatio <= 0.1 THEN 1.0
+        |           ELSE greatest(0.0, 1.0 - (punctRatio - 0.1) * 5) END AS punctScore,
+        |      CASE WHEN meanWord >= 3 AND meanWord <= 12 THEN 1.0 ELSE 0.5 END AS wordScore
+        |    FROM (
+        |      SELECT
+        |        CAST(length(text) AS DOUBLE) AS len,
+        |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+        |        CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |          / length(text) AS alphaRatio,
+        |        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |          / length(text) AS punctRatio,
+        |        CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |          / (CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS meanWord
+        |      FROM documents)) ),
+        |bands AS (
+        |  SELECT CAST(least(floor(q * 10), 9.0) AS INT) AS band,
+        |    count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM scored GROUP BY 1)
+        |SELECT round(band / 10.0, 1) AS cutoff, n_docs, n_tokens,
+        |  CAST(sum(n_docs) OVER (ORDER BY band DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kept_docs,
+        |  CAST(sum(n_tokens) OVER (ORDER BY band DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kept_tokens
+        |FROM bands""".stripMargin,
     "q56_inverted_index" ->
       s"""WITH $tokCte,
          |d AS (SELECT DISTINCT tok, doc_id FROM tk WHERE tok IN ($idxTermList))

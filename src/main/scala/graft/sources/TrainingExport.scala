@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+
+/** Training-shard export — the last mile of the curation pipeline: the
+  * curated document set becomes `nShards` deterministic, epoch-shuffled
+  * parquet shards plus a machine-readable manifest with per-shard
+  * row/token counts and an order-independent content digest.
+  *
+  * The reference stops at serving search results; a training lake also
+  * has to FEED the trainer, and that handoff has three hard
+  * requirements this sink encodes:
+  *
+  *  - **Determinism**: shard membership and intra-shard order are pure
+  *    functions of (doc_id, seed) — `xxhash64(seed, doc_id)` for the
+  *    shard, `md5(seed:doc_id)` for the order — so a re-run after a
+  *    crash, or on a different cluster size, produces the same shards
+  *    and the same manifest. No `rand()`, no partition-index
+  *    dependence. A new seed (= a new epoch) reshuffles both.
+  *  - **Verifiability**: the manifest digest is `bit_xor` over per-row
+  *    `xxhash64(doc_id, text)` — order-independent and mergeable, so it
+  *    is computed map-side in the same job that writes, and
+  *    [[verifyShards]] can re-derive it from the written files alone to
+  *    certify the handoff (the trainer's side of the contract).
+  *  - **Scale**: one hash shuffle on the shard key, map-side combined
+  *    stats, one file per shard (each shard is written by exactly one
+  *    task after the repartition — at 100 TB, size nShards so a shard
+  *    is a few GB). The manifest is nShards rows — driver-trivial.
+  */
+object TrainingExport {
+
+  final case class ShardStat(shard: Int, rows: Long, tokens: Long, digest: Long)
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  /** Columns the export stamps onto every row. `_ord` is persisted so
+    * the trainer reads a shard `ORDER BY _ord` and gets the epoch's
+    * deterministic sample order without re-deriving it. */
+  private def stamped(docs: DataFrame, nShards: Int, seed: Long): DataFrame =
+    docs
+      .withColumn("shard",
+        pmod(xxhash64(lit(seed), col("doc_id")), lit(nShards)).cast("int"))
+      .withColumn("_ord",
+        md5(concat_ws(":", lit(seed), col("doc_id")).cast("binary")))
+
+  /** Write `docs` (must carry `doc_id` and `text`) as epoch-`seed`
+    * shards under `outDir` and return the per-shard manifest, which is
+    * also persisted as `outDir/_manifest.json` (written to a temp file
+    * and renamed, so a torn write can't masquerade as a manifest). */
+  def exportShards(docs: DataFrame, outDir: String, nShards: Int,
+      seed: Long): Seq[ShardStat] = {
+    val spark = docs.sparkSession
+    val st = stamped(docs, nShards, seed)
+      .withColumn("tokens", gf.token_count(col("text")).cast("long"))
+    st.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_ord"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("shard").parquet(outDir)
+    val stats = shardStats(st)
+    writeManifest(spark, outDir, nShards, seed, stats)
+    stats
+  }
+
+  private def shardStats(st: DataFrame): Seq[ShardStat] =
+    st.groupBy(col("shard"))
+      .agg(count(lit(1)).as("rows"),
+        sum("tokens").as("tokens"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("digest"))
+      .collect()
+      .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_.shard).toSeq
+
+  // underscore prefix: Spark/Hadoop file indexes treat _-prefixed files
+  // as metadata, so the manifest can live inside the parquet root
+  // without being planned as a data file
+  private def manifestPath(outDir: String) = new Path(outDir, "_manifest.json")
+
+  private def writeManifest(spark: SparkSession, outDir: String,
+      nShards: Int, seed: Long, stats: Seq[ShardStat]): Unit = {
+    val body = stats.map(s =>
+        s"""{"shard":${s.shard},"rows":${s.rows},"tokens":${s.tokens},"digest":${s.digest}}""")
+      .mkString(
+        s"""{"n_shards":$nShards,"seed":$seed,"shards":[""", ",", "]}")
+    val p = manifestPath(outDir)
+    val tmp = new Path(outDir, s"._manifest.json.tmp")
+    val efs = fs(p)
+    val out = efs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (efs.exists(p)) efs.delete(p, false)
+    efs.rename(tmp, p)
+  }
+
+  /** Parse `outDir/_manifest.json` back into shard stats. */
+  def readManifest(spark: SparkSession, outDir: String): Seq[ShardStat] = {
+    val p = manifestPath(outDir)
+    val efs = fs(p)
+    val in = efs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // the writer controls the format — a flat regex parse keeps this
+    // dependency-free (no JSON lib beyond Spark's internals needed)
+    val entry =
+      """\{"shard":(-?\d+),"rows":(\d+),"tokens":(\d+),"digest":(-?\d+)\}""".r
+    entry.findAllMatchIn(body).map(m =>
+      ShardStat(m.group(1).toInt, m.group(2).toLong,
+        m.group(3).toLong, m.group(4).toLong)).toSeq.sortBy(_.shard)
+  }
+
+  /** The trainer-side certification: recompute rows/tokens/digest from
+    * the WRITTEN files and diff against the manifest. Returns the shard
+    * ids that disagree (empty = the handoff is intact). One read of the
+    * export, map-side combined — the same cost as any full scan, and
+    * partition pruning applies if only some shards are checked. */
+  def verifyShards(spark: SparkSession, outDir: String): Seq[Int] = {
+    val manifest = readManifest(spark, outDir)
+    val got = shardStats(spark.read.parquet(outDir))
+    val gotBy = got.map(s => s.shard -> s).toMap
+    val bad = manifest.collect {
+      case m if !gotBy.get(m.shard).contains(m) => m.shard
+    }
+    val extra = got.map(_.shard).filterNot(manifest.map(_.shard).contains)
+    (bad ++ extra).sorted
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TrainingExport
+
+class TrainingExportSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sf0001
+
+  private def docs = Tables.load(spark, dir, "documents")
+    .select("doc_id", "text", "lang")
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-export").toString
+
+  test("export is deterministic: same seed, same manifest, re-run identical") {
+    val (d1, d2) = (tmp(), tmp())
+    val m1 = TrainingExport.exportShards(docs, d1, 8, seed = 7L)
+    val m2 = TrainingExport.exportShards(docs, d2, 8, seed = 7L)
+    assert(m1 == m2, "two runs with one seed must produce one manifest")
+    assert(m1.map(_.rows).sum == docs.count())
+    assert(TrainingExport.readManifest(spark, d1) == m1)
+  }
+
+  test("every doc lands in exactly one shard; token counts conserve") {
+    val d = tmp()
+    val m = TrainingExport.exportShards(docs, d, 8, seed = 7L)
+    val back = spark.read.parquet(d)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    val totalToks = docs
+      .select(sum(graft.functions.gf.token_count(col("text")).cast("long")))
+      .first().getLong(0)
+    assert(m.map(_.tokens).sum == totalToks)
+  }
+
+  test("a new seed is a new epoch: membership reshuffles deterministically") {
+    val (d1, d2) = (tmp(), tmp())
+    val m1 = TrainingExport.exportShards(docs, d1, 8, seed = 1L)
+    val m2 = TrainingExport.exportShards(docs, d2, 8, seed = 2L)
+    assert(m1 != m2, "different seeds must reshuffle shard membership")
+    assert(m1.map(_.rows).sum == m2.map(_.rows).sum)
+  }
+
+  test("each shard is one file, readable standalone, ordered by _ord") {
+    val d = tmp()
+    TrainingExport.exportShards(docs, d, 4, seed = 3L)
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(s"$d/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s should be exactly one file")
+      val rows = spark.read.parquet(files.head.getPath)
+        .orderBy("_ord").select("doc_id").collect().map(_.getLong(0)).toSeq
+      // the epoch order is a pure function of (seed, doc_id): recompute
+      val expected = docs.select(col("doc_id"),
+          md5(concat_ws(":", lit(3L), col("doc_id")).cast("binary")).as("o"),
+          pmod(xxhash64(lit(3L), col("doc_id")), lit(4)).cast("int").as("sh"))
+        .filter(col("sh") === s).orderBy("o")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == expected, s"shard $s order must be the epoch order")
+    }
+  }
+
+  test("verifyShards certifies intact output and pinpoints a tampered shard") {
+    val d = tmp()
+    TrainingExport.exportShards(docs, d, 4, seed = 5L)
+    assert(TrainingExport.verifyShards(spark, d).isEmpty)
+    // tamper: append a forged row into shard 2's directory
+    val forged = spark.range(1).select(
+      lit(999999L).as("doc_id"), lit("forged row").as("text"),
+      lit("xx").as("lang"), lit("deadbeef").as("_ord"), lit(2L).as("tokens"))
+    forged.write.mode("append").parquet(s"$d/shard=2")
+    assert(TrainingExport.verifyShards(spark, d) == Seq(2))
+  }
+}
