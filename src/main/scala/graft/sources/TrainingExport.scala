@@ -66,6 +66,42 @@ object TrainingExport {
     stats
   }
 
+  /** Incremental append — the streaming/continuous-curation twin of
+    * [[exportShards]]: stamp the batch, append its rows into the shard
+    * directories, and MERGE the manifest (rows and tokens add, digests
+    * xor-fold — all three are associative and commutative, and shard
+    * membership is a pure function of (seed, doc_id), so append(A);
+    * append(B) produces byte-for-byte the manifest of export(A ∪ B),
+    * spec-pinned). Each append lands as new files per touched shard;
+    * re-running [[exportShards]] over the accumulated corpus IS the
+    * compaction (deterministic, one file per shard again). The channel
+    * is at-least-once: a replayed batch would double-count — drive it
+    * from a checkpointed stream (see Streams.runExportAppend) so
+    * batches are not replayed, or dedup upstream on doc_id. */
+  def appendShards(docs: DataFrame, outDir: String, nShards: Int,
+      seed: Long): Seq[ShardStat] = {
+    val spark = docs.sparkSession
+    val st = stamped(docs, nShards, seed)
+      .withColumn("tokens", gf.token_count(col("text")).cast("long"))
+    st.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_ord"))
+      .write.mode("append").option("compression", "zstd")
+      .partitionBy("shard").parquet(outDir)
+    val prior =
+      if (fs(manifestPath(outDir)).exists(manifestPath(outDir)))
+        readManifest(spark, outDir)
+      else Seq.empty
+    val merged = mergeStats(prior, shardStats(st))
+    writeManifest(spark, outDir, nShards, seed, merged)
+    merged
+  }
+
+  private def mergeStats(a: Seq[ShardStat], b: Seq[ShardStat]): Seq[ShardStat] =
+    (a ++ b).groupBy(_.shard).map { case (s, parts) =>
+      ShardStat(s, parts.map(_.rows).sum, parts.map(_.tokens).sum,
+        parts.map(_.digest).reduce(_ ^ _))
+    }.toSeq.sortBy(_.shard)
+
   private def shardStats(st: DataFrame): Seq[ShardStat] =
     st.groupBy(col("shard"))
       .agg(count(lit(1)).as("rows"),

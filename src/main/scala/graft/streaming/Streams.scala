@@ -256,6 +256,34 @@ object Streams {
   def qualityGate(docs: DataFrame): DataFrame =
     graft.CurationQueries.scoreQuality(docs)
 
+  /** Continuous curation's LAST mile: every micro-batch appends into
+    * the training shards and merges the `_manifest.json`
+    * ([[graft.sources.TrainingExport.appendShards]] — rows/tokens add,
+    * digests xor-fold, so the accumulated manifest is byte-identical to
+    * a one-shot export of everything drained, spec-pinned). Compose
+    * after the gate trio (exact → LSH → semantic) + [[qualityGate]] so
+    * only curated rows reach the shards. Appends are at-least-once
+    * across checkpoint loss (a batch replayed after a crash-before-
+    * commit double-counts — same contract as [[runIngest]]); within a
+    * healthy checkpoint lifecycle each batch lands exactly once. After
+    * the drain, a batch [[graft.sources.TrainingExport.exportShards]]
+    * over the accumulated corpus is the deterministic compaction. */
+  def runExportAppend(docsStream: DataFrame, outDir: String,
+      nShards: Int, seed: Long, checkpointDir: String): Unit = {
+    val q = docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.TrainingExport.appendShards(batch, outDir, nShards, seed)
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental-ingest dedup against the HISTORICAL corpus: drop stream
     * documents whose content fingerprint (same md5(lower(trim)) as
     * q18/streamingExactDedup) already exists in a static fingerprint

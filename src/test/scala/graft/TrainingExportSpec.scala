@@ -65,6 +65,49 @@ class TrainingExportSpec extends AnyFunSuite {
     }
   }
 
+  test("append(A); append(B) produces the manifest of export(A ∪ B)") {
+    val (dInc, dOne) = (tmp(), tmp())
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    TrainingExport.appendShards(a, dInc, 8, seed = 11L)
+    val incremental = TrainingExport.appendShards(b, dInc, 8, seed = 11L)
+    val oneShot = TrainingExport.exportShards(docs, dOne, 8, seed = 11L)
+    assert(incremental == oneShot,
+      "incremental manifest must equal the one-shot export manifest")
+    // the accumulated directory certifies against the merged manifest
+    assert(TrainingExport.verifyShards(spark, dInc).isEmpty)
+    // and a shard read ORDER BY _ord still reconstructs the epoch
+    // order across the append-created files
+    val sh = oneShot.filter(_.rows > 0).head.shard
+    val got = spark.read.parquet(s"$dInc/shard=$sh").orderBy("_ord")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = spark.read.parquet(s"$dOne/shard=$sh").orderBy("_ord")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("streaming export: two micro-batches drain into certified shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val d = tmp()
+    val ckpt = tmp()
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData(first: _*)
+    mem.addData(rest: _*)
+    graft.streaming.Streams.runExportAppend(
+      mem.toDF.toDF("doc_id", "text"), d, 4, seed = 13L, ckpt)
+    assert(TrainingExport.verifyShards(spark, d).isEmpty)
+    val manifest = TrainingExport.readManifest(spark, d)
+    assert(manifest.map(_.rows).sum == rows.length)
+    // manifest equals a one-shot batch export of the same rows
+    val dBatch = tmp()
+    val batch = TrainingExport.exportShards(
+      docs.select("doc_id", "text"), dBatch, 4, seed = 13L)
+    assert(manifest == batch)
+  }
+
   test("verifyShards certifies intact output and pinpoints a tampered shard") {
     val d = tmp()
     TrainingExport.exportShards(docs, d, 4, seed = 5L)
