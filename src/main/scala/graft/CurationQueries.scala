@@ -631,8 +631,78 @@ object CurationQueries {
         col("n_docs"), col("n_tokens"), col("kept_docs"), col("kept_tokens"))
   }
 
+  /** Temperature-scaled sampling mixture — the multilingual rebalancing
+    * rule of XLM-R (Conneau et al. 2020 §3.1) and mT5 (Xue et al. 2021
+    * §3.2): sample language l with p_l ∝ (tokens_l)^α, α = 0.3, which
+    * flattens the head languages and boosts the tail without q75's hard
+    * equal-share target. Per language: natural share, the temperature
+    * probability, and the boost factor p/share a sampler applies.
+    * Everything after the per-language aggregate is |langs|-sized —
+    * one corpus scan with map-side partial sums, then a 1-row broadcast
+    * of (total, Σ tokens^α); transcendental pow is applied to exact
+    * integer token counts so both engines see identical inputs. */
+  def q110TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perLang = t(s, dir, "documents")
+      .select(col("lang"), gf.token_count(col("text")).cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+    val tot = perLang.agg(sum("tokens").cast("double").as("total"),
+      sum(pow(col("tokens").cast("double"), 0.3)).as("z"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("total"), 6).as("share"),
+        round(pow(col("tokens").cast("double"), 0.3) / col("z"), 6)
+          .as("p_sample"),
+        round(pow(col("tokens").cast("double"), 0.3) / col("z") /
+          (col("tokens") / col("total")), 6).as("boost"))
+  }
+
+  /** Mixture APPLICATION — materialize q75's per-source plan as actual
+    * training rows: every document of source s appears floor(e_s) times
+    * plus one more with probability frac(e_s), where e_s is the source's
+    * epoch factor (downsampled sources have e_s < 1, so this IS the
+    * keep-rate filter and the upsampler in one rule). The fractional
+    * coin is the q85 trick made integer-exact: with T = corpus tokens,
+    * k = 2·n_src, den = k·tokens_s, a doc takes the extra copy iff
+    * u·den < 2^32·(T mod den) with u a 32-bit md5 uniform of doc_id —
+    * decimal(38) products, no double ever compared, so membership is
+    * reproducible bit-for-bit across engines and runs (deterministic
+    * re-export = the trainer can re-derive any shard).
+    *
+    * Scale shape: the rate table is |sources| rows built from a
+    * broadcast 1-row total; the corpus path is scan → broadcast hash
+    * join → row-local explode(sequence) — the fact table never
+    * shuffles, and the fan-out per row is the planned epoch factor,
+    * never unbounded. */
+  def q111MixtureApply(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(s, dir, "documents")
+      .select(col("source"), gf.token_count(col("text")).cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("tokens"))
+    val tot = perSrc.agg(sum("tokens").as("t_total"),
+      (count(lit(1)) * 2).as("k"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .selectExpr("source",
+        "t_total div (k * tokens) AS base",
+        "t_total % (k * tokens) AS rem",
+        "k * tokens AS den")
+    val u = conv(substring(
+        md5(concat(lit("mix"), col("doc_id").cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long")
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("n_copies", col("base") +
+        when(u.cast("decimal(38,0)") * col("den") <
+          col("rem").cast("decimal(38,0)") * lit(4294967296L), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(CAST(1 AS BIGINT), n_copies)")).as("copy"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_leakage_split" -> q107LeakageSafeSplit _,
+    "q110_temperature_mix" -> q110TemperatureMix _,
+    "q111_mixture_apply" -> q111MixtureApply _,
     "q108_padding_waste" -> q108PaddingWaste _,
     "q109_quality_cutoffs" -> q109QualityCutoffs _,
     "q56_inverted_index" -> q56InvertedIndex _,
@@ -903,6 +973,47 @@ object CurationQueries {
         |  round(least(1.0, (total * 0.5 / n_src) / tokens), 6) AS keep_rate,
         |  round((total * 0.5 / n_src) / tokens, 6) AS epochs
         |FROM per CROSS JOIN tot""".stripMargin,
+    "q110_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(tokens) AS DOUBLE) AS total,
+        |         sum(pow(CAST(tokens AS DOUBLE), 0.3)) AS z
+        |  FROM per)
+        |SELECT lang, n_docs, CAST(tokens AS BIGINT) AS tokens,
+        |  round(tokens / total, 6) AS share,
+        |  round(pow(CAST(tokens AS DOUBLE), 0.3) / z, 6) AS p_sample,
+        |  round(pow(CAST(tokens AS DOUBLE), 0.3) / z / (tokens / total), 6) AS boost
+        |FROM per CROSS JOIN tot""".stripMargin,
+    "q111_mixture_apply" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(tokens) AS BIGINT) AS t_total,
+        |         CAST(count(*) * 2 AS BIGINT) AS k
+        |  FROM per),
+        |rates AS (
+        |  SELECT source,
+        |    t_total // (k * tokens) AS base,
+        |    t_total % (k * tokens) AS rem,
+        |    k * tokens AS den
+        |  FROM per CROSS JOIN tot),
+        |withc AS (
+        |  SELECT d.doc_id, d.source,
+        |    r.base + CASE WHEN
+        |      CAST(CAST(('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT) * r.den
+        |        < CAST(r.rem AS HUGEINT) * 4294967296 THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN rates r USING (source)),
+        |sel AS (
+        |  SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
+        |  FROM withc WHERE n_copies > 0)
+        |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy FROM sel""".stripMargin,
     "q76_dedup_impact" ->
       """WITH cl AS (
         |  SELECT md5(lower(trim(text))) AS fp, count(*) AS n_copies

@@ -90,4 +90,52 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(keptDocs == keptDocs.sorted.reverse)
     assert(keptToks == keptToks.sorted.reverse)
   }
+
+  // ---- q110 temperature mixture ----
+
+  test("q110: probabilities normalize and alpha<1 compresses toward uniform") {
+    val mix = CurationQueries.q110TemperatureMix(spark, dir).collect()
+    val pSum = mix.map(_.getAs[Double]("p_sample")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p_sample sums to $pSum")
+    val byTokens = mix.sortBy(_.getAs[Long]("tokens"))
+    // temperature keeps the ordering but flattens it: the head language
+    // is downweighted (boost < 1), the tail boosted (boost > 1), and
+    // p_sample stays monotone in tokens
+    assert(byTokens.last.getAs[Double]("boost") < 1.0, "head lang must shrink")
+    assert(byTokens.head.getAs[Double]("boost") > 1.0, "tail lang must grow")
+    val ps = byTokens.map(_.getAs[Double]("p_sample")).toSeq
+    assert(ps == ps.sorted, "p_sample must stay monotone in token mass")
+  }
+
+  // ---- q111 mixture application ----
+
+  test("q111: copies per doc are floor(e) or floor(e)+1, contiguous from 1") {
+    val out = CurationQueries.q111MixtureApply(spark, dir)
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("copy").as("mx"), min("copy").as("mn"))
+    assert(perDoc.filter(col("mx") =!= col("n") || col("mn") =!= 1).count() == 0L,
+      "copy indices must be 1..n")
+    // per source, doc multiplicities may take at most two adjacent values
+    val bad = perDoc.groupBy("source")
+      .agg(countDistinct("n").as("k"), (max("n") - min("n")).as("spread"))
+      .filter(col("k") > 2 || col("spread") > 1)
+      .count()
+    assert(bad == 0L, "multiplicity must be floor(e) or floor(e)+1 per source")
+  }
+
+  test("q111: deterministic across runs and realizes ~half the corpus tokens") {
+    val a = CurationQueries.q111MixtureApply(spark, dir).collect().toSet
+    val b = CurationQueries.q111MixtureApply(spark, dir).collect().toSet
+    assert(a == b, "mixture materialization must be reproducible")
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.gf.token_count(col("text"))
+        .cast("long").as("toks"))
+    val total = toks.agg(sum("toks")).first().getLong(0)
+    val realized = CurationQueries.q111MixtureApply(spark, dir)
+      .join(toks, "doc_id").agg(sum("toks")).first().getLong(0)
+    // each source targets alloc = total/(2·n_src) in expectation; the
+    // fractional coins add sampling noise, so assert a wide envelope
+    assert(math.abs(realized - total / 2.0) < 0.2 * total,
+      s"realized $realized vs budget ${total / 2}")
+  }
 }
