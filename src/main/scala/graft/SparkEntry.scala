@@ -14,7 +14,7 @@ object SparkEntry {
     Queries.registry ++ DedupQueries.registry ++ PipelineQueries.registry ++
       RetrievalQueries.registry ++ CurationQueries.registry ++
       AnalyticsQueries.registry ++ OwnershipQueries.registry ++
-      SelectionQueries.registry
+      SelectionQueries.registry ++ AuditQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +22,5 @@ object SparkEntry {
     Queries.oracle ++ DedupQueries.oracle ++ PipelineQueries.oracle ++
       RetrievalQueries.oracle ++ CurationQueries.oracle ++
       AnalyticsQueries.oracle ++ OwnershipQueries.oracle ++
-      SelectionQueries.oracle
+      SelectionQueries.oracle ++ AuditQueries.oracle
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Expectations
+import graft.operators.Expectations._
+
+/** Gates for the validation tier (q112/q113): the oracle hash proves the
+  * clean-corpus report; these specs prove the checks actually FIRE on
+  * dirty data and that the suite stays a single-scan plan. */
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sf001
+
+  test("q112: clean corpus passes every check, one scan only") {
+    val report = q112(dir)
+    assert(report.count() == 6)
+    assert(report.filter(!col("pass")).count() == 0)
+    val plan = AuditQueries.q112Expectations(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expectations suite must read the table once, saw $scans scans")
+  }
+
+  private def q112(d: String) = AuditQueries.q112Expectations(spark, d)
+
+  test("expectations detect each violation class with exact counts") {
+    import spark.implicits._
+    // (doc_id, text, lang, n_chars): one dup id, one null text, two bad
+    // langs, one negative n_chars, one n_chars/text mismatch
+    val dirty = Seq(
+      (1L, "ab", "en", 2L),
+      (1L, "abc", "en", 3L), // dup doc_id
+      (2L, null.asInstanceOf[String], "en", 0L), // null text (also mismatch)
+      (3L, "abcd", "xx", 4L), // bad lang
+      (4L, "ab", "yy", -2L), // bad lang + negative + mismatch
+      (5L, "abcde", "de", 4L) // mismatch
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val rep = Expectations.run(dirty, Seq(
+        notNull("doc_id"), unique("doc_id"), notNull("text"),
+        inSet("lang", Seq("en", "es", "de", "fr", "zh")),
+        nonNegative("n_chars"),
+        holds("chars_match", col("n_chars") === length(col("text")))))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep("not_null(doc_id)") == 0L)
+    assert(rep("unique(doc_id)") == 1L)
+    assert(rep("not_null(text)") == 1L)
+    assert(rep("in_set(lang)") == 2L)
+    assert(rep("non_negative(n_chars)") == 1L)
+    assert(rep("chars_match") == 3L) // null text row counts as a violation
+  }
+
+  test("q113: star-schema integrity holds on the testdata") {
+    val audit = AuditQueries.q113FkAudit(spark, dir).collect()
+    assert(audit.length == 5)
+    assert(audit.forall(_.getAs[Boolean]("pass")),
+      audit.filterNot(_.getAs[Boolean]("pass")).mkString(", "))
+    assert(audit.forall(_.getAs[Long]("children") > 0))
+  }
+
+  test("fkEdge counts orphans exactly and ignores null child keys") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 2L, 3L).toDF("pk") // dup parent must not multiply
+    val row = AuditQueries.fkEdge("t", child, "fk", parent, "pk").first()
+    assert(row.getAs[Long]("children") == 4L) // null child key ignored
+    assert(row.getAs[Long]("orphans") == 1L) // only the 9
+    assert(!row.getAs[Boolean]("pass"))
+  }
+}
