@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: every check compiles to an aggregate expression over ONE
   * scan of the table — `run` builds a single `agg(...)` so Spark plans
-  * one partial/final aggregate pair regardless of how many checks are
-  * attached (uniqueness checks add count(DISTINCT), which Catalyst plans
-  * via Expand in the same pass — still no second scan). The report is
-  * |checks| rows produced by an exchange-free `stack` over the 1-row
-  * aggregate, so validating a 100 TB table costs exactly one read. */
+  * one aggregate pipeline regardless of how many checks are attached.
+  * Uniqueness adds count(DISTINCT), which Catalyst rewrites into a keyed
+  * partial aggregate feeding the same pipeline (Expand when several
+  * distincts mix) — either way still ONE table read, plan-pinned in
+  * AuditSpec. The report is |checks| rows produced by an exchange-free
+  * `stack` over the 1-row aggregate, so validating a 100 TB table costs
+  * exactly one scan plus a distinct-key shuffle. */
 object Expectations {
 
   /** One declarative constraint: `violations` must evaluate, inside an
