@@ -256,6 +256,50 @@ object Streams {
   def qualityGate(docs: DataFrame): DataFrame =
     graft.CurationQueries.scoreQuality(docs)
 
+  /** Validation gate on an ingest stream — [[graft.operators.Expectations]]
+    * run per micro-batch: a batch that passes EVERY check appends to
+    * `outDir`; a batch with any violation is quarantined WHOLE to
+    * `quarantineDir/batch=<id>/` with its check report alongside
+    * (`report-<id>.json`), because a violated expectation (dup ids, nulls,
+    * broken invariants) means the UPSTREAM producer is broken and the
+    * operator should inspect, fix, and replay the batch — row-level
+    * salvage would hide the breakage. Cost is one extra aggregate pass
+    * over each micro-batch (the suite compiles to a single scan); no
+    * state store, no watermark, and a replayed batch gates identically
+    * since every check is a pure aggregate of the batch. At-least-once
+    * on crash-before-commit, like every foreachBatch sink here. */
+  def runValidationGate(docsStream: DataFrame,
+      checks: Seq[graft.operators.Expectations.Check],
+      outDir: String, quarantineDir: String, checkpointDir: String): Unit = {
+    val q = docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val report = graft.operators.Expectations.run(batch, checks)
+            .collect() // |checks| rows
+          if (report.forall(_.getAs[Boolean]("pass")))
+            batch.write.mode("append").parquet(outDir)
+          else {
+            val dest = s"$quarantineDir/batch=$id"
+            batch.write.mode("overwrite").parquet(dest)
+            val json = report.map(r =>
+              s"""{"check":"${r.getString(0)}","n_rows":${r.getLong(1)},""" +
+                s""""violations":${r.getLong(2)},"pass":${r.getBoolean(3)}}""")
+              .mkString("[", ",", "]")
+            val dir = java.nio.file.Paths.get(quarantineDir)
+            java.nio.file.Files.createDirectories(dir)
+            java.nio.file.Files.write(dir.resolve(s"report-$id.json"),
+              json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Continuous curation's LAST mile: every micro-batch appends into
     * the training shards and merges the `_manifest.json`
     * ([[graft.sources.TrainingExport.appendShards]] — rows/tokens add,

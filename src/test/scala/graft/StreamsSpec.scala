@@ -622,4 +622,43 @@ class StreamsSpec extends AnyFunSuite {
     // stored state is |sources| rows — independent of stream length
     assert(spark.read.parquet(store).count() == 3)
   }
+
+  test("validation gate: clean batches append, dirty batches quarantine whole") {
+    import spark.implicits._
+    import graft.operators.Expectations._
+    val out = java.nio.file.Files.createTempDirectory("vgate_out").toString + "/o"
+    val quar = java.nio.file.Files.createTempDirectory("vgate_q").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vgate_ckpt").toString
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text", "lang")
+    val checks = Seq(notNull("text"), unique("doc_id"),
+      inSet("lang", Seq("en", "de")))
+    def drain(): Unit =
+      Streams.runValidationGate(stream, checks, out, quar, ckpt)
+
+    mem.addData((1L, "ok one", "en"), (2L, "ok two", "de")); drain()
+    // dup id + bad lang: the whole batch must quarantine
+    mem.addData((3L, "bad", "xx"), (3L, "dup", "en")); drain()
+    mem.addData((4L, "ok three", "en")); drain()
+
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+
+    val qBatches = new java.io.File(quar).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(qBatches.size == 1, s"quarantined $qBatches")
+    val qRows = spark.read.parquet(s"$quar/${qBatches.head}")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(qRows == Seq(3L, 3L))
+
+    // the report names exactly the violated checks
+    val rep = new java.io.File(quar).listFiles()
+      .filter(_.getName.startsWith("report-")).toSeq
+    assert(rep.size == 1)
+    val js = new String(java.nio.file.Files.readAllBytes(rep.head.toPath))
+    assert(js.contains(""""check":"unique(doc_id)","n_rows":2,"violations":1,"pass":false"""), js)
+    assert(js.contains(""""check":"in_set(lang)","n_rows":2,"violations":1,"pass":false"""), js)
+    assert(js.contains(""""check":"not_null(text)","n_rows":2,"violations":0,"pass":true"""), js)
+  }
 }
