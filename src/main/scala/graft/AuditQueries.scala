@@ -59,12 +59,138 @@ object AuditQueries {
         "c_nationkey", t("nation"), "n_nationkey"))
   }
 
+  /** Ingestion-order drift monitor — "did my crawl's quality move over
+    * time": each source's documents split into tenths of their doc_id
+    * (= arrival) order, with per-decile mean quality and token length
+    * plus the drift from the source's overall mean. The shape every
+    * continuous-ingest pipeline dashboards before a bad crawl config
+    * poisons a month of data.
+    *
+    * Scale: ranking every source's docs by arrival runs through ONE
+    * range exchange ([[operators.RankOps.globalRowNumberPer]] — no
+    * per-source single-task sort); decile arithmetic is integer math on
+    * broadcast per-source counts; both aggregates are map-side partial.
+    * Drift is emitted as a magnitude, thresholding is the reader's
+    * policy. */
+  def q114DriftMonitor(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankOps
+    val scored = Tables.loadP(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        round(PipelineQueries.qualityExpr(col("text")), 4).as("q"),
+        graft.functions.gf.token_count(col("text")).cast("long").as("toks"))
+    val ranked = RankOps.globalRowNumberPer(scored, "source",
+      Seq(col("doc_id").asc), "r")
+    val sizes = ranked.groupBy("source").agg(count(lit(1)).as("_n"))
+    val perDec = ranked.join(broadcast(sizes), "source")
+      .withColumn("decile", expr("CAST((r - 1) * 10 div _n AS INT)"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("q"), 4).as("mean_q"),
+        round(avg("toks"), 2).as("mean_toks"))
+    val perSrc = scored.groupBy("source").agg(avg("q").as("_src_q"))
+    perDec.join(broadcast(perSrc), "source")
+      .select(col("source"), col("decile"), col("n_docs"),
+        col("mean_q"), col("mean_toks"),
+        round(abs(col("mean_q") - col("_src_q")), 4).as("drift"))
+  }
+
+  /** Embedding-norm outlier report — the vector-sanity audit (corrupt,
+    * zeroed, or mis-scaled vectors show up as L2-norm outliers long
+    * before a recall regression does): per label, n / mean / stddev of
+    * the norm plus how many vectors sit beyond 2σ and 3σ. The norm is
+    * a row-local f64 fold over the array (same fold order both
+    * engines); per-label moments come from ONE partial-merged
+    * aggregate, and the outlier counts join the |labels|-sized moment
+    * table back broadcast — two scans of the vectors, zero corpus
+    * shuffles beyond the label agg. */
+  def q115VectorOutliers(s: SparkSession, dir: String): DataFrame =
+    vectorOutliers(Tables.loadP(s, dir, "embeddings"))
+
+  private[graft] def vectorOutliers(vecs: DataFrame): DataFrame = {
+    val norm = sqrt(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    val normed = vecs.select(col("label"), norm.as("nrm"))
+    val stats = normed.groupBy("label")
+      .agg(count(lit(1)).as("n"), avg("nrm").as("_mu"),
+        stddev_samp(col("nrm")).as("_sd"))
+    normed.join(broadcast(stats), "label")
+      // z rounded before thresholding: the count must not hinge on the
+      // engines' last-ulp differences in the group moments
+      .withColumn("_z", round(abs(col("nrm") - col("_mu")) / col("_sd"), 6))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg("nrm"), 4).as("mean_norm"),
+        round(stddev_samp(col("nrm")), 4).as("sd_norm"),
+        sum(when(col("_z") > 2.0, 1L).otherwise(0L)).as("n_out2"),
+        sum(when(col("_z") > 3.0, 1L).otherwise(0L)).as("n_out3"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_expectations" -> q112Expectations _,
-    "q113_fk_audit" -> q113FkAudit _
+    "q113_fk_audit" -> q113FkAudit _,
+    "q114_drift_monitor" -> q114DriftMonitor _,
+    "q115_vector_outliers" -> q115VectorOutliers _
   )
 
+  private val scoredCte: String =
+    """scored AS (
+      |  SELECT doc_id, source, round(CASE WHEN len = 0 OR toks = 0 THEN 0.0
+      |    ELSE (lenScore + alphaScore + punctScore + wordScore) / 4.0 END, 4) AS q,
+      |    CAST(toks AS BIGINT) AS toks
+      |  FROM (
+      |    SELECT doc_id, source, len, toks,
+      |      CASE WHEN len >= 100 AND len <= 20000 THEN 1.0
+      |           WHEN len >= 20 THEN 0.5 ELSE 0.0 END AS lenScore,
+      |      CASE WHEN alphaRatio >= 0.6 THEN 1.0 ELSE alphaRatio / 0.6 END AS alphaScore,
+      |      CASE WHEN punctRatio <= 0.1 THEN 1.0
+      |           ELSE greatest(0.0, 1.0 - (punctRatio - 0.1) * 5) END AS punctScore,
+      |      CASE WHEN meanWord >= 3 AND meanWord <= 12 THEN 1.0 ELSE 0.5 END AS wordScore
+      |    FROM (
+      |      SELECT doc_id, source,
+      |        CAST(length(text) AS DOUBLE) AS len,
+      |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+      |        CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+      |          / length(text) AS alphaRatio,
+      |        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      |          / length(text) AS punctRatio,
+      |        CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |          / (CASE WHEN length(trim(text)) = 0 THEN 0
+      |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS meanWord
+      |      FROM documents)))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q114_drift_monitor" ->
+      s"""WITH $scoredCte,
+         |r AS (
+         |  SELECT source, q, toks,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM scored),
+         |perdec AS (
+         |  SELECT source, CAST((r - 1) * 10 // n AS INT) AS decile,
+         |    count(*) AS n_docs, round(avg(q), 4) AS mean_q,
+         |    round(avg(toks), 2) AS mean_toks
+         |  FROM r GROUP BY 1, 2),
+         |persrc AS (SELECT source, avg(q) AS src_q FROM scored GROUP BY source)
+         |SELECT source, decile, n_docs, mean_q, mean_toks,
+         |  round(abs(mean_q - src_q), 4) AS drift
+         |FROM perdec JOIN persrc USING (source)""".stripMargin,
+    "q115_vector_outliers" ->
+      """WITH normed AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT label, count(*) AS cnt, avg(nrm) AS mu, stddev_samp(nrm) AS sd
+        |  FROM normed GROUP BY label)
+        |SELECT label, CAST(cnt AS BIGINT) AS n, round(mu, 4) AS mean_norm,
+        |  round(sd, 4) AS sd_norm,
+        |  CAST(sum(CASE WHEN round(abs(nrm - mu) / sd, 6) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out2,
+        |  CAST(sum(CASE WHEN round(abs(nrm - mu) / sd, 6) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out3
+        |FROM normed JOIN stats USING (label)
+        |GROUP BY label, cnt, mu, sd""".stripMargin,
     "q112_expectations" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents)
         |SELECT 'not_null(doc_id)' AS "check", n_rows,

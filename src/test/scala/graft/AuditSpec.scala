@@ -59,6 +59,36 @@ class AuditSpec extends AnyFunSuite {
     assert(audit.forall(_.getAs[Long]("children") > 0))
   }
 
+  test("q114: deciles conserve the corpus and split each source evenly") {
+    val docs = Tables.load(spark, dir, "documents")
+    val drift = AuditQueries.q114DriftMonitor(spark, dir)
+    assert(drift.agg(sum("n_docs")).first().getLong(0) == docs.count())
+    // every source with >= 10 docs fills all 10 deciles, sizes n or n+1
+    val bad = drift.groupBy("source")
+      .agg(countDistinct("decile").as("k"),
+        (max("n_docs") - min("n_docs")).as("spread"),
+        sum("n_docs").as("tot"))
+      .filter(col("tot") >= 10 && (col("k") =!= 10 || col("spread") > 1))
+      .count()
+    assert(bad == 0L)
+    assert(drift.filter(col("drift") < 0).count() == 0L)
+  }
+
+  test("q115: partitions conserve vectors and a corrupt vector is flagged") {
+    import spark.implicits._
+    val report = AuditQueries.q115VectorOutliers(spark, dir)
+    val total = Tables.load(spark, dir, "embeddings").count()
+    assert(report.agg(sum("n")).first().getLong(0) == total)
+    assert(report.filter(col("n_out3") > col("n_out2")).count() == 0L)
+    // a mis-scaled vector must land in the 3-sigma bucket
+    val clean = (1 to 40).map(i =>
+      (0, Array.fill(4)(1.0f + (i % 5) * 0.01f)))
+    val dirty = clean :+ ((0, Array.fill(4)(100.0f)))
+    val rep = AuditQueries.vectorOutliers(dirty.toDF("label", "embedding"))
+      .first()
+    assert(rep.getAs[Long]("n_out3") == 1L, rep.toString)
+  }
+
   test("fkEdge counts orphans exactly and ignores null child keys") {
     import spark.implicits._
     val child = Seq(Some(1L), Some(2L), Some(2L), Some(9L), None)
