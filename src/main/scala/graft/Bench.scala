@@ -50,26 +50,41 @@ object Bench {
     // the window and its head was clipped). Compact: 3-decimal query
     // seconds, 4-significant-digit micros, and a short-key fallback if
     // the registry grows past what full names fit in.
-    def sec3(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    def secN(scale: Int)(v: Double): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    val sec3 = secN(3) _
     def sig4(v: Double): String =
       BigDecimal(v).round(new java.math.MathContext(4)).toDouble.toString
-    def line(qkey: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + qkey(k) + "\":" + sec3(v) }
+    def line(qkey: String => String, qsec: Double => String,
+        ms0: Map[String, Double]): String = {
+      val qs = results.map { case (k, v) => "\"" + qkey(k) + "\":" + qsec(v) }
         .mkString("{", ",", "}")
-      val ms = micro.map { case (k, v) => "\"" + k + "\":" + sig4(v) }
+      val ms = ms0.map { case (k, v) => "\"" + k + "\":" + sig4(v) }
         .mkString("{", ",", "}")
       val errs =
         if (failed.isEmpty) ""
         else failed.map("\"" + qkey(_) + "\"").mkString(""","errors":[""", ",", "]")
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"micro":$ms$errs,"sf":"$sfDir"}"""
     }
-    val full = line(identity)
     // "q01_pricing_summary" -> "q01" keeps the line parseable if long;
     // the key is the full first underscore segment, NOT a fixed-width
     // prefix — take(3) collided q24_simhash_pairs/q24b_simhash_banded
-    // into one "q24" key and a JSON parser silently dropped one timing
-    println(if (full.length <= 1800) full else line(_.takeWhile(_ != '_')))
+    // into one "q24" key and a JSON parser silently dropped one timing.
+    // The line must land WHOLE inside the driver's ~2000-char output
+    // tail even with sbt's "[success] ..." epilogue after it, so accept
+    // the first tier ≤ 1750 chars: full names, short keys, short keys
+    // at 2 decimals with the BASELINE-secondary micros dropped (their
+    // full-precision values keep printing in the [micro] echo above).
+    val microCore = micro -- Seq("nprobe_cal_sec", "nprobe_cal_090",
+      "opq_train_s", "opq_gain", "ivf_build_sec")
+    val short = (k: String) => k.takeWhile(_ != '_')
+    val tiers = Iterator(
+      line(identity, sec3, micro),
+      line(short, sec3, micro),
+      line(short, secN(2), microCore))
+    println(s"[micro] ${micro.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")}")
+    println(tiers.find(_.length <= 1750).getOrElse(line(short, secN(2),
+      Map("search_hot_ms" -> micro.getOrElse("search_hot_ms", 0.0)))))
     spark.stop()
   }
 
