@@ -125,11 +125,48 @@ object AuditQueries {
         sum(when(col("_z") > 3.0, 1L).otherwise(0L)).as("n_out3"))
   }
 
+  /** One key family's skew profile: distinct keys, mean/max per-key
+    * multiplicity, the skew ratio a join/agg planner cares about, and
+    * the heaviest key. The top key rides the same aggregate as a
+    * zero-padded `count:key` string max — deterministic (ties break on
+    * the key string) and engine-portable, no second pass and no sort.
+    * Per-key counts are a map-side-combined groupBy on the key alone,
+    * so the audit shuffles one row per distinct key, never the table. */
+  private[graft] def keySkew(df: DataFrame, key: String, tag: String): DataFrame =
+    df.filter(col(key).isNotNull)
+      .groupBy(col(key).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("_tot"),
+        max("c").as("max_cnt"),
+        max(concat(lpad(col("c").cast("string"), 12, "0"), lit(":"), col("k")))
+          .as("_top"))
+      .select(lit(tag).as("keyspace"), col("n_keys"),
+        round(col("_tot").cast("double") / col("n_keys"), 4).as("mean_cnt"),
+        col("max_cnt"),
+        round(col("max_cnt") / (col("_tot").cast("double") / col("n_keys")), 4)
+          .as("skew"),
+        substring(col("_top"), 14, 1000000).as("top_key"))
+
+  /** Join-key skew audit across the tables the query surfaces shuffle
+    * on — the pre-flight check before a 100 TB join: a `skew` of ~1
+    * means hash partitions balance; a hot key (max_cnt ≫ mean) is the
+    * signal to salt ([[operators.SkewOps]]) or let AQE split. Five
+    * bounded aggregates, unioned; nothing here moves table rows. */
+  def q116SkewReport(s: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.load(s, dir, n)
+    keySkew(t("lineitem"), "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(keySkew(t("lineitem"), "l_suppkey", "lineitem.l_suppkey"))
+      .unionByName(keySkew(t("orders"), "o_custkey", "orders.o_custkey"))
+      .unionByName(keySkew(t("documents"), "source", "documents.source"))
+      .unionByName(keySkew(t("events"), "user_id", "events.user_id"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_expectations" -> q112Expectations _,
     "q113_fk_audit" -> q113FkAudit _,
     "q114_drift_monitor" -> q114DriftMonitor _,
-    "q115_vector_outliers" -> q115VectorOutliers _
+    "q115_vector_outliers" -> q115VectorOutliers _,
+    "q116_skew_report" -> q116SkewReport _
   )
 
   private val scoredCte: String =
@@ -191,6 +228,20 @@ object AuditQueries {
         |  CAST(sum(CASE WHEN round(abs(nrm - mu) / sd, 6) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out3
         |FROM normed JOIN stats USING (label)
         |GROUP BY label, cnt, mu, sd""".stripMargin,
+    "q116_skew_report" -> {
+      def fam(table: String, key: String): String =
+        s"""SELECT '$table.$key' AS keyspace,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS mean_cnt,
+           |  CAST(max(c) AS BIGINT) AS max_cnt,
+           |  round(max(c) / (CAST(sum(c) AS DOUBLE) / count(*)), 4) AS skew,
+           |  substr(max(lpad(CAST(c AS VARCHAR), 12, '0') || ':' || k), 14) AS top_key
+           |FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS c
+           |      FROM $table WHERE $key IS NOT NULL GROUP BY 1)""".stripMargin
+      Seq(fam("lineitem", "l_orderkey"), fam("lineitem", "l_suppkey"),
+        fam("orders", "o_custkey"), fam("documents", "source"),
+        fam("events", "user_id")).mkString("\nUNION ALL\n")
+    },
     "q112_expectations" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents)
         |SELECT 'not_null(doc_id)' AS "check", n_rows,

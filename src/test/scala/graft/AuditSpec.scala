@@ -89,6 +89,18 @@ class AuditSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("n_out3") == 1L, rep.toString)
   }
 
+  test("keySkew surfaces a planted hot key with exact stats") {
+    import spark.implicits._
+    // 9 singleton keys + one key with 91 rows: mean 10, skew 9.1
+    val rows = (1 to 9).map(i => s"k$i") ++ Seq.fill(91)("hot")
+    val skew = AuditQueries.keySkew(rows.toDF("k"), "k", "t").first()
+    assert(skew.getAs[Long]("n_keys") == 10L)
+    assert(skew.getAs[Double]("mean_cnt") == 10.0)
+    assert(skew.getAs[Long]("max_cnt") == 91L)
+    assert(skew.getAs[Double]("skew") == 9.1)
+    assert(skew.getAs[String]("top_key") == "hot")
+  }
+
   test("fkEdge counts orphans exactly and ignores null child keys") {
     import spark.implicits._
     val child = Seq(Some(1L), Some(2L), Some(2L), Some(9L), None)
