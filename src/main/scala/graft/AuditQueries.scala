@@ -169,7 +169,7 @@ object AuditQueries {
     "q116_skew_report" -> q116SkewReport _
   )
 
-  private val scoredCte: String =
+  private[graft] val scoredCte: String =
     """scored AS (
       |  SELECT doc_id, source, round(CASE WHEN len = 0 OR toks = 0 THEN 0.0
       |    ELSE (lenScore + alphaScore + punctScore + wordScore) / 4.0 END, 4) AS q,

@@ -465,7 +465,41 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
 
+  /** Quality-aware near-dup resolution — the PRODUCTION representative
+    * rule: inside every near-dup cluster keep the HIGHEST-quality member
+    * (q30's score; lowest doc_id breaks score ties), not q37's min-id
+    * canon — dedup should discard the worse copies, and the copies of a
+    * document genuinely differ in quality after boilerplate/truncation
+    * damage. Emits every doc with its cluster and the keep verdict.
+    *
+    * Scale: connected components run on the PAIR graph (ids only,
+    * DedupOps' adaptive union-find); only CLUSTER MEMBERS — the dup
+    * clusters, ≪ corpus — join the label table and aggregate for the
+    * per-cluster argmax (one max(struct) — no per-cluster window, no
+    * corpus shuffle on cluster_id); the best-rep table broadcasts back
+    * onto the corpus scan, and singletons keep themselves without ever
+    * entering a shuffle. */
+  def q117BestRep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q22JaccardNeardup(s, dir)
+    val comps = graft.operators.DedupOps
+      .connectedComponents(pairs, "doc_a", "doc_b")
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
+    val labeled = docs.join(broadcast(comps), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), col("q"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    val best = docs.join(broadcast(comps), col("doc_id") === col("node"))
+      .groupBy(col("comp").as("cluster_id"))
+      // argmax by (q asc, doc_id desc) under max = highest q, lowest id
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("best_doc"))
+    labeled.join(broadcast(best), Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("q"),
+        coalesce(col("doc_id") === col("best_doc"), lit(true)).as("keep"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_best_rep" -> q117BestRep _,
     "q100_verify_lsh" -> q100VerifyLsh _,
     "q35_bottomk_sketch" -> q35BottomkSketch _,
     "q94_semdedup" -> q94SemDedup _,
@@ -579,6 +613,28 @@ object DedupQueries {
        |HAVING count(*) >= 3""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q117_best_rep" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jp),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+         |comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+         |${graft.AuditQueries.scoredCte},
+         |lab AS (
+         |  SELECT s.doc_id, s.q, coalesce(c.comp, s.doc_id) AS cluster_id
+         |  FROM scored s LEFT JOIN comp c ON c.node = s.doc_id),
+         |bq AS (SELECT cluster_id, max(q) AS mq FROM lab GROUP BY cluster_id),
+         |bestid AS (
+         |  SELECT l.cluster_id, min(l.doc_id) AS best_doc
+         |  FROM lab l JOIN bq b ON l.cluster_id = b.cluster_id AND l.q = b.mq
+         |  GROUP BY l.cluster_id)
+         |SELECT l.doc_id, l.cluster_id, l.q, l.doc_id = b.best_doc AS keep
+         |FROM lab l JOIN bestid b USING (cluster_id)""".stripMargin,
     "q94_semdedup" ->
       s"""WITH cent AS (
          |  SELECT label, list(CAST(m AS REAL) ORDER BY idx) AS centroid

@@ -91,6 +91,38 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(keptToks == keptToks.sorted.reverse)
   }
 
+  // ---- q117 quality-aware representative ----
+
+  test("q117: exactly one keeper per cluster, and it has the cluster-max quality") {
+    val rep = DedupQueries.q117BestRep(spark, dir)
+    val perCluster = rep.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        max("q").as("mq"),
+        max(when(col("keep"), col("q"))).as("kq"))
+    assert(perCluster.filter(col("kept") =!= 1L).count() == 0L,
+      "every cluster keeps exactly one member")
+    assert(perCluster.filter(col("kq") =!= col("mq")).count() == 0L,
+      "the keeper carries the cluster-max quality score")
+  }
+
+  test("q117: keepers tie-break to the lowest doc_id and singletons keep themselves") {
+    val rep = DedupQueries.q117BestRep(spark, dir).cache()
+    val best = rep.groupBy("cluster_id").agg(max("q").as("mq"))
+    val expectedKeeper = rep.join(best, "cluster_id")
+      .filter(col("q") === col("mq"))
+      .groupBy("cluster_id").agg(min("doc_id").as("exp_keep"))
+    val mismatch = rep.filter(col("keep"))
+      .join(expectedKeeper, "cluster_id")
+      .filter(col("doc_id") =!= col("exp_keep")).count()
+    assert(mismatch == 0L)
+    val singles = rep.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1)
+    val badSingle = rep.join(singles, "cluster_id")
+      .filter(col("doc_id") =!= col("cluster_id") || !col("keep")).count()
+    assert(badSingle == 0L, "a singleton is its own cluster and keeps itself")
+    rep.unpersist()
+  }
+
   // ---- q110 temperature mixture ----
 
   test("q110: probabilities normalize and alpha<1 compresses toward uniform") {
