@@ -78,13 +78,26 @@ object Bench {
     val microCore = micro -- Seq("nprobe_cal_sec", "nprobe_cal_090",
       "opq_train_s", "opq_gain", "ivf_build_sec")
     val short = (k: String) => k.takeWhile(_ != '_')
+    // deepest compression: the numeric segment alone ("24c") — the "q"
+    // prefix is pure redundancy once every key has it; legend in
+    // BASELINE.md. At 123 queries the short-key tier is ~1850 chars, so
+    // the budget is the real window (~2000-char driver tail minus sbt's
+    // "[success] ..." epilogue), not a round number — accept ≤ 1880 and
+    // fall through to the prefix-stripped tier beyond that.
+    val noq = (k: String) => { val s = short(k); if (s.startsWith("q")) s.drop(1) else s }
+    val searchHot = Map("search_hot_ms" -> micro.getOrElse("search_hot_ms", 0.0))
     val tiers = Iterator(
       line(identity, sec3, micro),
       line(short, sec3, micro),
-      line(short, secN(2), microCore))
+      line(short, secN(2), microCore),
+      line(short, secN(2), searchHot))
+    // nothing may log after the JSON line: stderr (log4j) and stdout
+    // (println) interleave arbitrarily in the driver's merged pipe, and
+    // a late WARN flushing after the line pushes it out of the ~2000-char
+    // tail the driver parses (BENCH_r05 lost its line to exactly that)
+    spark.sparkContext.setLogLevel("ERROR")
     println(s"[micro] ${micro.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")}")
-    println(tiers.find(_.length <= 1750).getOrElse(line(short, secN(2),
-      Map("search_hot_ms" -> micro.getOrElse("search_hot_ms", 0.0)))))
+    println(tiers.find(_.length <= 1880).getOrElse(line(noq, secN(2), searchHot)))
     spark.stop()
   }
 

@@ -498,7 +498,91 @@ object DedupQueries {
         coalesce(col("doc_id") === col("best_doc"), lit(true)).as("keep"))
   }
 
+  /** Asymmetric containment near-dup — near-SUPERSET detection
+    * (Broder's containment coefficient): C = |A∩B| / min(|A|,|B|) over
+    * distinct 3-token shingles, C >= 0.9. Jaccard (q22) normalizes by
+    * the UNION, so a short document wholly quoted inside a long one
+    * scores J = |small|/|big| ≈ 0 and slips every symmetric gate; C
+    * normalizes by the SMALL side and catches exactly that
+    * quote/section/expanded-copy shape. Emits (doc_small, doc_big,
+    * containment) with the contained (smaller-shingle-set) doc first.
+    *
+    * Scale: same shingle-key equi-join as q22, but the size band CANNOT
+    * apply — size-asymmetric pairs are the point. The quadratic guard is
+    * instead a document-frequency cap (df <= 64): boilerplate shingles
+    * shared by everyone carry no containment signal yet generate the
+    * df² join blowup, so they are dropped from BOTH the intersection
+    * and the per-doc sizes (semantics = containment over informative
+    * shingles). With the cap, every bucket contributes <= cap² pairs
+    * and the join volume is <= cap · Σdf — linear in corpus tokens.
+    * The df window shuffles on shingle keys (bounded groups), the size
+    * window on doc_id; documents themselves never shuffle. */
+  def q118Containment(s: SparkSession, dir: String): DataFrame = {
+    val DF_CAP = 64
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= DF_CAP)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "s", "n")
+      .localCheckpoint(true) // shingle kernel + df pass once, not per join side
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .select(
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("doc_small"),
+        when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("doc_big"),
+        (col("i").cast("double") / least(col("na"), col("nb"))).as("c"))
+      .filter(col("c") >= 0.9)
+      .select(col("doc_small"), col("doc_big"), round(col("c"), 4).as("containment"))
+  }
+
+  /** LSH banding-parameter planner — the (bands, rows) design table that
+    * justifies q21's (K=16, b=4, r=4) point and re-plans it for other
+    * similarity targets. The banded-minhash collision probability is the
+    * S-curve p(s) = 1-(1-s^r)^b, which crosses 1/2 near
+    * s* ≈ (1/b)^(1/r) (Leskovec/Rajaraman/Ullman, MMDS §3.4.3). For each
+    * target Jaccard threshold t ∈ {0.5..0.9} the planner scans the b×r
+    * grid under a signature budget b·r ≤ 64 and picks the cell whose s*
+    * lands closest to t — tie-broken by smaller signature k = b·r, then
+    * smaller b — and emits the S-curve's tails at t∓0.1: `p_fp_lo` (the
+    * below-threshold pair that still collides → wasted verify work) and
+    * `p_miss_hi` (the above-threshold pair that never collides → lost
+    * recall), making the cost/recall tradeoff explicit per plan row.
+    *
+    * Purely analytic (16×16 grid × 5 thresholds — no corpus scan), but
+    * expressed as a plan so the DuckDB oracle checks it; the argmin
+    * ranks on |s*-t| quantized to 1e-4 so cross-engine pow() ULP noise
+    * cannot flip the chosen cell (algebraically-equal cells like
+    * (4,4)/(16,8), both s* = 2^-1/2, resolve by the k tie-break in both
+    * engines instead of by their last bits). */
+  def q120LshPlanner(s: SparkSession, dir: String): DataFrame = {
+    val grid = s.range(1, 17).select(col("id").as("b"))
+      .crossJoin(s.range(1, 17).select(col("id").as("r")))
+      .filter(col("b") * col("r") <= 64)
+      .withColumn("s_star", pow(lit(1.0) / col("b"), lit(1.0) / col("r")))
+    val ts = s.range(5, 10).select((col("id") / 10.0).as("t"))
+    ts.crossJoin(grid)
+      .withColumn("dist_r",
+        round(abs(col("s_star") - col("t")) * 10000).cast("long"))
+      .withColumn("rk", row_number().over(Window.partitionBy("t")
+        .orderBy(col("dist_r").asc, (col("b") * col("r")).asc, col("b").asc)))
+      .filter(col("rk") === 1)
+      .select(col("t"), col("b"), col("r"), (col("b") * col("r")).as("k"),
+        round(col("s_star"), 4).as("s_star"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("t") - 0.1, col("r")), col("b")), 4)
+          .as("p_fp_lo"),
+        round(pow(lit(1.0) - pow(col("t") + 0.1, col("r")), col("b")), 4)
+          .as("p_miss_hi"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_lsh_planner" -> q120LshPlanner _,
+    "q118_containment" -> q118Containment _,
     "q117_best_rep" -> q117BestRep _,
     "q100_verify_lsh" -> q100VerifyLsh _,
     "q35_bottomk_sketch" -> q35BottomkSketch _,
@@ -673,6 +757,46 @@ object DedupQueries {
     "q55_contamination" -> contaminationSql,
     // bloom-pruned twin answers the SAME question — one oracle, two plans
     "q87_bloom_contamination" -> contaminationSql,
+    "q120_lsh_planner" ->
+      """WITH bs AS (SELECT unnest(generate_series(1, 16)) AS b),
+        |rs AS (SELECT unnest(generate_series(1, 16)) AS r),
+        |grid AS (
+        |  SELECT bs.b, rs.r, pow(1.0 / bs.b, 1.0 / rs.r) AS s_star
+        |  FROM bs, rs WHERE bs.b * rs.r <= 64),
+        |ts AS (SELECT id / 10.0 AS t
+        |       FROM (SELECT unnest(generate_series(5, 9)) AS id)),
+        |sc AS (
+        |  SELECT t, b, r, s_star,
+        |    CAST(round(abs(s_star - t) * 10000) AS BIGINT) AS dist_r
+        |  FROM ts, grid),
+        |rk AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY t ORDER BY dist_r, b * r, b) AS rk
+        |  FROM sc)
+        |SELECT t, b, r, b * r AS k, round(s_star, 4) AS s_star,
+        |  round(1 - pow(1 - pow(t - 0.1, r), b), 4) AS p_fp_lo,
+        |  round(pow(1 - pow(t + 0.1, r), b), 4) AS p_miss_hi
+        |FROM rk WHERE rk = 1""".stripMargin,
+    "q118_containment" ->
+      s"""WITH $shingleCte,
+         |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+         |shc AS (SELECT a.doc_id, a.s FROM sh a JOIN keep k ON a.s = k.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT da, db, i, sa.n AS na, sb.n AS nb FROM inter
+         |  JOIN sizes sa ON sa.doc_id = da
+         |  JOIN sizes sb ON sb.doc_id = db),
+         |c AS (
+         |  SELECT CASE WHEN na <= nb THEN da ELSE db END AS doc_small,
+         |         CASE WHEN na <= nb THEN db ELSE da END AS doc_big,
+         |         i * 1.0 / least(na, nb) AS c
+         |  FROM p)
+         |SELECT doc_small, doc_big, round(c, 4) AS containment
+         |FROM c WHERE c >= 0.9""".stripMargin,
     "q21_minhash_lsh" ->
       s"""WITH $shingleCte,
          |$lshBandsCte

@@ -312,7 +312,42 @@ object RetrievalQueries {
       .orderBy("qid", "r")
   }
 
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    * SIGIR'20): multi-vector documents scored by MaxSim —
+    * score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d). Chunk vectors group into
+    * pseudo-documents of 4 consecutive vec_ids (the chunk→document
+    * relationship of the upload pipeline); the first two documents are
+    * the query set. Single-vector retrieval (q16/q25) collapses a
+    * document to one point and loses term-level interaction; MaxSim
+    * keeps every chunk and lets each query chunk pick its best match —
+    * the standard quality jump for long multi-chunk documents.
+    *
+    * Scale: the query side is bounded and BROADCAST; the corpus streams
+    * once through the codegen'd cosine kernel. The per-(query-chunk,
+    * doc) max and the per-(query, doc) sum are partial aggregates on
+    * tiny keys, and the final per-query top-5 is the bounded
+    * [[gf.TopKAgg]] — each task ships ≤ 5 rows per query, no
+    * corpus-wide window anywhere. Self-doc ranks first by construction
+    * (every chunk maxes at itself), which `RetrievalEvalSpec` pins. */
+  def q119Maxsim(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr("vec_id div 4").as("d"))
+    val q = e.filter(col("d") < 2)
+      .select(col("d").as("qd"), col("vec_id").as("qv"),
+        col("embedding").as("qvec"))
+    e.crossJoin(broadcast(q))
+      .select(col("qd"), col("d").as("cd"), col("qv"),
+        (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim"))
+      .groupBy("qd", "cd", "qv").agg(max("sim").as("m"))
+      .groupBy("qd", "cd").agg((round(sum("m"), 4) + 0.0).as("score"))
+      .groupBy("qd").agg(gf.top_k_by(col("score"), col("cd"), 5).as("tk"))
+      .select(col("qd").as("query_doc"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("query_doc"), col("t._2").as("cand_doc"),
+        col("t._1").as("score"), (col("pos") + 1).as("rn"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_maxsim" -> q119Maxsim _,
     "q44_bm25" -> q44Bm25 _,
     "q45_hybrid_rrf" -> q45HybridRrf _,
     "q46_gopher_rules" -> q46GopherRules _,
@@ -356,6 +391,23 @@ object RetrievalQueries {
       |  FROM embeddings e, q WHERE e.vec_id <> q.qid)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q119_maxsim" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, CAST(vec_id // 4 AS BIGINT) AS d
+        |  FROM embeddings),
+        |q AS (SELECT d AS qd, vec_id AS qv, embedding AS qvec
+        |      FROM e WHERE d < 2),
+        |sims AS (
+        |  SELECT q.qd, e.d AS cd, q.qv,
+        |    max(round(CAST(list_cosine_similarity(e.embedding, q.qvec)
+        |      AS DOUBLE), 4) + 0) AS m
+        |  FROM e, q GROUP BY 1, 2, 3),
+        |sc AS (SELECT qd, cd, round(sum(m), 4) + 0 AS score
+        |       FROM sims GROUP BY 1, 2),
+        |r AS (SELECT qd AS query_doc, cd AS cand_doc, score,
+        |        row_number() OVER (PARTITION BY qd ORDER BY score DESC, cd ASC) AS rn
+        |      FROM sc)
+        |SELECT query_doc, cand_doc, score, rn FROM r WHERE rn <= 5""".stripMargin,
     "q98_retrieval_eval" ->
       s"""WITH $evalSimsCte,
          |ranked AS (

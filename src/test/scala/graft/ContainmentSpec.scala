@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q118 asymmetric containment + q120 LSH planner gates: exact driver
+  * recomputes of both rules, plus the semantic point of containment —
+  * a planted near-superset pair that symmetric Jaccard (q22) cannot
+  * see. Cross-engine value parity is oracle-gated via the registry. */
+class ContainmentSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val DfCap = 64
+
+  /** Mirror of TextKernels.shingles / the shingle oracle CTE: distinct
+    * 3-token shingles of the lowercased whitespace tokenization; <3
+    * tokens collapse to one shingle, empty text to none. */
+  private def shingleSet(text: String): Set[String] = {
+    val t = text.trim.toLowerCase
+    if (t.isEmpty) Set.empty
+    else {
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 3)
+        toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+  }
+
+  private def r4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q118 equals an exact driver recompute (df-capped containment)") {
+    val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1)))
+    val df = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+    val capped = docs.map { case (id, sh) =>
+      id -> sh.filter(s => df(s) <= DfCap)
+    }.filter(_._2.nonEmpty)
+    val expect = (for {
+      (ida, sa) <- capped; (idb, sb) <- capped if ida < idb
+      i = (sa intersect sb).size
+      c = i.toDouble / math.min(sa.size, sb.size) if c >= 0.9
+    } yield {
+      val (small, big) =
+        if (sa.size <= sb.size) (ida, idb) else (idb, ida)
+      (small, big) -> r4(c)
+    }).toMap
+    val got = DedupQueries.q118Containment(spark, SparkSuite.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expect)
+  }
+
+  test("q118 catches a planted near-superset that symmetric Jaccard misses") {
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (100 to 190).map(i => s"pad$i").mkString(" ")
+    val other = (500 to 540).map(i => s"uniq$i").mkString(" ")
+    import spark.implicits._
+    Seq((1L, small, "en", "src0", small.length.toLong),
+        (2L, big, "en", "src0", big.length.toLong),
+        (3L, other, "en", "src0", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // every shingle of the small doc appears in the big doc => C = 1.0
+    val pairs = DedupQueries.q118Containment(spark, dir).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+    // ...while J = |small|/|big| is far below q22's 0.8 gate
+    assert(DedupQueries.q22JaccardNeardup(spark, dir).collect().isEmpty)
+  }
+
+  test("q120 planner equals an exact driver recompute of the S-curve argmin") {
+    val grid = for {
+      b <- 1 to 16; r <- 1 to 16 if b * r <= 64
+    } yield (b.toLong, r.toLong, math.pow(1.0 / b, 1.0 / r))
+    val expect = (5 to 9).map { id =>
+      val t = id / 10.0
+      val (b, r, sStar) = grid.minBy { case (b, r, s) =>
+        (math.round(math.abs(s - t) * 10000), b * r, b)
+      }
+      t -> ((b, r, b * r, r4(sStar),
+        r4(1.0 - math.pow(1.0 - math.pow(t - 0.1, r.toDouble), b.toDouble)),
+        r4(math.pow(1.0 - math.pow(t + 0.1, r.toDouble), b.toDouble))))
+    }.toMap
+    val got = DedupQueries.q120LshPlanner(spark, "unused").collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == expect)
+    // q21's operating point (b=4, r=4, s* = 2^-1/2) is the planner's
+    // own neighborhood for t = 0.7: threshold lands within 2 points
+    assert(math.abs(got(0.7)._4 - 0.7) < 0.02)
+  }
+}

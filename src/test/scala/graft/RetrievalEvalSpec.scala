@@ -88,6 +88,30 @@ class RetrievalEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 maxsim: self-document ranks first at the full-chunk score") {
+    val rows = RetrievalQueries.q119Maxsim(spark, SparkSuite.sf001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.foreach { case (qd, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1 to 5))
+      // every query chunk maxes at cos=1 with itself, so the self doc
+      // scores exactly |chunks| = 4.0 and nothing can beat it
+      val first = g.find(_._4 == 1).get
+      assert(first._2 == qd, s"query $qd: rank-1 was ${first._2}")
+      assert(first._3 == 4.0)
+      assert(g.filter(_._4 > 1).forall(_._3 <= 4.0))
+    }
+  }
+
+  test("q119 ranks through the bounded TopKAgg, not a per-query corpus window") {
+    val plan = RetrievalQueries.q119Maxsim(spark, SparkSuite.sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+  }
+
   test("q98 ranks through the bounded TopKAgg, not a per-query corpus window") {
     val plan = RetrievalQueries.q98RetrievalEval(spark, SparkSuite.sf001)
       .queryExecution.executedPlan.toString
