@@ -517,7 +517,18 @@ object DedupQueries {
     * and the join volume is <= cap · Σdf — linear in corpus tokens.
     * The df window shuffles on shingle keys (bounded groups), the size
     * window on doc_id; documents themselves never shuffle. */
-  def q118Containment(s: SparkSession, dir: String): DataFrame = {
+  def q118Containment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(s, dir)
+      .select(
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("doc_small"),
+        when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("doc_big"),
+        col("c"))
+      .filter(col("c") >= 0.9)
+      .select(col("doc_small"), col("doc_big"), round(col("c"), 4).as("containment"))
+
+  /** The (da < db, i, na, nb, c) containment pair table over df-capped
+    * shingles — q118's core, shared with the q121 subsumption verdict. */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     val DF_CAP = 64
     val sh = t(s, dir, "documents")
       .select(col("doc_id"),
@@ -533,12 +544,34 @@ object DedupQueries {
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("i"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-      .select(
-        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("doc_small"),
-        when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("doc_big"),
-        (col("i").cast("double") / least(col("na"), col("nb"))).as("c"))
+      .withColumn("c", col("i").cast("double") / least(col("na"), col("nb")))
+  }
+
+  /** Containment-based subsumption resolution — q118 made ACTIONABLE:
+    * a document contained (C >= 0.9) in a larger document is redundant
+    * with it, so the keep-set is the MAXIMAL documents: drop every
+    * pair's smaller side; equal-size pairs (the exact-dup family, where
+    * containment is symmetric) drop the higher id, so a dup clique
+    * keeps exactly its lowest id — the same canon rule as q18/q37.
+    * This is the complement of q117's cluster-representative rule:
+    * near-dup CLUSTERS keep their best member, near-SUPERSETS keep the
+    * superset (the copy that still contains everything the victim had).
+    *
+    * Scale: the victim set is pair-graph-sized (≪ corpus) and
+    * BROADCASTS onto one corpus id scan for the verdict join — the
+    * corpus itself never shuffles. */
+  def q121Subsume(s: SparkSession, dir: String): DataFrame = {
+    val victims = containmentPairs(s, dir)
       .filter(col("c") >= 0.9)
-      .select(col("doc_small"), col("doc_big"), round(col("c"), 4).as("containment"))
+      .select(
+        when(col("na") < col("nb"), col("da"))
+          .when(col("nb") < col("na"), col("db"))
+          .otherwise(greatest(col("da"), col("db"))).as("doc_id"))
+      .distinct()
+      .withColumn("hit", lit(true))
+    t(s, dir, "documents").select("doc_id")
+      .join(broadcast(victims), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("subsumed"))
   }
 
   /** LSH banding-parameter planner — the (bands, rows) design table that
@@ -582,6 +615,7 @@ object DedupQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_lsh_planner" -> q120LshPlanner _,
+    "q121_subsume" -> q121Subsume _,
     "q118_containment" -> q118Containment _,
     "q117_best_rep" -> q117BestRep _,
     "q100_verify_lsh" -> q100VerifyLsh _,
@@ -777,6 +811,25 @@ object DedupQueries {
         |  round(1 - pow(1 - pow(t - 0.1, r), b), 4) AS p_fp_lo,
         |  round(pow(1 - pow(t + 0.1, r), b), 4) AS p_miss_hi
         |FROM rk WHERE rk = 1""".stripMargin,
+    "q121_subsume" ->
+      s"""WITH $shingleCte,
+         |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+         |shc AS (SELECT a.doc_id, a.s FROM sh a JOIN keep k ON a.s = k.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT da, db, i, sa.n AS na, sb.n AS nb FROM inter
+         |  JOIN sizes sa ON sa.doc_id = da
+         |  JOIN sizes sb ON sb.doc_id = db),
+         |v AS (
+         |  SELECT DISTINCT CASE WHEN na < nb THEN da
+         |    WHEN nb < na THEN db ELSE greatest(da, db) END AS doc_id
+         |  FROM p WHERE i * 1.0 / least(na, nb) >= 0.9)
+         |SELECT d.doc_id, v.doc_id IS NOT NULL AS subsumed
+         |FROM documents d LEFT JOIN v USING (doc_id)""".stripMargin,
     "q118_containment" ->
       s"""WITH $shingleCte,
          |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),

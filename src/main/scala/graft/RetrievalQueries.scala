@@ -346,6 +346,54 @@ object RetrievalQueries {
         col("t._1").as("score"), (col("pos") + 1).as("rn"))
   }
 
+  /** q119's serving-scale path — the standard two-stage late-interaction
+    * architecture (retrieve-then-rerank, the PLAID/ColBERTv2 shape):
+    * stage 1 retrieves a bounded candidate set through the IVF index —
+    * the top-candK chunks per query chunk at the given nprobe, unioned
+    * and mapped to their owning documents; stage 2 computes EXACT MaxSim
+    * only over that (query, candidate-doc) pair set. The corpus is never
+    * scored wholesale: stage 1 touches only probed IVF lists and
+    * everything downstream is bounded by |Q chunks|·candK documents. At
+    * nprobe = all and candK ≥ corpus the pipeline is lossless and equals
+    * q119 row for row (`RetrievalEvalSpec`); below that, candK/nprobe
+    * are the recall-vs-cost knobs exactly as in single-vector ANN — with
+    * the usual MaxSim caveat that a document can rank on SUMMED chunk
+    * affinity without any single chunk reaching the top-candK, so the
+    * budget trades recall explicitly, not silently. The per-query-chunk
+    * probe loop is driver-bounded (8 chunks), the same shape as
+    * [[hardNegativesIvf]] and the bench's search loop. */
+  def maxsimIvf(s: SparkSession, dir: String, nprobe: Int,
+      candK: Int): DataFrame = {
+    import graft.index.IvfIndex
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr("vec_id div 4").as("d"))
+    val (idx, model) = IvfIndex.build(e, "embedding",
+      IvfIndex.Params(listSize = 100, sampleSize = 50000))
+    val cached = idx.persist()
+    cached.count()
+    val qchunks = e.filter(col("d") < 2)
+      .select("d", "vec_id", "embedding").collect()
+    val cands = qchunks.map { row =>
+      val qd = row.getLong(0)
+      val qvec = row.getSeq[Float](2).toArray
+      IvfIndex.search(cached, model, "vec_id", "embedding", qvec, candK, nprobe)
+        .select(lit(qd).as("qd"), expr("vec_id div 4").as("cd"))
+    }.reduce(_ unionByName _).distinct()
+    val qdf = e.filter(col("d") < 2)
+      .select(col("d").as("qd"), col("vec_id").as("qv"),
+        col("embedding").as("qvec"))
+    e.join(broadcast(cands), e("d") === cands("cd"))
+      .join(broadcast(qdf), "qd")
+      .select(col("qd"), col("cd"), col("qv"),
+        (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim"))
+      .groupBy("qd", "cd", "qv").agg(max("sim").as("m"))
+      .groupBy("qd", "cd").agg((round(sum("m"), 4) + 0.0).as("score"))
+      .groupBy("qd").agg(gf.top_k_by(col("score"), col("cd"), 5).as("tk"))
+      .select(col("qd").as("query_doc"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("query_doc"), col("t._2").as("cand_doc"),
+        col("t._1").as("score"), (col("pos") + 1).as("rn"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_maxsim" -> q119Maxsim _,
     "q44_bm25" -> q44Bm25 _,

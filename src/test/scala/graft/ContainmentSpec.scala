@@ -69,6 +69,22 @@ class ContainmentSpec extends AnyFunSuite {
     assert(DedupQueries.q22JaccardNeardup(spark, dir).collect().isEmpty)
   }
 
+  test("q121 subsumption drops the contained copy and keeps the superset") {
+    val dir = java.nio.file.Files.createTempDirectory("subsume").toString
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (100 to 190).map(i => s"pad$i").mkString(" ")
+    val other = (500 to 540).map(i => s"uniq$i").mkString(" ")
+    import spark.implicits._
+    // 1 ⊂ 2; 3 standalone; 4 == 3 exact dup (tie: higher id drops)
+    Seq((1L, small), (2L, big), (3L, other), (4L, other))
+      .map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.q121Subsume(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("q120 planner equals an exact driver recompute of the S-curve argmin") {
     val grid = for {
       b <- 1 to 16; r <- 1 to 16 if b * r <= 64

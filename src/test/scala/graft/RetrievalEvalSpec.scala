@@ -112,6 +112,31 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
   }
 
+  test("two-stage IVF MaxSim at lossless settings equals brute-force q119") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val brute = keyed(RetrievalQueries.q119Maxsim(spark, SparkSuite.sf001))
+    val ivf = keyed(RetrievalQueries.maxsimIvf(spark, SparkSuite.sf001,
+      nprobe = 1000, candK = 1000000))
+    assert(ivf == brute)
+  }
+
+  test("two-stage IVF MaxSim keeps the self doc first at serving settings") {
+    val rows = RetrievalQueries.maxsimIvf(spark, SparkSuite.sf001,
+      nprobe = 2, candK = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L))
+    // each query chunk's nearest neighbor is itself at any nprobe >= 1,
+    // so the own doc always survives stage 1 and wins stage 2 at 4.0
+    byQ.foreach { case (qd, g) =>
+      val first = g.find(_._4 == 1).get
+      assert(first._2 == qd && first._3 == 4.0)
+    }
+  }
+
   test("q98 ranks through the bounded TopKAgg, not a per-query corpus window") {
     val plan = RetrievalQueries.q98RetrievalEval(spark, SparkSuite.sf001)
       .queryExecution.executedPlan.toString
