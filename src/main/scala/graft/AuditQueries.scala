@@ -161,12 +161,52 @@ object AuditQueries {
       .unionByName(keySkew(t("events"), "user_id", "events.user_id"))
   }
 
+  /** Embedding-space cluster-health audit — the "is this corpus's
+    * vector space actually separable" pre-flight before spending
+    * index-build or contrastive-training budget on it. Per label:
+    * member count, cohesion (mean cosine of members to their own
+    * centroid), the nearest OTHER centroid's similarity, and the
+    * silhouette-style margin (cohesion − nearest-other). A margin near
+    * zero means two labels overlap — the signal that IVF lists will
+    * leak neighbors and hard negatives will be mislabeled positives.
+    *
+    * Scale: centroids are |labels| rows from one partial-merged
+    * [[gf.vector_mean]] aggregate, PINNED (q94's convention — float
+    * partial-merge order must not differ between the three consumers),
+    * then BROADCAST for member scoring (one corpus pass, codegen'd
+    * cosine) and self-joined at |labels|² for separation — the corpus
+    * shuffles only per-label partial sums. */
+  def q122ClusterStats(s: SparkSession, dir: String): DataFrame =
+    clusterStats(Tables.loadP(s, dir, "embeddings").select("label", "embedding"))
+
+  private[graft] def clusterStats(e: DataFrame): DataFrame = {
+    import graft.functions.gf
+    val cent = e.groupBy("label")
+      .agg(gf.vector_mean(col("embedding")).as("centroid"))
+      .localCheckpoint(true)
+    val cohesion = e.join(broadcast(cent), "label")
+      .select(col("label"),
+        (round(gf.cosine_sim(col("embedding"), col("centroid")), 4) + 0.0).as("cs"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), (round(avg("cs"), 4) + 0.0).as("cohesion"))
+    val sep = cent.as("a")
+      .join(broadcast(cent).as("b"), col("a.label") =!= col("b.label"))
+      .select(col("a.label").as("label"),
+        (round(gf.cosine_sim(col("a.centroid"), col("b.centroid")), 4) + 0.0)
+          .as("cc"))
+      .groupBy("label").agg(max("cc").as("nearest_sim"))
+    cohesion.join(broadcast(sep), Seq("label"))
+      .select(col("label"), col("n"), col("cohesion"), col("nearest_sim"),
+        (round(col("cohesion") - col("nearest_sim"), 4) + 0.0).as("margin"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_expectations" -> q112Expectations _,
     "q113_fk_audit" -> q113FkAudit _,
     "q114_drift_monitor" -> q114DriftMonitor _,
     "q115_vector_outliers" -> q115VectorOutliers _,
-    "q116_skew_report" -> q116SkewReport _
+    "q116_skew_report" -> q116SkewReport _,
+    "q122_cluster_stats" -> q122ClusterStats _
   )
 
   private[graft] val scoredCte: String =
@@ -197,6 +237,30 @@ object AuditQueries {
       |      FROM documents)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q122_cluster_stats" ->
+      """WITH cent AS (
+        |  SELECT label, list(CAST(m AS REAL) ORDER BY idx) AS centroid
+        |  FROM (SELECT label, idx, avg(val) AS m
+        |        FROM (SELECT label, unnest(embedding) AS val,
+        |                unnest(generate_series(1, len(embedding))) AS idx
+        |              FROM embeddings)
+        |        GROUP BY label, idx)
+        |  GROUP BY label),
+        |coh AS (
+        |  SELECT v.label, count(*) AS n,
+        |    round(avg(round(CAST(list_cosine_similarity(v.embedding,
+        |      c.centroid) AS DOUBLE), 4) + 0), 4) + 0 AS cohesion
+        |  FROM embeddings v JOIN cent c USING (label)
+        |  GROUP BY v.label),
+        |sep AS (
+        |  SELECT a.label,
+        |    max(round(CAST(list_cosine_similarity(a.centroid, b.centroid)
+        |      AS DOUBLE), 4) + 0) AS nearest_sim
+        |  FROM cent a JOIN cent b ON a.label <> b.label
+        |  GROUP BY a.label)
+        |SELECT label, n, cohesion, nearest_sim,
+        |  round(cohesion - nearest_sim, 4) + 0 AS margin
+        |FROM coh JOIN sep USING (label)""".stripMargin,
     "q114_drift_monitor" ->
       s"""WITH $scoredCte,
          |r AS (

@@ -101,6 +101,46 @@ class AuditSpec extends AnyFunSuite {
     assert(skew.getAs[String]("top_key") == "hot")
   }
 
+  test("q122: cluster stats conserve the corpus and margin is consistent") {
+    val rows = AuditQueries.q122ClusterStats(spark, dir).collect()
+    val e = Tables.load(spark, dir, "embeddings")
+    assert(rows.map(_.getAs[Long]("n")).sum == e.count())
+    assert(rows.map(_.getAs[Int]("label")).toSet ==
+      e.select("label").distinct().collect().map(_.getInt(0)).toSet)
+    rows.foreach { r =>
+      val (coh, near, margin) = (r.getAs[Double]("cohesion"),
+        r.getAs[Double]("nearest_sim"), r.getAs[Double]("margin"))
+      assert(coh >= -1.0 && coh <= 1.0 && near >= -1.0 && near <= 1.0)
+      assert(math.abs(margin - BigDecimal(coh - near)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // the audit's verdict on this fixture is honest: the synthetic
+    // labels are weakly clustered (q98's np1 recall ~0.26 says the
+    // same), so at least one label's margin must be non-positive —
+    // a report claiming clean separation here would be lying
+    assert(rows.exists(_.getAs[Double]("margin") <= 0.0))
+  }
+
+  test("clusterStats separates planted-tight labels and flags overlap") {
+    import spark.implicits._
+    def vec(base: Float, i: Int) =
+      Array(base + i * 0.001f, 1.0f, base * 0.5f, 0.1f * i)
+    // labels 0/1: tight, orthogonal-ish directions; label 2: a copy of
+    // label 0's cloud (full overlap)
+    val rows =
+      (1 to 20).map(i => (0, Array(1.0f, 0.01f * i, 0.0f, 0.0f))) ++
+      (1 to 20).map(i => (1, Array(0.0f, 0.01f * i, 1.0f, 0.0f))) ++
+      (1 to 20).map(i => (2, Array(1.0f, 0.011f * i, 0.0f, 0.0f)))
+    val rep = AuditQueries.clusterStats(rows.toDF("label", "embedding"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getAs[Double]("cohesion"), r.getAs[Double]("margin")))).toMap
+    // tight + distinct => strongly positive margin for label 1
+    assert(rep(1)._2 > 0.25, rep.toString)
+    // labels 0 and 2 overlap almost perfectly => margin ~ 0 or negative
+    assert(rep(0)._2 < 0.01 && rep(2)._2 < 0.01, rep.toString)
+    assert(rep.values.forall(_._1 > 0.9)) // every cloud is itself tight
+  }
+
   test("fkEdge counts orphans exactly and ignores null child keys") {
     import spark.implicits._
     val child = Seq(Some(1L), Some(2L), Some(2L), Some(9L), None)
