@@ -526,11 +526,12 @@ object DedupQueries {
       .filter(col("c") >= 0.9)
       .select(col("doc_small"), col("doc_big"), round(col("c"), 4).as("containment"))
 
-  /** The (da < db, i, na, nb, c) containment pair table over df-capped
-    * shingles — q118's core, shared with the q121 subsumption verdict. */
-  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+  /** doc_id → df-capped distinct shingles with per-doc surviving counts —
+    * the containment family's shared input (q118/q121/q123). The df cap
+    * is the family's quadratic guard (see [[q118Containment]]). */
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     val DF_CAP = 64
-    val sh = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
@@ -538,6 +539,12 @@ object DedupQueries {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "s", "n")
       .localCheckpoint(true) // shingle kernel + df pass once, not per join side
+  }
+
+  /** The (da < db, i, na, nb, c) containment pair table over df-capped
+    * shingles — q118's core, shared with the q121 subsumption verdict. */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
     sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -572,6 +579,38 @@ object DedupQueries {
     t(s, dir, "documents").select("doc_id")
       .join(broadcast(victims), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("subsumed"))
+  }
+
+  /** Cross-corpus containment — the incremental-ingest gate of the
+    * containment family (the q91 counterpart for near-SUPERSETS): an
+    * incoming batch (odd doc_ids stand in for the new crawl slice) is
+    * checked against the existing corpus (even ids), and only
+    * cross-side pairs with C >= 0.9 emit, tagged with DIRECTION —
+    * `new_in_old` (the incoming doc is a redundant copy/quote of
+    * something already held: drop it) vs `old_in_new` (the incoming doc
+    * SUPERSEDES a held doc — the replace-with-richer-version signal an
+    * ingest pipeline acts on, which symmetric gates cannot express).
+    * Size-equal pairs tag `new_in_old`: prefer the copy already stored.
+    *
+    * Scale: the corpus side contributes only rows whose shingle occurs
+    * in the batch (the equi-key semi-filters for free), so downstream
+    * cost is bounded by the batch; the df cap bounds each bucket. */
+  def q123CrossContain(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
+    val corpus = sh.filter(col("doc_id") % 2 === 0)
+    val batch = sh.filter(col("doc_id") % 2 === 1)
+    corpus.as("a")
+      .join(batch.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("doc_old"), col("b.doc_id").as("doc_new"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .select(col("doc_old"), col("doc_new"),
+        (col("i").cast("double") / least(col("na"), col("nb"))).as("c"),
+        when(col("nb") <= col("na"), lit("new_in_old"))
+          .otherwise(lit("old_in_new")).as("direction"))
+      .filter(col("c") >= 0.9)
+      .select(col("doc_old"), col("doc_new"),
+        round(col("c"), 4).as("containment"), col("direction"))
   }
 
   /** LSH banding-parameter planner — the (bands, rows) design table that
@@ -616,6 +655,7 @@ object DedupQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_lsh_planner" -> q120LshPlanner _,
     "q121_subsume" -> q121Subsume _,
+    "q123_cross_contain" -> q123CrossContain _,
     "q118_containment" -> q118Containment _,
     "q117_best_rep" -> q117BestRep _,
     "q100_verify_lsh" -> q100VerifyLsh _,
@@ -811,6 +851,24 @@ object DedupQueries {
         |  round(1 - pow(1 - pow(t - 0.1, r), b), 4) AS p_fp_lo,
         |  round(pow(1 - pow(t + 0.1, r), b), 4) AS p_miss_hi
         |FROM rk WHERE rk = 1""".stripMargin,
+    "q123_cross_contain" ->
+      s"""WITH $shingleCte,
+         |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+         |shc AS (SELECT a.doc_id, a.s FROM sh a JOIN keep k ON a.s = k.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_old, b.doc_id AS doc_new, count(*) AS i
+         |  FROM shc a JOIN shc b ON a.s = b.s
+         |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_old, doc_new, i, sa.n AS na, sb.n AS nb FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_old
+         |  JOIN sizes sb ON sb.doc_id = doc_new)
+         |SELECT doc_old, doc_new,
+         |  round(i * 1.0 / least(na, nb), 4) AS containment,
+         |  CASE WHEN nb <= na THEN 'new_in_old' ELSE 'old_in_new' END AS direction
+         |FROM p WHERE i * 1.0 / least(na, nb) >= 0.9""".stripMargin,
     "q121_subsume" ->
       s"""WITH $shingleCte,
          |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),

@@ -85,6 +85,34 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("q123 tags both ingest directions and ignores same-side pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("crosscontain").toString
+    val a = (1 to 60).map(i => s"ta$i").mkString(" ")
+    val aHead = (1 to 12).map(i => s"ta$i").mkString(" ")
+    val b = (1 to 12).map(i => s"tb$i").mkString(" ")
+    val bPlus = b + " " + (50 to 110).map(i => s"tb$i").mkString(" ")
+    import spark.implicits._
+    Seq(
+      (2L, a), // corpus: the big original
+      (3L, aHead), // incoming: a quote of doc 2 → new_in_old (drop it)
+      (4L, b), // corpus: a short original
+      (5L, bPlus), // incoming: doc 4 expanded → old_in_new (supersede)
+      (7L, (900 to 940).map(i => s"tz$i").mkString(" ")), // incoming, novel
+      (6L, aHead)) // corpus-side copy of doc 3: emits only as the CROSS
+      // pair (6,3) — its same-side containment in doc 2 must NOT emit
+      .map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.q123CrossContain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getString(3)))).toMap
+    assert(got.keySet == Set((2L, 3L), (4L, 5L), (6L, 3L)))
+    assert(got((2L, 3L))._2 == "new_in_old" && got((2L, 3L))._1 == 1.0)
+    assert(got((4L, 5L))._2 == "old_in_new" && got((4L, 5L))._1 == 1.0)
+    // size-equal cross pair prefers the stored copy
+    assert(got((6L, 3L))._2 == "new_in_old")
+  }
+
   test("q120 planner equals an exact driver recompute of the S-curve argmin") {
     val grid = for {
       b <- 1 to 16; r <- 1 to 16 if b * r <= 64
