@@ -526,20 +526,27 @@ object DedupQueries {
       .filter(col("c") >= 0.9)
       .select(col("doc_small"), col("doc_big"), round(col("c"), 4).as("containment"))
 
-  /** doc_id → df-capped distinct shingles with per-doc surviving counts —
-    * the containment family's shared input (q118/q121/q123). The df cap
-    * is the family's quadratic guard (see [[q118Containment]]). */
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
+  /** doc_id → df-capped distinct shingles with per-doc surviving counts
+    * over an arbitrary docs frame — the containment family's corpus-side
+    * input, public so the streaming gate ([[graft.streaming.Streams
+    * .runContainmentGate]]) can precompute it ONCE over the stored
+    * corpus instead of per micro-batch. The df cap is the family's
+    * quadratic guard (see [[q118Containment]]). */
+  def containmentShingles(docs: DataFrame): DataFrame = {
     val DF_CAP = 64
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("df") <= DF_CAP)
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "s", "n")
-      .localCheckpoint(true) // shingle kernel + df pass once, not per join side
   }
+
+  /** [[containmentShingles]] over a testdata dir, pinned — the shared
+    * q118/q121/q123 input (shingle kernel + df pass once per query). */
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    containmentShingles(t(s, dir, "documents")).localCheckpoint(true)
 
   /** The (da < db, i, na, nb, c) containment pair table over df-capped
     * shingles — q118's core, shared with the q121 subsumption verdict. */

@@ -345,6 +345,60 @@ object Streams {
       .withColumn("fp", md5(lower(trim(col("text")))))
       .join(corpusFps.select("fp"), Seq("fp"), "left_anti")
 
+  /** Containment gate on an ingest stream — the incremental twin of
+    * q123 ([[graft.DedupQueries.q123CrossContain]]), completing the
+    * streaming dedup quartet: exact fingerprint
+    * ([[dedupAgainstCorpus]]), syntactic LSH
+    * ([[streamingNeardupPairs]]), semantic ([[semanticGate]]), and
+    * near-superset (here). Runs in foreachBatch because the
+    * per-(corpus-doc, arrival) intersection count is a plain batch
+    * aggregate there — a streaming groupBy would pin every pair key in
+    * the state store forever. Per micro-batch: arrivals explode to
+    * distinct shingles (counts batch-bounded), join the PRECOMPUTED
+    * df-capped corpus shingle table ([[graft.DedupQueries
+    * .containmentShingles]] — pass it pinned/stored, not recomputed) on
+    * the shingle key, and every arrival lands in `outDir` with
+    * `contained` (it is a C ≥ thresh copy of a held doc → drop),
+    * `supersedes` (it strictly extends a held doc → replace), and the
+    * match count. The corpus side is semi-filtered by the batch's
+    * shingles at the equi-join, so each batch costs O(batch), never
+    * O(corpus); only the corpus side is df-capped (an arrival's own
+    * boilerplate can only LOWER its containment — conservative).
+    * Stateless; snapshot semantics as [[dedupAgainstCorpus]]. */
+  def runContainmentGate(docsStream: DataFrame, corpusShingles: DataFrame,
+      outDir: String, checkpointDir: String, thresh: Double = 0.9): Unit = {
+    val q = docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sh = batch.select(col("doc_id"),
+            explode(array_distinct(gf.shingles(col("text"), 3))).as("s"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+          .localCheckpoint(true) // batch-bounded; kernel once, joined once
+        val pairs = corpusShingles.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s"))
+          .groupBy(col("a.doc_id").as("doc_old"), col("b.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("i"),
+            first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+          .withColumn("c", col("i").cast("double") / least(col("na"), col("nb")))
+          .filter(col("c") >= thresh)
+        val verdicts = pairs.groupBy("doc_id")
+          .agg(max(when(col("nb") <= col("na"), 1).otherwise(0)).as("_cont"),
+            max(when(col("nb") > col("na"), 1).otherwise(0)).as("_sup"),
+            count(lit(1)).as("n_matches"))
+        batch.select("doc_id").join(verdicts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_cont") === 1, lit(false)).as("contained"),
+            coalesce(col("_sup") === 1, lit(false)).as("supersedes"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Contamination gate on an ingest stream — the streaming twin of
     * q87: flag (or drop) arriving documents that share ≥ `minShared`
     * distinct shingles with a held-out benchmark set, summarized as a

@@ -113,6 +113,41 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got((6L, 3L))._2 == "new_in_old")
   }
 
+  test("streaming containment gate verdicts match q123 semantics per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpusTexts = Seq(
+      1L -> (1 to 60).map(i => s"ca$i").mkString(" "), // big original
+      2L -> (1 to 12).map(i => s"cb$i").mkString(" ")) // short original
+    val corpusSh = DedupQueries
+      .containmentShingles(corpusTexts.toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    val out = java.nio.file.Files.createTempDirectory("cgate_out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("cgate_ckpt").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    def drain(): Unit =
+      graft.streaming.Streams.runContainmentGate(stream, corpusSh, out, ckpt)
+
+    mem.addData(
+      10L -> (1 to 12).map(i => s"ca$i").mkString(" "), // quote of doc 1
+      11L -> ((1 to 12).map(i => s"cb$i").mkString(" ") + " " +
+        (50 to 90).map(i => s"cx$i").mkString(" ")), // doc 2 expanded
+      12L -> (700 to 740).map(i => s"nz$i").mkString(" ")) // novel
+    drain()
+    mem.addData(13L -> (1 to 60).map(i => s"ca$i").mkString(" ")) // exact copy
+    drain()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L))
+    assert(got(10L) == ((true, false, 1L))) // contained copy → drop
+    assert(got(11L) == ((false, true, 1L))) // supersedes the stored doc
+    assert(got(12L) == ((false, false, 0L))) // novel content passes
+    assert(got(13L) == ((true, false, 1L))) // size-equal tie keeps stored
+  }
+
   test("q120 planner equals an exact driver recompute of the S-curve argmin") {
     val grid = for {
       b <- 1 to 16; r <- 1 to 16 if b * r <= 64
