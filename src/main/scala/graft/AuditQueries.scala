@@ -195,7 +195,9 @@ object AuditQueries {
         (round(gf.cosine_sim(col("a.centroid"), col("b.centroid")), 4) + 0.0)
           .as("cc"))
       .groupBy("label").agg(max("cc").as("nearest_sim"))
-    cohesion.join(broadcast(sep), Seq("label"))
+    // LEFT: a single-label corpus has no "other" centroid — report the
+    // cohesion row with null separation instead of an empty audit
+    cohesion.join(broadcast(sep), Seq("label"), "left")
       .select(col("label"), col("n"), col("cohesion"), col("nearest_sim"),
         (round(col("cohesion") - col("nearest_sim"), 4) + 0.0).as("margin"))
   }
@@ -260,7 +262,7 @@ object AuditQueries {
         |  GROUP BY a.label)
         |SELECT label, n, cohesion, nearest_sim,
         |  round(cohesion - nearest_sim, 4) + 0 AS margin
-        |FROM coh JOIN sep USING (label)""".stripMargin,
+        |FROM coh LEFT JOIN sep USING (label)""".stripMargin,
     "q114_drift_monitor" ->
       s"""WITH $scoredCte,
          |r AS (

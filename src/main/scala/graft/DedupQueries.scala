@@ -23,7 +23,7 @@ object DedupQueries {
     if (name == "documents" || name == "embeddings") Tables.loadP(s, dir, name)
     else Tables.load(s, dir, name)
 
-  private val N = 3 // shingle width (tokens)
+  private[graft] val N = 3 // shingle width (tokens)
   private val K = 16 // minhash signature length
   private val BANDS = 4 // LSH bands (rows per band = K/BANDS = 4)
 
@@ -532,16 +532,30 @@ object DedupQueries {
     * .runContainmentGate]]) can precompute it ONCE over the stored
     * corpus instead of per micro-batch. The df cap is the family's
     * quadratic guard (see [[q118Containment]]). */
-  def containmentShingles(docs: DataFrame): DataFrame = {
-    val DF_CAP = 64
+  def containmentShingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= DF_CAP)
+      .filter(col("df") <= DfCap)
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "s", "n")
-  }
+
+  /** The shingles [[containmentShingles]] DROPPED (df > cap) — the
+    * corpus's boilerplate/stop set. The streaming gate must subtract
+    * these from ARRIVAL shingle counts too: a size computed over raw
+    * arrival shingles against the corpus's capped counts skews the
+    * min() normalization AND the direction tie rule (a boilerplate-
+    * heavy duplicate would read as `supersedes` and replace the stored
+    * doc with a copy). Store this beside the shingle table. */
+  def containmentStopShingles(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap)
+      .select("s")
+
+  private[graft] val DfCap = 64
 
   /** [[containmentShingles]] over a testdata dir, pinned — the shared
     * q118/q121/q123 input (shingle kernel + df pass once per query). */

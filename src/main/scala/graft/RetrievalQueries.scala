@@ -330,21 +330,35 @@ object RetrievalQueries {
     * corpus-wide window anywhere. Self-doc ranks first by construction
     * (every chunk maxes at itself), which `RetrievalEvalSpec` pins. */
   def q119Maxsim(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = chunkFrame(s, dir)
+    maxsimRank(e.crossJoin(broadcast(queryChunks(e)))
+      .select(col("qd"), col("d").as("cd"), col("qv"),
+        (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim")))
+  }
+
+  /** Chunk vectors tagged with their 4-chunk pseudo-document id. */
+  private def chunkFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), expr("vec_id div 4").as("d"))
-    val q = e.filter(col("d") < 2)
+
+  /** The fixed query side: the first two pseudo-documents' chunks. */
+  private def queryChunks(e: DataFrame): DataFrame =
+    e.filter(col("d") < 2)
       .select(col("d").as("qd"), col("vec_id").as("qv"),
         col("embedding").as("qvec"))
-    e.crossJoin(broadcast(q))
-      .select(col("qd"), col("d").as("cd"), col("qv"),
-        (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim"))
+
+  /** Shared MaxSim ranking tail (q119 + [[maxsimIvf]] — the two MUST
+    * stay row-for-row equal at lossless settings, so the scoring
+    * semantics live once): (qd, cd, qv, sim) rows → per-(query, doc)
+    * MaxSim → per-query top-5 via the bounded TopKAgg. */
+  private def maxsimRank(scored: DataFrame): DataFrame =
+    scored
       .groupBy("qd", "cd", "qv").agg(max("sim").as("m"))
       .groupBy("qd", "cd").agg((round(sum("m"), 4) + 0.0).as("score"))
       .groupBy("qd").agg(gf.top_k_by(col("score"), col("cd"), 5).as("tk"))
       .select(col("qd").as("query_doc"), posexplode(col("tk")).as(Seq("pos", "t")))
       .select(col("query_doc"), col("t._2").as("cand_doc"),
         col("t._1").as("score"), (col("pos") + 1).as("rn"))
-  }
 
   /** q119's serving-scale path — the standard two-stage late-interaction
     * architecture (retrieve-then-rerank, the PLAID/ColBERTv2 shape):
@@ -365,8 +379,7 @@ object RetrievalQueries {
   def maxsimIvf(s: SparkSession, dir: String, nprobe: Int,
       candK: Int): DataFrame = {
     import graft.index.IvfIndex
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), expr("vec_id div 4").as("d"))
+    val e = chunkFrame(s, dir)
     val (idx, model) = IvfIndex.build(e, "embedding",
       IvfIndex.Params(listSize = 100, sampleSize = 50000))
     val cached = idx.persist()
@@ -379,19 +392,10 @@ object RetrievalQueries {
       IvfIndex.search(cached, model, "vec_id", "embedding", qvec, candK, nprobe)
         .select(lit(qd).as("qd"), expr("vec_id div 4").as("cd"))
     }.reduce(_ unionByName _).distinct()
-    val qdf = e.filter(col("d") < 2)
-      .select(col("d").as("qd"), col("vec_id").as("qv"),
-        col("embedding").as("qvec"))
-    e.join(broadcast(cands), e("d") === cands("cd"))
-      .join(broadcast(qdf), "qd")
+    maxsimRank(e.join(broadcast(cands), e("d") === cands("cd"))
+      .join(broadcast(queryChunks(e)), "qd")
       .select(col("qd"), col("cd"), col("qv"),
-        (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim"))
-      .groupBy("qd", "cd", "qv").agg(max("sim").as("m"))
-      .groupBy("qd", "cd").agg((round(sum("m"), 4) + 0.0).as("score"))
-      .groupBy("qd").agg(gf.top_k_by(col("score"), col("cd"), 5).as("tk"))
-      .select(col("qd").as("query_doc"), posexplode(col("tk")).as(Seq("pos", "t")))
-      .select(col("query_doc"), col("t._2").as("cand_doc"),
-        col("t._1").as("score"), (col("pos") + 1).as("rn"))
+        (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim")))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

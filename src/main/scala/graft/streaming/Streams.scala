@@ -362,18 +362,26 @@ object Streams {
     * `supersedes` (it strictly extends a held doc → replace), and the
     * match count. The corpus side is semi-filtered by the batch's
     * shingles at the equi-join, so each batch costs O(batch), never
-    * O(corpus); only the corpus side is df-capped (an arrival's own
-    * boilerplate can only LOWER its containment — conservative).
+    * O(corpus). BOTH sides subtract the corpus's stop set
+    * ([[graft.DedupQueries.containmentStopShingles]], stored beside the
+    * shingle table): the corpus counts are df-capped at build time, so
+    * arrival counts must drop the same boilerplate — a raw arrival
+    * count against capped corpus counts would skew min() and flip the
+    * direction tie (a boilerplate-heavy duplicate would read as
+    * `supersedes` and REPLACE the stored doc with a copy).
     * Stateless; snapshot semantics as [[dedupAgainstCorpus]]. */
   def runContainmentGate(docsStream: DataFrame, corpusShingles: DataFrame,
-      outDir: String, checkpointDir: String, thresh: Double = 0.9): Unit = {
+      stopShingles: DataFrame, outDir: String, checkpointDir: String,
+      thresh: Double = 0.9): Unit = {
     val q = docsStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sh = batch.select(col("doc_id"),
-            explode(array_distinct(gf.shingles(col("text"), 3))).as("s"))
+            explode(array_distinct(
+              gf.shingles(col("text"), graft.DedupQueries.N))).as("s"))
+          .join(stopShingles, Seq("s"), "left_anti")
           .withColumn("n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
           .localCheckpoint(true) // batch-bounded; kernel once, joined once

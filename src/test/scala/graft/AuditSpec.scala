@@ -123,8 +123,6 @@ class AuditSpec extends AnyFunSuite {
 
   test("clusterStats separates planted-tight labels and flags overlap") {
     import spark.implicits._
-    def vec(base: Float, i: Int) =
-      Array(base + i * 0.001f, 1.0f, base * 0.5f, 0.1f * i)
     // labels 0/1: tight, orthogonal-ish directions; label 2: a copy of
     // label 0's cloud (full overlap)
     val rows =
@@ -139,6 +137,13 @@ class AuditSpec extends AnyFunSuite {
     // labels 0 and 2 overlap almost perfectly => margin ~ 0 or negative
     assert(rep(0)._2 < 0.01 && rep(2)._2 < 0.01, rep.toString)
     assert(rep.values.forall(_._1 > 0.9)) // every cloud is itself tight
+    // single-label corpus: the audit still reports the cohesion row
+    // (null separation), never an empty frame
+    val solo = AuditQueries.clusterStats(
+      (1 to 10).map(i => (0, Array(1.0f, 0.01f * i, 0.0f, 0.0f)))
+        .toDF("label", "embedding")).collect()
+    assert(solo.length == 1 && solo.head.getAs[Long]("n") == 10L)
+    assert(solo.head.isNullAt(solo.head.fieldIndex("margin")))
   }
 
   test("fkEdge counts orphans exactly and ignores null child keys") {

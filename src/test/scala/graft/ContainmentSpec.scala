@@ -119,15 +119,17 @@ class ContainmentSpec extends AnyFunSuite {
     val corpusTexts = Seq(
       1L -> (1 to 60).map(i => s"ca$i").mkString(" "), // big original
       2L -> (1 to 12).map(i => s"cb$i").mkString(" ")) // short original
-    val corpusSh = DedupQueries
-      .containmentShingles(corpusTexts.toDF("doc_id", "text"))
+    val corpusDf = corpusTexts.toDF("doc_id", "text")
+    val corpusSh = DedupQueries.containmentShingles(corpusDf)
+      .localCheckpoint(true)
+    val stop = DedupQueries.containmentStopShingles(corpusDf)
       .localCheckpoint(true)
     val out = java.nio.file.Files.createTempDirectory("cgate_out").toString + "/o"
     val ckpt = java.nio.file.Files.createTempDirectory("cgate_ckpt").toString
     val mem = MemoryStream[(Long, String)](spark)
     val stream = mem.toDF().toDF("doc_id", "text")
     def drain(): Unit =
-      graft.streaming.Streams.runContainmentGate(stream, corpusSh, out, ckpt)
+      graft.streaming.Streams.runContainmentGate(stream, corpusSh, stop, out, ckpt)
 
     mem.addData(
       10L -> (1 to 12).map(i => s"ca$i").mkString(" "), // quote of doc 1
@@ -146,6 +148,37 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got(11L) == ((false, true, 1L))) // supersedes the stored doc
     assert(got(12L) == ((false, false, 0L))) // novel content passes
     assert(got(13L) == ((true, false, 1L))) // size-equal tie keeps stored
+  }
+
+  test("gate subtracts corpus boilerplate from arrival counts (direction)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // 70 corpus docs share a boilerplate prefix, so its pure shingles
+    // exceed the df cap and are dropped from the CORPUS counts; an
+    // arrival that is an exact copy of one corpus doc must read as a
+    // duplicate (contained) — counting its raw shingles against the
+    // capped corpus counts would flip it to `supersedes` and replace
+    // the stored doc with a copy
+    val boiler = "bp1 bp2 bp3 bp4"
+    val corpusDf = (1 to 70)
+      .map(i => i.toLong -> s"$boiler u${i}a u${i}b u${i}c u${i}d")
+      .toDF("doc_id", "text")
+    val corpusSh = DedupQueries.containmentShingles(corpusDf)
+      .localCheckpoint(true)
+    val stop = DedupQueries.containmentStopShingles(corpusDf)
+      .localCheckpoint(true)
+    assert(stop.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("bp1 bp2 bp3", "bp2 bp3 bp4"))
+    val out = java.nio.file.Files.createTempDirectory("cgate2_out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("cgate2_ckpt").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    mem.addData(500L -> s"$boiler u42a u42b u42c u42d")
+    graft.streaming.Streams.runContainmentGate(stream, corpusSh, stop, out, ckpt)
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got(500L) == ((true, false, 1L)), got.toString)
   }
 
   test("q120 planner equals an exact driver recompute of the S-curve argmin") {
