@@ -539,7 +539,7 @@ object DedupQueries {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("df") <= DfCap)
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select("doc_id", "s", "n")
+      .select("doc_id", "s", "n", "df") // df rides along for q118b's prefix rank
 
   /** The shingles [[containmentShingles]] DROPPED (df > cap) — the
     * corpus's boilerplate/stop set. The streaming gate must subtract
@@ -600,6 +600,57 @@ object DedupQueries {
     t(s, dir, "documents").select("doc_id")
       .join(broadcast(victims), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("subsumed"))
+  }
+
+  /** q118's 100 TB twin — PREFIX-FILTERED containment (the prefix filter
+    * of exact set-similarity joins: Chaudhuri/Ganti/Kaushik ICDE'06,
+    * Xiao et al. PPJoin WWW'08): a pair with C >= 0.9 must share at
+    * least one of the SMALLER side's (⌊n/10⌋ + 1) globally-rarest
+    * shingles — pigeonhole: at most ⌊n/10⌋ of the small side's capped
+    * shingles may miss the other doc, so any (⌊n/10⌋+1)-subset hits it,
+    * and ranking by ascending df makes that subset the one with the
+    * fewest collisions. Candidate generation therefore joins only each
+    * doc's rare-prefix rows (~10% of the shingle table) against the
+    * full table — ~10× less join fan-in than q118's self-join, on keys
+    * chosen to be rare — and the exact verify runs row-local set
+    * intersection over candidates only (the q100 melt shape: the pair
+    * set MELTS to (pair, member) rows so ONE doc_id equi-join attaches
+    * both capped shingle arrays). LOSSLESS by construction; same oracle
+    * as q118 — the two forms must agree row for row. */
+  def q118bContainmentPrefix(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
+    val pref = sh
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
+      .filter(col("r") <= expr("n div 10") + 1)
+      .select(col("doc_id").as("pd"), col("s"))
+    val cands = pref
+      .join(sh.select(col("doc_id").as("od"), col("s")), "s")
+      .filter(col("pd") =!= col("od"))
+      .select(least(col("pd"), col("od")).as("doc_a"),
+        greatest(col("pd"), col("od")).as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set("s").as("sh"))
+    val i = size(array_intersect(col("sha"), col("shb")))
+    val na = size(col("sha"))
+    val nb = size(col("shb"))
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true)
+          .as("sha"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true)
+          .as("shb"))
+      .select(
+        when(na <= nb, col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+        when(na <= nb, col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+        (i.cast("double") / least(na, nb)).as("c"))
+      .filter(col("c") >= 0.9)
+      .select(col("doc_small"), col("doc_big"), round(col("c"), 4).as("containment"))
   }
 
   /** Cross-corpus containment — the incremental-ingest gate of the
@@ -678,6 +729,7 @@ object DedupQueries {
     "q121_subsume" -> q121Subsume _,
     "q123_cross_contain" -> q123CrossContain _,
     "q118_containment" -> q118Containment _,
+    "q118b_containment_prefix" -> q118bContainmentPrefix _,
     "q117_best_rep" -> q117BestRep _,
     "q100_verify_lsh" -> q100VerifyLsh _,
     "q35_bottomk_sketch" -> q35BottomkSketch _,
@@ -790,6 +842,27 @@ object DedupQueries {
        |WHERE a.doc_id >= 10
        |GROUP BY 1, 2
        |HAVING count(*) >= 3""".stripMargin
+
+  private val containmentOracle: String =
+    s"""WITH $shingleCte,
+       |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+       |shc AS (SELECT a.doc_id, a.s FROM sh a JOIN keep k ON a.s = k.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT da, db, i, sa.n AS na, sb.n AS nb FROM inter
+       |  JOIN sizes sa ON sa.doc_id = da
+       |  JOIN sizes sb ON sb.doc_id = db),
+       |c AS (
+       |  SELECT CASE WHEN na <= nb THEN da ELSE db END AS doc_small,
+       |         CASE WHEN na <= nb THEN db ELSE da END AS doc_big,
+       |         i * 1.0 / least(na, nb) AS c
+       |  FROM p)
+       |SELECT doc_small, doc_big, round(c, 4) AS containment
+       |FROM c WHERE c >= 0.9""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q117_best_rep" ->
@@ -909,26 +982,9 @@ object DedupQueries {
          |  FROM p WHERE i * 1.0 / least(na, nb) >= 0.9)
          |SELECT d.doc_id, v.doc_id IS NOT NULL AS subsumed
          |FROM documents d LEFT JOIN v USING (doc_id)""".stripMargin,
-    "q118_containment" ->
-      s"""WITH $shingleCte,
-         |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
-         |shc AS (SELECT a.doc_id, a.s FROM sh a JOIN keep k ON a.s = k.s),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |p AS (
-         |  SELECT da, db, i, sa.n AS na, sb.n AS nb FROM inter
-         |  JOIN sizes sa ON sa.doc_id = da
-         |  JOIN sizes sb ON sb.doc_id = db),
-         |c AS (
-         |  SELECT CASE WHEN na <= nb THEN da ELSE db END AS doc_small,
-         |         CASE WHEN na <= nb THEN db ELSE da END AS doc_big,
-         |         i * 1.0 / least(na, nb) AS c
-         |  FROM p)
-         |SELECT doc_small, doc_big, round(c, 4) AS containment
-         |FROM c WHERE c >= 0.9""".stripMargin,
+    "q118_containment" -> containmentOracle,
+    // the prefix-filtered form is LOSSLESS: one oracle, two plans
+    "q118b_containment_prefix" -> containmentOracle,
     "q21_minhash_lsh" ->
       s"""WITH $shingleCte,
          |$lshBandsCte

@@ -69,6 +69,15 @@ class ContainmentSpec extends AnyFunSuite {
     assert(DedupQueries.q22JaccardNeardup(spark, dir).collect().isEmpty)
   }
 
+  test("prefix-filtered q118b equals the full-join q118 row for row") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = keyed(DedupQueries.q118Containment(spark, SparkSuite.sf0001))
+    val pref = keyed(DedupQueries.q118bContainmentPrefix(spark, SparkSuite.sf0001))
+    assert(pref == full && full.nonEmpty)
+  }
+
   test("q121 subsumption drops the contained copy and keeps the superset") {
     val dir = java.nio.file.Files.createTempDirectory("subsume").toString
     val small = (1 to 12).map(i => s"tok$i").mkString(" ")
