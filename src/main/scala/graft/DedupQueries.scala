@@ -724,7 +724,41 @@ object DedupQueries {
           .as("p_miss_hi"))
   }
 
+  /** The fused dedup VERDICT table — what a curation run actually
+    * materializes before export: one row per document carrying all
+    * three resolution verdicts side by side, and the conjunction the
+    * trainer consumes. `fp_keep` = first copy of its exact fingerprint
+    * (q18's canon — also covers shingle-less docs the pair graph never
+    * sees); `rep_keep` = the quality-best member of its near-dup
+    * cluster (q117's rule); `subsumed` = contained in some larger doc
+    * (q121); `keep` = fp_keep ∧ rep_keep ∧ ¬subsumed. Composing the
+    * verdicts in ONE table (instead of three sequential filter passes)
+    * is what lets the rejection report say WHY each doc died and lets
+    * the export read one boolean.
+    *
+    * Scale: the fingerprint canon shuffles on fp (the q18 shape), the
+    * cluster verdicts ride q117's pair-graph-sized machinery with its
+    * broadcast join-backs, the subsumption verdict broadcasts its
+    * victim set — three verdict joins on doc_id, all broadcast-sized
+    * except the corpus-keyed fp canon. */
+  def q124DedupVerdict(s: SparkSession, dir: String): DataFrame = {
+    val fps = t(s, dir, "documents")
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+    val fcanon = fps.groupBy("fp").agg(min("doc_id").as("fp_canon"))
+    val rep = q117BestRep(s, dir)
+      .select(col("doc_id"), col("cluster_id"), col("keep").as("rep_keep"))
+    val sub = q121Subsume(s, dir)
+    fps.join(fcanon, "fp")
+      .select(col("doc_id"), (col("doc_id") === col("fp_canon")).as("fp_keep"))
+      .join(rep, "doc_id")
+      .join(sub, "doc_id")
+      .select(col("doc_id"), col("fp_keep"), col("cluster_id"),
+        col("rep_keep"), col("subsumed"),
+        (col("fp_keep") && col("rep_keep") && !col("subsumed")).as("keep"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_dedup_verdict" -> q124DedupVerdict _,
     "q120_lsh_planner" -> q120LshPlanner _,
     "q121_subsume" -> q121Subsume _,
     "q123_cross_contain" -> q123CrossContain _,
@@ -865,6 +899,55 @@ object DedupQueries {
        |FROM c WHERE c >= 0.9""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q124_dedup_verdict" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jp),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+         |comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+         |${graft.AuditQueries.scoredCte},
+         |lab AS (
+         |  SELECT s.doc_id, s.q, coalesce(c.comp, s.doc_id) AS cluster_id
+         |  FROM scored s LEFT JOIN comp c ON c.node = s.doc_id),
+         |bq AS (SELECT cluster_id, max(q) AS mq FROM lab GROUP BY cluster_id),
+         |bestid AS (
+         |  SELECT l.cluster_id, min(l.doc_id) AS best_doc
+         |  FROM lab l JOIN bq b ON l.cluster_id = b.cluster_id AND l.q = b.mq
+         |  GROUP BY l.cluster_id),
+         |ckeep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+         |cshc AS (SELECT a.doc_id, a.s FROM sh a JOIN ckeep k ON a.s = k.s),
+         |csizes AS (SELECT doc_id, count(*) AS n FROM cshc GROUP BY doc_id),
+         |cinter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM cshc a JOIN cshc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cp AS (
+         |  SELECT da, db, i, sa.n AS na, sb.n AS nb FROM cinter
+         |  JOIN csizes sa ON sa.doc_id = da
+         |  JOIN csizes sb ON sb.doc_id = db),
+         |v AS (
+         |  SELECT DISTINCT CASE WHEN na < nb THEN da
+         |    WHEN nb < na THEN db ELSE greatest(da, db) END AS doc_id
+         |  FROM cp WHERE i * 1.0 / least(na, nb) >= 0.9),
+         |fps AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+         |fcanon AS (SELECT fp, min(doc_id) AS fp_canon FROM fps GROUP BY fp)
+         |SELECT l.doc_id,
+         |  f.doc_id = fc.fp_canon AS fp_keep,
+         |  l.cluster_id,
+         |  l.doc_id = b.best_doc AS rep_keep,
+         |  v.doc_id IS NOT NULL AS subsumed,
+         |  (f.doc_id = fc.fp_canon AND l.doc_id = b.best_doc
+         |    AND v.doc_id IS NULL) AS keep
+         |FROM lab l
+         |JOIN bestid b USING (cluster_id)
+         |JOIN fps f ON f.doc_id = l.doc_id
+         |JOIN fcanon fc ON fc.fp = f.fp
+         |LEFT JOIN v ON v.doc_id = l.doc_id""".stripMargin,
     "q117_best_rep" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
          |edges AS (

@@ -190,6 +190,28 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got(500L) == ((true, false, 1L)), got.toString)
   }
 
+  test("q124 fused verdict composes fp, cluster-rep, and subsumption rules") {
+    val dir = java.nio.file.Files.createTempDirectory("verdict").toString
+    val base = (1 to 20).map(i => s"vt$i").mkString(" ")
+    val sup = base + " " + (100 to 160).map(i => s"vp$i").mkString(" ")
+    val other = (800 to 840).map(i => s"vo$i").mkString(" ")
+    import spark.implicits._
+    // 1 = original; 2 = exact copy (fp dup + J=1 cluster with 1);
+    // 3 = superset of the base text (subsumes 1 and 2); 4 = unrelated
+    Seq((1L, base), (2L, base), (3L, sup), (4L, other))
+      .map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.q124DedupVerdict(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    //            fp_keep cluster rep_keep subsumed keep
+    assert(got(1L) == ((true, 1L, true, true, false))) // superseded by 3
+    assert(got(2L) == ((false, 1L, false, true, false))) // copy, every rule
+    assert(got(3L) == ((true, 3L, true, false, true))) // the superset wins
+    assert(got(4L) == ((true, 4L, true, false, true))) // untouched
+  }
+
   test("q120 planner equals an exact driver recompute of the S-curve argmin") {
     val grid = for {
       b <- 1 to 16; r <- 1 to 16 if b * r <= 64
