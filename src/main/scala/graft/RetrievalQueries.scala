@@ -329,9 +329,14 @@ object RetrievalQueries {
     * [[gf.TopKAgg]] — each task ships ≤ 5 rows per query, no
     * corpus-wide window anywhere. Self-doc ranks first by construction
     * (every chunk maxes at itself), which `RetrievalEvalSpec` pins. */
-  def q119Maxsim(s: SparkSession, dir: String): DataFrame = {
+  def q119Maxsim(s: SparkSession, dir: String): DataFrame =
+    maxsimBrute(s, dir, nQueryDocs = 2)
+
+  /** q119's body with a configurable query-doc count (the oracle pins
+    * nQueryDocs = 2; the calibration probe sweeps a wider set). */
+  def maxsimBrute(s: SparkSession, dir: String, nQueryDocs: Int): DataFrame = {
     val e = chunkFrame(s, dir)
-    maxsimRank(e.crossJoin(broadcast(queryChunks(e)))
+    maxsimRank(e.crossJoin(broadcast(queryChunks(e, nQueryDocs)))
       .select(col("qd"), col("d").as("cd"), col("qv"),
         (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim")))
   }
@@ -341,9 +346,9 @@ object RetrievalQueries {
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), expr("vec_id div 4").as("d"))
 
-  /** The fixed query side: the first two pseudo-documents' chunks. */
-  private def queryChunks(e: DataFrame): DataFrame =
-    e.filter(col("d") < 2)
+  /** The fixed query side: the first `nQueryDocs` pseudo-docs' chunks. */
+  private def queryChunks(e: DataFrame, nQueryDocs: Int = 2): DataFrame =
+    e.filter(col("d") < nQueryDocs)
       .select(col("d").as("qd"), col("vec_id").as("qv"),
         col("embedding").as("qvec"))
 
@@ -377,14 +382,14 @@ object RetrievalQueries {
     * probe loop is driver-bounded (8 chunks), the same shape as
     * [[hardNegativesIvf]] and the bench's search loop. */
   def maxsimIvf(s: SparkSession, dir: String, nprobe: Int,
-      candK: Int): DataFrame = {
+      candK: Int, nQueryDocs: Int = 2): DataFrame = {
     import graft.index.IvfIndex
     val e = chunkFrame(s, dir)
     val (idx, model) = IvfIndex.build(e, "embedding",
       IvfIndex.Params(listSize = 100, sampleSize = 50000))
     val cached = idx.persist()
     cached.count()
-    val qchunks = e.filter(col("d") < 2)
+    val qchunks = e.filter(col("d") < nQueryDocs)
       .select("d", "vec_id", "embedding").collect()
     val cands = qchunks.map { row =>
       val qd = row.getLong(0)
@@ -393,7 +398,7 @@ object RetrievalQueries {
         .select(lit(qd).as("qd"), expr("vec_id div 4").as("cd"))
     }.reduce(_ unionByName _).distinct()
     maxsimRank(e.join(broadcast(cands), e("d") === cands("cd"))
-      .join(broadcast(queryChunks(e)), "qd")
+      .join(broadcast(queryChunks(e, nQueryDocs)), "qd")
       .select(col("qd"), col("cd"), col("qv"),
         (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim")))
   }
