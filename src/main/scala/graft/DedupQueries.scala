@@ -444,26 +444,34 @@ object DedupQueries {
     * core) — see [[q100VerifyLsh]]'s scaladoc for the melt shape. */
   private def verifyCandidatePairs(s: SparkSession, dir: String,
       cands: DataFrame): DataFrame = {
-    val melt = cands.select(col("doc_a"), col("doc_b"),
-      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     val sets = t(s, dir, "documents").select(col("doc_id"),
       array_distinct(gf.shingles(col("text"), N)).as("sh"))
     val i = size(array_intersect(col("sha"), col("shb")))
     val na = size(col("sha"))
     val nb = size(col("shb"))
-    melt.join(sets, "doc_id")
-      .groupBy("doc_a", "doc_b")
-      .agg(
-        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true)
-          .as("sha"),
-        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true)
-          .as("shb"))
+    attachPairArrays(cands, sets)
       .filter(na > 0 && nb > 0) // J undefined on shingle-less docs
       .select(col("doc_a"), col("doc_b"),
         (i.cast("double") / (na + nb - i)).as("j"))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
+
+  /** The q100 melt shape, shared by every candidate-verify stage: melt
+    * (doc_a, doc_b) pairs to (pair, member) rows so ONE doc_id
+    * equi-join attaches both members' shingle arrays — (doc_a, doc_b,
+    * sha, shb). `sets` must carry (doc_id, sh). */
+  private def attachPairArrays(cands: DataFrame, sets: DataFrame): DataFrame =
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true)
+          .as("sha"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true)
+          .as("shb"))
 
   /** Quality-aware near-dup resolution — the PRODUCTION representative
     * rule: inside every near-dup cluster keep the HIGHEST-quality member
@@ -589,18 +597,22 @@ object DedupQueries {
     * BROADCASTS onto one corpus id scan for the verdict join — the
     * corpus itself never shuffles. */
   def q121Subsume(s: SparkSession, dir: String): DataFrame = {
-    val victims = containmentPairs(s, dir)
+    val victims = subsumptionVictims(s, dir).withColumn("hit", lit(true))
+    t(s, dir, "documents").select("doc_id")
+      .join(broadcast(victims), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("subsumed"))
+  }
+
+  /** The distinct subsumption victim ids — q121's core set, shared with
+    * the q124 fused verdict. Pair-graph-sized. */
+  private def subsumptionVictims(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(s, dir)
       .filter(col("c") >= 0.9)
       .select(
         when(col("na") < col("nb"), col("da"))
           .when(col("nb") < col("na"), col("db"))
           .otherwise(greatest(col("da"), col("db"))).as("doc_id"))
       .distinct()
-      .withColumn("hit", lit(true))
-    t(s, dir, "documents").select("doc_id")
-      .join(broadcast(victims), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("subsumed"))
-  }
 
   /** q118's 100 TB twin — PREFIX-FILTERED containment (the prefix filter
     * of exact set-similarity joins: Chaudhuri/Ganti/Kaushik ICDE'06,
@@ -635,16 +647,7 @@ object DedupQueries {
     val i = size(array_intersect(col("sha"), col("shb")))
     val na = size(col("sha"))
     val nb = size(col("shb"))
-    cands
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(sets, "doc_id")
-      .groupBy("doc_a", "doc_b")
-      .agg(
-        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true)
-          .as("sha"),
-        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true)
-          .as("shb"))
+    attachPairArrays(cands, sets)
       .select(
         when(na <= nb, col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
         when(na <= nb, col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
@@ -736,25 +739,45 @@ object DedupQueries {
     * is what lets the rejection report say WHY each doc died and lets
     * the export read one boolean.
     *
-    * Scale: the fingerprint canon shuffles on fp (the q18 shape), the
-    * cluster verdicts ride q117's pair-graph-sized machinery with its
-    * broadcast join-backs, the subsumption verdict broadcasts its
-    * victim set — three verdict joins on doc_id, all broadcast-sized
-    * except the corpus-keyed fp canon. */
+    * Scale: ONE corpus-keyed shuffle — the fp window (q18's canon
+    * shape, which also yields fp_keep inline with no join-back); every
+    * other verdict input is an EXCEPTION SET, not a corpus copy:
+    * cluster members with their rep verdict (dup-cluster-sized) and
+    * the subsumption victims (pair-graph-sized) LEFT-join the spine
+    * broadcast, and non-members default row-locally (cluster = self,
+    * rep_keep = true). NULL text folds to the empty fingerprint so a
+    * null-text doc gets an explicit verdict instead of silently
+    * vanishing through a null-key join. */
   def q124DedupVerdict(s: SparkSession, dir: String): DataFrame = {
-    val fps = t(s, dir, "documents")
-      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
-    val fcanon = fps.groupBy("fp").agg(min("doc_id").as("fp_canon"))
-    val rep = q117BestRep(s, dir)
-      .select(col("doc_id"), col("cluster_id"), col("keep").as("rep_keep"))
-    val sub = q121Subsume(s, dir)
-    fps.join(fcanon, "fp")
-      .select(col("doc_id"), (col("doc_id") === col("fp_canon")).as("fp_keep"))
-      .join(rep, "doc_id")
-      .join(sub, "doc_id")
-      .select(col("doc_id"), col("fp_keep"), col("cluster_id"),
-        col("rep_keep"), col("subsumed"),
-        (col("fp_keep") && col("rep_keep") && !col("subsumed")).as("keep"))
+    val docs = t(s, dir, "documents")
+    val spine = docs
+      .select(col("doc_id"),
+        md5(coalesce(lower(trim(col("text"))), lit(""))).as("fp"))
+      .withColumn("fp_keep",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
+      .select("doc_id", "fp_keep")
+    val comps = graft.operators.DedupOps
+      .connectedComponents(q22JaccardNeardup(s, dir), "doc_a", "doc_b")
+    val memberQ = docs
+      .select(col("doc_id"),
+        round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
+      .join(broadcast(comps), col("doc_id") === col("node"))
+    val best = memberQ.groupBy("comp")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("comp"), (-col("b.nid")).as("best_doc"))
+    val members = memberQ.join(broadcast(best), Seq("comp"))
+      .select(col("doc_id"), col("comp").as("_cl"),
+        (col("doc_id") === col("best_doc")).as("_repk"))
+    val victims = subsumptionVictims(s, dir).withColumn("_sub", lit(true))
+    spine
+      .join(broadcast(members), Seq("doc_id"), "left")
+      .join(broadcast(victims), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp_keep"),
+        coalesce(col("_cl"), col("doc_id")).as("cluster_id"),
+        coalesce(col("_repk"), lit(true)).as("rep_keep"),
+        coalesce(col("_sub"), lit(false)).as("subsumed"),
+        (col("fp_keep") && coalesce(col("_repk"), lit(true)) &&
+          !coalesce(col("_sub"), lit(false))).as("keep"))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -911,14 +934,17 @@ object DedupQueries {
          |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
          |comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
          |${graft.AuditQueries.scoredCte},
-         |lab AS (
-         |  SELECT s.doc_id, s.q, coalesce(c.comp, s.doc_id) AS cluster_id
-         |  FROM scored s LEFT JOIN comp c ON c.node = s.doc_id),
-         |bq AS (SELECT cluster_id, max(q) AS mq FROM lab GROUP BY cluster_id),
+         |memberq AS (
+         |  SELECT s.doc_id, s.q, c.comp
+         |  FROM scored s JOIN comp c ON c.node = s.doc_id),
+         |bq AS (SELECT comp, max(q) AS mq FROM memberq GROUP BY comp),
          |bestid AS (
-         |  SELECT l.cluster_id, min(l.doc_id) AS best_doc
-         |  FROM lab l JOIN bq b ON l.cluster_id = b.cluster_id AND l.q = b.mq
-         |  GROUP BY l.cluster_id),
+         |  SELECT m.comp, min(m.doc_id) AS best_doc
+         |  FROM memberq m JOIN bq b ON m.comp = b.comp AND m.q = b.mq
+         |  GROUP BY m.comp),
+         |members AS (
+         |  SELECT m.doc_id, m.comp AS cl, m.doc_id = b.best_doc AS repk
+         |  FROM memberq m JOIN bestid b USING (comp)),
          |ckeep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
          |cshc AS (SELECT a.doc_id, a.s FROM sh a JOIN ckeep k ON a.s = k.s),
          |csizes AS (SELECT doc_id, count(*) AS n FROM cshc GROUP BY doc_id),
@@ -934,20 +960,20 @@ object DedupQueries {
          |  SELECT DISTINCT CASE WHEN na < nb THEN da
          |    WHEN nb < na THEN db ELSE greatest(da, db) END AS doc_id
          |  FROM cp WHERE i * 1.0 / least(na, nb) >= 0.9),
-         |fps AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
-         |fcanon AS (SELECT fp, min(doc_id) AS fp_canon FROM fps GROUP BY fp)
-         |SELECT l.doc_id,
-         |  f.doc_id = fc.fp_canon AS fp_keep,
-         |  l.cluster_id,
-         |  l.doc_id = b.best_doc AS rep_keep,
+         |spine AS (
+         |  SELECT doc_id,
+         |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS fp_keep
+         |  FROM (SELECT doc_id,
+         |          md5(coalesce(lower(trim(text)), '')) AS fp
+         |        FROM documents))
+         |SELECT sp.doc_id, sp.fp_keep,
+         |  coalesce(m.cl, sp.doc_id) AS cluster_id,
+         |  coalesce(m.repk, true) AS rep_keep,
          |  v.doc_id IS NOT NULL AS subsumed,
-         |  (f.doc_id = fc.fp_canon AND l.doc_id = b.best_doc
-         |    AND v.doc_id IS NULL) AS keep
-         |FROM lab l
-         |JOIN bestid b USING (cluster_id)
-         |JOIN fps f ON f.doc_id = l.doc_id
-         |JOIN fcanon fc ON fc.fp = f.fp
-         |LEFT JOIN v ON v.doc_id = l.doc_id""".stripMargin,
+         |  (sp.fp_keep AND coalesce(m.repk, true) AND v.doc_id IS NULL) AS keep
+         |FROM spine sp
+         |LEFT JOIN members m USING (doc_id)
+         |LEFT JOIN v ON v.doc_id = sp.doc_id""".stripMargin,
     "q117_best_rep" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
          |edges AS (

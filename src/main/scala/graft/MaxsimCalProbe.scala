@@ -31,9 +31,19 @@ object MaxsimCalProbe {
         .mapValues(_.map(_.getLong(1)).toSet).toMap
 
     val brute = topSets(RetrievalQueries.maxsimBrute(spark, dir, nq))
+    // ONE index build for the whole grid: each cell times only the
+    // candidate search + rerank — the budget cost the probe exists to
+    // measure — not a repeated k-means
+    val e = RetrievalQueries.chunkFrameFor(spark, dir)
+    val (idx, model) = graft.index.IvfIndex.build(e, "embedding",
+      graft.index.IvfIndex.Params(listSize = 100, sampleSize = 50000))
+    val cached = idx.persist()
+    cached.count()
+    def cell(np: Int, ck: Int): Map[Long, Set[Long]] =
+      topSets(RetrievalQueries.maxsimIvfWith(e, cached, model, np, ck, nq))
     val cells = for (np <- Seq(1, 2, 4); ck <- Seq(4, 16, 64)) yield {
       val t0 = System.nanoTime()
-      val got = topSets(RetrievalQueries.maxsimIvf(spark, dir, np, ck, nq))
+      val got = cell(np, ck)
       val sec = (System.nanoTime() - t0) / 1e9
       val recall = brute.map { case (q, want) =>
         (got.getOrElse(q, Set.empty) intersect want).size.toDouble / want.size
@@ -41,8 +51,10 @@ object MaxsimCalProbe {
       require(recall > 0.0, s"np=$np ck=$ck retrieved nothing")
       f"""{"nprobe":$np,"cand_k":$ck,"recall5":$recall%.4f,"sec":$sec%.2f}"""
     }
-    // sanity: the lossless corner must be exact
-    val lossless = topSets(RetrievalQueries.maxsimIvf(spark, dir, 1000, 1000000, nq))
+    // sanity: the lossless corner (every list probed, candidate budget
+    // >= corpus — nprobe derived unbounded, not a magic constant that a
+    // bigger corpus outgrows) must be exact
+    val lossless = cell(Int.MaxValue, Int.MaxValue)
     require(lossless == brute, "lossless settings diverged from brute force")
     println(s"""{"probe":"maxsim_cal","n_queries":$nq,"sf":"$dir",""" +
       s""""grid":[${cells.mkString(",")}]}""")

@@ -389,6 +389,16 @@ object RetrievalQueries {
       IvfIndex.Params(listSize = 100, sampleSize = 50000))
     val cached = idx.persist()
     cached.count()
+    maxsimIvfWith(e, cached, model, nprobe, candK, nQueryDocs)
+  }
+
+  /** [[maxsimIvf]] against a PREBUILT index — the calibration probe
+    * sweeps the (nprobe, candK) grid against one build instead of
+    * rebuilding (and re-caching) the index per cell. */
+  def maxsimIvfWith(e: DataFrame, cached: DataFrame,
+      model: graft.index.IvfIndex.Model, nprobe: Int, candK: Int,
+      nQueryDocs: Int): DataFrame = {
+    import graft.index.IvfIndex
     val qchunks = e.filter(col("d") < nQueryDocs)
       .select("d", "vec_id", "embedding").collect()
     val cands = qchunks.map { row =>
@@ -402,6 +412,10 @@ object RetrievalQueries {
       .select(col("qd"), col("cd"), col("qv"),
         (round(gf.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim")))
   }
+
+  /** The probe's entry to [[chunkFrame]] (private otherwise). */
+  private[graft] def chunkFrameFor(s: SparkSession, dir: String): DataFrame =
+    chunkFrame(s, dir)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_maxsim" -> q119Maxsim _,
