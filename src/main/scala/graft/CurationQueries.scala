@@ -674,29 +674,47 @@ object CurationQueries {
     * join → row-local explode(sequence) — the fact table never
     * shuffles, and the fan-out per row is the planned epoch factor,
     * never unbounded. */
-  def q111MixtureApply(s: SparkSession, dir: String): DataFrame = {
+  def q111MixtureApply(s: SparkSession, dir: String): DataFrame =
+    applyMixture(t(s, dir, "documents").select(col("doc_id"), col("source")),
+      mixtureRates(s, dir))
+      .select("doc_id", "source", "copy")
+
+  /** The |sources|-row mixture rate table (base copies, fractional
+    * remainder, denominator) the q111 rule consumes — built from one
+    * partial-agg corpus scan and a broadcast 1-row total. Public so the
+    * mixture-aware shard export feeds the SAME plan the oracle gates. */
+  def mixtureRates(s: SparkSession, dir: String): DataFrame = {
     val perSrc = t(s, dir, "documents")
       .select(col("source"), gf.token_count(col("text")).cast("long").as("toks"))
       .groupBy("source").agg(sum("toks").as("tokens"))
     val tot = perSrc.agg(sum("tokens").as("t_total"),
       (count(lit(1)) * 2).as("k"))
-    val rates = perSrc.crossJoin(broadcast(tot))
+    perSrc.crossJoin(broadcast(tot))
       .selectExpr("source",
         "t_total div (k * tokens) AS base",
         "t_total % (k * tokens) AS rem",
         "k * tokens AS den")
+  }
+
+  /** q111's integer-exact materialization rule over an ARBITRARY doc
+    * frame (must carry doc_id + source): floor(e) copies per doc plus
+    * the u·den < 2^32·rem fractional-epoch extra — deterministic and
+    * bit-reproducible, living ONCE so q111 and the mixture-aware shard
+    * export ([[graft.sources.TrainingExport.exportMixedShards]]) cannot
+    * drift. Keeps every input column and adds `copy`; the rate table
+    * broadcasts and the fan-out per row is the planned epoch factor. */
+  def applyMixture(docs: DataFrame, rates: DataFrame): DataFrame = {
     val u = conv(substring(
         md5(concat(lit("mix"), col("doc_id").cast("string")).cast("binary")),
         1, 8), 16, 10).cast("long")
-    t(s, dir, "documents").select(col("doc_id"), col("source"))
-      .join(broadcast(rates), "source")
+    docs.join(broadcast(rates), "source")
       .withColumn("n_copies", col("base") +
         when(u.cast("decimal(38,0)") * col("den") <
           col("rem").cast("decimal(38,0)") * lit(4294967296L), 1L)
           .otherwise(0L))
       .filter(col("n_copies") > 0)
-      .select(col("doc_id"), col("source"),
-        explode(expr("sequence(CAST(1 AS BIGINT), n_copies)")).as("copy"))
+      .withColumn("copy", explode(expr("sequence(CAST(1 AS BIGINT), n_copies)")))
+      .drop("base", "rem", "den", "n_copies")
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

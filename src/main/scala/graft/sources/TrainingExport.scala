@@ -66,6 +66,40 @@ object TrainingExport {
     stats
   }
 
+  /** Mixture-aware export — q111's plan REALIZED directly into epoch
+    * shards with no materialized duplicated corpus in between: `rates`
+    * is the |sources|-row mixture table ([[graft.CurationQueries
+    * .mixtureRates]]), applied row-locally by the shared integer-exact
+    * rule while the rows stream toward the shard writer. Each
+    * (doc_id, copy) instance is an INDEPENDENT sample: shard and order
+    * derive from (seed, doc_id, copy), so a 2.4-epoch source's copies
+    * scatter across shards and positions instead of clumping — the
+    * difference between "2.4 epochs of X" and "the same shard twice".
+    * The digest term includes `copy`, because xor over per-row hashes
+    * of IDENTICAL text copies would cancel in pairs and let a tamper
+    * that removes both copies pass verification. Same one-shuffle
+    * write and manifest contract as [[exportShards]]; [[verifyShards]]
+    * certifies mixed exports transparently (the written rows carry
+    * `copy`, and the stat digest keys on it when present). */
+  def exportMixedShards(docs: DataFrame, rates: DataFrame, outDir: String,
+      nShards: Int, seed: Long): Seq[ShardStat] = {
+    val spark = docs.sparkSession
+    val st = graft.CurationQueries.applyMixture(docs, rates)
+      .withColumn("shard",
+        pmod(xxhash64(lit(seed), col("doc_id"), col("copy")), lit(nShards))
+          .cast("int"))
+      .withColumn("_ord",
+        md5(concat_ws(":", lit(seed), col("doc_id"), col("copy")).cast("binary")))
+      .withColumn("tokens", gf.token_count(col("text")).cast("long"))
+    st.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_ord"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("shard").parquet(outDir)
+    val stats = shardStats(st)
+    writeManifest(spark, outDir, nShards, seed, stats)
+    stats
+  }
+
   /** Incremental append — the streaming/continuous-curation twin of
     * [[exportShards]]: stamp the batch, append its rows into the shard
     * directories, and MERGE the manifest (rows and tokens add, digests
@@ -102,14 +136,21 @@ object TrainingExport {
         parts.map(_.digest).reduce(_ ^ _))
     }.toSeq.sortBy(_.shard)
 
-  private def shardStats(st: DataFrame): Seq[ShardStat] =
+  private def shardStats(st: DataFrame): Seq[ShardStat] = {
+    // mixed exports carry `copy`: it must enter the digest or two
+    // identical-text copies xor-cancel each other out of the manifest
+    val digest =
+      if (st.columns.contains("copy"))
+        expr("bit_xor(xxhash64(doc_id, copy, text))")
+      else expr("bit_xor(xxhash64(doc_id, text))")
     st.groupBy(col("shard"))
       .agg(count(lit(1)).as("rows"),
         sum("tokens").as("tokens"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("digest"))
+        digest.as("digest"))
       .collect()
       .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_.shard).toSeq
+  }
 
   // underscore prefix: Spark/Hadoop file indexes treat _-prefixed files
   // as metadata, so the manifest can live inside the parquet root

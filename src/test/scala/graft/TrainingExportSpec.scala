@@ -108,6 +108,59 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(manifest == batch)
   }
 
+  private def docsSrc = Tables.load(spark, dir, "documents")
+    .select("doc_id", "text", "lang", "source")
+
+  test("mixed export realizes exactly q111's multiplicities, certified") {
+    val d = tmp()
+    val rates = CurationQueries.mixtureRates(spark, dir)
+    val m = TrainingExport.exportMixedShards(docsSrc, rates, d, 8, seed = 3L)
+    val want = CurationQueries.q111MixtureApply(spark, dir)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val written = spark.read.parquet(d)
+    val got = written.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "export multiplicities must equal the q111 plan")
+    assert(m.map(_.rows).sum == want.values.sum)
+    assert(TrainingExport.verifyShards(spark, d).isEmpty)
+    // copies are independent samples: every copy of a doc gets its own
+    // deterministic order key, so they scatter instead of clumping
+    val ords = written.select("doc_id", "_ord").collect()
+      .groupBy(_.getLong(0)).values
+    assert(ords.forall(g => g.map(_.getString(1)).distinct.length == g.length))
+  }
+
+  test("identical-text copies cannot cancel out of the mixed digest") {
+    val d = tmp()
+    // force exactly 2 copies of every doc: identical text, copy 1 and 2
+    val rates = docsSrc.select("source").distinct()
+      .selectExpr("source", "CAST(2 AS BIGINT) AS base",
+        "CAST(0 AS BIGINT) AS rem", "CAST(1 AS BIGINT) AS den")
+    TrainingExport.exportMixedShards(docsSrc, rates, d, 4, seed = 11L)
+    assert(TrainingExport.verifyShards(spark, d).isEmpty)
+    // substitution tamper that a copy-free digest cannot see: replace a
+    // doc's copy=2 row with a second copy=1 row — same doc_id, same
+    // text, same row count, same tokens; only the copy value changed
+    val rows = spark.read.parquet(d)
+    val target = rows.filter(col("copy") === 2L).select("doc_id", "shard").head()
+    val (tDoc, tShard) = (target.getLong(0), target.getInt(1))
+    val shardRows = spark.read.parquet(s"$d/shard=$tShard").collect()
+    val schema = spark.read.parquet(s"$d/shard=$tShard").schema
+    val copyIdx = schema.fieldIndex("copy")
+    val docIdx = schema.fieldIndex("doc_id")
+    val forged = shardRows.map { r =>
+      if (r.getLong(docIdx) == tDoc && r.getLong(copyIdx) == 2L)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(copyIdx, 1L))
+      else r
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(forged.toSeq), schema)
+      .write.mode("overwrite").parquet(s"$d/shard=$tShard")
+    assert(TrainingExport.verifyShards(spark, d) == Seq(tShard))
+  }
+
   test("verifyShards certifies intact output and pinpoints a tampered shard") {
     val d = tmp()
     TrainingExport.exportShards(docs, d, 4, seed = 5L)
