@@ -23,10 +23,14 @@ import graft.functions.gf
   *    and the same manifest. No `rand()`, no partition-index
   *    dependence. A new seed (= a new epoch) reshuffles both.
   *  - **Verifiability**: the manifest digest is `bit_xor` over per-row
-  *    `xxhash64(doc_id, text)` — order-independent and mergeable, so it
-  *    is computed map-side in the same job that writes, and
-  *    [[verifyShards]] can re-derive it from the written files alone to
-  *    certify the handoff (the trainer's side of the contract).
+  *    `xxhash64(doc_id, text)` — `xxhash64(doc_id, copy, text)` for
+  *    mixture exports, whose rows carry a `copy` column (identical-text
+  *    copies would otherwise xor-cancel in pairs) — order-independent
+  *    and mergeable, so it is computed map-side in the same job that
+  *    writes, and [[verifyShards]] can re-derive it from the written
+  *    files alone to certify the handoff (the trainer's side of the
+  *    contract; it keys the digest on `copy` whenever the files carry
+  *    that column).
   *  - **Scale**: one hash shuffle on the shard key, map-side combined
   *    stats, one file per shard (each shard is written by exactly one
   *    task after the repartition — at 100 TB, size nShards so a shard
@@ -54,16 +58,23 @@ object TrainingExport {
     * and renamed, so a torn write can't masquerade as a manifest). */
   def exportShards(docs: DataFrame, outDir: String, nShards: Int,
       seed: Long): Seq[ShardStat] = {
-    val spark = docs.sparkSession
     val st = stamped(docs, nShards, seed)
       .withColumn("tokens", gf.token_count(col("text")).cast("long"))
+    val stats = writeShards(st, outDir, nShards, "overwrite")
+    writeManifest(docs.sparkSession, outDir, nShards, seed, stats)
+    stats
+  }
+
+  /** The one write-and-certify tail every export path shares: shard
+    * repartition (nShards partitions keyed on shard — one file per
+    * shard), in-shard order, zstd parquet, per-shard stats. */
+  private def writeShards(st: DataFrame, outDir: String, nShards: Int,
+      mode: String): Seq[ShardStat] = {
     st.repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("_ord"))
-      .write.mode("overwrite").option("compression", "zstd")
+      .write.mode(mode).option("compression", "zstd")
       .partitionBy("shard").parquet(outDir)
-    val stats = shardStats(st)
-    writeManifest(spark, outDir, nShards, seed, stats)
-    stats
+    shardStats(st)
   }
 
   /** Mixture-aware export — q111's plan REALIZED directly into epoch
@@ -83,20 +94,17 @@ object TrainingExport {
     * `copy`, and the stat digest keys on it when present). */
   def exportMixedShards(docs: DataFrame, rates: DataFrame, outDir: String,
       nShards: Int, seed: Long): Seq[ShardStat] = {
-    val spark = docs.sparkSession
-    val st = graft.CurationQueries.applyMixture(docs, rates)
+    // tokens BEFORE the explode: one token_count per document, not per copy
+    val st = graft.CurationQueries.applyMixture(
+        docs.withColumn("tokens", gf.token_count(col("text")).cast("long")),
+        rates)
       .withColumn("shard",
         pmod(xxhash64(lit(seed), col("doc_id"), col("copy")), lit(nShards))
           .cast("int"))
       .withColumn("_ord",
         md5(concat_ws(":", lit(seed), col("doc_id"), col("copy")).cast("binary")))
-      .withColumn("tokens", gf.token_count(col("text")).cast("long"))
-    st.repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("_ord"))
-      .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("shard").parquet(outDir)
-    val stats = shardStats(st)
-    writeManifest(spark, outDir, nShards, seed, stats)
+    val stats = writeShards(st, outDir, nShards, "overwrite")
+    writeManifest(docs.sparkSession, outDir, nShards, seed, stats)
     stats
   }
 
@@ -117,15 +125,12 @@ object TrainingExport {
     val spark = docs.sparkSession
     val st = stamped(docs, nShards, seed)
       .withColumn("tokens", gf.token_count(col("text")).cast("long"))
-    st.repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("_ord"))
-      .write.mode("append").option("compression", "zstd")
-      .partitionBy("shard").parquet(outDir)
+    val batchStats = writeShards(st, outDir, nShards, "append")
     val prior =
       if (fs(manifestPath(outDir)).exists(manifestPath(outDir)))
         readManifest(spark, outDir)
       else Seq.empty
-    val merged = mergeStats(prior, shardStats(st))
+    val merged = mergeStats(prior, batchStats)
     writeManifest(spark, outDir, nShards, seed, merged)
     merged
   }
