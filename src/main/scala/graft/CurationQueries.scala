@@ -683,8 +683,15 @@ object CurationQueries {
     * remainder, denominator) the q111 rule consumes — built from one
     * partial-agg corpus scan and a broadcast 1-row total. Public so the
     * mixture-aware shard export feeds the SAME plan the oracle gates. */
-  def mixtureRates(s: SparkSession, dir: String): DataFrame = {
-    val perSrc = t(s, dir, "documents")
+  def mixtureRates(s: SparkSession, dir: String): DataFrame =
+    mixtureRatesOf(t(s, dir, "documents"))
+
+  /** [[mixtureRates]] over an arbitrary doc frame (doc_id + text +
+    * source) — the curated-export lifecycle plans its mixture over the
+    * SURVIVOR corpus, not the raw one: rates from pre-dedup token
+    * masses would re-inflate exactly the sources dedup just trimmed. */
+  def mixtureRatesOf(docs: DataFrame): DataFrame = {
+    val perSrc = docs
       .select(col("source"), gf.token_count(col("text")).cast("long").as("toks"))
       .groupBy("source").agg(sum("toks").as("tokens"))
     val tot = perSrc.agg(sum("tokens").as("t_total"),

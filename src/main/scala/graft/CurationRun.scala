@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TrainingExport
+
+/** The whole curation lifecycle as ONE call: raw corpus in, certified
+  * training shards out. Composes the round's verdict/mixture/export
+  * pieces in the order a production run needs them:
+  *
+  *   1. the fused dedup verdict ([[DedupQueries.q124DedupVerdict]])
+  *      decides per document — exact-fingerprint canon, quality-best
+  *      cluster representative, not subsumed by a superset;
+  *   2. the mixture plan ([[CurationQueries.mixtureRatesOf]]) is
+  *      computed over the SURVIVORS — rates from the raw corpus would
+  *      re-inflate exactly the sources dedup just trimmed;
+  *   3. [[TrainingExport.exportMixedShards]] realizes the plan
+  *      row-locally into deterministic, certified epoch shards.
+  *
+  * Scale shape: the verdict's keep set is corpus-sized, so it joins the
+  * corpus on doc_id (one shuffle — unavoidable for an exact keep list);
+  * everything after is the mixture/export pipeline's documented shape
+  * (broadcast rates, row-local explode, one shard shuffle). Returns the
+  * per-shard manifest; [[TrainingExport.verifyShards]] certifies the
+  * written output independently. */
+object CurationRun {
+
+  def exportCurated(s: SparkSession, dir: String, outDir: String,
+      nShards: Int, seed: Long): Seq[TrainingExport.ShardStat] = {
+    val survivors = curatedSurvivors(s, dir)
+    val rates = CurationQueries.mixtureRatesOf(survivors)
+    TrainingExport.exportMixedShards(survivors, rates, outDir, nShards, seed)
+  }
+
+  /** The post-verdict corpus: every doc the fused verdict keeps, with
+    * the columns the export needs. */
+  def curatedSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val keep = DedupQueries.q124DedupVerdict(s, dir)
+      .filter(col("keep")).select("doc_id")
+    Tables.load(s, dir, "documents")
+      .join(keep, "doc_id")
+      .select("doc_id", "text", "lang", "source")
+  }
+}

@@ -161,6 +161,34 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(TrainingExport.verifyShards(spark, d) == Seq(tShard))
   }
 
+  test("exportCurated: one call from raw corpus to certified shards") {
+    val d = tmp()
+    val m = CurationRun.exportCurated(spark, dir, d, 8, seed = 9L)
+    assert(TrainingExport.verifyShards(spark, d).isEmpty)
+    val written = spark.read.parquet(d)
+    // no verdict-dropped doc reaches the shards, and the verdict bites
+    val keepSet = DedupQueries.q124DedupVerdict(spark, dir)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val shardDocs = written.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(shardDocs.subsetOf(keepSet))
+    assert(keepSet.size < Tables.load(spark, dir, "documents").count(),
+      "the verdict must actually remove something on this fixture")
+    // multiplicities equal the survivor-planned mixture, not the raw
+    // one — including the docs the mixture legitimately downsamples
+    // away (n_copies = 0 for over-represented sources)
+    val survivors = CurationRun.curatedSurvivors(spark, dir)
+    val want = CurationQueries.applyMixture(survivors,
+        CurationQueries.mixtureRatesOf(survivors))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = written.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(shardDocs == want.keySet)
+    assert(m.map(_.rows).sum == want.values.sum)
+  }
+
   test("verifyShards certifies intact output and pinpoints a tampered shard") {
     val d = tmp()
     TrainingExport.exportShards(docs, d, 4, seed = 5L)
