@@ -486,22 +486,30 @@ object DedupQueries {
     * per-cluster argmax (one max(struct) — no per-cluster window, no
     * corpus shuffle on cluster_id); the best-rep table broadcasts back
     * onto the corpus scan, and singletons keep themselves without ever
-    * entering a shuffle. */
-  def q117BestRep(s: SparkSession, dir: String): DataFrame = {
+    * entering a shuffle. On dup-HEAVY corpora the member/best tables
+    * stop being exceptions — [[graft.operators.DedupOps.gateBroadcast]]
+    * size-gates every one of these joins to a sort-merge fallback
+    * instead of letting a corpus-scale broadcast OOM the driver. */
+  def q117BestRep(s: SparkSession, dir: String): DataFrame =
+    q117BestRep(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def q117BestRep(s: SparkSession, dir: String,
+      rowLimit: Long): DataFrame = {
+    import graft.operators.DedupOps.gateBroadcast
     val pairs = q22JaccardNeardup(s, dir)
-    val comps = graft.operators.DedupOps
-      .connectedComponents(pairs, "doc_a", "doc_b")
+    val comps = gateBroadcast(graft.operators.DedupOps
+      .connectedComponents(pairs, "doc_a", "doc_b"), rowLimit)
     val docs = t(s, dir, "documents").select(col("doc_id"),
       round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
-    val labeled = docs.join(broadcast(comps), col("doc_id") === col("node"), "left")
+    val labeled = docs.join(comps, col("doc_id") === col("node"), "left")
       .select(col("doc_id"), col("q"),
         coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-    val best = docs.join(broadcast(comps), col("doc_id") === col("node"))
+    val best = docs.join(comps, col("doc_id") === col("node"))
       .groupBy(col("comp").as("cluster_id"))
       // argmax by (q asc, doc_id desc) under max = highest q, lowest id
       .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("cluster_id"), (-col("b.nid")).as("best_doc"))
-    labeled.join(broadcast(best), Seq("cluster_id"), "left")
+    labeled.join(gateBroadcast(best, rowLimit), Seq("cluster_id"), "left")
       .select(col("doc_id"), col("cluster_id"), col("q"),
         coalesce(col("doc_id") === col("best_doc"), lit(true)).as("keep"))
   }
@@ -595,11 +603,19 @@ object DedupQueries {
     *
     * Scale: the victim set is pair-graph-sized (≪ corpus) and
     * BROADCASTS onto one corpus id scan for the verdict join — the
-    * corpus itself never shuffles. */
-  def q121Subsume(s: SparkSession, dir: String): DataFrame = {
+    * corpus itself never shuffles. When the victim set ISN'T an
+    * exception (majority-duplicate corpora), the size gate
+    * ([[graft.operators.DedupOps.gateBroadcast]]) switches the join to
+    * sort-merge instead of a corpus-scale broadcast. */
+  def q121Subsume(s: SparkSession, dir: String): DataFrame =
+    q121Subsume(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def q121Subsume(s: SparkSession, dir: String,
+      rowLimit: Long): DataFrame = {
     val victims = subsumptionVictims(s, dir).withColumn("hit", lit(true))
     t(s, dir, "documents").select("doc_id")
-      .join(broadcast(victims), Seq("doc_id"), "left")
+      .join(graft.operators.DedupOps.gateBroadcast(victims, rowLimit),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("subsumed"))
   }
 
@@ -744,11 +760,19 @@ object DedupQueries {
     * other verdict input is an EXCEPTION SET, not a corpus copy:
     * cluster members with their rep verdict (dup-cluster-sized) and
     * the subsumption victims (pair-graph-sized) LEFT-join the spine
-    * broadcast, and non-members default row-locally (cluster = self,
-    * rep_keep = true). NULL text folds to the empty fingerprint so a
-    * null-text doc gets an explicit verdict instead of silently
-    * vanishing through a null-key join. */
-  def q124DedupVerdict(s: SparkSession, dir: String): DataFrame = {
+    * broadcast — SIZE-GATED ([[graft.operators.DedupOps.gateBroadcast]]):
+    * a majority-duplicate corpus flips each of these joins to
+    * sort-merge instead of building a corpus-scale broadcast — and
+    * non-members default row-locally (cluster = self, rep_keep = true).
+    * NULL text folds to the empty fingerprint so a null-text doc gets
+    * an explicit verdict instead of silently vanishing through a
+    * null-key join. */
+  def q124DedupVerdict(s: SparkSession, dir: String): DataFrame =
+    q124DedupVerdict(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def q124DedupVerdict(s: SparkSession, dir: String,
+      rowLimit: Long): DataFrame = {
+    import graft.operators.DedupOps.gateBroadcast
     val docs = t(s, dir, "documents")
     val spine = docs
       .select(col("doc_id"),
@@ -756,22 +780,23 @@ object DedupQueries {
       .withColumn("fp_keep",
         col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
       .select("doc_id", "fp_keep")
-    val comps = graft.operators.DedupOps
-      .connectedComponents(q22JaccardNeardup(s, dir), "doc_a", "doc_b")
+    val comps = gateBroadcast(graft.operators.DedupOps
+      .connectedComponents(q22JaccardNeardup(s, dir), "doc_a", "doc_b"),
+      rowLimit)
     val memberQ = docs
       .select(col("doc_id"),
         round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
-      .join(broadcast(comps), col("doc_id") === col("node"))
+      .join(comps, col("doc_id") === col("node"))
     val best = memberQ.groupBy("comp")
       .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("comp"), (-col("b.nid")).as("best_doc"))
-    val members = memberQ.join(broadcast(best), Seq("comp"))
+    val members = memberQ.join(gateBroadcast(best, rowLimit), Seq("comp"))
       .select(col("doc_id"), col("comp").as("_cl"),
         (col("doc_id") === col("best_doc")).as("_repk"))
     val victims = subsumptionVictims(s, dir).withColumn("_sub", lit(true))
     spine
-      .join(broadcast(members), Seq("doc_id"), "left")
-      .join(broadcast(victims), Seq("doc_id"), "left")
+      .join(gateBroadcast(members, rowLimit), Seq("doc_id"), "left")
+      .join(gateBroadcast(victims, rowLimit), Seq("doc_id"), "left")
       .select(col("doc_id"), col("fp_keep"),
         coalesce(col("_cl"), col("doc_id")).as("cluster_id"),
         coalesce(col("_repk"), lit(true)).as("rep_keep"),

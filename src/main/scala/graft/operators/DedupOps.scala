@@ -27,6 +27,37 @@ object DedupOps {
     * runs Spark itself; the label result broadcast back is ≤ |nodes|. */
   val DriverEdgeLimit: Long = 10_000_000L
 
+  /** Above this many rows an exception-set frame stops being broadcast
+    * (see [[gateBroadcast]]). 4M id-keyed verdict rows ≈ 100-200 MB
+    * built into a broadcast hash relation — inside every executor's
+    * budget and far under the 8 GB broadcast hard cap; beyond it the
+    * "exception set ≪ corpus" assumption the broadcast encodes has
+    * failed and a shuffle join is the only shape that survives. */
+  val BroadcastRowLimit: Long = 4_000_000L
+
+  /** Size-gate an exception-set frame for joining against a corpus
+    * spine. The dedup verdict queries (q117/q121/q124) left-join small
+    * id-keyed verdict tables — cluster members, subsumption victims —
+    * onto a corpus scan, and on typical corpora those tables are tiny,
+    * so a broadcast join keeps the corpus unshuffled. But on dup-HEAVY
+    * corpora (real crawls run 30-60% duplicate) the "exception set"
+    * approaches corpus scale and an unconditional `broadcast()` hint
+    * (which bypasses autoBroadcastJoinThreshold) would OOM the driver.
+    *
+    * So: pin the frame (it is consumed by the join and often by a
+    * sibling aggregate — one materialization, the same correctness
+    * convention as RankOps), COUNT it (free once pinned), and return it
+    * broadcast-hinted when small, merge-hinted when large. The merge
+    * hint — not a bare frame — makes the fallback deterministic: a
+    * sort-merge join with NO BroadcastExchange, regardless of what AQE
+    * would guess from runtime stats. The same adaptive pattern as
+    * [[connectedComponents]]'s driver/distributed gate. */
+  def gateBroadcast(dim: DataFrame,
+      rowLimit: Long = BroadcastRowLimit): DataFrame = {
+    val pinned = dim.localCheckpoint(true)
+    if (pinned.count() <= rowLimit) broadcast(pinned) else pinned.hint("merge")
+  }
+
   /** Connected components of an undirected pair list. Returns
     * (node, comp) where comp = the minimum node id reachable. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
