@@ -282,33 +282,34 @@ object RetrievalQueries {
   }
 
   /** The q99 scale path: the same mining through the IVF index machinery
-    * (per-query label-filtered nprobe search) instead of a brute-force
-    * corpus cross join — spec-proven equal to q99 at nprobe = all
-    * (`RetrievalEvalSpec`). The query set is fixed/bounded, so the
-    * per-query loop is driver-bounded like the bench's search loop. */
-  def hardNegativesIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    * (label-filtered nprobe search) instead of a brute-force corpus
+    * cross join — spec-proven equal to q99 at nprobe = all
+    * (`RetrievalEvalSpec`). BATCHED: the whole query set scores in ONE
+    * job ([[graft.index.IvfIndex.scoreBatch]] — the `SearchService
+    * .searchBatch` shape), so eval wall-clock is sublinear in query
+    * count instead of paying per-query job scheduling; the label/self
+    * filter runs on the scored rows BEFORE the bounded top-k so
+    * positives can't crowd negatives out of the k. */
+  def hardNegativesIvf(s: SparkSession, dir: String, nprobe: Int,
+      nQueries: Int = EVAL_QUERIES): DataFrame = {
     import graft.index.IvfIndex
+    import s.implicits._
     val e = t(s, dir, "embeddings")
     val (idx, model) = IvfIndex.build(e, "embedding",
       IvfIndex.Params(listSize = 100, sampleSize = 50000))
     val cached = idx.persist()
     cached.count()
-    val queries = e.filter(col("vec_id") < EVAL_QUERIES)
+    val queries = e.filter(col("vec_id") < nQueries)
       .select("vec_id", "label", "embedding").collect()
-    val out = queries.map { row =>
-      val qid = row.getLong(0)
-      val qlabel = row.getInt(1)
-      val qvec = row.getSeq[Float](2).toArray
-      IvfIndex.search(
-          cached.filter(col("label") =!= qlabel && col("vec_id") =!= qid),
-          model, "vec_id", "embedding", qvec, 5, nprobe)
-        .select(lit(qid).as("qid"), col("vec_id"),
-          (round(col("sim"), 6) + 0.0).as("sim"))
-    }.reduce(_ unionByName _)
-    out.withColumn("r",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)))
-      .select("qid", "r", "vec_id", "sim")
+    val qvecs = queries.map(r => (r.getLong(0), r.getSeq[Float](2).toArray)).toSeq
+    val qlabels = broadcast(
+      queries.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("qid", "qlabel"))
+    val scored = IvfIndex.scoreBatch(cached, model, "embedding", qvecs, nprobe)
+      .join(qlabels, "qid")
+      .filter(col("label") =!= col("qlabel") && col("vec_id") =!= col("qid"))
+    IvfIndex.topKPerQuery(scored, "vec_id", 5)
+      .select(col("qid"), col("r"), col("vec_id"),
+        (round(col("sim"), 6) + 0.0).as("sim"))
       .orderBy("qid", "r")
   }
 
@@ -378,9 +379,9 @@ object RetrievalQueries {
     * are the recall-vs-cost knobs exactly as in single-vector ANN — with
     * the usual MaxSim caveat that a document can rank on SUMMED chunk
     * affinity without any single chunk reaching the top-candK, so the
-    * budget trades recall explicitly, not silently. The per-query-chunk
-    * probe loop is driver-bounded (8 chunks), the same shape as
-    * [[hardNegativesIvf]] and the bench's search loop. */
+    * budget trades recall explicitly, not silently. Stage 1 runs as ONE
+    * batched job over every query chunk ([[graft.index.IvfIndex
+    * .searchBatch]]) — no per-chunk driver loop. */
   def maxsimIvf(s: SparkSession, dir: String, nprobe: Int,
       candK: Int, nQueryDocs: Int = 2): DataFrame = {
     import graft.index.IvfIndex
@@ -399,14 +400,20 @@ object RetrievalQueries {
       model: graft.index.IvfIndex.Model, nprobe: Int, candK: Int,
       nQueryDocs: Int): DataFrame = {
     import graft.index.IvfIndex
+    val spark = e.sparkSession
+    import spark.implicits._
     val qchunks = e.filter(col("d") < nQueryDocs)
       .select("d", "vec_id", "embedding").collect()
-    val cands = qchunks.map { row =>
-      val qd = row.getLong(0)
-      val qvec = row.getSeq[Float](2).toArray
-      IvfIndex.search(cached, model, "vec_id", "embedding", qvec, candK, nprobe)
-        .select(lit(qd).as("qd"), expr("vec_id div 4").as("cd"))
-    }.reduce(_ unionByName _).distinct()
+    // stage 1, batched: every chunk's top-candK through ONE probe join
+    // (qid = the chunk's vec_id), then chunk → owning query doc
+    val qvecs = qchunks.map(r => (r.getLong(1), r.getSeq[Float](2).toArray)).toSeq
+    val chunkDoc = broadcast(
+      qchunks.map(r => (r.getLong(1), r.getLong(0))).toSeq.toDF("qid", "qd"))
+    val cands = IvfIndex
+      .searchBatch(cached, model, "vec_id", "embedding", qvecs, candK, nprobe)
+      .join(chunkDoc, "qid")
+      .select(col("qd"), expr("vec_id div 4").as("cd"))
+      .distinct()
     maxsimRank(e.join(broadcast(cands), e("d") === cands("cd"))
       .join(broadcast(queryChunks(e, nQueryDocs)), "qd")
       .select(col("qd"), col("cd"), col("qv"),

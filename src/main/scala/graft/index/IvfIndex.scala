@@ -374,6 +374,48 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Batched probe-scoring — every query in ONE Spark job. The per-query
+    * driver loop ([[search]] in a `.map` over collected queries) pays
+    * ~100-300 ms of planning + scheduling per query regardless of data
+    * size; a bounded query set amortizes it the way
+    * `SearchService.searchBatch` does for the serving tier: the
+    * (query × probed-centroid) table — rows = Σ nprobe, tiny — is
+    * BROADCAST and hash-joined against the index on centroid_id, so each
+    * query still scores ONLY its own probed lists and the index scans
+    * once for the whole batch. Returns `indexed`'s columns plus
+    * (qid, sim); callers filter (labels, self) before ranking. */
+  def scoreBatch(indexed: DataFrame, model: Model, vecCol: String,
+      queries: Seq[(Long, Array[Float])], nprobe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "empty query batch")
+    val probes = queries.flatMap { case (qid, qv) =>
+      model.probe(qv, nprobe).map(cid => (qid, cid, qv.toSeq))
+    }
+    val qdf = probes.toDF("qid", "probe_cid", "qvec")
+    indexed.join(broadcast(qdf), col("centroid_id") === col("probe_cid"))
+      .withColumn("sim", gf.cosine_sim(col(vecCol), col("qvec")))
+      .drop("probe_cid", "qvec")
+  }
+
+  /** Per-query top-k over [[scoreBatch]] rows via the bounded
+    * [[gf.TopKAgg]] — ≤ k rows per (task, query) cross the exchange,
+    * never a per-query corpus window. (sim DESC, id ASC) tie order,
+    * [[search]]'s contract. Emits (qid, idCol, sim, r). */
+  def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(gf.top_k_by(col("sim"), col(idCol), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t._2").as(idCol), col("t._1").as("sim"),
+        (col("pos") + 1).as("r"))
+
+  /** [[search]] for a whole query batch in one job:
+    * [[scoreBatch]] → [[topKPerQuery]]. */
+  def searchBatch(indexed: DataFrame, model: Model, idCol: String,
+      vecCol: String, queries: Seq[(Long, Array[Float])], k: Int,
+      nprobe: Int): DataFrame =
+    topKPerQuery(scoreBatch(indexed, model, vecCol, queries, nprobe), idCol, k)
+
   /** Auto-tune nprobe to a recall target — the knob every IVF deployment
     * has to pick, chosen here by MEASUREMENT on a bounded query sample
     * instead of folklore: exact brute-force truth per sample query, then
