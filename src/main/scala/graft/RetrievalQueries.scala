@@ -208,8 +208,8 @@ object RetrievalQueries {
     * the bounded TopKAgg carries it through the shuffle — the alternative
     * label-backfill join would re-scan the corpus. Packing preserves the
     * (sim DESC, vec_id ASC) tie order: a < b ⇒ 2a+1 < 2b. */
-  private def evalSims(e: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") < EVAL_QUERIES)
+  private def evalSims(e: DataFrame, nQueries: Int = EVAL_QUERIES): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("embedding").as("qvec"))
     e.crossJoin(broadcast(q))
@@ -230,9 +230,17 @@ object RetrievalQueries {
     * bounded TopKAgg (≤k rows per (task, query) cross the exchange —
     * never a corpus-sized per-query window); the relevant-count side is
     * a label-cardinality aggregate broadcast back. One corpus scan. */
-  def q98RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+  def q98RetrievalEval(s: SparkSession, dir: String): DataFrame =
+    evalMetrics(s, dir, EVAL_QUERIES)
+
+  /** q98's per-query metric core at a configurable query-set size (q98
+    * pins the 8-query oracle; [[q125EvalCi]] aggregates a 1000-query
+    * set). Still ONE job regardless of query count — the query side is
+    * a broadcast, ranking is the bounded TopKAgg. */
+  private def evalMetrics(s: SparkSession, dir: String,
+      nQueries: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val sims = evalSims(e)
+    val sims = evalSims(e, nQueries)
     // true relevant count per query = |label class| − 1 (self excluded)
     val nrel = e.groupBy(col("label").as("qlabel"))
       .agg(count(lit(1)).as("cnt"))
@@ -258,6 +266,31 @@ object RetrievalQueries {
             " (acc, i) -> acc + 1.0/log2(cast(i as double) + 1.0))"), 6)
           .as("ndcg_10"))
       .orderBy("qid")
+  }
+
+  /** Retrieval metrics with CONFIDENCE intervals — q98's protocol over a
+    * 1000-query labeled set, aggregated to per-metric mean ± 95% CI
+    * (normal approximation: 1.96·s/√n). An 8-query eval can't
+    * distinguish a real index regression from query luck; at n = 1000
+    * the half-width is ~3% of a metric point and recall/MRR/nDCG moves
+    * become statistically legible. Same single-job shape as q98 (query
+    * side broadcast, bounded TopKAgg) — query count only widens the
+    * broadcast, it never adds jobs. Emits one row.
+    *
+    * Aggregates round at 4dp (per-query metrics are exact at 6dp; a
+    * 1000-term mean's sum-order ulp noise must not flip the hash). */
+  def q125EvalCi(s: SparkSession, dir: String): DataFrame = {
+    val m = evalMetrics(s, dir, 1000)
+    def ci(c: String) =
+      (round(lit(1.96) * stddev(col(c)) / sqrt(count(lit(1))), 4) + 0.0)
+    m.agg(
+      count(lit(1)).as("n_queries"),
+      (round(avg("recall_10"), 4) + 0.0).as("recall_mean"),
+      ci("recall_10").as("recall_ci95"),
+      (round(avg("mrr_10"), 4) + 0.0).as("mrr_mean"),
+      ci("mrr_10").as("mrr_ci95"),
+      (round(avg("ndcg_10"), 4) + 0.0).as("ndcg_mean"),
+      ci("ndcg_10").as("ndcg_ci95"))
   }
 
   /** Contrastive hard-negative mining: for each eval query, the top-5
@@ -431,6 +464,7 @@ object RetrievalQueries {
     "q46_gopher_rules" -> q46GopherRules _,
     "q47_trigram_lm" -> q47TrigramLm _,
     "q98_retrieval_eval" -> q98RetrievalEval _,
+    "q125_eval_ci" -> q125EvalCi _,
     "q99_hard_negatives" -> q99HardNegatives _
   )
 
@@ -460,13 +494,39 @@ object RetrievalQueries {
        |  CROSS JOIN stats CROSS JOIN n
        |  GROUP BY tf.doc_id)""".stripMargin
 
-  private val evalSimsCte: String =
-    """q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
-      |      FROM embeddings WHERE vec_id < 8),
-      |sims AS (
-      |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
-      |    round(CAST(list_cosine_similarity(e.embedding, q.qvec) AS DOUBLE), 6) + 0 AS sim
-      |  FROM embeddings e, q WHERE e.vec_id <> q.qid)""".stripMargin
+  private def evalSimsCteN(n: Int): String =
+    s"""q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+       |      FROM embeddings WHERE vec_id < $n),
+       |sims AS (
+       |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+       |    round(CAST(list_cosine_similarity(e.embedding, q.qvec) AS DOUBLE), 6) + 0 AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid)""".stripMargin
+
+  private val evalSimsCte: String = evalSimsCteN(8)
+
+  /** The q98 per-query metric SQL at a configurable query-set size —
+    * shared by the q98 oracle (n = 8) and the q125 CI oracle (n = 1000). */
+  private def evalMetricsSql(n: Int): String =
+    s"""WITH ${evalSimsCteN(n)},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS r
+       |  FROM sims),
+       |nrel AS (SELECT label AS qlabel, count(*) - 1 AS n_rel
+       |         FROM embeddings GROUP BY label),
+       |top AS (SELECT qid, qlabel, r,
+       |          CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+       |        FROM ranked WHERE r <= 10),
+       |m AS (
+       |  SELECT qid, qlabel, sum(rel) AS hits,
+       |    sum(rel / log2(r + 1)) AS dcg,
+       |    max(CASE WHEN rel = 1 THEN 1.0 / r ELSE 0 END) AS rr
+       |  FROM top GROUP BY qid, qlabel)
+       |SELECT m.qid,
+       |  round(CAST(hits AS DOUBLE) / least(10, n_rel), 6) AS recall_10,
+       |  round(rr, 6) AS mrr_10,
+       |  round(dcg / list_sum([1.0/log2(i+1)
+       |    FOR i IN generate_series(1, CAST(least(10, n_rel) AS BIGINT))]), 6) AS ndcg_10
+       |FROM m JOIN nrel USING (qlabel)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q119_maxsim" ->
@@ -486,28 +546,17 @@ object RetrievalQueries {
         |        row_number() OVER (PARTITION BY qd ORDER BY score DESC, cd ASC) AS rn
         |      FROM sc)
         |SELECT query_doc, cand_doc, score, rn FROM r WHERE rn <= 5""".stripMargin,
-    "q98_retrieval_eval" ->
-      s"""WITH $evalSimsCte,
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS r
-         |  FROM sims),
-         |nrel AS (SELECT label AS qlabel, count(*) - 1 AS n_rel
-         |         FROM embeddings GROUP BY label),
-         |top AS (SELECT qid, qlabel, r,
-         |          CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
-         |        FROM ranked WHERE r <= 10),
-         |m AS (
-         |  SELECT qid, qlabel, sum(rel) AS hits,
-         |    sum(rel / log2(r + 1)) AS dcg,
-         |    max(CASE WHEN rel = 1 THEN 1.0 / r ELSE 0 END) AS rr
-         |  FROM top GROUP BY qid, qlabel)
-         |SELECT m.qid,
-         |  round(CAST(hits AS DOUBLE) / least(10, n_rel), 6) AS recall_10,
-         |  round(rr, 6) AS mrr_10,
-         |  round(dcg / list_sum([1.0/log2(i+1)
-         |    FOR i IN generate_series(1, CAST(least(10, n_rel) AS BIGINT))]), 6) AS ndcg_10
-         |FROM m JOIN nrel USING (qlabel)
-         |ORDER BY qid""".stripMargin,
+    "q98_retrieval_eval" -> s"${evalMetricsSql(8)}\nORDER BY qid",
+    "q125_eval_ci" ->
+      s"""WITH per AS (${evalMetricsSql(1000)})
+         |SELECT count(*) AS n_queries,
+         |  round(avg(recall_10), 4) + 0 AS recall_mean,
+         |  round(1.96 * stddev(recall_10) / sqrt(count(*)), 4) + 0 AS recall_ci95,
+         |  round(avg(mrr_10), 4) + 0 AS mrr_mean,
+         |  round(1.96 * stddev(mrr_10) / sqrt(count(*)), 4) + 0 AS mrr_ci95,
+         |  round(avg(ndcg_10), 4) + 0 AS ndcg_mean,
+         |  round(1.96 * stddev(ndcg_10) / sqrt(count(*)), 4) + 0 AS ndcg_ci95
+         |FROM per""".stripMargin,
     "q99_hard_negatives" ->
       s"""WITH $evalSimsCte,
          |neg AS (SELECT qid, vec_id, sim FROM sims WHERE label <> qlabel),
