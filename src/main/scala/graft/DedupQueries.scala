@@ -82,15 +82,47 @@ object DedupQueries {
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .localCheckpoint(true)
 
-  def q22JaccardNeardup(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleCounts(s, dir)
-    // self-join (not group+collect_list combinations): measured equal at
-    // sf0.1, and the join form lets AQE split a hot-shingle partition
-    // where a collected array cannot be split. The size band is exact
-    // pruning, not a heuristic: J ≥ 0.8 forces min/max ≥ 0.8 (since
-    // i ≤ min and u ≥ max), i.e. 5·min ≥ 4·max in exact integers —
-    // near-miss pairs die at the join instead of flowing through the
-    // pair aggregation.
+  /** ONE corpus text scan for the whole pair-graph family: the exploded
+    * distinct-shingle table with document frequency attached. Both
+    * family inputs derive from it — [[countsFrom]] (q22's uncapped
+    * doc-size view) and [[cappedFrom]] (the containment family's
+    * df-capped view) — so a fused consumer like [[q124DedupVerdict]]
+    * runs the shingle kernel and scans `documents.text` once instead of
+    * once per family. Standalone single-family queries (q22, q118) keep
+    * their own leaner materializations: q22 alone never needs the df
+    * window this pass pays for. */
+  private def shingleBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .localCheckpoint(true)
+
+  /** [[shingleBase]] → q22's (doc_id, s, n) shape (uncapped sizes). */
+  private def countsFrom(base: DataFrame): DataFrame =
+    base.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "s", "n")
+
+  /** [[shingleBase]] → the containment family's df-capped
+    * (doc_id, s, n, df) shape ([[containmentShingles]] semantics: sizes
+    * count SURVIVING shingles). */
+  private def cappedFrom(base: DataFrame): DataFrame =
+    base.filter(col("df") <= DfCap)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "s", "n", "df")
+
+  def q22JaccardNeardup(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(shingleCounts(s, dir))
+
+  /** q22's pair core over a (doc_id, s, n) shingle frame.
+    *
+    * Self-join (not group+collect_list combinations): measured equal at
+    * sf0.1, and the join form lets AQE split a hot-shingle partition
+    * where a collected array cannot be split. The size band is exact
+    * pruning, not a heuristic: J ≥ 0.8 forces min/max ≥ 0.8 (since
+    * i ≤ min and u ≥ max), i.e. 5·min ≥ 4·max in exact integers —
+    * near-miss pairs die at the join instead of flowing through the
+    * pair aggregation. */
+  private def jaccardPairsFrom(sh: DataFrame): DataFrame =
     sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
         col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
@@ -101,7 +133,6 @@ object DedupQueries {
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("j"))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
-  }
 
   /** Cross-corpus near-dup — the incremental-ingest dedup gate: an
     * incoming batch (odd doc_ids stand in for the new crawl slice) is
@@ -580,8 +611,12 @@ object DedupQueries {
 
   /** The (da < db, i, na, nb, c) containment pair table over df-capped
     * shingles — q118's core, shared with the q121 subsumption verdict. */
-  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(s, dir)
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsFrom(cappedShingles(s, dir))
+
+  /** [[containmentPairs]] over an injected df-capped shingle frame (the
+    * [[shingleBase]] sharing seam for fused consumers like q124). */
+  private def containmentPairsFrom(sh: DataFrame): DataFrame = {
     sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -622,7 +657,10 @@ object DedupQueries {
   /** The distinct subsumption victim ids — q121's core set, shared with
     * the q124 fused verdict. Pair-graph-sized. */
   private def subsumptionVictims(s: SparkSession, dir: String): DataFrame =
-    containmentPairs(s, dir)
+    victimsFromPairs(containmentPairs(s, dir))
+
+  private def victimsFromPairs(pairs: DataFrame): DataFrame =
+    pairs
       .filter(col("c") >= 0.9)
       .select(
         when(col("na") < col("nb"), col("da"))
@@ -766,26 +804,37 @@ object DedupQueries {
     * non-members default row-locally (cluster = self, rep_keep = true).
     * NULL text folds to the empty fingerprint so a null-text doc gets
     * an explicit verdict instead of silently vanishing through a
-    * null-key join. */
+    * null-key join.
+    *
+    * Corpus text is scanned exactly TWICE for the whole fused verdict:
+    * once by [[shingleBase]] (both pair families — jaccard AND
+    * containment — derive from that one exploded+df pass) and once by
+    * the checkpointed (fp, q) doc-scalar frame that feeds the spine
+    * window and the member quality argmax. The final plan reads only
+    * checkpointed RDDs — `DedupShareSpec` pins it scan-free. */
   def q124DedupVerdict(s: SparkSession, dir: String): DataFrame =
     q124DedupVerdict(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
 
   private[graft] def q124DedupVerdict(s: SparkSession, dir: String,
       rowLimit: Long): DataFrame = {
     import graft.operators.DedupOps.gateBroadcast
-    val docs = t(s, dir, "documents")
-    val spine = docs
+    val base = shingleBase(s, dir)
+    // one text scan for BOTH per-doc scalars (exact fingerprint +
+    // quality); no text in the materialized rows
+    val docq = t(s, dir, "documents")
       .select(col("doc_id"),
-        md5(coalesce(lower(trim(col("text"))), lit(""))).as("fp"))
+        md5(coalesce(lower(trim(col("text"))), lit(""))).as("fp"),
+        round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
+      .localCheckpoint(true)
+    val spine = docq
       .withColumn("fp_keep",
         col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
       .select("doc_id", "fp_keep")
     val comps = gateBroadcast(graft.operators.DedupOps
-      .connectedComponents(q22JaccardNeardup(s, dir), "doc_a", "doc_b"),
+      .connectedComponents(jaccardPairsFrom(countsFrom(base)),
+        "doc_a", "doc_b"),
       rowLimit)
-    val memberQ = docs
-      .select(col("doc_id"),
-        round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
+    val memberQ = docq.select("doc_id", "q")
       .join(comps, col("doc_id") === col("node"))
     val best = memberQ.groupBy("comp")
       .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
@@ -793,7 +842,8 @@ object DedupQueries {
     val members = memberQ.join(gateBroadcast(best, rowLimit), Seq("comp"))
       .select(col("doc_id"), col("comp").as("_cl"),
         (col("doc_id") === col("best_doc")).as("_repk"))
-    val victims = subsumptionVictims(s, dir).withColumn("_sub", lit(true))
+    val victims = victimsFromPairs(containmentPairsFrom(cappedFrom(base)))
+      .withColumn("_sub", lit(true))
     spine
       .join(gateBroadcast(members, rowLimit), Seq("doc_id"), "left")
       .join(gateBroadcast(victims, rowLimit), Seq("doc_id"), "left")
