@@ -3,28 +3,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Containment-at-scale probe on a BOILERPLATE-HEAVY corpus — the
-  * regime the prefix filter (q118b) exists for. DedupScaleProbe's
-  * corpus has near-unique shingles (df ≈ 1), which is the prefix
-  * filter's worst case: every join bucket is already tiny, so the
-  * filter's extra rank/verify machinery only adds constant overhead
-  * (measured ~1.2× there). Real crawl text is the opposite — shared
-  * phrases put the bulk of the shingle mass in mid-df buckets — and
-  * this probe synthesizes exactly that:
+/** Containment-at-scale probe over the TWO adversarial corpus regimes of
+  * the containment family (DedupScaleProbe's df-flat corpus is the
+  * third, benign one):
   *
-  *   - every doc carries `BoilerTokens` tokens of boilerplate drawn
-  *     from a phrase pool sized so each boiler shingle lands in
-  *     ~`BoilerDf` documents (mid-frequency: well UNDER the df cap, so
-  *     the cap cannot save the full join from them), plus a unique body;
-  *   - every 10th doc is a near-superset of its predecessor (unique
-  *     body kept, extra tokens appended) → planted containment pairs
-  *     with exact floors, like DedupScaleProbe's.
+  * 1. BOILERPLATE-heavy ("boiler") — the regime the prefix filter
+  *    (q118b) exists for. Every doc carries `BoilerTokens` of
+  *    boilerplate drawn from a phrase pool sized so each boiler shingle
+  *    lands in ~`BoilerDf` documents (mid-frequency: well UNDER the df
+  *    cap, so the cap cannot save the full join), plus a unique body;
+  *    every 10th doc is a near-superset of its predecessor. The full
+  *    q118 join grinds ~BoilerDf-sized buckets for every boilerplate
+  *    shingle instance; q118b's rare prefix (the unique body) never
+  *    touches them.
   *
-  * The full q118 join must grind through ~BoilerDf-sized buckets for
-  * every boilerplate shingle instance; q118b's prefix (the globally
-  * RAREST ⌊n/10⌋+1 shingles per doc = the unique body) never touches
-  * them during candidate generation. Equality of the two pair sets is
-  * asserted (the filter is lossless), so the timing gap is pure plan.
+  * 2. QUOTE-heavy ("quote") — the regime the bottom-k sketch
+  *    pre-filter (q126's fast config) exists for. Groups of 8: a source
+  *    doc (160-token body — realistic document length, so the melt
+  *    verify's array traffic is the real cost), six quoters each
+  *    copying a staggered 96-token window that TILES the body (so every
+  *    source shingle is shared and the source's rarest shingles sit
+  *    inside quotes — the prefix filter CANNOT skip these C≈0.6
+  *    near-misses), and one true near-superset. q118b must melt-verify
+  *    ~10 near-miss candidates per true pair, each dragging two
+  *    ~170-element shingle arrays through the pair exchange; the
+  *    sketch's hit-count estimate (k=16 rarest probes, ≥11 must hit)
+  *    kills the near-misses BEFORE the array-attach verify. Recall is
+  *    measured, not assumed.
+  *
+  * Both regimes assert planted-floor exactness for the lossless paths.
   *
   * Usage: runMain graft.ContainScaleProbe [nDocs]
   */
@@ -41,11 +48,29 @@ object ContainScaleProbe {
 
     val BoilerTokens = 12L // boiler tokens per doc (→ ~10-12 boiler shingles)
     val BoilerDf = 24L // target docs per boiler shingle (mid-df, under cap 64)
-    // pool of phrase ids sized so each phrase lands in ~BoilerDf docs
     val phrasePool = math.max(1L, n / BoilerDf)
 
-    val dir = java.nio.file.Files.createTempDirectory("contain_probe").toString
-    var t0 = System.nanoTime()
+    // all three containment plans share the shingle pass — pin it ONCE
+    // per corpus and time each strategy from the candidate-gen seam down,
+    // so the numbers compare the FILTERS, not the common prefix. The
+    // previous corpus's blocks are dropped first: leftover pinned RDDs
+    // squat on storage memory and randomly force later sweeps to spill
+    // (measured 2-4x wall-clock swings at 1M docs without this).
+    def pinShingles(dir: String): org.apache.spark.sql.DataFrame = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      DedupQueries.containmentShingles(
+        Tables.loadP(spark, dir, "documents")).localCheckpoint(true)
+    }
+    def timed(fn: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      System.gc()
+      val t = System.nanoTime()
+      val rows = fn.count()
+      ((System.nanoTime() - t) / 1e9, rows)
+    }
+
+    // ---- regime 1: boilerplate-heavy, unique bodies ----
+    val boilDir = java.nio.file.Files.createTempDirectory("contain_boil").toString
     spark.range(n)
       .select(col("id").as("doc_id"),
         expr("CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END").as("base"))
@@ -67,32 +92,64 @@ object ContainScaleProbe {
                   ELSE '' END""")).as("text"),
         lit("en").as("lang"), lit("s0").as("source"))
       .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val genSec = (System.nanoTime() - t0) / 1e9
+      .write.mode("overwrite").parquet(s"$boilDir/documents.parquet")
 
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
-      System.gc()
-      val t = System.nanoTime()
-      val rows = fn(spark, dir).count()
-      ((System.nanoTime() - t) / 1e9, rows)
-    }
-    val (fullSec, fullPairs) = timed(DedupQueries.q118Containment)
-    val (prefSec, prefPairs) = timed(DedupQueries.q118bContainmentPrefix)
-
+    val boilSh = pinShingles(boilDir)
+    val (fullSec, fullPairs) = timed(DedupQueries.containmentExact(boilSh))
+    val (prefSec, prefPairs) = timed(DedupQueries.containmentPrefix(boilSh))
     // lossless: the prefix filter must find the SAME pair set
     require(prefPairs == fullPairs,
       s"prefix containment found $prefPairs pairs vs full $fullPairs")
     // every planted (base, base+suffix) pair is C = 1.0 — floor exact;
-    // boilerplate sharing may add a handful of coincidental pairs only
-    // if two docs' capped sets overlap 90%, which the unique bodies
-    // prevent, so the count is exactly the planted n/10
+    // unique bodies prevent coincidental 90% overlaps
     require(fullPairs >= n / 10 - 1,
       s"containment found $fullPairs pairs, planted ≈ ${n / 10}")
 
-    println(s"""{"probe":"contain_scale","n_docs":$n,"gen_sec":$genSec,""" +
-      s""""boiler_df":$BoilerDf,"full_sec":$fullSec,"full_pairs":$fullPairs,""" +
-      s""""prefix_sec":$prefSec,"prefix_pairs":$prefPairs,""" +
-      s""""speedup":${fullSec / prefSec}}""")
+    // ---- regime 2: quote-heavy (near-miss candidates) ----
+    val quoteDir = java.nio.file.Files.createTempDirectory("contain_quote").toString
+    spark.range(n)
+      .select(col("id").as("doc_id"), (col("id") - col("id") % 8).as("src"),
+        (col("id") % 8).as("role"))
+      .select(col("doc_id"),
+        concat(
+          array_join(expr(
+            s"""transform(sequence(1, $BoilerTokens),
+                i -> concat('bp', pmod(hash(src), $phrasePool), '_', i))"""), " "),
+          lit(" "),
+          // six staggered 96-token windows: starts 1,14,27,40,53,65 →
+          // tile 1..160
+          array_join(expr(
+            """CASE WHEN role = 0 OR role = 7
+                 THEN transform(sequence(1, 160), i -> concat('w', src, '_', i))
+                 ELSE transform(sequence(if(role = 6, 65, 13 * role - 12),
+                     if(role = 6, 160, 13 * role + 83)),
+                   i -> concat('w', src, '_', i))
+               END"""), " "),
+          lit(" "),
+          expr("""CASE WHEN role = 7 THEN concat('x', doc_id, ' y', doc_id)
+                  WHEN role = 0 THEN ''
+                  ELSE array_join(transform(sequence(1, 64),
+                    i -> concat('q', doc_id, '_', i)), ' ') END""")).as("text"),
+        lit("en").as("lang"), lit("s0").as("source"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$quoteDir/documents.parquet")
+
+    val quoteSh = pinShingles(quoteDir)
+    val (qPrefSec, qPrefPairs) = timed(DedupQueries.containmentPrefix(quoteSh))
+    val (skSec, skPairs) = timed(DedupQueries
+      .containmentSketchPairs(quoteSh, k = 16, minHits = 11, rareFirst = true))
+    // planted floor: exactly one C >= 0.9 pair per 8-doc group (source,
+    // superset); quotes sit at C ≈ 0.6 and must NOT pass
+    require(qPrefPairs == n / 8,
+      s"quote corpus: prefix found $qPrefPairs pairs, planted ${n / 8}")
+    val skRecall = skPairs.toDouble / qPrefPairs
+
+    println(s"""{"probe":"contain_scale","n_docs":$n,"boiler_df":$BoilerDf,""" +
+      s""""boiler":{"full_sec":$fullSec,"prefix_sec":$prefSec,""" +
+      s""""pairs":$fullPairs,"prefix_speedup":${fullSec / prefSec}},""" +
+      s""""quote":{"prefix_sec":$qPrefSec,"sketch_sec":$skSec,""" +
+      s""""pairs":$qPrefPairs,"sketch_speedup":${qPrefSec / skSec},""" +
+      f""""sketch_recall":$skRecall%.4f}}""")
     spark.stop()
   }
 }

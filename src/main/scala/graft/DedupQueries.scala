@@ -565,7 +565,13 @@ object DedupQueries {
     * The df window shuffles on shingle keys (bounded groups), the size
     * window on doc_id; documents themselves never shuffle. */
   def q118Containment(s: SparkSession, dir: String): DataFrame =
-    containmentPairs(s, dir)
+    containmentExact(cappedShingles(s, dir))
+
+  /** q118's body over an injected capped shingle frame (the probe's
+    * strategy-isolation seam: all three containment plans share the
+    * shingle pass, so comparing them means timing from here down). */
+  private[graft] def containmentExact(sh: DataFrame): DataFrame =
+    containmentPairsFrom(sh)
       .select(
         when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("doc_small"),
         when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("doc_big"),
@@ -683,8 +689,11 @@ object DedupQueries {
     * set MELTS to (pair, member) rows so ONE doc_id equi-join attaches
     * both capped shingle arrays). LOSSLESS by construction; same oracle
     * as q118 — the two forms must agree row for row. */
-  def q118bContainmentPrefix(s: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(s, dir)
+  def q118bContainmentPrefix(s: SparkSession, dir: String): DataFrame =
+    containmentPrefix(cappedShingles(s, dir))
+
+  /** q118b's body over an injected capped shingle frame. */
+  private[graft] def containmentPrefix(sh: DataFrame): DataFrame = {
     val pref = sh
       .withColumn("r", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
@@ -696,6 +705,14 @@ object DedupQueries {
       .select(least(col("pd"), col("od")).as("doc_a"),
         greatest(col("pd"), col("od")).as("doc_b"))
       .distinct()
+    containmentVerify(cands, sh)
+  }
+
+  /** The containment family's exact verify tail (shared by q118b and
+    * q126): candidate pairs → melt-attach both capped shingle arrays
+    * (the q100 shape) → row-local intersection → C >= 0.9 rows in
+    * q118's output schema. */
+  private def containmentVerify(cands: DataFrame, sh: DataFrame): DataFrame = {
     val sets = sh.groupBy("doc_id")
       .agg(collect_set("s").as("sh"))
     val i = size(array_intersect(col("sha"), col("shb")))
@@ -708,6 +725,69 @@ object DedupQueries {
         (i.cast("double") / least(na, nb)).as("c"))
       .filter(col("c") >= 0.9)
       .select(col("doc_small"), col("doc_big"), round(col("c"), 4).as("containment"))
+  }
+
+  /** Containment through a BOTTOM-K sketch pre-filter — the q21→q100
+    * two-stage pattern applied to containment (Broder's bottom-k /
+    * asymmetric-minhash containment estimation, "On the resemblance and
+    * containment of documents", SEQUENCES'97): each document probes the
+    * capped shingle table with only its k hash-smallest shingles, pairs
+    * are ESTIMATED from sketch-hit counts, and only pairs passing the
+    * hit threshold reach the exact melt verify. For corpora where even
+    * q118b's rare-prefix join is hot (df-flat corpora give the prefix
+    * filter nothing rare to pick), the sketch bounds probe fan-in at
+    * k·df per document regardless of df shape.
+    *
+    * Two regimes, one body:
+    *  - `k <= 0` (REGISTERED, oracle = q118's): adaptive hash-order
+    *    prefix k_doc = ⌊n/10⌋+1, minHits = 1 — LOSSLESS by the same
+    *    pigeonhole as q118b (at most ⌊n/10⌋ of the small side's capped
+    *    shingles may miss the other doc, so any (⌊n/10⌋+1)-subset hits
+    *    it; hash order is just a different subset choice), so the exact
+    *    verify returns precisely q118's rows.
+    *  - `k > 0` (the scale knob, measured in ContainScaleProbe): fixed
+    *    bottom-k sketch, pairs kept when ≥ minHits DISTINCT shingles hit
+    *    through either side's sketch — if C >= 0.9, each of the small
+    *    side's k sketch shingles hits the big doc with prob ~0.9, so
+    *    even k = 16, minHits = 8 loses ~nothing while cutting probe
+    *    fan-in ~n/k-fold on long documents. */
+  def q126ContainmentSketch(s: SparkSession, dir: String): DataFrame =
+    containmentSketchPairs(cappedShingles(s, dir), k = 0, minHits = 1)
+
+  /** [[containmentSketchPairs]] over a testdata dir at an arbitrary
+    * (k, minHits) — the probe's entry to the fast regime. */
+  private[graft] def containmentSketchFor(s: SparkSession, dir: String,
+      k: Int, minHits: Int, rareFirst: Boolean = false): DataFrame =
+    containmentSketchPairs(cappedShingles(s, dir), k, minHits, rareFirst)
+
+  private[graft] def containmentSketchPairs(sh: DataFrame, k: Int,
+      minHits: Int, rareFirst: Boolean = false): DataFrame = {
+    val kCol = if (k <= 0) expr("n div 10") + lit(1) else lit(k)
+    // rareFirst: probe with the k globally-RAREST shingles (q118b's
+    // order, k-capped) — cold join keys; plain bottom-k (hash order) is
+    // the classic unbiased containment sketch
+    val ord = if (rareFirst) Seq(col("df").asc, col("s").asc)
+      else Seq(md5(col("s")).asc, col("s").asc)
+    val sketch = sh
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(ord: _*)))
+      .filter(col("r") <= kCol)
+      .select(col("doc_id").as("pd"), col("n").as("np"), col("s"))
+    // ONE-SIDED probing: C normalizes by the SMALL side, so only the
+    // small side's sketch estimates it — probe small→big exclusively
+    // (ties break on id so each pair is probed once). Halves the probe
+    // join AND makes (pair, s) unique, so hits is a plain count, never
+    // a countDistinct expand.
+    val cands = sketch
+      .join(sh.select(col("doc_id").as("od"), col("n").as("no"), col("s")), "s")
+      .filter(col("np") < col("no") ||
+        (col("np") === col("no") && col("pd") =!= col("od")))
+      .groupBy(least(col("pd"), col("od")).as("doc_a"),
+        greatest(col("pd"), col("od")).as("doc_b"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select("doc_a", "doc_b")
+    containmentVerify(cands, sh)
   }
 
   /** Cross-corpus containment — the incremental-ingest gate of the
@@ -862,6 +942,7 @@ object DedupQueries {
     "q123_cross_contain" -> q123CrossContain _,
     "q118_containment" -> q118Containment _,
     "q118b_containment_prefix" -> q118bContainmentPrefix _,
+    "q126_containment_sketch" -> q126ContainmentSketch _,
     "q117_best_rep" -> q117BestRep _,
     "q100_verify_lsh" -> q100VerifyLsh _,
     "q35_bottomk_sketch" -> q35BottomkSketch _,
@@ -1167,8 +1248,10 @@ object DedupQueries {
          |SELECT d.doc_id, v.doc_id IS NOT NULL AS subsumed
          |FROM documents d LEFT JOIN v USING (doc_id)""".stripMargin,
     "q118_containment" -> containmentOracle,
-    // the prefix-filtered form is LOSSLESS: one oracle, two plans
+    // the prefix-filtered and bottom-k-sketch forms are LOSSLESS at
+    // their registered configs: one oracle, three plans
     "q118b_containment_prefix" -> containmentOracle,
+    "q126_containment_sketch" -> containmentOracle,
     "q21_minhash_lsh" ->
       s"""WITH $shingleCte,
          |$lshBandsCte
