@@ -28,7 +28,13 @@ object CurationRun {
 
   def exportCurated(s: SparkSession, dir: String, outDir: String,
       nShards: Int, seed: Long): Seq[TrainingExport.ShardStat] = {
-    val survivors = curatedSurvivors(s, dir)
+    // pin the survivors ONCE (RankOps convention): the frame is consumed
+    // three times — mixture-rate planning, the shard write, and the
+    // manifest's stat recompute — and re-running the verdict join (the
+    // most expensive stage of the pipeline) per consumer tripled the
+    // run; the pinned rows are the post-join (id, text, lang, source)
+    // projection, the minimum the export needs anyway
+    val survivors = curatedSurvivors(s, dir).localCheckpoint(true)
     val rates = CurationQueries.mixtureRatesOf(survivors)
     TrainingExport.exportMixedShards(survivors, rates, outDir, nShards, seed)
   }

@@ -60,21 +60,25 @@ object TrainingExport {
       seed: Long): Seq[ShardStat] = {
     val st = stamped(docs, nShards, seed)
       .withColumn("tokens", gf.token_count(col("text")).cast("long"))
-    val stats = writeShards(st, outDir, nShards, "overwrite")
-    writeManifest(docs.sparkSession, outDir, nShards, seed, stats)
+    val stats = writeShards(st, outDir, nShards, "overwrite", keyOnCopy = false)
+    writeManifest(docs.sparkSession, outDir, nShards, seed, stats,
+      keyedOnCopy = false)
     stats
   }
 
   /** The one write-and-certify tail every export path shares: shard
     * repartition (nShards partitions keyed on shard — one file per
-    * shard), in-shard order, zstd parquet, per-shard stats. */
+    * shard), in-shard order, zstd parquet, per-shard stats. The digest
+    * KEYING is explicit, never inferred from the frame: a directory
+    * must hold one keying end to end or its manifest is meaningless
+    * (see [[appendShards]]'s fail-fast). */
   private def writeShards(st: DataFrame, outDir: String, nShards: Int,
-      mode: String): Seq[ShardStat] = {
+      mode: String, keyOnCopy: Boolean): Seq[ShardStat] = {
     st.repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("_ord"))
       .write.mode(mode).option("compression", "zstd")
       .partitionBy("shard").parquet(outDir)
-    shardStats(st)
+    shardStats(st, keyOnCopy)
   }
 
   /** Mixture-aware export — q111's plan REALIZED directly into epoch
@@ -103,8 +107,9 @@ object TrainingExport {
           .cast("int"))
       .withColumn("_ord",
         md5(concat_ws(":", lit(seed), col("doc_id"), col("copy")).cast("binary")))
-    val stats = writeShards(st, outDir, nShards, "overwrite")
-    writeManifest(docs.sparkSession, outDir, nShards, seed, stats)
+    val stats = writeShards(st, outDir, nShards, "overwrite", keyOnCopy = true)
+    writeManifest(docs.sparkSession, outDir, nShards, seed, stats,
+      keyedOnCopy = true)
     stats
   }
 
@@ -123,15 +128,22 @@ object TrainingExport {
   def appendShards(docs: DataFrame, outDir: String, nShards: Int,
       seed: Long): Seq[ShardStat] = {
     val spark = docs.sparkSession
+    // FAIL FAST on digest-keying drift: appends stamp plain rows (no
+    // `copy`), so appending into a mixture export would merge digests
+    // computed under two different hash keyings — a mismatch the
+    // verifier could only see (or worse, MISS: hash functions skip a
+    // null `copy` on the appended rows) long after the corruption
+    val priorExists = fs(manifestPath(outDir)).exists(manifestPath(outDir))
+    if (priorExists && manifestKeyedOnCopy(spark, outDir).getOrElse(false))
+      throw new IllegalStateException(
+        s"$outDir holds a mixture export (digests keyed on copy); " +
+          "appendShards stamps copy-less rows — re-export instead")
     val st = stamped(docs, nShards, seed)
       .withColumn("tokens", gf.token_count(col("text")).cast("long"))
-    val batchStats = writeShards(st, outDir, nShards, "append")
-    val prior =
-      if (fs(manifestPath(outDir)).exists(manifestPath(outDir)))
-        readManifest(spark, outDir)
-      else Seq.empty
+    val batchStats = writeShards(st, outDir, nShards, "append", keyOnCopy = false)
+    val prior = if (priorExists) readManifest(spark, outDir) else Seq.empty
     val merged = mergeStats(prior, batchStats)
-    writeManifest(spark, outDir, nShards, seed, merged)
+    writeManifest(spark, outDir, nShards, seed, merged, keyedOnCopy = false)
     merged
   }
 
@@ -141,12 +153,13 @@ object TrainingExport {
         parts.map(_.digest).reduce(_ ^ _))
     }.toSeq.sortBy(_.shard)
 
-  private def shardStats(st: DataFrame): Seq[ShardStat] = {
+  private def shardStats(st: DataFrame, keyOnCopy: Boolean): Seq[ShardStat] = {
     // mixed exports carry `copy`: it must enter the digest or two
     // identical-text copies xor-cancel each other out of the manifest
+    require(!keyOnCopy || st.columns.contains("copy"),
+      "digest keyed on copy but the rows carry no copy column")
     val digest =
-      if (st.columns.contains("copy"))
-        expr("bit_xor(xxhash64(doc_id, copy, text))")
+      if (keyOnCopy) expr("bit_xor(xxhash64(doc_id, copy, text))")
       else expr("bit_xor(xxhash64(doc_id, text))")
     st.groupBy(col("shard"))
       .agg(count(lit(1)).as("rows"),
@@ -163,11 +176,13 @@ object TrainingExport {
   private def manifestPath(outDir: String) = new Path(outDir, "_manifest.json")
 
   private def writeManifest(spark: SparkSession, outDir: String,
-      nShards: Int, seed: Long, stats: Seq[ShardStat]): Unit = {
+      nShards: Int, seed: Long, stats: Seq[ShardStat],
+      keyedOnCopy: Boolean): Unit = {
     val body = stats.map(s =>
         s"""{"shard":${s.shard},"rows":${s.rows},"tokens":${s.tokens},"digest":${s.digest}}""")
       .mkString(
-        s"""{"n_shards":$nShards,"seed":$seed,"shards":[""", ",", "]}")
+        s"""{"n_shards":$nShards,"seed":$seed,""" +
+          s""""digest_keyed_on_copy":$keyedOnCopy,"shards":[""", ",", "]}")
     val p = manifestPath(outDir)
     val tmp = new Path(outDir, s"._manifest.json.tmp")
     val efs = fs(p)
@@ -179,12 +194,7 @@ object TrainingExport {
 
   /** Parse `outDir/_manifest.json` back into shard stats. */
   def readManifest(spark: SparkSession, outDir: String): Seq[ShardStat] = {
-    val p = manifestPath(outDir)
-    val efs = fs(p)
-    val in = efs.open(p)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val body = readManifestBody(outDir)
     // the writer controls the format — a flat regex parse keeps this
     // dependency-free (no JSON lib beyond Spark's internals needed)
     val entry =
@@ -194,6 +204,20 @@ object TrainingExport {
         m.group(3).toLong, m.group(4).toLong)).toSeq.sortBy(_.shard)
   }
 
+  private def readManifestBody(outDir: String): String = {
+    val p = manifestPath(outDir)
+    val efs = fs(p)
+    val in = efs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The manifest's recorded digest keying; None for manifests written
+    * before the field existed. */
+  def manifestKeyedOnCopy(spark: SparkSession, outDir: String): Option[Boolean] =
+    """"digest_keyed_on_copy":(true|false)""".r
+      .findFirstMatchIn(readManifestBody(outDir)).map(_.group(1).toBoolean)
+
   /** The trainer-side certification: recompute rows/tokens/digest from
     * the WRITTEN files and diff against the manifest. Returns the shard
     * ids that disagree (empty = the handoff is intact). One read of the
@@ -201,7 +225,15 @@ object TrainingExport {
     * partition pruning applies if only some shards are checked. */
   def verifyShards(spark: SparkSession, outDir: String): Seq[Int] = {
     val manifest = readManifest(spark, outDir)
-    val got = shardStats(spark.read.parquet(outDir))
+    val files = spark.read.parquet(outDir)
+    // recompute under the MANIFEST's keying (legacy manifests without
+    // the field fall back to the file schema); files that cannot honor
+    // the recorded keying are unverifiable — every shard reports bad
+    val keyed = manifestKeyedOnCopy(spark, outDir)
+      .getOrElse(files.columns.contains("copy"))
+    if (keyed && !files.columns.contains("copy"))
+      return manifest.map(_.shard).sorted
+    val got = shardStats(files, keyed)
     val gotBy = got.map(s => s.shard -> s).toMap
     val bad = manifest.collect {
       case m if !gotBy.get(m.shard).contains(m) => m.shard

@@ -368,7 +368,11 @@ object Streams {
     * arrival counts must drop the same boilerplate — a raw arrival
     * count against capped corpus counts would skew min() and flip the
     * direction tie (a boilerplate-heavy duplicate would read as
-    * `supersedes` and REPLACE the stored doc with a copy).
+    * `supersedes` and REPLACE the stored doc with a copy). Arrivals
+    * additionally carry a BATCH-LOCAL df cap: template spam arriving at
+    * volume inside one micro-batch is boilerplate the corpus stop set
+    * has never seen, and without the cap it re-creates the hot-bucket
+    * join blowup (and the min() skew) batch-side.
     * Stateless; snapshot semantics as [[dedupAgainstCorpus]]. */
   def runContainmentGate(docsStream: DataFrame, corpusShingles: DataFrame,
       stopShingles: DataFrame, outDir: String, checkpointDir: String,
@@ -382,8 +386,18 @@ object Streams {
             explode(array_distinct(
               gf.shingles(col("text"), graft.DedupQueries.N))).as("s"))
           .join(stopShingles, Seq("s"), "left_anti")
+          // BATCH-LOCAL df cap, the same quadratic guard the corpus side
+          // was built under: a template-spam batch (one phrase arriving
+          // at volume) would otherwise re-create the hot-bucket blowup
+          // batch-side — the corpus stop set only knows the CORPUS's
+          // boilerplate — and batch-shared phrases would skew the min()
+          // normalization exactly the way corpus boilerplate did
+          .withColumn("bdf", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("s")))
+          .filter(col("bdf") <= graft.DedupQueries.DfCap)
           .withColumn("n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+          .select("doc_id", "s", "n")
           .localCheckpoint(true) // batch-bounded; kernel once, joined once
         val pairs = corpusShingles.as("a")
           .join(sh.as("b"), col("a.s") === col("b.s"))

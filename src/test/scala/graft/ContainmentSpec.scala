@@ -204,6 +204,48 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got(500L) == ((true, false, 1L)), got.toString)
   }
 
+  test("gate caps batch-local template spam like corpus boilerplate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // corpus: 5 docs with unique bodies (no boilerplate — stop set empty)
+    val corpusDf = (1 to 5)
+      .map(i => i.toLong -> (1 to 40).map(j => s"k${i}_$j").mkString(" "))
+      .toDF("doc_id", "text")
+    val corpusSh = DedupQueries.containmentShingles(corpusDf)
+      .localCheckpoint(true)
+    val stop = DedupQueries.containmentStopShingles(corpusDf)
+      .localCheckpoint(true)
+    assert(stop.count() == 0)
+    val out = java.nio.file.Files.createTempDirectory("cgate3_out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("cgate3_ck").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    // one batch: 70 template-spam arrivals (the SAME phrase — batch df
+    // 70 > cap, invisible to the corpus stop set) plus one true quote
+    // of corpus doc 3 buried in spam boilerplate. Without the batch df
+    // cap the spam shingles dominate the quote's arrival count n and
+    // C = i/min(na, n) falls below threshold — the copy slips through.
+    val spam = (1 to 20).map(i => s"tp$i").mkString(" ")
+    // quote of doc 3's first 30 tokens: 28 quote shingles + 2 spam→quote
+    // junction shingles (df 1, survive the cap) = 30 arrival shingles
+    // vs the stored doc's 38 → smaller side, C = 28/30 ≈ 0.93
+    val arrivals =
+      (100L to 169L).map(id => id -> spam) :+
+        (200L -> (spam + " " + (1 to 30).map(j => s"k3_$j").mkString(" ")))
+    mem.addData(arrivals: _*)
+    graft.streaming.Streams.runContainmentGate(
+      mem.toDF().toDF("doc_id", "text"), corpusSh, stop, out, ckpt)
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got.size == 71)
+    // the quote is caught as contained: spam shingles are capped out of
+    // its arrival count, so C = 38/min(38, 38) = 1.0
+    assert(got(200L) == ((true, false, 1L)), got(200L).toString)
+    // pure spam docs lose ALL their shingles to the cap → no verdict
+    // beyond "novel", and the join never grinds 70² spam pairs
+    (100L to 169L).foreach(id => assert(got(id) == ((false, false, 0L))))
+  }
+
   test("q124 fused verdict composes fp, cluster-rep, and subsumption rules") {
     val dir = java.nio.file.Files.createTempDirectory("verdict").toString
     val base = (1 to 20).map(i => s"vt$i").mkString(" ")

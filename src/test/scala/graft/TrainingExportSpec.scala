@@ -86,6 +86,22 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("manifests record their digest keying; appending into a mixture export fails fast") {
+    val (dPlain, dMixed) = (tmp(), tmp())
+    TrainingExport.exportShards(docs, dPlain, 4, seed = 5L)
+    assert(TrainingExport.manifestKeyedOnCopy(spark, dPlain).contains(false))
+    val rates = CurationQueries.mixtureRates(spark, dir)
+    TrainingExport.exportMixedShards(docsSrc, rates, dMixed, 4, seed = 5L)
+    assert(TrainingExport.manifestKeyedOnCopy(spark, dMixed).contains(true))
+    // a copy-less append would merge digests of two different hash
+    // keyings into one manifest — refused up front
+    intercept[IllegalStateException] {
+      TrainingExport.appendShards(docs, dMixed, 4, seed = 5L)
+    }
+    // the refused append must not have touched the directory
+    assert(TrainingExport.verifyShards(spark, dMixed).isEmpty)
+  }
+
   test("streaming export: two micro-batches drain into certified shards") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
