@@ -90,12 +90,35 @@ object DedupQueries {
     * runs the shingle kernel and scans `documents.text` once instead of
     * once per family. Standalone single-family queries (q22, q118) keep
     * their own leaner materializations: q22 alone never needs the df
-    * window this pass pays for. */
-  private def shingleBase(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    * pass this one pays for.
+    *
+    * df is a groupBy partial aggregate joined back — NEVER a
+    * `count().over(Window.partitionBy("s"))`: window partitions get no
+    * map-side combine and are not AQE-splittable, so one crawl-scale
+    * boilerplate shingle (df in the billions) would funnel through a
+    * single task before the cap could discard it. The groupBy combines
+    * map-side (each task emits one row per local shingle), and the
+    * join-back IS AQE-skew-splittable. The exploded frame is pinned
+    * first so the shingle kernel runs once, not once per join side. */
+  private def shingleBase(s: SparkSession, dir: String): DataFrame = {
+    val ex = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .localCheckpoint(true)
+    attachDf(ex, cap = None).localCheckpoint(true)
+  }
+
+  /** The family's df pass: exploded (doc_id, s) → (doc_id, s, df) via a
+    * groupBy PARTIAL aggregate joined back, with the df cap (when given)
+    * applied on the aggregate side so capped-out hot shingles die at the
+    * inner join. Never a `count().over(Window.partitionBy("s"))` — see
+    * [[containmentShingles]]. `ex` must be pinned by the caller (two
+    * consumers). Plan-gated by `ShinglePlanSpec`: window-free, and the
+    * aggregate is map-side partial. */
+  private[graft] def attachDf(ex: DataFrame, cap: Option[Long]): DataFrame = {
+    val dfAgg = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val kept = cap.fold(dfAgg)(c => dfAgg.filter(col("df") <= c))
+    ex.join(kept, "s").select("doc_id", "s", "df")
+  }
 
   /** [[shingleBase]] → q22's (doc_id, s, n) shape (uncapped sizes). */
   private def countsFrom(base: DataFrame): DataFrame =
@@ -585,14 +608,25 @@ object DedupQueries {
     * .runContainmentGate]]) can precompute it ONCE over the stored
     * corpus instead of per micro-batch. The df cap is the family's
     * quadratic guard (see [[q118Containment]]). */
-  def containmentShingles(docs: DataFrame): DataFrame =
-    docs
+  def containmentShingles(docs: DataFrame): DataFrame = {
+    val ex = docs
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= DfCap)
+      // pinned so the shingle kernel runs once, not once per join side
+      .localCheckpoint(true)
+    // df via groupBy partial aggregate + join-back ([[attachDf]]), NOT a
+    // shingle-key window: a window partition gets no map-side combine
+    // and cannot be AQE-split, so one crawl-scale boilerplate shingle
+    // would pull billions of rows through a single task before the cap
+    // fires. The groupBy collapses each hot shingle to ONE row per map
+    // task; the inner join against the surviving (df <= cap) set both
+    // attaches df and applies the cap, and AQE skew-splits any residual
+    // hot probe partition. The doc_id window below is per-document
+    // (bounded by text length) and safe.
+    attachDf(ex, cap = Some(DfCap))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "s", "n", "df") // df rides along for q118b's prefix rank
+  }
 
   /** The shingles [[containmentShingles]] DROPPED (df > cap) — the
     * corpus's boilerplate/stop set. The streaming gate must subtract

@@ -372,7 +372,13 @@ object Streams {
     * additionally carry a BATCH-LOCAL df cap: template spam arriving at
     * volume inside one micro-batch is boilerplate the corpus stop set
     * has never seen, and without the cap it re-creates the hot-bucket
-    * join blowup (and the min() skew) batch-side.
+    * join blowup (and the min() skew) batch-side. Docs that lost
+    * shingles to that batch cap emit `capped_frac` (fraction of
+    * post-stop-set shingles dropped) and `capped` (frac >= 0.5): a
+    * recrawl flood of one popular page is indistinguishable from
+    * template spam inside a batch, so capped-out docs must NOT pass
+    * silently as novel — route them through the exact batch verify
+    * (the q123 shape) before ingesting.
     * Stateless; snapshot semantics as [[dedupAgainstCorpus]]. */
   def runContainmentGate(docsStream: DataFrame, corpusShingles: DataFrame,
       stopShingles: DataFrame, outDir: String, checkpointDir: String,
@@ -382,23 +388,37 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sh = batch.select(col("doc_id"),
+        val ex = batch.select(col("doc_id"),
             explode(array_distinct(
               gf.shingles(col("text"), graft.DedupQueries.N))).as("s"))
           .join(stopShingles, Seq("s"), "left_anti")
-          // BATCH-LOCAL df cap, the same quadratic guard the corpus side
-          // was built under: a template-spam batch (one phrase arriving
-          // at volume) would otherwise re-create the hot-bucket blowup
-          // batch-side — the corpus stop set only knows the CORPUS's
-          // boilerplate — and batch-shared phrases would skew the min()
-          // normalization exactly the way corpus boilerplate did
-          .withColumn("bdf", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("s")))
-          .filter(col("bdf") <= graft.DedupQueries.DfCap)
+          // batch-bounded; kernel once — feeds the df aggregate, the
+          // per-doc raw counts, and the probe join
+          .localCheckpoint(true)
+        // BATCH-LOCAL df cap, the same quadratic guard the corpus side
+        // was built under: a template-spam batch (one phrase arriving
+        // at volume) would otherwise re-create the hot-bucket blowup
+        // batch-side — the corpus stop set only knows the CORPUS's
+        // boilerplate — and batch-shared phrases would skew the min()
+        // normalization exactly the way corpus boilerplate did. The cap
+        // is a groupBy partial aggregate joined back, NOT a shingle-key
+        // window: a flood batch's hottest shingle must not funnel the
+        // batch through one task before the cap can drop it.
+        val sh = ex.join(
+            ex.groupBy("s").agg(count(lit(1)).as("bdf"))
+              .filter(col("bdf") <= graft.DedupQueries.DfCap), "s")
           .withColumn("n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
           .select("doc_id", "s", "n")
-          .localCheckpoint(true) // batch-bounded; kernel once, joined once
+          .localCheckpoint(true) // joined once below, aggregated once
+        // shingles-lost accounting: a doc whose shingles were mostly
+        // eaten by the BATCH cap got no real containment check this
+        // batch (a >cap recrawl flood of one true duplicate looks
+        // exactly like template spam here), so it must not pass
+        // silently as novel — `capped` routes it to the exact batch
+        // verify (the q123 shape) instead of straight into the corpus
+        val rawN = ex.groupBy("doc_id").agg(count(lit(1)).as("raw_n"))
+        val survN = sh.groupBy("doc_id").agg(first(col("n")).as("surv_n"))
         val pairs = corpusShingles.as("a")
           .join(sh.as("b"), col("a.s") === col("b.s"))
           .groupBy(col("a.doc_id").as("doc_old"), col("b.doc_id").as("doc_id"))
@@ -411,10 +431,18 @@ object Streams {
             max(when(col("nb") > col("na"), 1).otherwise(0)).as("_sup"),
             count(lit(1)).as("n_matches"))
         batch.select("doc_id").join(verdicts, Seq("doc_id"), "left")
+          .join(rawN, Seq("doc_id"), "left")
+          .join(survN, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("_cont") === 1, lit(false)).as("contained"),
             coalesce(col("_sup") === 1, lit(false)).as("supersedes"),
-            coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            round(when(coalesce(col("raw_n"), lit(0L)) === 0, lit(0.0))
+              .otherwise(lit(1.0) - coalesce(col("surv_n"), lit(0L))
+                .cast("double") / col("raw_n")), 4).as("capped_frac"),
+            (when(coalesce(col("raw_n"), lit(0L)) === 0, lit(0.0))
+              .otherwise(lit(1.0) - coalesce(col("surv_n"), lit(0L))
+                .cast("double") / col("raw_n")) >= 0.5).as("capped"))
           .write.mode("append").parquet(outDir)
       }
       .start()

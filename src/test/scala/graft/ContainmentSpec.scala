@@ -234,9 +234,11 @@ class ContainmentSpec extends AnyFunSuite {
     mem.addData(arrivals: _*)
     graft.streaming.Streams.runContainmentGate(
       mem.toDF().toDF("doc_id", "text"), corpusSh, stop, out, ckpt)
-    val got = spark.read.parquet(out).collect()
+    val full = spark.read.parquet(out).collect()
       .map(r => r.getLong(0) ->
-        ((r.getBoolean(1), r.getBoolean(2), r.getLong(3)))).toMap
+        ((r.getBoolean(1), r.getBoolean(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5)))).toMap
+    val got = full.view.mapValues(v => (v._1, v._2, v._3)).toMap
     assert(got.size == 71)
     // the quote is caught as contained: spam shingles are capped out of
     // its arrival count, so C = 38/min(38, 38) = 1.0
@@ -244,6 +246,41 @@ class ContainmentSpec extends AnyFunSuite {
     // pure spam docs lose ALL their shingles to the cap → no verdict
     // beyond "novel", and the join never grinds 70² spam pairs
     (100L to 169L).foreach(id => assert(got(id) == ((false, false, 0L))))
+    // ...but they do NOT pass silently: losing everything to the batch
+    // cap is flagged, so the ingest can route them to the exact verify
+    (100L to 169L).foreach(id => assert(full(id)._4 == 1.0 && full(id)._5))
+    // the quote lost only its spam prefix (18 of 48 shingles) — below
+    // the 0.5 routing threshold, its in-batch verdict stands
+    assert(full(200L)._4 < 0.5 && !full(200L)._5, full(200L).toString)
+  }
+
+  test("gate flags a >cap recrawl flood of one true duplicate as capped, not novel") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // corpus holds one popular page; 70 copies of it arrive in ONE
+    // micro-batch. Their shared shingles exceed the batch df cap (70 >
+    // 64), so the in-batch containment check is blind to them — they
+    // must surface as capped (route to exact verify), never as novel.
+    val page = (1 to 40).map(j => s"pp$j").mkString(" ")
+    val corpusDf = Seq(1L -> page).toDF("doc_id", "text")
+    val corpusSh = DedupQueries.containmentShingles(corpusDf)
+      .localCheckpoint(true)
+    val stop = DedupQueries.containmentStopShingles(corpusDf)
+      .localCheckpoint(true)
+    val out = java.nio.file.Files.createTempDirectory("cgate4_out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("cgate4_ck").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData((100L to 169L).map(id => id -> page): _*)
+    graft.streaming.Streams.runContainmentGate(
+      mem.toDF().toDF("doc_id", "text"), corpusSh, stop, out, ckpt)
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.size == 70)
+    (100L to 169L).foreach { id =>
+      assert(!got(id)._1) // the batch cap blinded the containment check...
+      assert(got(id)._2 == 1.0 && got(id)._3, got(id).toString) // ...flagged
+    }
   }
 
   test("q124 fused verdict composes fp, cluster-rep, and subsumption rules") {
