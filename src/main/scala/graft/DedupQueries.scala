@@ -549,10 +549,14 @@ object DedupQueries {
 
   private[graft] def q117BestRep(s: SparkSession, dir: String,
       rowLimit: Long): DataFrame = {
-    import graft.operators.DedupOps.gateBroadcast
+    import graft.operators.DedupOps.gateKnown
     val pairs = q22JaccardNeardup(s, dir)
-    val comps = gateBroadcast(graft.operators.DedupOps
-      .connectedComponents(pairs, "doc_a", "doc_b"), rowLimit)
+    // node count rides out of the component search for free — the gates
+    // reuse it (|comps| = nNodes, |best| = #clusters <= nNodes) instead
+    // of re-pinning + re-counting frames per join (the r7 2× bench tax)
+    val (compsRaw, nNodes) = graft.operators.DedupOps
+      .connectedComponentsCounted(pairs, "doc_a", "doc_b")
+    val comps = gateKnown(compsRaw, nNodes, rowLimit)
     val docs = t(s, dir, "documents").select(col("doc_id"),
       round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
     val labeled = docs.join(comps, col("doc_id") === col("node"), "left")
@@ -563,7 +567,7 @@ object DedupQueries {
       // argmax by (q asc, doc_id desc) under max = highest q, lowest id
       .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("cluster_id"), (-col("b.nid")).as("best_doc"))
-    labeled.join(gateBroadcast(best, rowLimit), Seq("cluster_id"), "left")
+    labeled.join(gateKnown(best, nNodes, rowLimit), Seq("cluster_id"), "left")
       .select(col("doc_id"), col("cluster_id"), col("q"),
         coalesce(col("doc_id") === col("best_doc"), lit(true)).as("keep"))
   }
@@ -689,10 +693,21 @@ object DedupQueries {
       rowLimit: Long): DataFrame = {
     val victims = subsumptionVictims(s, dir).withColumn("hit", lit(true))
     t(s, dir, "documents").select("doc_id")
-      .join(graft.operators.DedupOps.gateBroadcast(victims, rowLimit),
-        Seq("doc_id"), "left")
+      .join(gateVictims(s, dir, victims, rowLimit), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("subsumed"))
   }
+
+  /** Size-gate a victim/exception frame whose exact count is unknown
+    * pre-execution, using the corpus row count as a SAFE upper bound
+    * (victims ⊆ documents): when the corpus itself fits under the
+    * broadcast limit the frame broadcasts un-pinned and un-counted —
+    * the whole query stays one job (parquet footer count aside) — and
+    * only a genuinely large corpus pays the exact pin+count gate. */
+  private def gateVictims(s: SparkSession, dir: String, victims: DataFrame,
+      rowLimit: Long): DataFrame =
+    if (Tables.load(s, dir, "documents").count() <= rowLimit)
+      broadcast(victims)
+    else graft.operators.DedupOps.gateBroadcast(victims, rowLimit)
 
   /** The distinct subsumption victim ids — q121's core set, shared with
     * the q124 fused verdict. Pair-graph-sized. */
@@ -931,7 +946,7 @@ object DedupQueries {
 
   private[graft] def q124DedupVerdict(s: SparkSession, dir: String,
       rowLimit: Long): DataFrame = {
-    import graft.operators.DedupOps.gateBroadcast
+    import graft.operators.DedupOps.gateKnown
     val base = shingleBase(s, dir)
     // one text scan for BOTH per-doc scalars (exact fingerprint +
     // quality); no text in the materialized rows
@@ -944,23 +959,26 @@ object DedupQueries {
       .withColumn("fp_keep",
         col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
       .select("doc_id", "fp_keep")
-    val comps = gateBroadcast(graft.operators.DedupOps
-      .connectedComponents(jaccardPairsFrom(countsFrom(base)),
-        "doc_a", "doc_b"),
-      rowLimit)
+    // the component node count gates every cluster-side join for free:
+    // |comps| = nNodes, |best| = #clusters <= nNodes, |members| = nNodes
+    // (each node joins exactly one docq row and one best row)
+    val (compsRaw, nNodes) = graft.operators.DedupOps
+      .connectedComponentsCounted(jaccardPairsFrom(countsFrom(base)),
+        "doc_a", "doc_b")
+    val comps = gateKnown(compsRaw, nNodes, rowLimit)
     val memberQ = docq.select("doc_id", "q")
       .join(comps, col("doc_id") === col("node"))
     val best = memberQ.groupBy("comp")
       .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("comp"), (-col("b.nid")).as("best_doc"))
-    val members = memberQ.join(gateBroadcast(best, rowLimit), Seq("comp"))
+    val members = memberQ.join(gateKnown(best, nNodes, rowLimit), Seq("comp"))
       .select(col("doc_id"), col("comp").as("_cl"),
         (col("doc_id") === col("best_doc")).as("_repk"))
     val victims = victimsFromPairs(containmentPairsFrom(cappedFrom(base)))
       .withColumn("_sub", lit(true))
     spine
-      .join(gateBroadcast(members, rowLimit), Seq("doc_id"), "left")
-      .join(gateBroadcast(victims, rowLimit), Seq("doc_id"), "left")
+      .join(gateKnown(members, nNodes, rowLimit), Seq("doc_id"), "left")
+      .join(gateVictims(s, dir, victims, rowLimit), Seq("doc_id"), "left")
       .select(col("doc_id"), col("fp_keep"),
         coalesce(col("_cl"), col("doc_id")).as("cluster_id"),
         coalesce(col("_repk"), lit(true)).as("rep_keep"),

@@ -55,25 +55,50 @@ object DedupOps {
   def gateBroadcast(dim: DataFrame,
       rowLimit: Long = BroadcastRowLimit): DataFrame = {
     val pinned = dim.localCheckpoint(true)
-    if (pinned.count() <= rowLimit) broadcast(pinned) else pinned.hint("merge")
+    gateKnown(pinned, pinned.count(), rowLimit)
   }
+
+  /** [[gateBroadcast]] when the caller already KNOWS the frame's row
+    * count — or a safe upper bound (an over-estimate can only demote a
+    * broadcast to sort-merge, never OOM one). No pin, no count job: the
+    * producing aggregate's cardinality is reused instead of
+    * re-materializing a frame that is often already checkpoint-backed
+    * (the r7→r8 bench claw-back: q117/q121/q124 paid 2× in eager
+    * re-pins for counts their producers knew). */
+  def gateKnown(dim: DataFrame, knownCount: Long,
+      rowLimit: Long = BroadcastRowLimit): DataFrame =
+    if (knownCount <= rowLimit) broadcast(dim) else dim.hint("merge")
 
   /** Connected components of an undirected pair list. Returns
     * (node, comp) where comp = the minimum node id reachable. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-      maxIter: Int = 20, driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
+      maxIter: Int = 20, driverEdgeLimit: Long = DriverEdgeLimit): DataFrame =
+    connectedComponentsCounted(pairs, a, b, maxIter, driverEdgeLimit)._1
+
+  /** [[connectedComponents]] plus the label-table row count (= node
+    * count), free on the driver path (the label map is driver-local)
+    * and one cheap count over the final checkpoint on the distributed
+    * path — callers size-gating the result ([[gateKnown]]) skip a
+    * re-pin + re-count, and every per-cluster aggregate derived from
+    * the labels is bounded by the same number. */
+  def connectedComponentsCounted(pairs: DataFrame, a: String, b: String,
+      maxIter: Int = 20,
+      driverEdgeLimit: Long = DriverEdgeLimit): (DataFrame, Long) = {
     val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
       .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
       .distinct().localCheckpoint(true)
     val nEdges = edges.count()
     if (nEdges <= driverEdgeLimit) driverComponents(edges)
-    else distributedComponents(edges, maxIter)
+    else {
+      val labels = distributedComponents(edges, maxIter)
+      (labels, labels.count())
+    }
   }
 
   /** Small-graph path: collect the (deduplicated, id-only) edge list and
     * run union-find with path compression + union-by-min. One collect,
-    * one createDataFrame — no per-round jobs. */
-  private def driverComponents(edges: DataFrame): DataFrame = {
+    * one createDataFrame — no per-round jobs; the label count is free. */
+  private def driverComponents(edges: DataFrame): (DataFrame, Long) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -94,7 +119,7 @@ object DedupOps {
         }
     }
     val labels = parent.keys.toSeq.map(n => (n, find(n)))
-    spark.createDataFrame(labels).toDF("node", "comp")
+    (spark.createDataFrame(labels).toDF("node", "comp"), labels.size.toLong)
   }
 
   /** Scale path: min-label propagation + pointer jumping. */
