@@ -823,14 +823,20 @@ object DedupQueries {
       .filter(col("r") <= kCol)
       .select(col("doc_id").as("pd"), col("n").as("np"), col("s"))
     // ONE-SIDED probing: C normalizes by the SMALL side, so only the
-    // small side's sketch estimates it — probe small→big exclusively
-    // (ties break on id so each pair is probed once). Halves the probe
-    // join AND makes (pair, s) unique, so hits is a plain count, never
-    // a countDistinct expand.
+    // small side's sketch estimates it — probe small→big exclusively,
+    // with equal sizes tie-broken by id (pd < od, not pd =!= od: the
+    // symmetric form admitted BOTH directions for equal-size pairs, so
+    // (pair, s) was not unique and hits double-counted — an equal-size
+    // near-miss could pass a minHits threshold calibrated for one-sided
+    // counting and reach the expensive melt verify twice over).
+    // Lossless: C is symmetric at equal sizes, so probing one direction
+    // preserves every true pair. Halves the probe join AND makes
+    // (pair, s) unique, so hits is a plain count, never a countDistinct
+    // expand.
     val cands = sketch
       .join(sh.select(col("doc_id").as("od"), col("n").as("no"), col("s")), "s")
       .filter(col("np") < col("no") ||
-        (col("np") === col("no") && col("pd") =!= col("od")))
+        (col("np") === col("no") && col("pd") < col("od")))
       .groupBy(least(col("pd"), col("od")).as("doc_a"),
         greatest(col("pd"), col("od")).as("doc_b"))
       .agg(count(lit(1)).as("hits"))

@@ -340,9 +340,13 @@ object RetrievalQueries {
     val scored = IvfIndex.scoreBatch(cached, model, "embedding", qvecs, nprobe)
       .join(qlabels, "qid")
       .filter(col("label") =!= col("qlabel") && col("vec_id") =!= col("qid"))
+      // rank on 6dp-rounded sims — q99's tie order (rank at 6, emit at
+      // 4): ranking raw kernel output here while q99 ranks rounded can
+      // permute ranks when two sims collide at 1e-6
+      .withColumn("sim", round(col("sim"), 6) + 0.0)
     IvfIndex.topKPerQuery(scored, "vec_id", 5)
       .select(col("qid"), col("r"), col("vec_id"),
-        (round(col("sim"), 6) + 0.0).as("sim"))
+        (round(col("sim"), 4) + 0.0).as("sim"))
       .orderBy("qid", "r")
   }
 

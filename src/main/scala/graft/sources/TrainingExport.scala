@@ -134,7 +134,16 @@ object TrainingExport {
     // verifier could only see (or worse, MISS: hash functions skip a
     // null `copy` on the appended rows) long after the corruption
     val priorExists = fs(manifestPath(outDir)).exists(manifestPath(outDir))
-    if (priorExists && manifestKeyedOnCopy(spark, outDir).getOrElse(false))
+    // legacy manifests predate the keying field: fall back to the file
+    // schema exactly like verifyShards — a pre-existing export whose
+    // FILES carry `copy` is a mixture export whether or not its
+    // manifest could say so, and getOrElse(false) would let the append
+    // proceed into precisely the keying corruption this check exists
+    // to prevent (caught only later, by verifyShards, after the merge)
+    val priorKeyedOnCopy = priorExists &&
+      manifestKeyedOnCopy(spark, outDir).getOrElse(
+        spark.read.parquet(outDir).columns.contains("copy"))
+    if (priorKeyedOnCopy)
       throw new IllegalStateException(
         s"$outDir holds a mixture export (digests keyed on copy); " +
           "appendShards stamps copy-less rows — re-export instead")

@@ -72,20 +72,17 @@ class RetrievalEvalSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF hard-negative mining at nprobe=all equals the brute-force set") {
-    def sets(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(2)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val brute = sets(RetrievalQueries.q99HardNegatives(spark, SparkSuite.sf001))
-    val ivf = sets(RetrievalQueries.hardNegativesIvf(spark, SparkSuite.sf001,
+  test("IVF hard-negative mining at nprobe=all equals brute force row for row") {
+    // full row equality, rank and sim included: both paths rank on
+    // 6dp-rounded sims (q99's tie order) and emit at 4dp, so the scale
+    // path is a drop-in replacement, not just set-equivalent
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val brute = rows(RetrievalQueries.q99HardNegatives(spark, SparkSuite.sf001))
+    val ivf = rows(RetrievalQueries.hardNegativesIvf(spark, SparkSuite.sf001,
       nprobe = 1000))
-    assert(ivf.keySet == brute.keySet)
-    // set equality per query: raw-vs-rounded sim ordering may permute
-    // ranks WITHIN the returned 5 only if two sims collide at 1e-6 —
-    // membership is the invariant the mining contract needs
-    brute.foreach { case (qid, want) =>
-      assert(ivf(qid) == want, s"query $qid: ${ivf(qid)} vs $want")
-    }
+    assert(ivf == brute)
   }
 
   test("q119 maxsim: self-document ranks first at the full-chunk score") {

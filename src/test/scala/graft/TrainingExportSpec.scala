@@ -100,6 +100,24 @@ class TrainingExportSpec extends AnyFunSuite {
     }
     // the refused append must not have touched the directory
     assert(TrainingExport.verifyShards(spark, dMixed).isEmpty)
+    // LEGACY manifest (written before the keying field existed): the
+    // check must fall back to the file schema like verifyShards does —
+    // the files carry `copy`, so the append is still refused
+    val p = new org.apache.hadoop.fs.Path(dMixed, "_manifest.json")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = {
+      val in = hfs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val legacy = body.replace(""""digest_keyed_on_copy":true,""", "")
+    val out = hfs.create(p, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    assert(TrainingExport.manifestKeyedOnCopy(spark, dMixed).isEmpty)
+    intercept[IllegalStateException] {
+      TrainingExport.appendShards(docs, dMixed, 4, seed = 5L)
+    }
+    assert(TrainingExport.verifyShards(spark, dMixed).isEmpty)
   }
 
   test("streaming export: two micro-batches drain into certified shards") {
