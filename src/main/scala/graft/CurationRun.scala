@@ -9,9 +9,11 @@ import graft.sources.TrainingExport
   * training shards out. Composes the round's verdict/mixture/export
   * pieces in the order a production run needs them:
   *
-  *   1. the fused dedup verdict ([[DedupQueries.q124DedupVerdict]])
-  *      decides per document — exact-fingerprint canon, quality-best
-  *      cluster representative, not subsumed by a superset;
+  *   1. the fused dedup verdict ([[DedupQueries.q124DedupVerdict]],
+  *      or its banded twin [[DedupQueries.q124bDedupVerdictBanded]]
+  *      above [[BandedCorpusThreshold]] documents) decides per
+  *      document — exact-fingerprint canon, quality-best cluster
+  *      representative, not subsumed by a superset;
   *   2. the mixture plan ([[CurationQueries.mixtureRatesOf]]) is
   *      computed over the SURVIVORS — rates from the raw corpus would
   *      re-inflate exactly the sources dedup just trimmed;
@@ -39,11 +41,28 @@ object CurationRun {
     TrainingExport.exportMixedShards(survivors, rates, outDir, nShards, seed)
   }
 
+  /** Above this many documents the verdict rides the BANDED pair source
+    * ([[DedupQueries.q124bDedupVerdictBanded]]): the exact verdict's
+    * cluster edges come from q22's uncapped shingle self-join, whose
+    * per-bucket cost is df² with df unbounded — template boilerplate
+    * makes that quadratic on crawl-scale corpora — while the banded
+    * source (q21b LSH → candidate-bounded verify) shuffles only
+    * band-bucket keys. Below it, exactness is free and preferred (the
+    * same adaptive convention as DedupOps' driver/distributed and
+    * broadcast/merge gates). 1M docs is where DedupScaleProbe's curves
+    * cross on the benign df-flat corpus; boilerplate-heavy corpora
+    * cross far earlier, and the banded path is the only safe default
+    * past the threshold. */
+  val BandedCorpusThreshold: Long = 1000000L
+
   /** The post-verdict corpus: every doc the fused verdict keeps, with
     * the columns the export needs. */
   def curatedSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val keep = DedupQueries.q124DedupVerdict(s, dir)
-      .filter(col("keep")).select("doc_id")
+    val verdict =
+      if (Tables.load(s, dir, "documents").count() > BandedCorpusThreshold)
+        DedupQueries.q124bDedupVerdictBanded(s, dir)
+      else DedupQueries.q124DedupVerdict(s, dir)
+    val keep = verdict.filter(col("keep")).select("doc_id")
     Tables.load(s, dir, "documents")
       .join(keep, "doc_id")
       .select("doc_id", "text", "lang", "source")

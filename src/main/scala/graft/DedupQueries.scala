@@ -497,9 +497,16 @@ object DedupQueries {
   /** Exact Jaccard over a candidate pair set (the q100/q106 verify
     * core) — see [[q100VerifyLsh]]'s scaladoc for the melt shape. */
   private def verifyCandidatePairs(s: SparkSession, dir: String,
-      cands: DataFrame): DataFrame = {
-    val sets = t(s, dir, "documents").select(col("doc_id"),
-      array_distinct(gf.shingles(col("text"), N)).as("sh"))
+      cands: DataFrame): DataFrame =
+    verifyPairsAgainstSets(cands,
+      t(s, dir, "documents").select(col("doc_id"),
+        array_distinct(gf.shingles(col("text"), N)).as("sh")))
+
+  /** The verify core over an injected (doc_id, sh) set frame — shared
+    * with q124b, which derives `sets` from an already-exploded shingle
+    * scan instead of re-running the kernel. */
+  private def verifyPairsAgainstSets(cands: DataFrame,
+      sets: DataFrame): DataFrame = {
     val i = size(array_intersect(col("sha"), col("shb")))
     val na = size(col("sha"))
     val nb = size(col("shb"))
@@ -952,8 +959,54 @@ object DedupQueries {
 
   private[graft] def q124DedupVerdict(s: SparkSession, dir: String,
       rowLimit: Long): DataFrame = {
-    import graft.operators.DedupOps.gateKnown
     val base = shingleBase(s, dir)
+    verdictCore(s, dir, rowLimit,
+      jaccardPairsFrom(countsFrom(base)),
+      victimsFromPairs(containmentPairsFrom(cappedFrom(base))))
+  }
+
+  /** q124's 100 TB twin — the SAME verdict table with the cluster edges
+    * coming from the BANDED pair source (q21b double-hash LSH candidates
+    * → candidate-bounded exact verify, q106's composition) instead of
+    * the exact corpus-wide shingle self-join. The exact source's cost is
+    * df² per shingle bucket with df uncapped — template boilerplate
+    * makes that quadratic at crawl scale — while the banded source
+    * shuffles only band-bucket keys and verifies |candidates| pairs.
+    *
+    * Lossless-ness: containment victims, fingerprints, and quality are
+    * computed exactly as q124; only the near-dup EDGE set rides the LSH
+    * stage, so the verdict inherits its measured candidate recall
+    * (98-99% at J≈0.8-0.9; EXACT duplicates collide with probability 1 —
+    * identical texts give identical signatures — so J=1 clusters are
+    * never split). On corpora whose true pairs are exact copies the two
+    * verdicts are row-identical (`DedupBandedSpec`); DedupScaleProbe
+    * times both at 10M docs. Shares one exploded-shingle scan between
+    * the verify arrays and the containment victims' df-capped view. */
+  def q124bDedupVerdictBanded(s: SparkSession, dir: String): DataFrame =
+    q124bDedupVerdictBanded(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def q124bDedupVerdictBanded(s: SparkSession, dir: String,
+      rowLimit: Long): DataFrame = {
+    val ex = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+      .localCheckpoint(true)
+    val sets = ex.groupBy("doc_id").agg(collect_set("s").as("sh"))
+    val pairs = verifyPairsAgainstSets(
+      q21bMinhashFast(s, dir).select("doc_a", "doc_b"), sets)
+    val capped = attachDf(ex, cap = Some(DfCap))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "s", "n", "df")
+    verdictCore(s, dir, rowLimit, pairs,
+      victimsFromPairs(containmentPairsFrom(capped)))
+  }
+
+  /** The fused verdict body over an injected near-dup pair source and
+    * subsumption victim set — shared by the exact (q124) and banded
+    * (q124b) verdicts so the composition rules live once. */
+  private def verdictCore(s: SparkSession, dir: String, rowLimit: Long,
+      pairs: DataFrame, victimsRaw: DataFrame): DataFrame = {
+    import graft.operators.DedupOps.gateKnown
     // one text scan for BOTH per-doc scalars (exact fingerprint +
     // quality); no text in the materialized rows
     val docq = t(s, dir, "documents")
@@ -969,8 +1022,7 @@ object DedupQueries {
     // |comps| = nNodes, |best| = #clusters <= nNodes, |members| = nNodes
     // (each node joins exactly one docq row and one best row)
     val (compsRaw, nNodes) = graft.operators.DedupOps
-      .connectedComponentsCounted(jaccardPairsFrom(countsFrom(base)),
-        "doc_a", "doc_b")
+      .connectedComponentsCounted(pairs, "doc_a", "doc_b")
     val comps = gateKnown(compsRaw, nNodes, rowLimit)
     val memberQ = docq.select("doc_id", "q")
       .join(comps, col("doc_id") === col("node"))
@@ -980,8 +1032,7 @@ object DedupQueries {
     val members = memberQ.join(gateKnown(best, nNodes, rowLimit), Seq("comp"))
       .select(col("doc_id"), col("comp").as("_cl"),
         (col("doc_id") === col("best_doc")).as("_repk"))
-    val victims = victimsFromPairs(containmentPairsFrom(cappedFrom(base)))
-      .withColumn("_sub", lit(true))
+    val victims = victimsRaw.withColumn("_sub", lit(true))
     spine
       .join(gateKnown(members, nNodes, rowLimit), Seq("doc_id"), "left")
       .join(gateVictims(s, dir, victims, rowLimit), Seq("doc_id"), "left")
@@ -995,6 +1046,7 @@ object DedupQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_dedup_verdict" -> q124DedupVerdict _,
+    "q124b_dedup_verdict_banded" -> q124bDedupVerdictBanded _,
     "q120_lsh_planner" -> q120LshPlanner _,
     "q121_subsume" -> q121Subsume _,
     "q123_cross_contain" -> q123CrossContain _,
@@ -1322,6 +1374,73 @@ object DedupQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    "q124b_dedup_verdict_banded" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$fastBandsCte,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sets AS (SELECT doc_id, list(DISTINCT s) AS sh FROM sh GROUP BY doc_id),
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+         |    FROM cand
+         |    JOIN sets sa ON sa.doc_id = cand.doc_a
+         |    JOIN sets sb ON sb.doc_id = cand.doc_b)
+         |  WHERE j >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jp),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+         |comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+         |${graft.AuditQueries.scoredCte},
+         |memberq AS (
+         |  SELECT s.doc_id, s.q, c.comp
+         |  FROM scored s JOIN comp c ON c.node = s.doc_id),
+         |bq AS (SELECT comp, max(q) AS mq FROM memberq GROUP BY comp),
+         |bestid AS (
+         |  SELECT m.comp, min(m.doc_id) AS best_doc
+         |  FROM memberq m JOIN bq b ON m.comp = b.comp AND m.q = b.mq
+         |  GROUP BY m.comp),
+         |members AS (
+         |  SELECT m.doc_id, m.comp AS cl, m.doc_id = b.best_doc AS repk
+         |  FROM memberq m JOIN bestid b USING (comp)),
+         |ckeep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+         |cshc AS (SELECT a.doc_id, a.s FROM sh a JOIN ckeep k ON a.s = k.s),
+         |csizes AS (SELECT doc_id, count(*) AS n FROM cshc GROUP BY doc_id),
+         |cinter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM cshc a JOIN cshc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cp AS (
+         |  SELECT da, db, i, sa.n AS na, sb.n AS nb FROM cinter
+         |  JOIN csizes sa ON sa.doc_id = da
+         |  JOIN csizes sb ON sb.doc_id = db),
+         |v AS (
+         |  SELECT DISTINCT CASE WHEN na < nb THEN da
+         |    WHEN nb < na THEN db ELSE greatest(da, db) END AS doc_id
+         |  FROM cp WHERE i * 1.0 / least(na, nb) >= 0.9),
+         |spine AS (
+         |  SELECT doc_id,
+         |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS fp_keep
+         |  FROM (SELECT doc_id,
+         |          md5(coalesce(lower(trim(text)), '')) AS fp
+         |        FROM documents))
+         |SELECT sp.doc_id, sp.fp_keep,
+         |  coalesce(m.cl, sp.doc_id) AS cluster_id,
+         |  coalesce(m.repk, true) AS rep_keep,
+         |  v.doc_id IS NOT NULL AS subsumed,
+         |  (sp.fp_keep AND coalesce(m.repk, true) AND v.doc_id IS NULL) AS keep
+         |FROM spine sp
+         |LEFT JOIN members m USING (doc_id)
+         |LEFT JOIN v ON v.doc_id = sp.doc_id""".stripMargin,
     "q106_fast_neardup" ->
       s"""WITH $shingleCte,
          |$fastBandsCte,

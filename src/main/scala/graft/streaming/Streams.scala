@@ -43,11 +43,27 @@ object Streams {
     * (qvec quantized, embedding dequantized) column pair. */
   def ingestChunks(docs: DataFrame, model: IvfIndex.Model,
       ctxNum: Int = 256, dim: Int = 64,
-      provider: Option[graft.functions.EmbedProvider] = None): DataFrame = {
+      provider: Option[graft.functions.EmbedProvider] = None): DataFrame =
+    IvfIndex.assign(chunkEmbed(docs, ctxNum, dim, provider), "embedding", model)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"), col("qvec"),
+        col("centroid_id"), col("centroid_sim"))
+
+  /** [[ingestChunks]] up to (but not including) the centroid assign —
+    * (doc_id, chunk_id, chunk, qvec, embedding). Exposed so a consumer
+    * that has NO model yet (the REST server's first upload, a cold
+    * bootstrap) can run the same flatten→chunk→embed composition and
+    * then [[graft.index.IvfIndex.build]] from these embeddings instead
+    * of assigning against a model that doesn't exist. `chunkPrefix`
+    * carries the reference's per-request document prefix (upload.go:
+    * prefix + section, then "search_document: " prepended — both land
+    * in the section prefix here). */
+  def chunkEmbed(docs: DataFrame, ctxNum: Int = 256, dim: Int = 64,
+      provider: Option[graft.functions.EmbedProvider] = None,
+      chunkPrefix: String = "search_document: "): DataFrame = {
     val chunked = docs
       .withColumn("flat", gf.flatten_doc(col("text")))
       .select(col("doc_id"),
-        posexplode(gf.split_chunks(col("flat"), lit("search_document: "), lit(ctxNum)))
+        posexplode(gf.split_chunks(col("flat"), lit(chunkPrefix), lit(ctxNum)))
           .as(Seq("chunk_id", "chunk")))
     val embedded = provider match {
       case None =>
@@ -55,11 +71,7 @@ object Streams {
       case Some(p) =>
         graft.functions.Embedder.embedColumn(chunked, "chunk", p) // outCol = qvec
     }
-    val withVec = embedded
-      .withColumn("embedding", gf.dequantize_vec(col("qvec")))
-    IvfIndex.assign(withVec, "embedding", model)
-      .select(col("doc_id"), col("chunk_id"), col("chunk"), col("qvec"),
-        col("centroid_id"), col("centroid_sim"))
+    embedded.withColumn("embedding", gf.dequantize_vec(col("qvec")))
   }
 
   /** Run the ingest stream to a parquet directory, one IVF list per

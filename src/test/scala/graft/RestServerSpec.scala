@@ -1,0 +1,140 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integration gate for the REST serving tier: the reference's
+  * upload → search → chat → delete lifecycle driven END TO END through
+  * real HTTP against the stub providers, plus the openapi payload
+  * polymorphism (document = string | array | object) and the zstd
+  * middleware round-trip. */
+class RestServerSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private lazy val server = {
+    val dir = java.nio.file.Files.createTempDirectory("rest").toString
+    val s = new graft.server.RestServer(spark, dir)
+    s.start()
+    s
+  }
+  private def url(p: String) = s"http://localhost:${server.port}$p"
+
+  private def post(path: String, body: String,
+      headers: Seq[(String, String)] = Nil): HttpResponse[Array[Byte]] = {
+    val b = HttpRequest.newBuilder(URI.create(url(path)))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def json(r: HttpResponse[Array[Byte]]) =
+    mapper.readTree(new String(r.body(), UTF_8))
+
+  test("upload -> search -> chat -> delete lifecycle over HTTP") {
+    // upload: all three payload shapes from openapi.yml's example
+    val up = post("/api/upload",
+      """{"owner":"o1","category":"stories","documents":[
+        |{"external_id":"abc123","document":"Once upon a time there was a hidden kingdom"},
+        |{"document":["In a galaxy far, far away","ships sailed the void"]},
+        |{"document":{"story":"The Force Awakens","author":"jj"}}
+        |]}""".stripMargin)
+    assert(up.statusCode() == 200)
+    val ids = json(up).get("document_ids").elements()
+    val idSeq = Iterator.continually(ids).takeWhile(_.hasNext).map(_.next().asLong()).toSeq
+    assert(idSeq == Seq(1L, 2L, 3L))
+
+    // search: self-text must find its own document first (noop embed is
+    // deterministic in the text)
+    val sr = post("/api/search",
+      """{"text":"Once upon a time there was a hidden kingdom","count":2}""")
+    assert(sr.statusCode() == 200)
+    val docs = json(sr).get("documents")
+    assert(docs.size() == 2)
+    assert(docs.get(0).get("document_id").asLong() == 1L)
+    assert(docs.get(0).get("external_id").asText() == "abc123")
+    assert(docs.get(0).get("document").asText().contains("Once upon a time"))
+    assert(docs.get(0).get("document_similarity").asDouble() >
+      docs.get(1).get("document_similarity").asDouble() - 1e-9)
+
+    // no_documents omits the payload
+    val srNd = post("/api/search",
+      """{"text":"Once upon a time there was a hidden kingdom","count":1,"no_documents":true}""")
+    assert(!json(srNd).get("documents").get(0).has("document"))
+
+    // object payload round-trips as an OBJECT, not a string
+    val srObj = post("/api/search",
+      """{"text":"story: The Force Awakens","count":3}""")
+    val objHit = json(srObj).get("documents").elements().asScala
+      .find(_.get("document_id").asLong() == 3L).get
+    assert(objHit.get("document").isObject)
+    assert(objHit.get("document").get("story").asText() == "The Force Awakens")
+
+    // chat: stub provider echoes the assembled prompt's last message;
+    // context doc 1 is fetched by id into the prompt
+    val ch = post("/api/chat",
+      """{"text":"Tell me about the document","document_ids":[1]}""")
+    assert(ch.statusCode() == 200)
+    val reply = new String(ch.body(), UTF_8)
+    assert(reply.nonEmpty)
+
+    // categories
+    val cats = post("/api/categories", """{"owner":"o1"}""")
+    assert(json(cats).get("category_names").get(0).asText() == "stories")
+
+    // delete document 1 -> search must not return it anymore
+    val del = post("/api/delete/document", """{"document_id":1}""")
+    assert(del.statusCode() == 200 &&
+      new String(del.body(), UTF_8) == "{}")
+    val sr2 = post("/api/search",
+      """{"text":"Once upon a time there was a hidden kingdom","count":3}""")
+    val left = json(sr2).get("documents").elements().asScala
+      .map(_.get("document_id").asLong()).toSet
+    assert(!left.contains(1L) && left.nonEmpty)
+
+    // delete by owner wipes the rest
+    val delO = post("/api/delete/owner", """{"owner":"o1"}""")
+    assert(delO.statusCode() == 200)
+    val sr3 = post("/api/search", """{"text":"anything","count":5}""")
+    assert(json(sr3).get("documents").size() == 0)
+  }
+
+  test("zstd content negotiation round-trips requests and responses") {
+    import com.github.luben.zstd.Zstd
+    val body =
+      """{"documents":[{"external_id":"z1","document":"compressed zebra stripes pattern"}]}"""
+    val compressed = Zstd.compress(body.getBytes(UTF_8))
+    val req = HttpRequest.newBuilder(URI.create(url("/api/upload")))
+      .header("Content-Encoding", "zstd")
+      .header("Accept-Encoding", "zstd")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(compressed))
+      .build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Encoding").orElse("") == "zstd")
+    val decompressed = {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(r.body()))
+      new String(in.readAllBytes(), UTF_8)
+    }
+    val node = mapper.readTree(decompressed)
+    assert(node.get("document_ids").size() == 1)
+  }
+
+  test("invalid method and malformed body map to the reference's statuses") {
+    val get = client.send(
+      HttpRequest.newBuilder(URI.create(url("/api/chat"))).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(get.statusCode() == 405)
+    val bad = post("/api/search", "{not json")
+    assert(bad.statusCode() == 400)
+    assert(json(bad).get("error").asText() == "Invalid request")
+  }
+}
