@@ -144,12 +144,71 @@ object ContainScaleProbe {
       s"quote corpus: prefix found $qPrefPairs pairs, planted ${n / 8}")
     val skRecall = skPairs.toDouble / qPrefPairs
 
+    // ---- sketch (k, minHits) sweep on the quote corpus: the q127
+    // planner's analytic rows, MEASURED — recall vs wall-clock so the
+    // registered (16, 11) point is policy, not folklore ----
+    val sweep = Seq((8, 5), (16, 11), (24, 17), (32, 24)).map { case (k, m) =>
+      val (sec, pairs) = timed(DedupQueries
+        .containmentSketchPairs(quoteSh, k = k, minHits = m, rareFirst = true))
+      val recall = pairs.toDouble / qPrefPairs
+      require(recall >= 0.99,
+        s"sketch (k=$k, m=$m) recall $recall collapsed below the planner floor")
+      f"""{"k":$k,"min_hits":$m,"sec":$sec,"recall":$recall%.4f}"""
+    }
+
+    // ---- regime 3: ONE super-hot shingle, df = n/2 (a crawl-scale
+    // boilerplate phrase). The shipped df pass (groupBy partial agg +
+    // join-back) combines the hot key map-side; the window shape —
+    // count().over(Window.partitionBy(s)), the PRE-round-8 code, kept
+    // here only as the anti-pattern benchmark — funnels all n/2 rows of
+    // that shingle through ONE task. Same answer, same cap; the gap is
+    // pure skew, and it widens linearly with n. ----
+    val hotDir = java.nio.file.Files.createTempDirectory("contain_hot").toString
+    spark.range(n)
+      .select(col("id").as("doc_id"),
+        concat(
+          expr("""CASE WHEN id % 2 = 0 THEN 'hotA hotB hotC hotD ' ELSE '' END"""),
+          array_join(expr(
+            """transform(sequence(1, 8 + pmod(hash(id), 8)),
+               i -> concat('u', id, '_', pmod(hash(id * 1009 + i), 5000)))"""), " "))
+          .as("text"),
+        lit("en").as("lang"), lit("s0").as("source"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
+    val hotDocs = Tables.loadP(spark, hotDir, "documents")
+    def timedCount(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      val t = System.nanoTime()
+      val rows = df.count()
+      ((System.nanoTime() - t) / 1e9, rows)
+    }
+    val (hotGroupSec, hotGroupRows) =
+      timedCount(DedupQueries.containmentShingles(hotDocs))
+    val (hotWindowSec, hotWindowRows) = timedCount {
+      import org.apache.spark.sql.expressions.Window
+      val gfS = graft.functions.gf
+      hotDocs
+        .select(col("doc_id"), explode(array_distinct(
+          gfS.shingles(col("text"), DedupQueries.N))).as("s"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("df") <= DedupQueries.DfCap)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", "s", "n", "df")
+    }
+    require(hotGroupRows == hotWindowRows,
+      s"df-pass shapes disagree: groupBy $hotGroupRows vs window $hotWindowRows")
+
     println(s"""{"probe":"contain_scale","n_docs":$n,"boiler_df":$BoilerDf,""" +
       s""""boiler":{"full_sec":$fullSec,"prefix_sec":$prefSec,""" +
       s""""pairs":$fullPairs,"prefix_speedup":${fullSec / prefSec}},""" +
       s""""quote":{"prefix_sec":$qPrefSec,"sketch_sec":$skSec,""" +
       s""""pairs":$qPrefPairs,"sketch_speedup":${qPrefSec / skSec},""" +
-      f""""sketch_recall":$skRecall%.4f}}""")
+      f""""sketch_recall":$skRecall%.4f},""" +
+      s""""sketch_sweep":[${sweep.mkString(",")}],""" +
+      s""""hot_shingle":{"df_hot":${n / 2},"groupby_sec":$hotGroupSec,""" +
+      s""""window_sec":$hotWindowSec,"rows":$hotGroupRows,""" +
+      s""""skew_speedup":${hotWindowSec / hotGroupSec}}}""")
     spark.stop()
   }
 }

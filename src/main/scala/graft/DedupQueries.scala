@@ -104,7 +104,12 @@ object DedupQueries {
     val ex = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       .localCheckpoint(true)
-    attachDf(ex, cap = None).localCheckpoint(true)
+    val base = attachDf(ex, cap = None).localCheckpoint(true)
+    // ex was only scaffolding for the df join — free its blocks NOW:
+    // left to the ContextCleaner, two exploded-corpus copies stay
+    // resident through the verdict's aggregations (10M-probe OOM)
+    graft.operators.DedupOps.releaseCheckpoint(ex)
+    base
   }
 
   /** The family's df pass: exploded (doc_id, s) → (doc_id, s, df) via a
@@ -619,7 +624,15 @@ object DedupQueries {
     * .runContainmentGate]]) can precompute it ONCE over the stored
     * corpus instead of per micro-batch. The df cap is the family's
     * quadratic guard (see [[q118Containment]]). */
-  def containmentShingles(docs: DataFrame): DataFrame = {
+  def containmentShingles(docs: DataFrame): DataFrame =
+    containmentShinglesParts(docs)._1
+
+  /** [[containmentShingles]] plus its internal pinned exploded frame,
+    * so a caller that MATERIALIZES the result ([[cappedShingles]]) can
+    * release the scaffolding blocks immediately instead of waiting for
+    * the ContextCleaner (see [[graft.operators.DedupOps
+    * .releaseCheckpoint]]). */
+  private def containmentShinglesParts(docs: DataFrame): (DataFrame, DataFrame) = {
     val ex = docs
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
@@ -634,9 +647,10 @@ object DedupQueries {
     // attaches df and applies the cap, and AQE skew-splits any residual
     // hot probe partition. The doc_id window below is per-document
     // (bounded by text length) and safe.
-    attachDf(ex, cap = Some(DfCap))
+    val res = attachDf(ex, cap = Some(DfCap))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "s", "n", "df") // df rides along for q118b's prefix rank
+    (res, ex)
   }
 
   /** The shingles [[containmentShingles]] DROPPED (df > cap) — the
@@ -657,8 +671,12 @@ object DedupQueries {
 
   /** [[containmentShingles]] over a testdata dir, pinned — the shared
     * q118/q121/q123 input (shingle kernel + df pass once per query). */
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
-    containmentShingles(t(s, dir, "documents")).localCheckpoint(true)
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
+    val (res, ex) = containmentShinglesParts(t(s, dir, "documents"))
+    val pinned = res.localCheckpoint(true)
+    graft.operators.DedupOps.releaseCheckpoint(ex) // scaffolding only
+    pinned
+  }
 
   /** The (da < db, i, na, nb, c) containment pair table over df-capped
     * shingles — q118's core, shared with the q121 subsumption verdict. */
@@ -923,6 +941,56 @@ object DedupQueries {
           .as("p_miss_hi"))
   }
 
+  /** Bottom-k containment-sketch planner — q120's design-table pattern
+    * applied to q126's fast config, so (k, minHits) is measured policy,
+    * not a guess. A true pair at the C >= 0.9 gate passes the sketch
+    * when >= minHits of the small side's k sketch shingles hit the big
+    * doc; each hits independently with probability ~C (Broder's
+    * bottom-k containment estimator), so pass probability is the
+    * binomial tail P(Bin(k, C) >= minHits). For each sketch size k the
+    * planner picks the LARGEST minHits whose recall at C = 0.9 still
+    * clears 0.995 — the tightest filter that keeps essentially every
+    * true pair — and reports the near-miss pass rate at C = 0.6 (the
+    * quote regime ContainScaleProbe plants): the fraction of C≈0.6
+    * candidates that still reach the exact melt verify, i.e. the wasted
+    * verify work the sketch failed to kill. The registered q126 fast
+    * config (k=16, minHits=11) is exactly this table's k=16 row —
+    * recall 0.9967 analytic (1.0 measured on the quote corpus,
+    * BASELINE.md), near-miss pass 0.3288 — and the table says what a
+    * bigger budget buys: k=32/m=24 kills 94% of near-misses at the same
+    * recall floor.
+    *
+    * Purely analytic (binomial tails over a k-grid — no corpus scan),
+    * expressed as a plan so the DuckDB oracle checks it. Binomial
+    * coefficients go through exp(Σ ln) (both engines' double math —
+    * exact tails would overflow integers at k=64); probabilities
+    * quantize to 4dp before the argmax so ULP noise cannot flip a row. */
+  def q127SketchPlanner(s: SparkSession, dir: String): DataFrame = {
+    val ks = s.range(1, 9).select((col("id") * 8).as("k"))
+    // binomial tail via per-(k,m) expansion: P(Bin(k,p) >= m)
+    //   = Σ_{j=m..k} exp(Σ_{i=1..j} ln((k-i+1)/i)) p^j (1-p)^(k-j)
+    // p/q as literal decimal STRINGS so both engines parse the same
+    // double (1.0 - 0.9 in driver math is 0.09999…8 — an ULP seed)
+    def tail(p: String, q: String) = expr(
+      s"""aggregate(sequence(m, k), cast(0.0 as double), (acc, j) ->
+         |  acc + exp(aggregate(sequence(1, j), cast(0.0 as double),
+         |        (a, i) -> a + ln((k - i + 1) / cast(i as double)))
+         |      + j * ln($p) + (k - j) * ln($q)))""".stripMargin)
+    val grid = ks
+      .select(col("k"), explode(sequence(lit(1), col("k"))).as("m"))
+      .withColumn("recall_r", round(tail("0.9", "0.1"), 4) + 0.0)
+      .withColumn("miss_pass_r", round(tail("0.6", "0.4"), 4) + 0.0)
+      .filter(col("recall_r") >= 0.995)
+    grid
+      .withColumn("rk", row_number().over(Window.partitionBy("k")
+        .orderBy(col("m").desc)))
+      .filter(col("rk") === 1)
+      .select(col("k"), col("m").as("min_hits"),
+        col("recall_r").as("recall_c90"),
+        col("miss_pass_r").as("near_miss_pass_c60"))
+      .orderBy("k")
+  }
+
   /** The fused dedup VERDICT table — what a curation run actually
     * materializes before export: one row per document carrying all
     * three resolution verdicts side by side, and the conjunction the
@@ -1048,6 +1116,7 @@ object DedupQueries {
     "q124_dedup_verdict" -> q124DedupVerdict _,
     "q124b_dedup_verdict_banded" -> q124bDedupVerdictBanded _,
     "q120_lsh_planner" -> q120LshPlanner _,
+    "q127_sketch_planner" -> q127SketchPlanner _,
     "q121_subsume" -> q121Subsume _,
     "q123_cross_contain" -> q123CrossContain _,
     "q118_containment" -> q118Containment _,
@@ -1441,6 +1510,33 @@ object DedupQueries {
          |FROM spine sp
          |LEFT JOIN members m USING (doc_id)
          |LEFT JOIN v ON v.doc_id = sp.doc_id""".stripMargin,
+    "q127_sketch_planner" ->
+      """WITH ks AS (SELECT unnest(generate_series(1, 8)) * 8 AS k),
+        |js AS (SELECT k, unnest(generate_series(1, k)) AS j FROM ks),
+        |lc AS (
+        |  -- ln C(k, j) built as a correlated prefix sum over the SAME
+        |  -- per-i terms Spark's sequential aggregate folds
+        |  SELECT l.k, l.j,
+        |    (SELECT sum(ln((l.k - i.j + 1) / CAST(i.j AS DOUBLE)))
+        |     FROM js i WHERE i.k = l.k AND i.j <= l.j) AS lcomb
+        |  FROM js l),
+        |grid AS (SELECT k, unnest(generate_series(1, k)) AS m FROM ks),
+        |tails AS (
+        |  SELECT g.k, g.m,
+        |    round(sum(exp(t.lcomb + t.j * ln(0.9) + (g.k - t.j) * ln(0.1))), 4)
+        |      + 0.0 AS recall_r,
+        |    round(sum(exp(t.lcomb + t.j * ln(0.6) + (g.k - t.j) * ln(0.4))), 4)
+        |      + 0.0 AS miss_pass_r
+        |  FROM grid g JOIN lc t ON t.k = g.k AND t.j >= g.m
+        |  GROUP BY g.k, g.m),
+        |best AS (
+        |  SELECT k, max(m) AS min_hits FROM tails
+        |  WHERE recall_r >= 0.995 GROUP BY k)
+        |SELECT b.k, b.min_hits,
+        |  t.recall_r AS recall_c90,
+        |  t.miss_pass_r AS near_miss_pass_c60
+        |FROM best b JOIN tails t ON t.k = b.k AND t.m = b.min_hits
+        |ORDER BY b.k""".stripMargin,
     "q106_fast_neardup" ->
       s"""WITH $shingleCte,
          |$fastBandsCte,

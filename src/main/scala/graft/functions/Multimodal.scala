@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * Design for a 100 TB training-data lake: media lives as opaque `binary`
   * columns next to typed metadata, decode/feature steps are partition-local
   * batch transforms (mapPartitions — the JVM analogue of mapInPandas batch
-  * UDFs), and nothing ever collects to the driver. The actual pixel/sample
-  * decoding is STUBBED — this container has no image/audio codecs — behind
-  * a deterministic header format, so the Spark-side plumbing (schema,
-  * batching, partitioning, frame sampling, embedding hand-off) is real and
-  * testable, and a production build swaps [[MediaKernels.decodeMeta]] /
-  * [[MediaKernels.resize]] for real codec calls without touching any plan.
+  * UDFs), and nothing ever collects to the driver. Audio/video decoding is
+  * STUBBED — this container ships no such codecs — behind a deterministic
+  * header format, so the Spark-side plumbing (schema, batching,
+  * partitioning, frame sampling, embedding hand-off) is real and testable.
+  * IMAGES prove the seam for real: PNG/BMP blobs dispatch to
+  * javax.imageio (a codec the JDK itself ships) inside the SAME
+  * [[MediaKernels.decodeMeta]]/[[MediaKernels.resize]]/
+  * [[MediaKernels.perceptualHash]] kernels — identical signatures,
+  * identical plans (`MultimodalSpec`), so swapping in ffmpeg-class codecs
+  * for the remaining kinds is a dispatch case, not a redesign.
   */
 object MediaKernels {
 
@@ -54,10 +58,39 @@ object MediaKernels {
     out
   }
 
-  /** STUB decoder: parses the deterministic header. A production build
-    * replaces the body with e.g. an ImageIO / ffprobe call — same
-    * signature, same plan shape. */
+  /** When true (default), blobs carrying a real image magic (PNG/BMP —
+    * the formats the JDK's javax.imageio decodes with no external
+    * codec) take the REAL decode path in [[decodeMeta]]/[[resize]]/
+    * [[perceptualHash]]; GMM1-stub blobs always take the stub path, so
+    * the flag only gates whether real formats are attempted or rejected
+    * (an air-gapped build that wants deterministic-only behavior flips
+    * it off). Proves the seam: the production swap is a dispatch case,
+    * not a plan change. */
+  @volatile var RealCodecs: Boolean = true
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'B' && b(1) == 'M'
+  private def isRealImage(b: Array[Byte]): Boolean =
+    RealCodecs && (isPng(b) || isBmp(b))
+
+  private def readImage(b: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "undecodable image bytes")
+    img
+  }
+
+  /** Decoder: GMM1-stub blobs parse the deterministic header (the
+    * container has no video/audio codecs — honestly stubbed); PNG/BMP
+    * blobs decode through javax.imageio — a REAL codec, same signature,
+    * same plan shape, proving the production swap is local to this
+    * dispatch. */
   def decodeMeta(bytes: Array[Byte]): Meta = {
+    if (isRealImage(bytes)) {
+      val img = readImage(bytes)
+      return Meta("image", img.getWidth, img.getHeight, 0, 0L)
+    }
     require(bytes.length >= HEADER_LEN, "truncated media blob")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     require(bb.getInt() == MAGIC, "bad media magic")
@@ -65,10 +98,25 @@ object MediaKernels {
     Meta(kind, bb.getInt(), bb.getInt(), bb.getInt(), bb.getLong())
   }
 
-  /** STUB resize: deterministic re-synthesis at the target dimensions —
-    * production swaps in a real scaler. Output carries the new header so
-    * downstream decode/feature steps remain exercised. */
+  /** Resize: PNG/BMP rescale for real through java.awt + re-encode via
+    * javax.imageio (PNG out); stub blobs re-synthesize the header at
+    * the target dimensions so downstream decode/feature steps remain
+    * exercised. */
   def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (isRealImage(bytes)) {
+      val src = readImage(bytes)
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      return out.toByteArray
+    }
     val m = decodeMeta(bytes)
     val out = bytes.clone()
     val bb = java.nio.ByteBuffer.wrap(out)
@@ -100,24 +148,64 @@ object MediaKernels {
     * changed payload bytes perturb a few block means slightly, so only
     * coefficients already straddling the median can flip — near-identical
     * media land within a small hamming radius, unrelated media at ~32. */
-  def perceptualHash(bytes: Array[Byte]): Long = {
-    decodeMeta(bytes) // header check; production decodes pixels here
-    val n = bytes.length - HEADER_LEN
-    require(n > 0, "empty media payload")
-    val g = new Array[Double](1024) // 32×32 block means over the plane
-    var c = 0
-    while (c < 1024) {
-      val from = HEADER_LEN + (c.toLong * n / 1024).toInt
-      val to = HEADER_LEN + ((c + 1).toLong * n / 1024).toInt
-      if (to == from) g(c) = 0.0
-      else {
-        var s = 0.0
-        var i = from
-        while (i < to) { s += bytes(i) & 0xff; i += 1 }
-        g(c) = s / (to - from)
+  def perceptualHash(bytes: Array[Byte]): Long =
+    if (isRealImage(bytes)) phashOfBlocks(lumaBlockMeans(readImage(bytes)))
+    else {
+      decodeMeta(bytes) // header check; the stub "plane" is the payload
+      val n = bytes.length - HEADER_LEN
+      require(n > 0, "empty media payload")
+      val g = new Array[Double](1024) // 32×32 block means over the plane
+      var c = 0
+      while (c < 1024) {
+        val from = HEADER_LEN + (c.toLong * n / 1024).toInt
+        val to = HEADER_LEN + ((c + 1).toLong * n / 1024).toInt
+        if (to == from) g(c) = 0.0
+        else {
+          var s = 0.0
+          var i = from
+          while (i < to) { s += bytes(i) & 0xff; i += 1 }
+          g(c) = s / (to - from)
+        }
+        c += 1
       }
-      c += 1
+      phashOfBlocks(g)
     }
+
+  /** REAL luma plane for the pHash: 32×32 block means of Rec.601 luma —
+    * exactly the step the stub fakes with payload bytes; everything
+    * after (DCT, median threshold) is shared. */
+  private def lumaBlockMeans(img: java.awt.image.BufferedImage): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = new Array[Double](1024)
+    var bx = 0
+    while (bx < 32) {
+      var by = 0
+      while (by < 32) {
+        val x0 = bx * w / 32; val x1 = math.max(x0 + 1, (bx + 1) * w / 32)
+        val y0 = by * h / 32; val y1 = math.max(y0 + 1, (by + 1) * h / 32)
+        var s = 0.0; var n = 0
+        var x = x0
+        while (x < x1 && x < w) {
+          var y = y0
+          while (y < y1 && y < h) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; y += 1
+          }
+          x += 1
+        }
+        g(bx * 32 + by) = if (n == 0) 0.0 else s / n
+        by += 1
+      }
+      bx += 1
+    }
+    g
+  }
+
+  /** Shared pHash tail: 32×32 block means → 2-D DCT-II → 8×8
+    * low-frequency coefficients → AC-median threshold bits. */
+  private def phashOfBlocks(g: Array[Double]): Long = {
     // separable DCT: t(u,y) = Σx g[x][y]·cos_u(x); c(u,v) = Σy t(u,y)·cos_v(y)
     val t = Array.ofDim[Double](8, 32)
     var u = 0

@@ -69,6 +69,21 @@ object DedupOps {
       rowLimit: Long = BroadcastRowLimit): DataFrame =
     if (knownCount <= rowLimit) broadcast(dim) else dim.hint("merge")
 
+  /** Release the block-manager blocks behind an eagerly
+    * localCheckpoint'ed frame once downstream materializations no
+    * longer read them. Checkpoint blocks otherwise live until the
+    * frame is GC'd and the ContextCleaner notices — at 10M-doc probe
+    * scale, a staging frame (the exploded shingle table under
+    * [[graft.DedupQueries]]'s df pass) left resident alongside its
+    * derived checkpoint doubles storage and squeezes execution memory
+    * into AGGREGATE_OUT_OF_MEMORY. No-op for non-checkpointed frames. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected components of an undirected pair list. Returns
     * (node, comp) where comp = the minimum node id reachable. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,

@@ -305,6 +305,24 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got(4L) == ((true, 4L, true, false, true))) // untouched
   }
 
+  test("q127 sketch planner equals an exact binomial-tail driver recompute") {
+    def tail(k: Int, m: Int, p: Double): Double = {
+      def comb(n: Int, r: Int): Double =
+        (1 to r).map(i => (n - i + 1).toDouble / i).product
+      (m to k).map(j => comb(k, j) * math.pow(p, j) * math.pow(1 - p, k - j)).sum
+    }
+    val expect = (1 to 8).map(_ * 8).map { k =>
+      val m = (1 to k).filter(m => r4(tail(k, m, 0.9)) >= 0.995).max
+      k.toLong -> ((m.toLong, r4(tail(k, m, 0.9)), r4(tail(k, m, 0.6))))
+    }.toMap
+    val got = DedupQueries.q127SketchPlanner(spark, "unused").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+    // the registered q126 fast config IS the k=16 row
+    assert(got(16L)._1 == 11L)
+  }
+
   test("q120 planner equals an exact driver recompute of the S-curve argmin") {
     val grid = for {
       b <- 1 to 16; r <- 1 to 16 if b * r <= 64
