@@ -57,9 +57,13 @@ object CurationRun {
 
   /** The post-verdict corpus: every doc the fused verdict keeps, with
     * the columns the export needs. */
-  def curatedSurvivors(s: SparkSession, dir: String): DataFrame = {
+  def curatedSurvivors(s: SparkSession, dir: String): DataFrame =
+    curatedSurvivors(s, dir, BandedCorpusThreshold)
+
+  private[graft] def curatedSurvivors(s: SparkSession, dir: String,
+      bandedThreshold: Long): DataFrame = {
     val verdict =
-      if (Tables.load(s, dir, "documents").count() > BandedCorpusThreshold)
+      if (Tables.load(s, dir, "documents").count() > bandedThreshold)
         DedupQueries.q124bDedupVerdictBanded(s, dir)
       else DedupQueries.q124DedupVerdict(s, dir)
     val keep = verdict.filter(col("keep")).select("doc_id")

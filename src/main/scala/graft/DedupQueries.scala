@@ -120,9 +120,28 @@ object DedupQueries {
     * consumers). Plan-gated by `ShinglePlanSpec`: window-free, and the
     * aggregate is map-side partial. */
   private[graft] def attachDf(ex: DataFrame, cap: Option[Long]): DataFrame = {
-    val dfAgg = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // shuffled HASH join, not sort-merge: on df-flat corpora the agg
+    // side is nearly as large as ex itself and SMJ's two corpus-scale
+    // sorts measured ~3× the old window pass at 10M docs; hashing the
+    // one-row-per-shingle build side skips both sorts. Hot-shingle
+    // safety holds WITHOUT any skew machinery: the build side carries
+    // one row per key regardless of df, and the probe side STREAMS —
+    // a crawl-scale boilerplate shingle costs one task a linear pass
+    // of hash lookups (capped configs: all misses — the key isn't in
+    // the build), never the window's single-task sort-and-buffer of
+    // the whole hot partition.
+    // The hash build must FIT per task, so the join's partition count
+    // scales with the exploded row count (~1.5M rows/partition —
+    // 10M-doc probe: 32 session partitions put an ~8M-entry build in
+    // each task and died in "not enough memory to build hash map");
+    // `ex` is pinned by every caller, so the count is a cheap job, and
+    // at bench SFs the max() leaves the session partitioning alone.
+    val parts = math.max(ex.sparkSession.sparkContext.defaultParallelism,
+      (ex.count() / 1500000L).toInt + 1)
+    val exP = ex.repartition(parts, col("s"))
+    val dfAgg = exP.groupBy("s").agg(count(lit(1)).as("df"))
     val kept = cap.fold(dfAgg)(c => dfAgg.filter(col("df") <= c))
-    ex.join(kept, "s").select("doc_id", "s", "df")
+    exP.join(kept.hint("shuffle_hash"), "s").select("doc_id", "s", "df")
   }
 
   /** [[shingleBase]] → q22's (doc_id, s, n) shape (uncapped sizes). */
@@ -671,8 +690,17 @@ object DedupQueries {
 
   /** [[containmentShingles]] over a testdata dir, pinned — the shared
     * q118/q121/q123 input (shingle kernel + df pass once per query). */
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
-    val (res, ex) = containmentShinglesParts(t(s, dir, "documents"))
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    containmentShinglesPinned(t(s, dir, "documents"))
+
+  /** [[containmentShingles]] MATERIALIZED: pin the result, release the
+    * internal exploded scaffolding immediately. Any caller that holds
+    * the frame across further work (the probes, a stored-corpus
+    * precompute) should use this — pinning the lazy form themselves
+    * leaves the ~equal-sized scaffolding checkpoint resident until the
+    * ContextCleaner notices (measured: heap-OOMs the 1M quote probe). */
+  def containmentShinglesPinned(docs: DataFrame): DataFrame = {
+    val (res, ex) = containmentShinglesParts(docs)
     val pinned = res.localCheckpoint(true)
     graft.operators.DedupOps.releaseCheckpoint(ex) // scaffolding only
     pinned

@@ -79,5 +79,10 @@ class DedupBandedSpec extends AnyFunSuite {
     val surv = CurationRun.curatedSurvivors(spark, dupDir)
     assert(surv.count() == 90)
     assert(CurationRun.BandedCorpusThreshold > 150L)
+    // forced over the threshold, the run rides the banded verdict —
+    // identical survivors here (exact-dup clusters: LSH recall 1)
+    val survBanded = CurationRun.curatedSurvivors(spark, dupDir, 0L)
+    assert(survBanded.collect().map(_.getLong(0)).sorted.toSeq ==
+      surv.collect().map(_.getLong(0)).sorted.toSeq)
   }
 }
