@@ -219,8 +219,11 @@ final class RestServer(spark: SparkSession, dataDir: String,
     }
     import spark.implicits._
     val df = items.map { case (id, _, js) => (id, js) }.toDF("doc_id", "text")
+    // pin the embedded batch: the index write, the chunk append, and (on
+    // cold bootstrap) IvfIndex.build each run an action over this frame,
+    // and re-deriving it would re-invoke the embed provider per action
     val emb = Streams.chunkEmbed(df, ctxNum, dim, embedProvider,
-      chunkPrefix = "search_document: " + prefix)
+      chunkPrefix = "search_document: " + prefix).localCheckpoint(true)
     val assigned = model match {
       case Some(m) => IvfIndex.assign(emb, "embedding", m)
       case None =>

@@ -14,6 +14,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * real HTTP against the stub providers, plus the openapi payload
   * polymorphism (document = string | array | object) and the zstd
   * middleware round-trip. */
+object RestServerSpec {
+  /** JVM-static so executor-side invocations land in the same counter
+    * under local mode; counts TEXTS embedded, not batches. */
+  val embedCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  final case class CountingProvider(dim: Int) extends graft.functions.EmbedProvider {
+    private val inner = graft.functions.NoopProvider(dim)
+    def embedBatch(texts: Seq[String]): Seq[Array[Byte]] = {
+      embedCalls.addAndGet(texts.size.toLong)
+      inner.embedBatch(texts)
+    }
+  }
+}
+
 class RestServerSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
   private val mapper = new ObjectMapper()
@@ -126,6 +140,34 @@ class RestServerSpec extends AnyFunSuite {
     }
     val node = mapper.readTree(decompressed)
     assert(node.get("document_ids").size() == 1)
+  }
+
+  test("upload embeds each chunk exactly once (batch pinned across writes)") {
+    // the upload handler runs THREE actions over the embedded batch
+    // (index write, chunk append, and k-means on cold bootstrap); without
+    // the localCheckpoint pin each action re-invokes the embed provider
+    val dir = java.nio.file.Files.createTempDirectory("rest-embed").toString
+    RestServerSpec.embedCalls.set(0)
+    val s = new graft.server.RestServer(spark, dir,
+      embedProvider = Some(RestServerSpec.CountingProvider(64)))
+    s.start()
+    try {
+      def up(body: String) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:${s.port}/api/upload"))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        assert(r.statusCode() == 200)
+      }
+      // cold path: first batch also trains the IVF model it is assigned to
+      up("""{"documents":[{"document":"first short doc"},{"document":"second short doc"}]}""")
+      assert(RestServerSpec.embedCalls.get() == 2L,
+        s"cold upload re-embedded: ${RestServerSpec.embedCalls.get()} calls for 2 chunks")
+      // warm path: model exists, assign only
+      up("""{"documents":[{"document":"third short doc"}]}""")
+      assert(RestServerSpec.embedCalls.get() == 3L,
+        s"warm upload re-embedded: ${RestServerSpec.embedCalls.get()} calls for 3 chunks")
+    } finally s.stop()
   }
 
   test("invalid method and malformed body map to the reference's statuses") {
