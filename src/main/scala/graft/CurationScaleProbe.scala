@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end curation probe: the ONE-CALL production path
+  * ([[CurationRun.exportCurated]] — fused dedup verdict → survivor
+  * mixture plan → certified shard export) wall-clocked over an
+  * N-document planted-duplicate corpus, cold from on-disk parquet, plus
+  * the independent [[graft.sources.TrainingExport.verifyShards]]
+  * certification scan. This is the headline "raw corpus in, certified
+  * training shards out" number that the per-stage probes
+  * ([[DedupScaleProbe]], [[ExportScaleProbe]]) decompose; at the
+  * default 10M documents it exercises the BANDED verdict (the corpus is
+  * past [[CurationRun.BandedCorpusThreshold]]) — the path a 100 TB run
+  * takes.
+  *
+  * Correctness is asserted, not assumed: the survivor set must show the
+  * planted duplicates gone, the exported row mass must match the
+  * mixture plan's expectation over the survivors, and verifyShards must
+  * certify every shard clean.
+  *
+  * Usage: runMain graft.CurationScaleProbe [nDocs] [nShards]
+  */
+object CurationScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 10000000L
+    val shards = if (args.length > 1) args(1).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = java.nio.file.Files.createTempDirectory("curation_probe").toString
+    val genSec = DedupScaleProbe.writePlantedCorpus(spark, n, cpus.toInt, dir)
+    System.err.println(f"[probe] gen     $genSec%8.1f s")
+
+    // the one-call path, timed end to end (verdict join + mixture plan +
+    // shard write + manifest)
+    val outDir = s"$dir/export"
+    var t0 = System.nanoTime()
+    val manifest = CurationRun.exportCurated(spark, dir, outDir, shards, seed = 1L)
+    val exportSec = (System.nanoTime() - t0) / 1e9
+    val rows = manifest.map(_.rows).sum
+    val tokens = manifest.map(_.tokens).sum
+    System.err.println(f"[probe] curate  $exportSec%8.1f s  rows=$rows tokens=$tokens")
+
+    // certification: one independent scan of the written export
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
+    t0 = System.nanoTime()
+    val bad = graft.sources.TrainingExport.verifyShards(spark, outDir)
+    val verifySec = (System.nanoTime() - t0) / 1e9
+    require(bad.isEmpty, s"verifyShards flagged shards: $bad")
+    System.err.println(f"[probe] certify $verifySec%8.1f s  shards=${manifest.size}")
+
+    // untimed truth: the survivor count (re-runs the verdict — outside
+    // the headline timing on purpose; the timed path already contains it)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
+    val survivors = CurationRun.curatedSurvivors(spark, dir).count()
+    // planted dups (n/10 near + n/100 exact) must be gone, modulo the
+    // banded LSH stage's documented ~2% candidate miss
+    val planted = n / 10 + n / 100
+    require(survivors <= n - planted * 96 / 100,
+      s"curation kept $survivors of $n — planted $planted dups not removed")
+    require(survivors >= n - planted - planted / 10,
+      s"curation kept only $survivors of $n — dropped beyond the planted $planted")
+    // mixture conservation: uniform-source corpus plans e_s ≈ 1/2 per
+    // source (T / (2·n_src·tokens_s)), so exported rows concentrate
+    // tightly around survivors/2 — a missing or double-applied mixture
+    // stage lands far outside ±5%
+    require(rows > survivors * 45 / 100 && rows < survivors * 55 / 100,
+      s"exported $rows rows from $survivors survivors — mixture plan drifted")
+
+    println(s"""{"probe":"curation_e2e","n_docs":$n,"n_shards":$shards,""" +
+      s""""gen_sec":$genSec,"curate_export_sec":$exportSec,""" +
+      s""""export_rows":$rows,"export_tokens":$tokens,""" +
+      s""""verify_sec":$verifySec,"survivors":$survivors}""")
+    spark.stop()
+  }
+}

@@ -445,6 +445,121 @@ object PipelineQueries {
   def q95BpeMerges(s: SparkSession, dir: String): DataFrame =
     learnBpeMerges(t(s, dir, "documents"), nMerges = 8)._1
 
+  /** Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    * model), the BPE trainer's complement: instead of GROWING a vocab by
+    * greedy merges, START from a large seed of frequent substrings and
+    * let hard-EM (Viterbi E-step, MLE M-step) plus pruning settle the
+    * piece set and its probabilities.
+    *
+    * Scale shape mirrors [[learnBpeMerges]]: the corpus collapses ONCE
+    * to the distinct-word frequency table (Zipf-bounded); seeding is one
+    * vocab-sized substring explode with map-side partial aggregation;
+    * each EM round is one vocab-sized scan through the codegen
+    * [[graft.functions.UnigramSegment]] Viterbi kernel followed by a
+    * partial-agg piece count whose result is PIECE-bounded (≤ seed
+    * size), so every driver collect is k-means-centroid-sized — never
+    * corpus- or vocabulary-sized. Hard EM (Viterbi counts rather than
+    * forward-backward expectations) is a deliberate, documented
+    * simplification: the E-step stays a single codegen pass, and the
+    * round log-likelihood is provably non-decreasing, which UnigramSpec
+    * asserts. Pruning keeps every single character (coverage can never
+    * break) and drops the lowest-probability multi-char tail — the
+    * hard-EM analogue of Kudo's loss-ranked prune, since a
+    * Viterbi-unused piece contributes zero loss.
+    *
+    * Returns (pieces: rank/piece/logp, per-EM-round Viterbi
+    * log-likelihoods measured BEFORE each M-step). */
+  def learnUnigramLm(docs: DataFrame, vocabSize: Int = 96,
+      seedSize: Int = 256, emIters: Int = 3, maxPieceLen: Int = 8)
+      : (DataFrame, Seq[Double]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // rescanned once per EM round
+    // seed: frequent substrings scored count·len (Kudo §3.2's "reasonably
+    // big" seed), plus EVERY single character for segmentation coverage
+    val subs = words.select(col("freq"), explode(expr(
+      s"""flatten(transform(sequence(1, least(length(w), $maxPieceLen)),
+         |  l -> transform(sequence(1, length(w) - l + 1),
+         |    p -> substring(w, p, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .localCheckpoint(true) // read twice (char + multi subsets)
+    val chars = subs.filter(length(col("piece")) === 1)
+      .orderBy("piece").collect()
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy((col("cnt") * length(col("piece"))).desc, col("piece").asc)
+      .limit(seedSize).collect()
+    var vocab: Array[(String, Double)] = {
+      val seed = (chars ++ multi).map(r =>
+        (r.getString(0), r.getLong(1).toDouble * r.getString(0).length))
+      val tot = seed.iterator.map(_._2).sum
+      seed.map { case (p, sc) => (p, math.log(sc / tot)) }
+    }
+    val ll = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def emRound(recordLl: Boolean): Unit = {
+      val counts = words.select(col("freq"),
+          explode(gf.unigram_segment(col("w"), vocab.toSeq)).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1).toDouble)).toMap
+      if (recordLl)
+        ll += vocab.iterator.map { case (p, l) => counts.getOrElse(p, 0.0) * l }.sum
+      val kept = vocab.flatMap { case (p, _) =>
+        val c = counts.getOrElse(p, 0.0)
+        if (c > 0) Some((p, c))
+        // Viterbi-unused single chars keep a floor count — coverage of
+        // yet-unseen words must survive every M-step
+        else if (p.length == 1) Some((p, 0.5))
+        else None
+      }
+      val tot = kept.iterator.map(_._2).sum
+      vocab = kept.map { case (p, c) => (p, math.log(c / tot)) }
+    }
+    (1 to emIters).foreach(_ => emRound(recordLl = true))
+    // prune to the target size (single chars always survive), then one
+    // more EM round renormalizes probabilities over the pruned set
+    val (keepChars, keepMulti) = vocab.partition(_._1.length == 1)
+    val room = math.max(0, vocabSize - keepChars.length)
+    vocab = keepChars ++ keepMulti.sortBy { case (p, l) => (-l, p) }.take(room)
+    emRound(recordLl = false)
+    val table = vocab.sortBy { case (p, l) => (-l, p) }.zipWithIndex.map {
+      case ((p, l), i) => (i + 1, p, math.rint(l * 1e6) / 1e6)
+    }
+    (table.toSeq.toDF("rank", "piece", "logp"), ll.toSeq)
+  }
+
+  /** The learned unigram-LM piece table over `documents` (driver gate:
+    * rows-only — the EM loop is not SQL-expressible; UnigramSpec proves
+    * Viterbi exactness against brute-force enumeration and EM likelihood
+    * monotonicity, GoldenRowsSpec pins the sf0.001 table). */
+  def q128UnigramLm(s: SparkSession, dir: String): DataFrame =
+    learnUnigramLm(t(s, dir, "documents"))._1
+
+  /** q96's fertility metric under the unigram-LM tokenizer — the
+    * cross-tokenizer comparison a vocab decision needs (same per-lang
+    * aggregation, same Zipf-bounded shape: corpus → (lang, word) counts,
+    * then one codegen Viterbi pass over distinct words). */
+  def q129UnigramFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = learnUnigramLm(docs)._1
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    val langWords = docs
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+    langWords
+      .select(col("lang"), col("n"),
+        size(gf.unigram_segment(col("w"), vocab)).as("n_tok"),
+        length(col("w")).as("n_bytes"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_words"),
+        round(sum(col("n_tok") * col("n")) / sum("n"), 4).as("fertility"),
+        round(sum(col("n_bytes") * col("n")) /
+          sum(col("n_tok") * col("n")).cast("double"), 4).as("bytes_per_token"))
+  }
+
   /** q89's OPQ twin: same two-stage shape, same 8-byte codes, with the
     * learned rotation in front ([[graft.index.OpqCodec]] — on real
     * correlated embeddings the rotation buys ~1.6× lower quantization
@@ -470,6 +585,8 @@ object PipelineQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bpe_merges" -> q95BpeMerges _,
     "q96_bpe_fertility" -> q96BpeFertility _,
+    "q128_unigram_lm" -> q128UnigramLm _,
+    "q129_unigram_fertility" -> q129UnigramFertility _,
     "q97_ann_opq" -> q97AnnOpq _,
     "q26_ann_ivf" -> q26AnnIvf _,
     "q89_ann_pq" -> q89AnnPq _,

@@ -395,4 +395,60 @@ object TextKernels {
     val wordScore = if (meanWord >= 3 && meanWord <= 12) 1.0 else 0.5
     (lenScore + alphaScore + punctScore + wordScore) / 4.0
   }
+
+  /** Floor log-prob for a character absent from the trained vocabulary —
+    * keeps encode total (a segmentation always exists) without letting an
+    * unknown char outscore any real piece. */
+  val UnkCharLogp: Double = -100.0
+
+  /** Viterbi segmentation of one word under a unigram piece LM (Kudo
+    * 2018, the SentencePiece model): best[i] = max over pieces ending at
+    * i of best[start] + logp(piece). Ties go to the LONGEST final piece
+    * (ascending start scan + strict improvement), so the output is
+    * deterministic. Operates on Catalyst types so [[UnigramSegment]]
+    * stays inside whole-stage codegen; the vocab map is a per-plan
+    * constant (bounded by the trained vocab size). */
+  def unigramViterbi(w: org.apache.spark.unsafe.types.UTF8String,
+      vocab: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = w.toString
+    val n = s.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val best = new Array[Double](n + 1)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
+    best(0) = 0.0
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          val lpObj = vocab.get(s.substring(j, i))
+          val lp =
+            if (lpObj != null) lpObj.doubleValue()
+            else if (i - j == 1) UnkCharLogp
+            else Double.NegativeInfinity
+          if (lp != Double.NegativeInfinity) {
+            val cand = best(j) + lp
+            if (cand > best(i)) { best(i) = cand; back(i) = j }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val pieces = new java.util.ArrayList[AnyRef]()
+    var e = n
+    while (e > 0) {
+      val b = back(e)
+      pieces.add(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s.substring(b, e)))
+      e = b
+    }
+    java.util.Collections.reverse(pieces)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pieces.toArray(Array.empty[AnyRef]))
+  }
 }

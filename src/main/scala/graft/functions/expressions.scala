@@ -156,6 +156,37 @@ case class BpeMergePass(child: Expression, a: String, b: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** unigram_segment(string) → array<string> — Viterbi segmentation under
+  * a learned unigram piece LM ([[TextKernels.unigramViterbi]], Kudo 2018).
+  * The trained vocabulary rides as an expression constant, like
+  * [[BpeMergePass]]'s merge pair: it is a bounded model artifact
+  * (≤ vocabSize entries), not data, so it ships once per plan and the
+  * codegen'd row loop only does the hash-probe DP — no per-row boxing,
+  * no join against a vocabulary table. */
+case class UnigramSegment(child: Expression, vocab: Seq[(String, Double)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child -> StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_segment"
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[String, java.lang.Double](vocab.size * 2)
+    vocab.foreach { case (p, lp) => m.put(p, java.lang.Double.valueOf(lp)) }
+    m
+  }
+  @transient private lazy val maxLen =
+    if (vocab.isEmpty) 1 else vocab.iterator.map(_._1.length).max
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.unigramViterbi(v.asInstanceOf[UTF8String], table, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.TextKernels.unigramViterbi($v, $ref, $maxLen)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** bloom_might_contain(bigint) → boolean — probe a broadcast
   * [[org.apache.spark.util.sketch.BloomFilter]] from inside whole-stage
   * codegen. The filter ships once per executor via the broadcast (the

@@ -140,6 +140,11 @@ object gf {
   def bpe_merge(sym: Column, a: String, b: String): Column =
     col(BpeMergePass(expr(sym), a, b))
 
+  /** Viterbi-segment a word column under a learned unigram LM vocabulary
+    * (codegen; the vocab ships as a bounded plan constant). */
+  def unigram_segment(w: Column, vocab: Seq[(String, Double)]): Column =
+    col(UnigramSegment(expr(w), vocab))
+
   def token_count(text: Column): Column =
     // Go strings.Fields semantics: empty/whitespace-only → 0 (split of ""
     // yields [""], so guard), else trim + split on whitespace runs.

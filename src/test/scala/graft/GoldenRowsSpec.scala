@@ -51,6 +51,40 @@ class GoldenRowsSpec extends AnyFunSuite {
       "5|t|</w>|2850 ;; 6|er|</w>|2781 ;; 7|o|w|2763 ;; 8|ow|</w>|2763")
   }
 
+  test("q128_unigram_lm golden rows") {
+    // the sf0.001 corpus draws from a small whole-word vocabulary, so the
+    // trainer converges to whole words as pieces (ranks 1-31) with the
+    // coverage floor holding every single char at the uniform tail logp
+    assert(canon("q128_unigram_lm") ==
+      "10|key|-3.387005 ;; 11|join|-3.396575 ;; 12|merge|-3.397644 ;; " +
+      "13|group|-3.398714 ;; 14|query|-3.398714 ;; 15|a|-3.401931 ;; " +
+      "16|vector|-3.401931 ;; 17|hash|-3.410561 ;; 18|slow|-3.41273 ;; " +
+      "19|stream|-3.414904 ;; 1|scan|-3.346564 ;; 20|filter|-3.417083 ;; " +
+      "21|fast|-3.421454 ;; 22|batch|-3.424746 ;; 23|spark|-3.424746 ;; " +
+      "24|the|-3.424746 ;; 25|table|-3.432468 ;; 26|small|-3.43802 ;; " +
+      "27|data|-3.44025 ;; 28|big|-3.446969 ;; 29|customer|-3.448093 ;; " +
+      "2|column|-3.352681 ;; 30|row|-3.474305 ;; 31|dup|-6.870895 ;; " +
+      "32|b|-10.931338 ;; 33|c|-10.931338 ;; 34|d|-10.931338 ;; " +
+      "35|e|-10.931338 ;; 36|f|-10.931338 ;; 37|g|-10.931338 ;; " +
+      "38|h|-10.931338 ;; 39|i|-10.931338 ;; 3|window|-3.354728 ;; " +
+      "40|j|-10.931338 ;; 41|k|-10.931338 ;; 42|l|-10.931338 ;; " +
+      "43|m|-10.931338 ;; 44|n|-10.931338 ;; 45|o|-10.931338 ;; " +
+      "46|p|-10.931338 ;; 47|q|-10.931338 ;; 48|r|-10.931338 ;; " +
+      "49|s|-10.931338 ;; 4|order|-3.355753 ;; 50|t|-10.931338 ;; " +
+      "51|u|-10.931338 ;; 52|v|-10.931338 ;; 53|w|-10.931338 ;; " +
+      "54|y|-10.931338 ;; 5|sort|-3.356779 ;; 6|part|-3.368137 ;; " +
+      "7|agg|-3.378575 ;; 8|value|-3.381728 ;; 9|line|-3.385948")
+  }
+
+  test("q129_unigram_fertility golden rows") {
+    // fertility 1.0 everywhere: with whole words in the vocab, every word
+    // Viterbi-segments to itself — the designed contrast to q96's 8-merge
+    // BPE (~4.55 pieces/word on the same corpus)
+    assert(canon("q129_unigram_fertility") ==
+      "de|4070|1.0|4.472 ;; en|10343|1.0|4.4991 ;; es|4516|1.0|4.5106 ;; " +
+      "fr|4926|1.0|4.5106 ;; zh|4084|1.0|4.5037")
+  }
+
   test("q96_bpe_fertility golden rows") {
     assert(canon("q96_bpe_fertility") ==
       "de|4070|4.5568|0.9814 ;; en|10343|4.5651|0.9855 ;; " +
