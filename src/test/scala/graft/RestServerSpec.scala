@@ -170,6 +170,53 @@ class RestServerSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("restart on the same dataDir rebuilds model + id counter from storage") {
+    // the server's only in-memory state (centroid matrix, id counter) must
+    // be recoverable: a restarted instance serves the old corpus and
+    // continues the id sequence without collisions
+    val dir = java.nio.file.Files.createTempDirectory("rest-restart").toString
+    def post2(port: Int, path: String, body: String) = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    val a = new graft.server.RestServer(spark, dir)
+    a.start()
+    val upA = post2(a.port, "/api/upload",
+      """{"owner":"o2","documents":[
+        |{"document":"the quick brown fox jumps over the lazy dog"},
+        |{"document":"pack my box with five dozen liquor jugs"}
+        |]}""".stripMargin)
+    assert(upA.statusCode() == 200)
+    a.stop()
+
+    val b = new graft.server.RestServer(spark, dir)
+    b.start()
+    try {
+      // search on the restarted instance finds the old corpus (self-text
+      // ranks first under the deterministic noop embedding)
+      val sr = post2(b.port, "/api/search",
+        """{"text":"the quick brown fox jumps over the lazy dog","count":1}""")
+      assert(sr.statusCode() == 200)
+      val hit = json(sr).get("documents").get(0)
+      assert(hit.get("document_id").asLong() == 1L)
+      assert(hit.get("document").asText().contains("quick brown fox"))
+      // the id sequence continues past the stored max — no collision
+      val upB = post2(b.port, "/api/upload",
+        """{"documents":[{"document":"a wholly new third document"}]}""")
+      assert(upB.statusCode() == 200)
+      val newId = json(upB).get("document_ids").get(0).asLong()
+      assert(newId == 3L, s"restarted id counter collided: got $newId")
+      // and the delete cascade still resolves storage written pre-restart
+      val del = post2(b.port, "/api/delete/document", """{"document_id":1}""")
+      assert(del.statusCode() == 200)
+      val sr2 = post2(b.port, "/api/search",
+        """{"text":"the quick brown fox jumps over the lazy dog","count":3}""")
+      val left = json(sr2).get("documents").elements().asScala
+        .map(_.get("document_id").asLong()).toSet
+      assert(!left.contains(1L) && left.nonEmpty)
+    } finally b.stop()
+  }
+
   test("invalid method and malformed body map to the reference's statuses") {
     val get = client.send(
       HttpRequest.newBuilder(URI.create(url("/api/chat"))).GET().build(),
