@@ -316,6 +316,43 @@ object SearchService {
     removed
   }
 
+  /** [[deleteDocuments]] with the doomed doc ids as a DataFrame — the
+    * tenant-scale path (reference delete.go's `DELETE WHERE owner_id=?`
+    * has no driver bound, so neither does this): a large owner's victim
+    * set never lands on the driver. The first column of `doomedDocs` is
+    * the doc id. Index victims resolve via a size-gated semi join
+    * ([[graft.operators.DedupOps.gateKnown]] — broadcast when the scope
+    * is request-sized, sort-merge when tenant-sized) against an id-only
+    * index scan bounded by the doomed [lo,hi]·base vec_id envelope
+    * (zone-map file skipping, as in the Set overload). */
+  def deleteDocuments(spark: SparkSession, docStore: ParquetStore,
+      chunkStore: ParquetStore, indexPath: String, doomedDocs: DataFrame,
+      broadcastRowLimit: Long = graft.operators.DedupOps.BroadcastRowLimit)
+      : Long = {
+    import graft.operators.DedupOps
+    val doomed = doomedDocs
+      .select(col(doomedDocs.columns.head).cast("long").as("document_id"))
+      .distinct().localCheckpoint(true)
+    try {
+      val bounds = doomed.agg(min("document_id"), max("document_id")).collect()(0)
+      if (bounds.isNullAt(0)) return 0L
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val nDoomed = doomed.count() // free once pinned
+      val base = graft.streaming.Streams.ChunkVecIdBase
+      val victims = spark.read
+        .format(graft.sources.IvfBinarySource.FORMAT).load(indexPath)
+        .select("vec_id")
+        .filter(col("vec_id").between(lo * base, hi * base + (base - 1)))
+        .join(DedupOps.gateKnown(doomed, nDoomed, broadcastRowLimit),
+          expr(s"vec_id div $base") === col("document_id"), "left_semi")
+      val removed =
+        graft.sources.IvfBinarySource.delete(spark, indexPath, victims)
+      docStore.deleteKeys(doomed)
+      chunkStore.deleteKeys(doomed)
+      removed
+    } finally DedupOps.releaseCheckpoint(doomed)
+  }
+
   /** Index refresh as a batch job: rebuild the model from the embedding
     * store's current rows, write re-assignments back through the bucketed
     * upsert — like the reference's changed-rows-only UPDATE

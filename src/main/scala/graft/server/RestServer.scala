@@ -48,20 +48,24 @@ import graft.streaming.Streams
   * Scale notes: this is a THIN shell — every data decision stays in the
   * facades (nprobe-pruned scans, IN-pushed backfills, bucketed upserts,
   * distributed delete victims). The server itself holds only the IVF
-  * model (centroid matrix) and a doc-id counter. One deliberate
-  * serving-tier bound: owner/category search filters collect the
-  * scope's doc ids to build the index-side semi-filter — a tenant's
-  * corpus is serving-bounded; a 100 TB multi-tenant store should
-  * partition stores per owner instead (the reference's per-owner DB
-  * rows make the same trade inside one SQL instance). */
+  * model (centroid matrix, persisted under dataDir/model so restarts
+  * serve the lists the writes landed in) and a doc-id counter. Tenant
+  * scoping is size-gated, not driver-bounded: owner/category search
+  * filters ride a gateKnown semi join (broadcast only when the scope is
+  * small), and owner/category deletes keep their victim set a DataFrame
+  * end-to-end — a tenant larger than driver memory still searches and
+  * deletes (the reference's `WHERE owner_id=?` SQL has no driver bound
+  * either). */
 final class RestServer(spark: SparkSession, dataDir: String,
     dim: Int = 64, ctxNum: Int = 256,
     embedProvider: Option[EmbedProvider] = None,
     generateProvider: GenerateProvider = NoopGenerateProvider(),
-    indexParams: IvfIndex.Params = IvfIndex.Params(listSize = 64, sampleSize = 50000)) {
+    indexParams: IvfIndex.Params = IvfIndex.Params(listSize = 64, sampleSize = 50000),
+    broadcastRowLimit: Long = graft.operators.DedupOps.BroadcastRowLimit) {
 
   private val mapper = new ObjectMapper()
   private val indexDir = s"$dataDir/index"
+  private val modelDir = s"$dataDir/model"
   private val docStore = ParquetStore(s"$dataDir/documents", "document_id", nBuckets = 16)
   private val chunkStore = ParquetStore(s"$dataDir/chunks", "doc_id", nBuckets = 16)
 
@@ -72,21 +76,37 @@ final class RestServer(spark: SparkSession, dataDir: String,
   private val nextId = new AtomicLong(1L)
   private val writeLock = new Object
 
-  private def hasIndex: Boolean =
-    new java.io.File(indexDir).exists() &&
-      new java.io.File(indexDir).listFiles() != null &&
-      new java.io.File(indexDir).listFiles().nonEmpty
+  private def nonEmptyDir(d: String): Boolean = {
+    val f = new java.io.File(d)
+    f.exists() && f.listFiles() != null && f.listFiles().nonEmpty
+  }
+  private def hasIndex: Boolean = nonEmptyDir(indexDir)
 
   private def bootstrapFromStorage(): Unit = if (hasIndex) {
     val docs = docStore.read(spark)
     nextId.set(docs.agg(max("document_id")).collect()(0).getLong(0) + 1)
-    // rebuild the centroid matrix from the stored assignment (M7's
-    // maintenance shape: centroids are recoverable state, not truth)
-    val idx = spark.read.format(IvfBinarySource.FORMAT).load(indexDir)
-      .select(col("centroid_id"), gf.dequantize_vec(col("qvec")).as("v"))
-      .groupBy("centroid_id").agg(gf.vector_mean(col("v")).as("c"))
-      .orderBy("centroid_id").collect()
-    model = Some(IvfIndex.Model(idx.map(_.getSeq[Float](1).toArray)))
+    // serve the SAME model the corpus was indexed under: upload persists
+    // the trained centroids (the reference's DB keeps centroid rows for
+    // exactly this — restarts don't re-derive the index, dnc.go /
+    // database.go persistence path), so a restart probes the lists the
+    // writes landed in.
+    model =
+      if (nonEmptyDir(modelDir)) Some(IvfIndex.loadModel(spark, modelDir))
+      else {
+        // pre-model-file layout fallback: quantized member means, keyed
+        // by centroid_id (a delete-emptied list must not shift the rows
+        // above it — the matrix row IS the stored centroid_id)
+        val rows = spark.read.format(IvfBinarySource.FORMAT).load(indexDir)
+          .select(col("centroid_id"), gf.dequantize_vec(col("qvec")).as("v"))
+          .groupBy("centroid_id").agg(gf.vector_mean(col("v")).as("c"))
+          .collect()
+        if (rows.isEmpty) None
+        else {
+          val cents = Array.fill(rows.map(_.getInt(0)).max + 1)(new Array[Float](dim))
+          rows.foreach(r => cents(r.getInt(0)) = r.getSeq[Float](1).toArray)
+          Some(IvfIndex.Model(cents))
+        }
+      }
   }
   bootstrapFromStorage()
 
@@ -169,31 +189,38 @@ final class RestServer(spark: SparkSession, dataDir: String,
 
   private def plain(handler: JsonNode => (Int, Iterator[String]))
       : com.sun.net.httpserver.HttpHandler = { ex: HttpExchange =>
+    // once the streaming headers are out, a mid-stream provider failure
+    // can only close the connection — sendResponseHeaders is one-shot
+    var headersSent = false
     try {
       ex.getResponseHeaders.set("Content-Type", "text/plain")
       if (ex.getRequestMethod != "POST") {
         ex.getResponseHeaders.set("Allow", "POST")
         writeBody(ex, 405, "Invalid request method".getBytes(UTF_8), compress = false)
+        headersSent = true
       } else {
         val node =
           try mapper.readTree(new String(readBody(ex), UTF_8))
           catch { case _: Exception => null }
-        if (node == null)
+        if (node == null) {
           writeBody(ex, 400, "Invalid request".getBytes(UTF_8), compress = false)
-        else {
+          headersSent = true
+        } else {
           val (status, chunks) = handler(node)
           // stream the reply as the provider yields it (chat.go streams
           // runes to the client as they decode) — chunked encoding
           ex.sendResponseHeaders(status, 0)
+          headersSent = true
           val os: OutputStream = ex.getResponseBody
           chunks.foreach(c => { os.write(c.getBytes(UTF_8)); os.flush() })
           os.close()
         }
       }
     } catch {
-      case e: Exception =>
+      case e: Exception if !headersSent =>
         writeBody(ex, 500, s"Server exception: ${e.getMessage}".getBytes(UTF_8),
           compress = false)
+      case _: Exception => () // stream already open: finally closes it
     } finally ex.close()
   }
 
@@ -228,8 +255,10 @@ final class RestServer(spark: SparkSession, dataDir: String,
       case Some(m) => IvfIndex.assign(emb, "embedding", m)
       case None =>
         // cold bootstrap: the first batch trains the model it is
-        // assigned against (the reference boots with RefreshCentroids)
+        // assigned against (the reference boots with RefreshCentroids),
+        // and the model persists so a restart serves the same lists
         val (a, m) = IvfIndex.build(emb, "embedding", indexParams)
+        IvfIndex.saveModel(spark, m, modelDir)
         model = Some(m)
         a
     }
@@ -273,17 +302,27 @@ final class RestServer(spark: SparkSession, dataDir: String,
       Option(owner).filter(_.nonEmpty).map(o => col("owner") === o),
       Option(category).filter(_.nonEmpty).map(c => col("category") === c)
     ).flatten.foldLeft(docs)((d, p) => d.filter(p))
-    val indexed = {
+    // tenant scope: size-gated semi filter — broadcast only when the
+    // scope is small (DedupOps.gateKnown), sort-merge for a large owner;
+    // a tenant whose corpus outgrows the broadcast limit must not OOM
+    // the driver (the reference's WHERE owner_id=? has no such bound)
+    val scopeIds =
+      if (owner.isEmpty && category.isEmpty) None
+      else Some(scoped.select("document_id").localCheckpoint(true))
+    val rows = try {
       val base = spark.read.format(IvfBinarySource.FORMAT).load(indexDir)
         .select(col("vec_id"),
           expr(s"vec_id div ${Streams.ChunkVecIdBase}").as("document_id"),
           gf.dequantize_vec(col("qvec")).as("embedding"), col("centroid_id"))
-      if (owner.isEmpty && category.isEmpty) base
-      else base.join(broadcast(scoped.select("document_id")), Seq("document_id"))
-    }
-    val rows = SearchService.search(spark, indexed,
-      scoped.select("document_id", "external_id", "doc_json"),
-      model.get, sreq, dim = dim).collect()
+      val indexed = scopeIds match {
+        case None => base
+        case Some(ids) =>
+          RestServer.scopedIndex(base, ids, ids.count(), broadcastRowLimit)
+      }
+      SearchService.search(spark, indexed,
+        scoped.select("document_id", "external_id", "doc_json"),
+        model.get, sreq, dim = dim).collect()
+    } finally scopeIds.foreach(graft.operators.DedupOps.releaseCheckpoint)
     val arr = mapper.createArrayNode()
     rows.foreach { r =>
       val o: ObjectNode = arr.addObject()
@@ -336,22 +375,29 @@ final class RestServer(spark: SparkSession, dataDir: String,
     }
   }
 
+  /** Owner/category cascade: victims stay a DataFrame end-to-end — a
+    * large tenant's id set never collects to the driver (the engine's
+    * answer to delete.go's `DELETE WHERE owner_id=?`). */
+  private def deleteWhere(pred: org.apache.spark.sql.Column): (Int, String) =
+    writeLock.synchronized {
+      if (docStore.isInitialized)
+        SearchService.deleteDocuments(spark, docStore, chunkStore, indexDir,
+          docStore.read(spark).filter(pred).select("document_id"),
+          broadcastRowLimit)
+      (200, "{}")
+    }
+
   private def handleDeleteOwner(req: JsonNode): (Int, String) =
     textOr(req, "owner", "") match {
       case "" => (400, """{"error":"Invalid request"}""")
-      case o => deleteIds(collectIds(col("owner") === o))
+      case o => deleteWhere(col("owner") === o)
     }
 
   private def handleDeleteCategory(req: JsonNode): (Int, String) =
     textOr(req, "category", "") match {
       case "" => (400, """{"error":"Invalid request"}""")
-      case c => deleteIds(collectIds(col("category") === c))
+      case c => deleteWhere(col("category") === c)
     }
-
-  private def collectIds(pred: org.apache.spark.sql.Column): Set[Long] =
-    if (!docStore.isInitialized) Set.empty
-    else docStore.read(spark).filter(pred)
-      .select("document_id").collect().map(_.getLong(0)).toSet
 
   // ---------- /api/categories (server/fetch.go) ----------
 
@@ -374,4 +420,19 @@ final class RestServer(spark: SparkSession, dataDir: String,
     Option(n.get(field)).filter(_.isNumber).map(_.asInt()).getOrElse(dflt)
 
   private def quote(s: String): String = mapper.writeValueAsString(s)
+}
+
+object RestServer {
+  /** Index rows semi-filtered to a tenant scope, size-gated
+    * ([[graft.operators.DedupOps.gateKnown]]): broadcast only when the
+    * scope is known-small; above the gate, a merge-hinted shuffled semi
+    * join with NO BroadcastExchange regardless of AQE's runtime stats —
+    * a tenant larger than the broadcast limit must not land its id set
+    * on the driver. Factored out so the spec can pin the physical plan
+    * on both sides of the gate. */
+  def scopedIndex(base: DataFrame, scopeIds: DataFrame, knownCount: Long,
+      rowLimit: Long = graft.operators.DedupOps.BroadcastRowLimit): DataFrame =
+    base.join(
+      graft.operators.DedupOps.gateKnown(scopeIds, knownCount, rowLimit),
+      Seq("document_id"), "left_semi")
 }

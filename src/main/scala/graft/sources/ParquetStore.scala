@@ -78,7 +78,11 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
   }
 
   /** S8 delete sink: drop rows whose KEY matches `keys`; only their
-    * buckets rewrite. Returns the deleted keys (for cascading). */
+    * buckets rewrite. Touched bucket directories are cleared explicitly
+    * BEFORE the survivors land: dynamic partition overwrite only
+    * replaces partitions present in the write, so a bucket whose rows
+    * are ALL doomed would emit no output partition and its stale files
+    * would silently survive the delete. */
   def deleteKeys(keys: DataFrame): Unit = {
     val spark = keys.sparkSession
     val k = keys.columns.head
@@ -88,9 +92,23 @@ final case class ParquetStore(path: String, keyCol: String, nBuckets: Int = 64) 
     val existing = spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col("_bucket").isin(touched: _*))
     val kept = existing.join(del.select(col(k).as(keyCol)), Seq(keyCol), "left_anti")
+    // materialize the survivors BEFORE their source directories vanish
     val snapshot = kept.localCheckpoint(true)
-    dynamicOverwrite(spark) {
-      snapshot.write.mode("overwrite").option("compression", "zstd").partitionBy("_bucket").parquet(path)
+    val schema = org.apache.spark.sql.types.StructType(
+      snapshot.schema.filterNot(_.name == "_bucket"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    touched.foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/_bucket=$b")
+      dir.getFileSystem(conf).delete(dir, true)
+    }
+    snapshot.write.mode("append").option("compression", "zstd").partitionBy("_bucket").parquet(path)
+    if (bucketDirs.isEmpty) {
+      // the delete emptied the store: land one zero-row file carrying
+      // the schema so the store stays readable (parquet cannot infer a
+      // schema from a bare _SUCCESS marker)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+        schema).write.mode("append").option("compression", "zstd").parquet(path)
     }
   }
 

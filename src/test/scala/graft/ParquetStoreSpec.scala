@@ -92,6 +92,26 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(childStore.read(spark).count() == expected)
   }
 
+  test("delete clears fully-doomed buckets (dynamic overwrite can't) and survives a full wipe") {
+    import spark.implicits._
+    // 3 keys in 16 buckets → each key is almost surely alone in its
+    // bucket, so a delete dooms ENTIRE buckets: the regression regime
+    // for the dynamic-partition-overwrite no-op (a bucket with no
+    // surviving rows emits no output partition and kept its old files)
+    val store = ParquetStore(tmp(), "k", nBuckets = 16)
+    store.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    store.deleteKeys(Seq(1L, 2L).toDF("k"))
+    assert(store.read(spark).select("k").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // deleting the last row empties the store but keeps it READABLE
+    // (schema-bearing zero-row file) and reports uninitialized
+    store.deleteKeys(Seq(3L).toDF("k"))
+    assert(store.read(spark).count() == 0)
+    assert(!store.isInitialized)
+    // and the store comes back to life through the create path
+    store.upsertOrCreate(Seq((9L, "z")).toDF("k", "v"))
+    assert(store.read(spark).select("v").collect().map(_.getString(0)).toSeq == Seq("z"))
+  }
+
   test("compact folds multi-file buckets to one file; sparse buckets untouched") {
     import spark.implicits._
     val store = ParquetStore(tmp(), "doc_id", nBuckets = 4)

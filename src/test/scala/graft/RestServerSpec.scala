@@ -179,42 +179,117 @@ class RestServerSpec extends AnyFunSuite {
       HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofByteArray())
+    // capture a search page as (id, similarity) pairs — the full served
+    // ranking, not just the winner
+    def page(port: Int, text: String, count: Int = 3,
+        centroids: Int = 1): Seq[(Long, Double)] = {
+      val r = post2(port, "/api/search",
+        s"""{"text":${mapper.writeValueAsString(text)},"count":$count,"no_documents":true,"centroids":$centroids}""")
+      assert(r.statusCode() == 200)
+      json(r).get("documents").elements().asScala
+        .map(d => (d.get("document_id").asLong(),
+          d.get("document_similarity").asDouble())).toSeq
+    }
+    // a corpus big enough for MULTIPLE lists (150 docs / listSize 64 →
+    // k=3): with one list any centroid matrix serves the same rows, so
+    // only a multi-list corpus can detect a restart that rebuilds a
+    // DIFFERENT model (default nprobe=1 would probe different lists)
+    val nDocs = 150
+    val docsJson = (1 to nDocs)
+      .map(i => s"""{"document":"document number $i about topic ${i % 17} in register ${i % 5}"}""")
+      .mkString("[", ",", "]")
     val a = new graft.server.RestServer(spark, dir)
     a.start()
     val upA = post2(a.port, "/api/upload",
-      """{"owner":"o2","documents":[
-        |{"document":"the quick brown fox jumps over the lazy dog"},
-        |{"document":"pack my box with five dozen liquor jugs"}
-        |]}""".stripMargin)
+      s"""{"owner":"o2","documents":$docsJson}""")
     assert(upA.statusCode() == 200)
+    val queries = Seq("alpha probe", "beta probe", "gamma probe",
+      "document number 7 about topic 7 in register 2", "register 4")
+    val before = queries.map(q => page(a.port, q))
+    assert(before.forall(_.nonEmpty))
     a.stop()
 
     val b = new graft.server.RestServer(spark, dir)
     b.start()
     try {
-      // search on the restarted instance finds the old corpus (self-text
-      // ranks first under the deterministic noop embedding)
-      val sr = post2(b.port, "/api/search",
-        """{"text":"the quick brown fox jumps over the lazy dog","count":1}""")
-      assert(sr.statusCode() == 200)
-      val hit = json(sr).get("documents").get(0)
-      assert(hit.get("document_id").asLong() == 1L)
-      assert(hit.get("document").asText().contains("quick brown fox"))
+      // the restart contract: the persisted model is the SAME model the
+      // corpus was indexed under, so every search probes the same lists
+      // and serves bit-identical pages (the noop embed is deterministic)
+      val after = queries.map(q => page(b.port, q))
+      assert(after == before,
+        s"restarted server served a different ranking:\n  before=$before\n  after =$after")
       // the id sequence continues past the stored max — no collision
       val upB = post2(b.port, "/api/upload",
-        """{"documents":[{"document":"a wholly new third document"}]}""")
+        """{"documents":[{"document":"a wholly new extra document"}]}""")
       assert(upB.statusCode() == 200)
       val newId = json(upB).get("document_ids").get(0).asLong()
-      assert(newId == 3L, s"restarted id counter collided: got $newId")
+      assert(newId == nDocs + 1L, s"restarted id counter collided: got $newId")
       // and the delete cascade still resolves storage written pre-restart
+      // (centroids=-1 probes ALL lists, so absence is model-independent)
       val del = post2(b.port, "/api/delete/document", """{"document_id":1}""")
       assert(del.statusCode() == 200)
-      val sr2 = post2(b.port, "/api/search",
-        """{"text":"the quick brown fox jumps over the lazy dog","count":3}""")
-      val left = json(sr2).get("documents").elements().asScala
-        .map(_.get("document_id").asLong()).toSet
+      val left = page(b.port, "document number 1 about topic 1 in register 1",
+        count = 20, centroids = -1).map(_._1).toSet
       assert(!left.contains(1L) && left.nonEmpty)
     } finally b.stop()
+  }
+
+  test("tenant scope join is size-gated: broadcast small, merge (never broadcast) large") {
+    // the factored scopedIndex is the exact join handleSearch builds;
+    // pin the physical plan on BOTH sides of the gate
+    val base = spark.range(200).selectExpr("id as vec_id",
+      "id % 40 as document_id", "cast(id % 3 as int) as centroid_id")
+    val scope = spark.range(10).selectExpr("id as document_id")
+    def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // materialize so AQE's final plan is the one inspected
+      df.queryExecution.executedPlan.toString
+    }
+    val small = executedPlan(
+      graft.server.RestServer.scopedIndex(base, scope, knownCount = 10, rowLimit = 100))
+    assert(small.contains("BroadcastHashJoin"),
+      s"request-sized scope must broadcast:\n$small")
+    val large = executedPlan(
+      graft.server.RestServer.scopedIndex(base, scope, knownCount = 10, rowLimit = 5))
+    assert(!large.contains("BroadcastExchange"),
+      s"scope above the gate must NOT broadcast (driver OOM at tenant scale):\n$large")
+    assert(large.contains("SortMergeJoin"),
+      s"above the gate the semi join must be the merge fallback:\n$large")
+  }
+
+  test("large-tenant regime: scoped search + owner delete work with the gate forced to merge") {
+    // broadcastRowLimit=1 makes EVERY tenant scope take the
+    // no-broadcast, no-driver-collect path — the 100 TB regime in
+    // miniature, end-to-end over HTTP
+    val dir = java.nio.file.Files.createTempDirectory("rest-tenant").toString
+    val s = new graft.server.RestServer(spark, dir, broadcastRowLimit = 1L)
+    s.start()
+    def post2(path: String, body: String) = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:${s.port}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    try {
+      assert(post2("/api/upload",
+        """{"owner":"big","documents":[{"document":"big tenant doc one"},{"document":"big tenant doc two"}]}""")
+        .statusCode() == 200)
+      assert(post2("/api/upload",
+        """{"owner":"other","category":"keep","documents":[{"document":"other tenant doc"}]}""")
+        .statusCode() == 200)
+      // owner-scoped search rides the merge-gated semi join
+      val sr = json(post2("/api/search",
+        """{"text":"big tenant doc one","owner":"big","count":5,"centroids":-1}"""))
+      val ids = sr.get("documents").elements().asScala
+        .map(_.get("document_id").asLong()).toSet
+      assert(ids == Set(1L, 2L), s"owner scope leaked: $ids")
+      // owner delete keeps victims a DataFrame end-to-end (no collect)
+      assert(post2("/api/delete/owner", """{"owner":"big"}""").statusCode() == 200)
+      val after = json(post2("/api/search",
+        """{"text":"big tenant doc one","count":5,"centroids":-1}"""))
+      val leftIds = after.get("documents").elements().asScala
+        .map(_.get("document_id").asLong()).toSet
+      assert(leftIds == Set(3L), s"delete/owner cascade wrong: $leftIds")
+      val cats = json(post2("/api/categories", "{}"))
+      assert(cats.get("category_names").size() == 1)
+    } finally s.stop()
   }
 
   test("invalid method and malformed body map to the reference's statuses") {

@@ -229,6 +229,48 @@ class SearchServiceSpec extends AnyFunSuite {
     assert(after == keepIndex, "index must keep exactly the survivors")
     // empty-id call is a no-op
     assert(SearchService.deleteDocuments(
-      spark, docStore, chunkStore, idx, Set.empty) == 0L)
+      spark, docStore, chunkStore, idx, Set.empty[Long]) == 0L)
+  }
+
+  test("DataFrame-victims deleteDocuments equals the Set path, with the gate forced to merge") {
+    import spark.implicits._
+    import graft.sources.IvfBinarySource
+    import graft.streaming.Streams
+    def tmp(n: String) = java.nio.file.Files.createTempDirectory(n).toString
+    val docs = Tables.load(spark, SparkSuite.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val docStore = ParquetStore(tmp("docs2"), "doc_id", nBuckets = 8)
+    docStore.create(docs)
+    val (_, model) = built
+    val chunks = Streams.ingestChunks(docs, model)
+      .select(col("doc_id"),
+        (col("doc_id") * Streams.ChunkVecIdBase + col("chunk_id"))
+          .cast("long").as("vec_id"),
+        col("qvec"), col("centroid_id").cast("int").as("centroid_id"))
+      .localCheckpoint(true)
+    val chunkStore = ParquetStore(tmp("chunks2"), "doc_id", nBuckets = 8)
+    chunkStore.create(chunks)
+    val idx = tmp("idx2")
+    chunks.select("vec_id", "qvec", "centroid_id").write
+      .format(IvfBinarySource.FORMAT).mode("overwrite").save(idx)
+    val doomed = Set(3L, 7L, 11L)
+    val expectRemoved = chunks
+      .filter(col("doc_id").isin(doomed.toSeq: _*)).count()
+    // broadcastRowLimit=1 pins the large-tenant regime: victims resolve
+    // through the merge-hinted semi join, never a driver-held set
+    val removed = SearchService.deleteDocuments(
+      spark, docStore, chunkStore, idx,
+      doomed.toSeq.toDF("doc_id"), broadcastRowLimit = 1L)
+    assert(removed == expectRemoved)
+    assert(docStore.read(spark)
+      .filter(col("doc_id").isin(doomed.toSeq: _*)).count() == 0)
+    assert(chunkStore.read(spark)
+      .filter(col("doc_id").isin(doomed.toSeq: _*)).count() == 0)
+    assert(spark.read.format(IvfBinarySource.FORMAT).load(idx)
+      .filter((col("vec_id") / Streams.ChunkVecIdBase).cast("long")
+        .isin(doomed.toSeq: _*)).count() == 0)
+    // empty-victims call is a no-op
+    assert(SearchService.deleteDocuments(spark, docStore, chunkStore, idx,
+      spark.emptyDataFrame.select(lit(0L).as("doc_id")).filter(lit(false))) == 0L)
   }
 }
