@@ -642,7 +642,15 @@ object DedupQueries {
     * input, public so the streaming gate ([[graft.streaming.Streams
     * .runContainmentGate]]) can precompute it ONCE over the stored
     * corpus instead of per micro-batch. The df cap is the family's
-    * quadratic guard (see [[q118Containment]]). */
+    * quadratic guard (see [[q118Containment]]).
+    *
+    * NOT plan-only: calling this EAGERLY materializes the internal
+    * exploded-shingle frame (a localCheckpoint plus one count job — the
+    * shingle kernel must run once, not once per consumer of the df
+    * join-back), and that internal checkpoint lives until the returned
+    * frame is GC'd. Callers that also materialize the RESULT should use
+    * [[containmentShinglesPinned]], which pins the output and releases
+    * the internal scaffolding immediately. */
   def containmentShingles(docs: DataFrame): DataFrame =
     containmentShinglesParts(docs)._1
 

@@ -58,22 +58,32 @@ object MediaKernels {
     out
   }
 
-  /** When true (default), blobs carrying a real image magic (PNG/BMP —
-    * the formats the JDK's javax.imageio decodes with no external
-    * codec) take the REAL decode path in [[decodeMeta]]/[[resize]]/
-    * [[perceptualHash]]; GMM1-stub blobs always take the stub path, so
-    * the flag only gates whether real formats are attempted or rejected
-    * (an air-gapped build that wants deterministic-only behavior flips
-    * it off). Proves the seam: the production swap is a dispatch case,
-    * not a plan change. */
+  /** When true (default), blobs carrying a real media magic take the
+    * REAL decode path in [[decodeMeta]]/[[resize]]/[[perceptualHash]]/
+    * [[embed]]/[[frameSample]]: PNG/BMP through javax.imageio, WAV
+    * through javax.sound.sampled — both codecs the JDK itself ships.
+    * GMM1-stub blobs always take the stub path, so the flag only gates
+    * whether real formats are attempted or rejected (an air-gapped
+    * build that wants deterministic-only behavior flips it off).
+    *
+    * Cluster semantics: this var is DRIVER configuration. The column
+    * functions in [[mm]] read it once at PLAN BUILD time and carry the
+    * value inside the serialized udf closure, so executors honor the
+    * setting the plan was built under — flipping the var mid-flight
+    * never changes an already-built plan (kernel default arguments
+    * re-read the var only for direct same-JVM calls). */
   @volatile var RealCodecs: Boolean = true
 
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
   private def isBmp(b: Array[Byte]): Boolean =
     b.length > 2 && b(0) == 'B' && b(1) == 'M'
-  private def isRealImage(b: Array[Byte]): Boolean =
-    RealCodecs && (isPng(b) || isBmp(b))
+  private def isRealImage(b: Array[Byte], real: Boolean): Boolean =
+    real && (isPng(b) || isBmp(b))
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+  private def isRealWav(b: Array[Byte], real: Boolean): Boolean = real && isWav(b)
 
   private def readImage(b: Array[Byte]): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
@@ -81,15 +91,49 @@ object MediaKernels {
     img
   }
 
+  /** Decoded WAV: (format, raw PCM bytes). javax.sound.sampled is
+    * JDK-shipped — the real-codec twin of the imageio path. */
+  private def readWav(b: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Byte]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try (in.getFormat, in.readAllBytes()) finally in.close()
+  }
+
+  /** PCM bytes → sample amplitudes (16-bit signed little-endian decoded
+    * properly; other widths fall back to raw byte magnitudes). The
+    * audio "plane" feeding the shared pHash tail. */
+  private def pcmSamples(fmt: javax.sound.sampled.AudioFormat,
+      pcm: Array[Byte]): Array[Double] =
+    if (fmt.getSampleSizeInBits == 16) {
+      val n = pcm.length / 2
+      val out = new Array[Double](math.max(n, 1))
+      val be = fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1) & 0xff
+        val v = if (be) (lo << 8) | hi else (hi << 8) | lo
+        out(i) = v.toShort.toDouble
+        i += 1
+      }
+      out
+    } else pcm.map(b => (b & 0xff).toDouble)
+
   /** Decoder: GMM1-stub blobs parse the deterministic header (the
-    * container has no video/audio codecs — honestly stubbed); PNG/BMP
-    * blobs decode through javax.imageio — a REAL codec, same signature,
-    * same plan shape, proving the production swap is local to this
-    * dispatch. */
-  def decodeMeta(bytes: Array[Byte]): Meta = {
-    if (isRealImage(bytes)) {
+    * container has no video codecs — honestly stubbed); PNG/BMP blobs
+    * decode through javax.imageio and WAV through javax.sound.sampled —
+    * REAL codecs, same signature, same plan shape, proving the
+    * production swap is local to this dispatch. */
+  def decodeMeta(bytes: Array[Byte], real: Boolean = RealCodecs): Meta = {
+    if (isRealImage(bytes, real)) {
       val img = readImage(bytes)
       return Meta("image", img.getWidth, img.getHeight, 0, 0L)
+    }
+    if (isRealWav(bytes, real)) {
+      val (fmt, pcm) = readWav(bytes)
+      val frames = pcm.length / math.max(fmt.getFrameSize, 1)
+      return Meta("audio", 0, 0, fmt.getSampleRate.toInt,
+        (frames * 1000L) / math.max(fmt.getSampleRate.toLong, 1L))
     }
     require(bytes.length >= HEADER_LEN, "truncated media blob")
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -102,8 +146,11 @@ object MediaKernels {
     * javax.imageio (PNG out); stub blobs re-synthesize the header at
     * the target dimensions so downstream decode/feature steps remain
     * exercised. */
-  def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    if (isRealImage(bytes)) {
+  def resize(bytes: Array[Byte], w: Int, h: Int,
+      real: Boolean = RealCodecs): Array[Byte] = {
+    require(!isRealWav(bytes, real),
+      "resize is an image/stub operation; sample audio with frameSample")
+    if (isRealImage(bytes, real)) {
       val src = readImage(bytes)
       val dst = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -117,7 +164,7 @@ object MediaKernels {
       javax.imageio.ImageIO.write(dst, "png", out)
       return out.toByteArray
     }
-    val m = decodeMeta(bytes)
+    val m = decodeMeta(bytes, real)
     val out = bytes.clone()
     val bb = java.nio.ByteBuffer.wrap(out)
     bb.position(5)
@@ -126,9 +173,14 @@ object MediaKernels {
   }
 
   /** Frame sampling: the payload is treated as fixed-width frames; return
-    * every `everyN`-th frame. Partition-local, no shuffle. */
-  def frameSample(bytes: Array[Byte], frameLen: Int, everyN: Int): Array[Array[Byte]] = {
-    val payload = java.util.Arrays.copyOfRange(bytes, HEADER_LEN, bytes.length)
+    * every `everyN`-th frame. WAV blobs sample their DECODED PCM stream
+    * (real codec path); stub blobs their synthetic payload.
+    * Partition-local, no shuffle. */
+  def frameSample(bytes: Array[Byte], frameLen: Int, everyN: Int,
+      real: Boolean = RealCodecs): Array[Array[Byte]] = {
+    val payload =
+      if (isRealWav(bytes, real)) readWav(bytes)._2
+      else java.util.Arrays.copyOfRange(bytes, HEADER_LEN, bytes.length)
     val nFrames = payload.length / frameLen
     (0 until nFrames by everyN).map { f =>
       java.util.Arrays.copyOfRange(payload, f * frameLen, (f + 1) * frameLen)
@@ -148,10 +200,20 @@ object MediaKernels {
     * changed payload bytes perturb a few block means slightly, so only
     * coefficients already straddling the median can flip — near-identical
     * media land within a small hamming radius, unrelated media at ~32. */
-  def perceptualHash(bytes: Array[Byte]): Long =
-    if (isRealImage(bytes)) phashOfBlocks(lumaBlockMeans(readImage(bytes)))
-    else {
-      decodeMeta(bytes) // header check; the stub "plane" is the payload
+  def perceptualHash(bytes: Array[Byte], real: Boolean = RealCodecs): Long =
+    if (isRealImage(bytes, real)) phashOfBlocks(lumaBlockMeans(readImage(bytes)))
+    else if (isRealWav(bytes, real)) {
+      // audio "plane": a 32×32 log-magnitude spectrogram (32 time
+      // windows × 32 DFT bins, skipping DC) feeds the SAME DCT/median
+      // tail as the image path. Raw amplitude block-means would alias a
+      // tone's phase (the low-frequency DCT bins see only residue and
+      // the hash flips under tiny noise); spectral magnitudes are
+      // phase-blind, so near-identical audio lands nearby and different
+      // tones land far — real pHash locality on a real codec path.
+      val (fmt, pcm) = readWav(bytes)
+      phashOfBlocks(spectrogramPlane(pcmSamples(fmt, pcm)))
+    } else {
+      decodeMeta(bytes, real) // header check; the stub "plane" is the payload
       val n = bytes.length - HEADER_LEN
       require(n > 0, "empty media payload")
       val g = new Array[Double](1024) // 32×32 block means over the plane
@@ -199,6 +261,36 @@ object MediaKernels {
         by += 1
       }
       bx += 1
+    }
+    g
+  }
+
+  /** 32 time windows × 32 DFT magnitude bins (bins 1..32 of each
+    * window, DC skipped) as a 1024-cell plane for [[phashOfBlocks]] —
+    * the audio twin of [[lumaBlockMeans]]. O(32·n) multiplies. */
+  private def spectrogramPlane(s: Array[Double]): Array[Double] = {
+    val g = new Array[Double](1024)
+    var t = 0
+    while (t < 32) {
+      val from = (t.toLong * s.length / 32).toInt
+      val to = math.max(from + 1, ((t + 1).toLong * s.length / 32).toInt)
+      val n = to - from
+      var k = 0
+      while (k < 32) {
+        var re = 0.0
+        var im = 0.0
+        val w = 2.0 * math.Pi * (k + 1) / n
+        var i = from
+        while (i < to && i < s.length) {
+          val ang = w * (i - from)
+          re += s(i) * math.cos(ang)
+          im -= s(i) * math.sin(ang)
+          i += 1
+        }
+        g(t * 32 + k) = math.log1p(math.hypot(re, im) / n)
+        k += 1
+      }
+      t += 1
     }
     g
   }
@@ -264,13 +356,19 @@ object MediaKernels {
     out
   }
 
-  /** STUB feature extraction: deterministic embedding of the media bytes
-    * (fnv over the payload seeding the same splitmix noop embedder the
-    * text path uses) — the hand-off point for a real vision/audio encoder. */
-  def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** STUB feature extraction: deterministic embedding of the media
+    * payload (fnv over the payload seeding the same splitmix noop
+    * embedder the text path uses) — the hand-off point for a real
+    * vision/audio encoder. WAV blobs hash their DECODED PCM (the bytes
+    * a real audio encoder would see), stub blobs their raw payload. */
+  def embed(bytes: Array[Byte], dim: Int,
+      real: Boolean = RealCodecs): Array[Float] = {
+    val (payload, off) =
+      if (isRealWav(bytes, real)) (readWav(bytes)._2, 0)
+      else (bytes, HEADER_LEN)
     var h = 0xcbf29ce484222325L
-    var i = HEADER_LEN
-    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    var i = off
+    while (i < payload.length) { h ^= payload(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
     val out = new Array[Float](dim)
     var state = h
     i = 0
@@ -307,33 +405,46 @@ object mm {
     u(mediaId, kindIdx, payloadLen)
   }
 
+  // Each column function samples MediaKernels.RealCodecs ONCE, at plan
+  // build on the driver, and the captured value ships inside the udf
+  // closure — executors honor the setting the plan was built under
+  // (a mutable driver var is invisible to executor JVMs on a real
+  // cluster; a closure constant is not).
+
   /** binary → struct(kind, width, height, sample_rate, duration_ms). */
   def decode_meta(bytes: Column): Column = {
+    val real = MediaKernels.RealCodecs
     val u = udf((b: Array[Byte]) => {
-      val m = MediaKernels.decodeMeta(b)
+      val m = MediaKernels.decodeMeta(b, real)
       MediaMeta(m.kind, m.width, m.height, m.sampleRate, m.durationMs)
     })
     u(bytes)
   }
 
   def resize_media(bytes: Column, w: Column, h: Column): Column = {
-    val u = udf((b: Array[Byte], ww: Int, hh: Int) => MediaKernels.resize(b, ww, hh))
+    val real = MediaKernels.RealCodecs
+    val u = udf((b: Array[Byte], ww: Int, hh: Int) =>
+      MediaKernels.resize(b, ww, hh, real))
     u(bytes, w, h)
   }
 
   def frame_sample(bytes: Column, frameLen: Column, everyN: Column): Column = {
-    val u = udf((b: Array[Byte], f: Int, n: Int) => MediaKernels.frameSample(b, f, n))
+    val real = MediaKernels.RealCodecs
+    val u = udf((b: Array[Byte], f: Int, n: Int) =>
+      MediaKernels.frameSample(b, f, n, real))
     u(bytes, frameLen, everyN)
   }
 
   def media_embed(bytes: Column, dim: Int): Column = {
-    val u = udf((b: Array[Byte]) => MediaKernels.embed(b, dim))
+    val real = MediaKernels.RealCodecs
+    val u = udf((b: Array[Byte]) => MediaKernels.embed(b, dim, real))
     u(bytes)
   }
 
   /** binary → 64-bit perceptual hash (see [[MediaKernels.perceptualHash]]). */
   def phash64(bytes: Column): Column = {
-    val u = udf((b: Array[Byte]) => MediaKernels.perceptualHash(b))
+    val real = MediaKernels.RealCodecs
+    val u = udf((b: Array[Byte]) => MediaKernels.perceptualHash(b, real))
     u(bytes)
   }
 
@@ -367,11 +478,12 @@ object mm {
     val schema = StructType(df.schema.fields :+ StructField("meta", metaSchema, nullable = true))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val idx = df.schema.fieldIndex(bytesCol)
+    val real = MediaKernels.RealCodecs // plan-carried (see above)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (e.g. decoder context reuse)
         batch.map { r =>
-          val m = MediaKernels.decodeMeta(r.getAs[Array[Byte]](idx))
+          val m = MediaKernels.decodeMeta(r.getAs[Array[Byte]](idx), real)
           org.apache.spark.sql.Row.fromSeq(
             r.toSeq :+ org.apache.spark.sql.Row(m.kind, m.width, m.height, m.sampleRate, m.durationMs))
         }

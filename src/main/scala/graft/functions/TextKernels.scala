@@ -426,9 +426,18 @@ object TextKernels {
       while (j < i) {
         if (best(j) != Double.NegativeInfinity) {
           val lpObj = vocab.get(s.substring(j, i))
+          // unk fallback advances by CODE POINT, not code unit: a
+          // supplementary char (emoji, rare CJK) is one 2-unit piece —
+          // splitting it would emit lone surrogates whose UTF-8
+          // encoding is invalid and the pieces would no longer
+          // concatenate back to the input
           val lp =
             if (lpObj != null) lpObj.doubleValue()
-            else if (i - j == 1) UnkCharLogp
+            else if (i - j == 1 && !Character.isSurrogate(s.charAt(j)))
+              UnkCharLogp
+            else if (i - j == 2 && Character.isHighSurrogate(s.charAt(j)) &&
+                Character.isLowSurrogate(s.charAt(j + 1)))
+              UnkCharLogp
             else Double.NegativeInfinity
           if (lp != Double.NegativeInfinity) {
             val cand = best(j) + lp

@@ -388,9 +388,11 @@ object Streams {
     * shingles to that batch cap emit `capped_frac` (fraction of
     * post-stop-set shingles dropped) and `capped` (frac >= 0.5): a
     * recrawl flood of one popular page is indistinguishable from
-    * template spam inside a batch, so capped-out docs must NOT pass
-    * silently as novel — route them through the exact batch verify
-    * (the q123 shape) before ingesting.
+    * template spam inside a batch, so capped-out docs do NOT pass
+    * silently as novel — they are ROUTED through an exact batch verify
+    * (the q123 shape, uncapped batch side vs the df-capped corpus) and
+    * their `contained`/`supersedes`/`n_matches` come from that pass
+    * (`verified` = true marks the routed rows).
     * Stateless; snapshot semantics as [[dedupAgainstCorpus]]. */
   def runContainmentGate(docsStream: DataFrame, corpusShingles: DataFrame,
       stopShingles: DataFrame, outDir: String, checkpointDir: String,
@@ -442,7 +444,7 @@ object Streams {
           .agg(max(when(col("nb") <= col("na"), 1).otherwise(0)).as("_cont"),
             max(when(col("nb") > col("na"), 1).otherwise(0)).as("_sup"),
             count(lit(1)).as("n_matches"))
-        batch.select("doc_id").join(verdicts, Seq("doc_id"), "left")
+        val gated = batch.select("doc_id").join(verdicts, Seq("doc_id"), "left")
           .join(rawN, Seq("doc_id"), "left")
           .join(survN, Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -455,6 +457,43 @@ object Streams {
             (when(coalesce(col("raw_n"), lit(0L)) === 0, lit(0.0))
               .otherwise(lit(1.0) - coalesce(col("surv_n"), lit(0L))
                 .cast("double") / col("raw_n")) >= 0.5).as("capped"))
+          .localCheckpoint(true) // read twice: capped routing + final join
+        // ROUTED exact verify for capped-out docs (the q123 shape): their
+        // FULL post-stop-set shingle counts against the df-capped corpus
+        // table. The batch cap blinded the in-batch check for these docs
+        // (a >cap recrawl flood of one true duplicate is indistinguishable
+        // from template spam batch-side), so their verdict comes from this
+        // pass, not the flag. Bounded: the corpus side is df-capped, so
+        // each capped shingle fans out ≤ DfCap corpus rows — and the
+        // verify joins capped docs against the CORPUS, never against the
+        // batch, so a 70-copy flood never grinds 70² pairs.
+        val cappedIds = gated.filter(col("capped")).select("doc_id")
+        val exC = ex.join(cappedIds, Seq("doc_id"), "left_semi")
+        val vb = exC.join(
+          exC.groupBy("doc_id").agg(count(lit(1)).as("nb")), Seq("doc_id"))
+        val vVerd = corpusShingles.as("a")
+          .join(vb.as("b"), col("a.s") === col("b.s"))
+          .groupBy(col("a.doc_id").as("doc_old"), col("b.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("i"),
+            first(col("a.n")).as("na"), first(col("b.nb")).as("vnb"))
+          .withColumn("c", col("i").cast("double") / least(col("na"), col("vnb")))
+          .filter(col("c") >= thresh)
+          .groupBy("doc_id")
+          .agg(max(when(col("vnb") <= col("na"), 1).otherwise(0)).as("v_cont"),
+            max(when(col("vnb") > col("na"), 1).otherwise(0)).as("v_sup"),
+            count(lit(1)).as("v_matches"))
+        gated.join(vVerd, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("capped"), coalesce(col("v_cont") === 1, lit(false)))
+              .otherwise(col("contained")).as("contained"),
+            when(col("capped"), coalesce(col("v_sup") === 1, lit(false)))
+              .otherwise(col("supersedes")).as("supersedes"),
+            when(col("capped"), coalesce(col("v_matches"), lit(0L)))
+              .otherwise(col("n_matches")).as("n_matches"),
+            col("capped_frac"), col("capped"),
+            // verified = this row's verdict came from the routed exact
+            // pass rather than the in-batch capped check
+            col("capped").as("verified"))
           .write.mode("append").parquet(outDir)
       }
       .start()

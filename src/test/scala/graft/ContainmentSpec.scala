@@ -237,30 +237,34 @@ class ContainmentSpec extends AnyFunSuite {
     val full = spark.read.parquet(out).collect()
       .map(r => r.getLong(0) ->
         ((r.getBoolean(1), r.getBoolean(2), r.getLong(3),
-          r.getDouble(4), r.getBoolean(5)))).toMap
+          r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))).toMap
     val got = full.view.mapValues(v => (v._1, v._2, v._3)).toMap
     assert(got.size == 71)
     // the quote is caught as contained: spam shingles are capped out of
     // its arrival count, so C = 38/min(38, 38) = 1.0
     assert(got(200L) == ((true, false, 1L)), got(200L).toString)
-    // pure spam docs lose ALL their shingles to the cap → no verdict
-    // beyond "novel", and the join never grinds 70² spam pairs
+    // pure spam docs lose ALL their shingles to the cap, so they route
+    // through the exact verify — which confirms they share nothing with
+    // the corpus: VERIFIED novel, not blindly novel (and neither the
+    // in-batch join nor the verify grinds 70² spam pairs — the verify
+    // runs against the corpus, not the batch)
     (100L to 169L).foreach(id => assert(got(id) == ((false, false, 0L))))
-    // ...but they do NOT pass silently: losing everything to the batch
-    // cap is flagged, so the ingest can route them to the exact verify
-    (100L to 169L).foreach(id => assert(full(id)._4 == 1.0 && full(id)._5))
+    (100L to 169L).foreach(id =>
+      assert(full(id)._4 == 1.0 && full(id)._5 && full(id)._6,
+        s"$id: ${full(id)}"))
     // the quote lost only its spam prefix (18 of 48 shingles) — below
-    // the 0.5 routing threshold, its in-batch verdict stands
-    assert(full(200L)._4 < 0.5 && !full(200L)._5, full(200L).toString)
+    // the 0.5 routing threshold, its in-batch verdict stands unrouted
+    assert(full(200L)._4 < 0.5 && !full(200L)._5 && !full(200L)._6,
+      full(200L).toString)
   }
 
-  test("gate flags a >cap recrawl flood of one true duplicate as capped, not novel") {
+  test("gate routes a >cap recrawl flood through the exact verify: verdict, not flag") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // corpus holds one popular page; 70 copies of it arrive in ONE
     // micro-batch. Their shared shingles exceed the batch df cap (70 >
-    // 64), so the in-batch containment check is blind to them — they
-    // must surface as capped (route to exact verify), never as novel.
+    // 64), so the in-batch containment check is blind to them — the
+    // routed exact verify must still catch every copy as CONTAINED.
     val page = (1 to 40).map(j => s"pp$j").mkString(" ")
     val corpusDf = Seq(1L -> page).toDF("doc_id", "text")
     val corpusSh = DedupQueries.containmentShingles(corpusDf)
@@ -275,11 +279,14 @@ class ContainmentSpec extends AnyFunSuite {
       mem.toDF().toDF("doc_id", "text"), corpusSh, stop, out, ckpt)
     val got = spark.read.parquet(out).collect()
       .map(r => r.getLong(0) ->
-        ((r.getBoolean(1), r.getDouble(4), r.getBoolean(5)))).toMap
+        ((r.getBoolean(1), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5), r.getBoolean(6)))).toMap
     assert(got.size == 70)
     (100L to 169L).foreach { id =>
-      assert(!got(id)._1) // the batch cap blinded the containment check...
-      assert(got(id)._2 == 1.0 && got(id)._3, got(id).toString) // ...flagged
+      // the batch cap blinded the in-batch check, but the routed exact
+      // verify caught the copy: contained via the verified path
+      assert(got(id)._1 && got(id)._2 == 1L, got(id).toString)
+      assert(got(id)._3 == 1.0 && got(id)._4 && got(id)._5, got(id).toString)
     }
   }
 

@@ -99,8 +99,8 @@ class MultimodalSpec extends AnyFunSuite {
     val blobs = (0L until 40L).map(i => MediaKernels.synthesize(i * 997, 0, 2048))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     // deterministic
-    assert(blobs.map(MediaKernels.perceptualHash) ==
-      blobs.map(MediaKernels.perceptualHash))
+    assert(blobs.map(b => MediaKernels.perceptualHash(b)) ==
+      blobs.map(b => MediaKernels.perceptualHash(b)))
     // locality: a 4-bit payload perturbation moves few block means →
     // only median-straddling DCT coefficients can flip
     blobs.zipWithIndex.foreach { case (b, i) =>
@@ -109,7 +109,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(d <= 4, s"blob $i drifted $d bits under a tiny edit")
     }
     // separation: unrelated blobs sit near the 32-bit expectation
-    val hs = blobs.map(MediaKernels.perceptualHash)
+    val hs = blobs.map(b => MediaKernels.perceptualHash(b))
     for (i <- hs.indices; j <- hs.indices if i < j)
       assert(ham(hs(i), hs(j)) > 10, s"unrelated $i,$j too close")
   }
@@ -199,5 +199,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(a, aNoisy) <= 4, s"noise moved the hash ${ham(a, aNoisy)} bits")
     assert(ham(a, aSmall) <= 4, s"rescale moved the hash ${ham(a, aSmall)} bits")
     assert(ham(a, b) >= 16, s"unrelated images only ${ham(a, b)} bits apart")
+  }
+
+  /** A real RIFF/WAVE blob through the JDK encoder (javax.sound.sampled):
+    * 16-bit mono PCM of a sine tone, optionally noise-perturbed. */
+  private def realWav(hz: Double, seconds: Double, sampleRate: Int = 16000,
+      noiseSeed: Long = 0L): Array[Byte] = {
+    val n = (seconds * sampleRate).toInt
+    val pcm = new Array[Byte](n * 2)
+    var st = noiseSeed
+    for (i <- 0 until n) {
+      val noise = if (noiseSeed == 0L) 0.0
+      else {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ((st >>> 60) & 0x3).toDouble * 8.0 // tiny per-sample perturbation
+      }
+      val v = (math.sin(2 * math.Pi * hz * i / sampleRate) * 12000 + noise).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV decodes, frame-samples, and embeds through the SAME plan as stub blobs") {
+    import spark.implicits._
+    val wav = realWav(440.0, 0.5) // 8000 samples → 16000 PCM bytes
+    val df = Seq((1L, wav)).toDF("media_id", "bytes")
+      .select(col("media_id"), mm.decode_meta(col("bytes")).as("meta"),
+        mm.frame_sample(col("bytes"), lit(320), lit(2)).as("frames"),
+        mm.media_embed(col("bytes"), 16).as("emb"))
+    val r = df.collect()(0)
+    val meta = r.getStruct(1)
+    // real codec path: javax.sound.sampled reads true format + duration
+    assert(meta.getString(0) == "audio")
+    assert(meta.getInt(3) == 16000)
+    assert(meta.getLong(4) == 500L, s"duration ${meta.getLong(4)}")
+    // frame sampling runs over DECODED PCM: 16000 bytes / 320-byte
+    // frames = 50, every 2nd = 25
+    assert(r.getSeq[Array[Byte]](2).length == 25)
+    assert(r.getSeq[Float](3).length == 16)
+    // and the stub path is untouched through the same expressions
+    val stub = Seq((2L, MediaKernels.synthesize(8L, 1, 512))).toDF("media_id", "bytes")
+      .select(mm.decode_meta(col("bytes")).as("meta")).collect()(0).getStruct(0)
+    assert(stub.getString(0) == "audio" && stub.getInt(3) >= 16000)
+  }
+
+  test("real-audio perceptual hash: stable under sample noise, far from a different tone") {
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val a = MediaKernels.perceptualHash(realWav(440.0, 0.5))
+    val aNoisy = MediaKernels.perceptualHash(realWav(440.0, 0.5, noiseSeed = 99L))
+    val b = MediaKernels.perceptualHash {
+      // genuinely different structure: higher tone + square-ish envelope
+      val base = realWav(1733.0, 0.5)
+      base
+    }
+    assert(a == MediaKernels.perceptualHash(realWav(440.0, 0.5)), "not deterministic")
+    assert(ham(a, aNoisy) <= 6, s"noise moved the audio hash ${ham(a, aNoisy)} bits")
+    assert(ham(a, b) >= 16, s"different tones only ${ham(a, b)} bits apart")
   }
 }

@@ -61,6 +61,18 @@ class UnigramSpec extends AnyFunSuite {
     assert(segs(2) == Seq("ab"))
   }
 
+  test("supplementary characters segment as whole code points, round-tripping") {
+    // an emoji (non-BMP: 2 UTF-16 code units) between known pieces must
+    // come back as ONE unk piece — splitting it would emit lone
+    // surrogates that are invalid UTF-8 and break piece concatenation
+    val vocab = Seq("a" -> -1.0, "ab" -> -0.5)
+    val emoji = new String(Character.toChars(0x1F600)) // 😀
+    val word = s"ab${emoji}a"
+    val segs = segment(Seq(word), vocab)
+    assert(segs(0) == Seq("ab", emoji, "a"), segs(0).mkString("|"))
+    assert(segs(0).mkString == word, "pieces must concatenate back to the input")
+  }
+
   test("ties break to the longest final piece (deterministic)") {
     // "ab"+"c" and "a"+"bc" tie at -4.0; the DP's ascending-start scan
     // with strict improvement keeps the longer FINAL piece ("bc")
