@@ -52,9 +52,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "bpe_merge_pass(sym, 'a', 'b') — the pair must be string literals")
       }))
+    // SQL front door for the ANN path: a table-valued function over the
+    // quantized on-disk index, so the IVF search is reachable without
+    // any Scala (SURVEY §4.3's revisit condition — the REST tier plus
+    // this make the engine fully driveable from outside the JVM API)
+    ext.injectTableFunction((FunctionIdentifier("vector_search"),
+      info("vector_search",
+        "vector_search(index_path, model_path, query, k[, nprobe]) - " +
+          "pruned IVF top-k over a quantized on-disk index; query is " +
+          "text (noop-embedded) or a float/double array vector"),
+      (es: Seq[Expression]) => GraftExtensions.vectorSearchPlan(es)))
     // engine marker: lets a deploy assert the extensions actually loaded
     ext.injectFunction((FunctionIdentifier("graft_engine_version"),
       info("graft_engine_version", "graft_engine_version() - engine version string"),
       (_: Seq[Expression]) => Literal.create("graft-0.2", org.apache.spark.sql.types.StringType)))
+  }
+}
+
+object GraftExtensions {
+
+  /** Build the `vector_search` logical plan: resolve the literal
+    * arguments at analysis time, load the (tiny) centroid model, and
+    * return [[graft.index.IvfIndex.searchQuantized]]'s plan — a
+    * partition-pruned scan of exactly the probed lists with the fused
+    * quantized-cosine kernel, then a TakeOrderedAndProject top-k. The
+    * model load is one driver-side read of a k×dim parquet; the search
+    * itself stays fully distributed and pruned. */
+  private[graft] def vectorSearchPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types._
+    require(es.length == 4 || es.length == 5,
+      "vector_search(index_path, model_path, query, k[, nprobe])")
+    def evalLit(i: Int): Any = {
+      require(es(i).foldable,
+        s"vector_search argument ${i + 1} must be a literal")
+      es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val indexPath = evalLit(0).toString
+    val modelPath = evalLit(1).toString
+    val model = graft.index.IvfIndex.loadModel(spark, modelPath)
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+    val qvec: Array[Float] = (evalLit(2), es(2).dataType) match {
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        // text query: the deterministic noop embed twin, reference
+        // query prefix (a live deployment embeds OUTSIDE SQL and passes
+        // the vector as an array literal)
+        VectorKernels.dequantize(
+          VectorKernels.noopEmbed("search_query: " + s.toString, dim))
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+          ArrayType(FloatType, _)) => a.toFloatArray()
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+          ArrayType(DoubleType, _)) => a.toDoubleArray().map(_.toFloat)
+      case (_, t) => throw new IllegalArgumentException(
+        s"vector_search query must be text or array<float|double>, got $t")
+    }
+    val k = evalLit(3).asInstanceOf[Number].intValue()
+    val nprobe =
+      if (es.length == 5) evalLit(4).asInstanceOf[Number].intValue() else 1
+    graft.index.IvfIndex.searchQuantized(
+      spark.read.parquet(indexPath), model, "vec_id", "qvec",
+      qvec, k, nprobe).queryExecution.logical
   }
 }

@@ -31,10 +31,31 @@ object ScaleProbe {
     // 100 TB nothing fits the cache, so the disk numbers are the honest
     // ones).
     val diskOnly = sys.env.getOrElse("SPARK_GRAFT_STORE", "mem") == "disk"
-    val gen = spark.range(n.toLong)
-      .select(col("id").as("vec_id"),
-        gf.dequantize_vec(gf.noop_embed(col("id").cast("string"), dim)).as("embedding"))
-      .repartition(cpus.toInt)
+    // SPARK_GRAFT_CORPUS: uniform (default) — every vector an independent
+    // hash direction, the adversarial NO-structure corpus (recall at
+    // small nprobe is bounded by chance overlap: the honest worst case);
+    // clustered — vectors sit in tight planted clusters (center +
+    // 0.15·member noise), the shape real embedding corpora have and the
+    // regime IVF prunes FOR: whole clusters land in one list, so a small
+    // nprobe reaches target recall.
+    val corpusShape = sys.env.getOrElse("SPARK_GRAFT_CORPUS", "uniform")
+    val nClusters = math.max(8, n / 1000)
+    val gen = (corpusShape match {
+      case "clustered" =>
+        spark.range(n.toLong)
+          .withColumn("c", gf.dequantize_vec(gf.noop_embed(
+            concat(lit("center:"), (col("id") % nClusters).cast("string")), dim)))
+          .withColumn("e", gf.dequantize_vec(
+            gf.noop_embed(col("id").cast("string"), dim)))
+          .select(col("id").as("vec_id"),
+            expr("transform(zip_with(c, e, (a, b) -> a + 0.15d * b), " +
+              "x -> cast(x as float))").as("embedding"))
+      case _ =>
+        spark.range(n.toLong)
+          .select(col("id").as("vec_id"),
+            gf.dequantize_vec(gf.noop_embed(col("id").cast("string"), dim))
+              .as("embedding"))
+    }).repartition(cpus.toInt)
     val corpus = if (diskOnly) {
       val dir = java.nio.file.Files.createTempDirectory("probe_corpus").toString
       gen.write.mode("overwrite").parquet(dir)
@@ -88,6 +109,23 @@ object ScaleProbe {
     }
     val (ms1, r1) = ivf(1)
     val (ms4, r4) = ivf(4)
+
+    // clustered corpora are WHY IVF works: calibrateNprobe must land a
+    // small nprobe at recall@10 >= 0.9 where cluster structure exists
+    // (on the uniform corpus the same curve is the documented worst
+    // case — every list holds a chance-slice of any query's true top-k)
+    val (npCal, calPoints) =
+      if (corpusShape == "clustered")
+        IvfIndex.calibrateNprobe(idx, model, "vec_id", "embedding",
+          queries.toSeq, 10, targetRecall = 0.9)
+      else (0, Map.empty[Int, Double])
+    if (corpusShape == "clustered") {
+      assert(npCal <= math.max(1, model.k / 5),
+        s"clustered corpus should reach 0.9 recall probing <=1/5 of " +
+          s"${model.k} lists, needed $npCal")
+      System.err.println(s"[probe] clustered calibration: nprobe=$npCal " +
+        s"recall points=${calPoints.toSeq.sorted.mkString(",")}")
+    }
 
     // on-disk quantized layout: partition pruning means an nprobe=1 query
     // reads ~1/lists of the bytes a full-scan read does
@@ -152,7 +190,11 @@ object ScaleProbe {
     val cntRowsMs = timed2(
       binIdx.groupBy("centroid_id").agg(count(col("vec_id"))).collect())
 
-    println(s"""{"probe":"scale","n":$n,"dim":$dim,"store":"${if (diskOnly) "disk" else "mem"}","lists":${model.k},""" +
+    val calJson =
+      if (corpusShape == "clustered")
+        s""","nprobe_cal":$npCal,"cal_recall":${calPoints.getOrElse(npCal, 1.0)}"""
+      else ""
+    println(s"""{"probe":"scale","n":$n,"dim":$dim,"corpus":"$corpusShape"$calJson,"store":"${if (diskOnly) "disk" else "mem"}","lists":${model.k},""" +
       s""""build_sec":$buildSec,"brute_ms":$bruteMs,""" +
       s""""nprobe1_ms":$ms1,"nprobe1_recall":$r1,"nprobe4_ms":$ms4,"nprobe4_recall":$r4,""" +
       s""""qindex_write_sec":$writeSec,"disk_nprobe1_ms":$dms1,"disk_scanall_ms":$dmsAll,""" +

@@ -37,6 +37,58 @@ class ExtensionsSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("string literals"))
   }
 
+  test("vector_search runs the IVF path from pure SQL with a pruned index scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // build a small quantized on-disk index + persisted model
+    val dir = java.nio.file.Files.createTempDirectory("sqlsearch").toString
+    val (idxDir, modelDir) = (s"$dir/index", s"$dir/model")
+    val emb = Tables.load(spark, SparkSuite.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (assigned, model) = graft.index.IvfIndex.build(
+      emb, "embedding", graft.index.IvfIndex.Params(listSize = 64))
+    graft.index.IvfIndex.writeQuantized(assigned, "embedding", idxDir)
+    graft.index.IvfIndex.saveModel(spark, model, modelDir)
+
+    // TEXT query through spark.sql ONLY — no Scala search API
+    val df = spark.sql(
+      s"SELECT * FROM vector_search('$idxDir', '$modelDir', 'needle in a haystack', 5, 2)")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.length == 5)
+    // equals the Scala-API search over the same index/model
+    val expect = graft.index.IvfIndex.searchQuantized(
+      spark.read.parquet(idxDir), model, "vec_id", "qvec",
+      graft.functions.VectorKernels.dequantize(
+        graft.functions.VectorKernels.noopEmbed(
+          "search_query: needle in a haystack", 64)),
+      k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"sql=$got scala=$expect")
+    // the physical plan scans ONLY the probed lists: partition pruning
+    // on centroid_id reaches the parquet scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"index scan not partition-pruned:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not streaming-partial:\n$plan")
+
+    // ARRAY-vector query (the production shape: embed outside SQL)
+    val qv = graft.functions.VectorKernels.dequantize(
+      graft.functions.VectorKernels.noopEmbed(
+        "search_query: needle in a haystack", 64))
+    val arrSql = qv.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+    val got2 = spark.sql(
+      s"SELECT * FROM vector_search('$idxDir', '$modelDir', $arrSql, 5, 2)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got2 == expect, s"array-query sql=$got2")
+    // and it composes as a plain relation
+    val joined = spark.sql(
+      s"""SELECT count(*) AS n FROM vector_search('$idxDir', '$modelDir', 'x', 10, 1) v
+         |JOIN parquet.`${SparkSuite.sf0001}/embeddings.parquet` e ON v.vec_id = e.vec_id
+         |""".stripMargin).head().getLong(0)
+    assert(joined == 10L)
+  }
+
   test("function descriptions are visible to DESCRIBE FUNCTION") {
     val desc = spark.sql("DESCRIBE FUNCTION cosine_sim")
       .collect().map(_.getString(0)).mkString("\n")
