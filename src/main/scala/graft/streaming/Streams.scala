@@ -468,33 +468,40 @@ object Streams {
         // verify joins capped docs against the CORPUS, never against the
         // batch, so a 70-copy flood never grinds 70² pairs.
         val cappedIds = gated.filter(col("capped")).select("doc_id")
-        val exC = ex.join(cappedIds, Seq("doc_id"), "left_semi")
-        val vb = exC.join(
-          exC.groupBy("doc_id").agg(count(lit(1)).as("nb")), Seq("doc_id"))
-        val vVerd = corpusShingles.as("a")
-          .join(vb.as("b"), col("a.s") === col("b.s"))
-          .groupBy(col("a.doc_id").as("doc_old"), col("b.doc_id").as("doc_id"))
-          .agg(count(lit(1)).as("i"),
-            first(col("a.n")).as("na"), first(col("b.nb")).as("vnb"))
-          .withColumn("c", col("i").cast("double") / least(col("na"), col("vnb")))
-          .filter(col("c") >= thresh)
-          .groupBy("doc_id")
-          .agg(max(when(col("vnb") <= col("na"), 1).otherwise(0)).as("v_cont"),
-            max(when(col("vnb") > col("na"), 1).otherwise(0)).as("v_sup"),
-            count(lit(1)).as("v_matches"))
-        gated.join(vVerd, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("capped"), coalesce(col("v_cont") === 1, lit(false)))
-              .otherwise(col("contained")).as("contained"),
-            when(col("capped"), coalesce(col("v_sup") === 1, lit(false)))
-              .otherwise(col("supersedes")).as("supersedes"),
-            when(col("capped"), coalesce(col("v_matches"), lit(0L)))
-              .otherwise(col("n_matches")).as("n_matches"),
-            col("capped_frac"), col("capped"),
-            // verified = this row's verdict came from the routed exact
-            // pass rather than the in-batch capped check
-            col("capped").as("verified"))
-          .write.mode("append").parquet(outDir)
+        val out = if (cappedIds.isEmpty) {
+          // common case — no flood this batch: skip the corpus-join
+          // verify entirely (isEmpty is one cheap scan of the pinned
+          // batch-sized gated frame; the corpus side never plans)
+          gated.withColumn("verified", lit(false))
+        } else {
+          val exC = ex.join(cappedIds, Seq("doc_id"), "left_semi")
+          val vb = exC.join(
+            exC.groupBy("doc_id").agg(count(lit(1)).as("nb")), Seq("doc_id"))
+          val vVerd = corpusShingles.as("a")
+            .join(vb.as("b"), col("a.s") === col("b.s"))
+            .groupBy(col("a.doc_id").as("doc_old"), col("b.doc_id").as("doc_id"))
+            .agg(count(lit(1)).as("i"),
+              first(col("a.n")).as("na"), first(col("b.nb")).as("vnb"))
+            .withColumn("c", col("i").cast("double") / least(col("na"), col("vnb")))
+            .filter(col("c") >= thresh)
+            .groupBy("doc_id")
+            .agg(max(when(col("vnb") <= col("na"), 1).otherwise(0)).as("v_cont"),
+              max(when(col("vnb") > col("na"), 1).otherwise(0)).as("v_sup"),
+              count(lit(1)).as("v_matches"))
+          gated.join(vVerd, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("capped"), coalesce(col("v_cont") === 1, lit(false)))
+                .otherwise(col("contained")).as("contained"),
+              when(col("capped"), coalesce(col("v_sup") === 1, lit(false)))
+                .otherwise(col("supersedes")).as("supersedes"),
+              when(col("capped"), coalesce(col("v_matches"), lit(0L)))
+                .otherwise(col("n_matches")).as("n_matches"),
+              col("capped_frac"), col("capped"),
+              // verified = this row's verdict came from the routed exact
+              // pass rather than the in-batch capped check
+              col("capped").as("verified"))
+        }
+        out.write.mode("append").parquet(outDir)
       }
       .start()
     q.awaitTermination()
