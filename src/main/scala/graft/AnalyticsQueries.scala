@@ -115,6 +115,59 @@ object AnalyticsQueries {
           " ").as("text_kept"))
   }
 
+  /** Targeted DECONTAMINATION rewrite — q82's chunk-removal machinery
+    * aimed at benchmark leakage instead of self-duplication (the
+    * PaLM/GPT-4 report shape: cut the overlapping span, keep the rest of
+    * the training document — dropping whole docs, q130's rule, wastes
+    * the clean 95% of a long page that quotes one eval example). Corpus
+    * documents (doc_id ≥ 10) are cut into consecutive 8-token chunks
+    * (q82's granularity); a chunk is REMOVED when it appears anywhere in
+    * a benchmark document (doc_id < 10) — membership is tested against
+    * the benchmark's OVERLAPPING 8-token shingles, so a corpus chunk
+    * matching at any alignment inside the benchmark text is caught, not
+    * only chunks that start on the benchmark's own 8-token boundaries.
+    * Kept chunks reassemble in position order; emits per-doc removal
+    * counts plus the cleaned text (the oracle compares it byte-for-byte).
+    *
+    * Scale: the benchmark shingle set is suite-sized → broadcast; the
+    * membership probe is a broadcast semi-join on the exploded corpus
+    * chunk stream (corpus text never shuffles — the removal verdicts
+    * come back as per-doc idx arrays over a doc_id-keyed aggregate,
+    * q82's shape, and reassembly is row-local). One corpus scan. */
+  def q131DecontaminateRewrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = when(length(trim(col("text"))) === 0,
+        expr("cast(array() as array<string>)"))
+      .otherwise(split(trim(lower(col("text"))), "\\s+"))
+    val withChunks = docs.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) === 0, expr("cast(array() as array<string>)"))
+          .otherwise(expr(
+            """transform(sequence(0, cast((size(t) - 1) / 8 as int)),
+              |  i -> array_join(slice(t, i * 8 + 1, 8), ' '))""".stripMargin))
+          .as("ch"))
+    // benchmark OVERLAPPING 8-shingles (TextKernels.shingles semantics:
+    // a <8-token benchmark doc contributes its whole text as one
+    // shingle — which is exactly the chunk a short benchmark doc would
+    // leak as); deduplicated before the broadcast
+    val bench = docs.filter(col("doc_id") < 10)
+      .select(explode(array_distinct(gf.shingles(col("text"), 8))).as("c"))
+      .distinct()
+    val exploded = withChunks
+      .select(col("doc_id"), posexplode(col("ch")).as(Seq("idx", "c")))
+    val removed = exploded.join(broadcast(bench), "c")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("idx"))).as("rem"))
+    withChunks.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ch")).cast("bigint").as("n_chunks"),
+        coalesce(size(col("rem")), lit(0)).cast("bigint").as("n_removed"),
+        array_join(expr(
+          "filter(ch, (x, i) -> NOT coalesce(array_contains(rem, i), false))"),
+          " ").as("text_kept"))
+  }
+
   /** Z-order layout key per event ([[graft.operators.ZOrder]]): Morton
     * interleave of the bucketed (user, hour) dimensions, plus the
     * 2^14-granularity z-cell a layout compactor would bin rows into.
@@ -276,6 +329,7 @@ object AnalyticsQueries {
     "q62_setops" -> q62Setops _,
     "q63_span_dedup" -> q63SpanDedup _,
     "q82_span_rewrite" -> q82SpanRewrite _,
+    "q131_decontaminate_rewrite" -> q131DecontaminateRewrite _,
     "q84_zorder_key" -> q84ZorderKey _,
     "q64_rolling_window" -> q64RollingWindow _,
     "q65_zipf_spectrum" -> q65ZipfSpectrum _,
@@ -391,6 +445,43 @@ object AnalyticsQueries {
         |  coalesce(n_removed, 0) AS n_removed,
         |  coalesce(kept, '') AS text_kept
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q131_decontaminate_rewrite" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |bsl AS (
+        |  SELECT CASE
+        |    WHEN len(t) >= 8 THEN
+        |      [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t)-7)]
+        |    WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+        |    ELSE [] END AS sl
+        |  FROM toks WHERE doc_id < 10),
+        |bench AS (SELECT DISTINCT unnest(sl) AS bc FROM bsl),
+        |corp AS (SELECT doc_id, t FROM toks WHERE doc_id >= 10),
+        |ix AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0, CAST((len(t) - 1) // 8 AS INT))) AS idx
+        |  FROM corp WHERE len(t) > 0),
+        |ch AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(t[(idx * 8 + 1):(idx * 8 + 8)], ' ') AS c
+        |  FROM ix),
+        |mk AS (
+        |  SELECT ch.doc_id, ch.idx, ch.c,
+        |    (bench.bc IS NOT NULL) AS hit
+        |  FROM ch LEFT JOIN bench ON ch.c = bench.bc),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    string_agg(CASE WHEN NOT hit THEN c END, ' ' ORDER BY idx) AS kept
+        |  FROM mk GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_chunks, 0) AS n_chunks,
+        |  coalesce(n_removed, 0) AS n_removed,
+        |  coalesce(kept, '') AS text_kept
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        |LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q84_zorder_key" ->
       """WITH e AS (
         |  SELECT event_id,

@@ -181,6 +181,64 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("bin_tokens"))
   }
 
+  /** Sequence packing EXECUTED — q59 plans bin sizes; this materializes
+    * the trainer's actual input: per language, the corpus token stream
+    * (docs concatenated in doc_id order) chopped into consecutive
+    * `seqLen`-token sequences, documents SPLIT across sequence
+    * boundaries (the GPT-style packing that wastes zero pad tokens —
+    * q108 prices the padded alternative). Every interior sequence holds
+    * exactly `seqLen` tokens by construction; only each language's last
+    * sequence is short. Output per (lang, seq_id): the packed text, its
+    * token count, and a `spans` map ("doc:offset:len", space-joined, in
+    * position order) — the metadata a trainer needs to reset attention
+    * masks at document boundaries and the auditor needs to reconstruct
+    * any document from its pieces.
+    *
+    * Scale shape: ONE corpus scan. The running-offset window partitions
+    * by language over narrow (doc_id, lang, n) rows (q59's
+    * stratification argument: real packing is stratified by
+    * lang/domain, which is also what keeps the window partitioned — a
+    * single mega-language would instead rank through
+    * [[graft.operators.RankOps.globalRowNumberPer]]'s range-exchange
+    * shape). A document explodes into only the ⌈n/seqLen⌉+1 sequences
+    * it intersects, piece slicing is row-local on the token array, and
+    * the final assembly groups on (lang, seq_id) — sequence-sized
+    * groups, map-side combined. Text crosses the wire once, as pieces. */
+  def packSequences(docs: DataFrame, seqLen: Long): DataFrame = {
+    val L = seqLen
+    val toks = when(length(trim(col("text"))) === 0,
+        expr("cast(array() as array<string>)"))
+      .otherwise(split(trim(lower(col("text"))), "\\s+"))
+    val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pieces = docs.select(col("doc_id"), col("lang"), toks.as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("endp", sum("n").over(w))
+      .withColumn("startp", col("endp") - col("n"))
+      .select(col("doc_id"), col("lang"), col("t"), col("startp"), col("endp"),
+        explode(expr(s"sequence(startp div $L, (endp - 1) div $L)")).as("seq_id"))
+      .withColumn("pa", greatest(col("startp"), col("seq_id") * L))
+      .withColumn("pb", least(col("endp"), (col("seq_id") + 1) * L))
+      .withColumn("piece", expr(
+        "array_join(slice(t, cast(pa - startp + 1 as int), " +
+          "cast(pb - pa as int)), ' ')"))
+    pieces.groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pb") - col("pa")).as("n_tokens"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "named_struct('pa', pa, 'piece', piece))), x -> x.piece), ' ')")
+          .as("text_packed"),
+        expr(s"array_join(transform(array_sort(collect_list(named_struct(" +
+          s"'pa', pa, 'sp', concat_ws(':', doc_id, pa - seq_id * $L, " +
+          s"pb - pa)))), x -> x.sp), ' ')").as("spans"))
+  }
+
+  /** [[packSequences]] at seqLen=2048 over the documents table — the
+    * oracle checks the packed text and span metadata byte-for-byte. */
+  def q132PackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(t(s, dir, "documents"), 2048L)
+
   /** Top-20 bigrams by count with pointwise mutual information — the
     * collocation statistic behind phrase mining / tokenizer merges.
     * Bigrams come from a higher-order transform over the token array
@@ -736,6 +794,7 @@ object CurationQueries {
     "q103_unicode_clean" -> q103UnicodeClean _,
     "q104_html_extract" -> q104HtmlExtract _,
     "q59_pack_plan" -> q59PackPlan _,
+    "q132_pack_sequences" -> q132PackSequences _,
     "q60_bigram_pmi" -> q60BigramPmi _,
     "q61_stratified_sample" -> q61StratifiedSample _,
     "q75_mixture_plan" -> q75MixturePlan _,
@@ -944,6 +1003,39 @@ object CurationQueries {
         |SELECT lang, CAST((cum - toks) // 2048 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q132_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, t, CAST(len(t) AS BIGINT) AS n
+        |  FROM toks WHERE len(t) > 0),
+        |c AS (
+        |  SELECT *, sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS endp
+        |  FROM d),
+        |sp AS (
+        |  SELECT doc_id, lang, t, endp - n AS startp, endp,
+        |    unnest(generate_series((endp - n) // 2048, (endp - 1) // 2048))
+        |      AS seq_id
+        |  FROM c),
+        |p AS (
+        |  SELECT doc_id, lang, seq_id, startp, t,
+        |    greatest(startp, seq_id * 2048) AS pa,
+        |    least(endp, (seq_id + 1) * 2048) AS pb
+        |  FROM sp),
+        |pc AS (
+        |  SELECT doc_id, lang, seq_id, pa, pb,
+        |    array_to_string(t[(pa - startp + 1):(pb - startp)], ' ') AS piece
+        |  FROM p)
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(pb - pa) AS BIGINT) AS n_tokens,
+        |  string_agg(piece, ' ' ORDER BY pa) AS text_packed,
+        |  string_agg(doc_id || ':' || (pa - seq_id * 2048) || ':' || (pb - pa),
+        |    ' ' ORDER BY pa) AS spans
+        |FROM pc GROUP BY lang, seq_id""".stripMargin,
     "q60_bigram_pmi" ->
       """WITH arr AS (
         |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a

@@ -461,6 +461,59 @@ object DedupQueries {
       .filter(col("n_shared") >= 3)
   }
 
+  /** q130's emit floor and contamination verdict threshold on the
+    * benchmark-containment fraction (rounded to 4dp in BOTH engines
+    * before comparison so a boundary pair cannot ULP-flip). */
+  private val BenchEmit = 0.5
+  private[graft] val BenchContaminated = 0.8
+
+  /** Benchmark-CONTAINMENT decontamination detect — the fuzzy rule q55's
+    * absolute shared-count cannot express: a corpus document is
+    * contaminated when ≥ 80% of a benchmark example's distinct shingles
+    * appear in it (C_b = |bench ∩ corpus| / |bench|), regardless of how
+    * much OTHER text the training document carries. q55's `n_shared ≥ 3`
+    * flags any incidental phrase overlap and misses nothing, but as a
+    * DROP rule it is miscalibrated in both directions: a long clean doc
+    * trips 3 shared shingles by chance, while a paraphrased benchmark
+    * copy with 60% of its shingles intact is exactly as leaked at
+    * n_shared=30 as at 300. Normalizing by the BENCHMARK side (the
+    * containment-family asymmetry of q118, applied cross-corpus) makes
+    * the threshold a fraction of the eval example itself — the
+    * n-gram-overlap decontamination rule of the published LLM pipelines
+    * (GPT-3 App. C / Llama 2: drop training docs where a benchmark
+    * sample is ≥ X% token-covered). Emits (bench_doc, corpus_doc) pairs
+    * at C ≥ 0.5 with the `contaminated` verdict at C ≥ 0.8 — the 0.5-0.8
+    * band is the review queue a release audit reads.
+    *
+    * Scale: the benchmark suite is dimension-sized — its shingle table
+    * and per-example sizes both broadcast; the corpus side filters
+    * row-locally against the broadcast and shuffles only matched
+    * (bench_doc, corpus_doc) keys into the pair aggregate (bounded by
+    * true overlap, not corpus size). The corpus never self-joins and its
+    * text never shuffles. Above ~10M benchmark shingles, q87's bloom
+    * pre-filter composes in front of the same plan unchanged. The
+    * shingle kernel runs once per branch filter (q55's
+    * recompute-over-materialize policy: both branches are one codegen
+    * stage over a disjoint doc_id slice). */
+  def q130BenchContain(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+    val bench = sh.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("bench_doc"), col("s"))
+    val bn = bench.groupBy("bench_doc").agg(count(lit(1)).as("nb"))
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), "s")
+      .groupBy(col("bench_doc"), col("doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(bn), "bench_doc")
+      .withColumn("containment", round(col("n_shared") / col("nb"), 4))
+      .filter(col("containment") >= BenchEmit)
+      .select(col("bench_doc"), col("corpus_doc"), col("n_shared"),
+        col("containment"),
+        (col("containment") >= BenchContaminated).as("contaminated"))
+  }
+
   /** SemDeDup pair threshold on 4dp-rounded cosine (the synthetic
     * embeddings have no true near-dups — within-cluster sims top out
     * ~0.5, so 0.35 yields a meaningful ε-neighbor graph at every SF). */
@@ -1165,6 +1218,7 @@ object DedupQueries {
     "q53_repetition" -> q53Repetition _,
     "q55_contamination" -> q55Contamination _,
     "q87_bloom_contamination" -> q87BloomContamination _,
+    "q130_bench_contain" -> q130BenchContain _,
     "q21_minhash_lsh" -> q21MinhashLsh _,
     "q21b_minhash_fast" -> q21bMinhashFast _,
     "q106_fast_neardup" -> q106FastNeardup _,
@@ -1405,6 +1459,20 @@ object DedupQueries {
     "q55_contamination" -> contaminationSql,
     // bloom-pruned twin answers the SAME question — one oracle, two plans
     "q87_bloom_contamination" -> contaminationSql,
+    "q130_bench_contain" ->
+      s"""WITH $shingleCte,
+         |bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id < 10),
+         |bn AS (SELECT bench_doc, count(*) AS nb FROM bench GROUP BY 1),
+         |p AS (
+         |  SELECT bench_doc, a.doc_id AS corpus_doc, count(*) AS n_shared
+         |  FROM sh a JOIN bench b ON a.s = b.s
+         |  WHERE a.doc_id >= 10
+         |  GROUP BY 1, 2)
+         |SELECT bench_doc, corpus_doc, n_shared,
+         |  round(n_shared * 1.0 / nb, 4) AS containment,
+         |  round(n_shared * 1.0 / nb, 4) >= $BenchContaminated AS contaminated
+         |FROM p JOIN bn USING (bench_doc)
+         |WHERE round(n_shared * 1.0 / nb, 4) >= $BenchEmit""".stripMargin,
     "q120_lsh_planner" ->
       """WITH bs AS (SELECT unnest(generate_series(1, 16)) AS b),
         |rs AS (SELECT unnest(generate_series(1, 16)) AS r),
