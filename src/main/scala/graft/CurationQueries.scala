@@ -51,9 +51,20 @@ object CurationQueries {
 
   /** Per-document top-3 terms by tf-idf (tf × ln(N/df)) — the document
     * signature every retrieval/clustering pipeline derives. The term df
-    * table is vocabulary-sized → broadcast; the ranking window partitions
-    * on doc_id, so no global sort and no hot partition. */
-  def q57TfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    * table is vocabulary-sized on typical corpora, but a vocabulary is
+    * OPEN (a crawl's distinct-token table runs to billions: typos,
+    * ids, urls) — so the join is SIZE-GATED
+    * ([[graft.operators.DedupOps.gateBroadcast]]): broadcast when the
+    * pinned df table is small, a deterministic sort-merge join when it
+    * is not, never an unconditional broadcast hint that would OOM the
+    * driver at 100×. The ranking window partitions on doc_id, so no
+    * global sort and no hot partition. Both regimes plan-pinned in
+    * `BroadcastGateSpec`. */
+  def q57TfidfTopterms(s: SparkSession, dir: String): DataFrame =
+    q57TfidfTopterms(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def q57TfidfTopterms(s: SparkSession, dir: String,
+      rowLimit: Long): DataFrame = {
     val docs = t(s, dir, "documents")
     // corpus size rides along as a broadcast single-row aggregate instead
     // of a separate driver-side count() job
@@ -65,10 +76,14 @@ object CurationQueries {
     // block manager and an executor loss severs the lineage. (Measured
     // parity at sf0.1; at 100 TB the recompute is strictly safer.)
     val tf = tokens(docs).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // the df AGGREGATE is pinned (vocab-sized — it is exactly the frame
+    // whose size the gate measures); the corpus-sized tf stream stays
+    // unmaterialized either way
+    val df = graft.operators.DedupOps.gateBroadcast(
+      tf.groupBy("tok").agg(count(lit(1)).as("df")), rowLimit)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("tok").asc)
-    tf.join(broadcast(df), "tok")
+    tf.join(df, "tok")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs") / col("df")), 4))
@@ -194,28 +209,36 @@ object CurationQueries {
     * masks at document boundaries and the auditor needs to reconstruct
     * any document from its pieces.
     *
-    * Scale shape: ONE corpus scan. The running-offset window partitions
-    * by language over narrow (doc_id, lang, n) rows (q59's
-    * stratification argument: real packing is stratified by
-    * lang/domain, which is also what keeps the window partitioned — a
-    * single mega-language would instead rank through
-    * [[graft.operators.RankOps.globalRowNumberPer]]'s range-exchange
-    * shape). A document explodes into only the ⌈n/seqLen⌉+1 sequences
-    * it intersects, piece slicing is row-local on the token array, and
-    * the final assembly groups on (lang, seq_id) — sequence-sized
-    * groups, map-side combined. Text crosses the wire once, as pieces. */
+    * Scale shape: the per-language token offsets are a range-exchange
+    * prefix sum ([[graft.operators.RankOps.runningSumPer]]) over the
+    * NARROW (doc_id, lang, n) projection — never a
+    * `Window.partitionBy(lang)` running sum, which would funnel a
+    * mega-language's entire corpus (60%-English crawls are the norm)
+    * through ONE task's sort. The offsets join back to the tokenized
+    * corpus on doc_id (text crosses the wire once, there), a document
+    * explodes into only the ⌈n/seqLen⌉+1 sequences it intersects,
+    * piece slicing is row-local on the token array, and the final
+    * assembly groups on (lang, seq_id) — sequence-sized groups,
+    * map-side combined. `PackPlanSpec` pins the no-corpus-window shape
+    * and row-identity with the windowed form on a skewed-lang fixture. */
   def packSequences(docs: DataFrame, seqLen: Long): DataFrame = {
     val L = seqLen
     val toks = when(length(trim(col("text"))) === 0,
         expr("cast(array() as array<string>)"))
       .otherwise(split(trim(lower(col("text"))), "\\s+"))
-    val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pieces = docs.select(col("doc_id"), col("lang"), toks.as("t"))
-      .withColumn("n", size(col("t")).cast("long"))
+    // prefix sums over narrow rows only: tokenizing twice (here for n,
+    // below for the slicing) costs one extra codegen pass over text
+    // already being scanned; carrying the token arrays through the
+    // range exchange + checkpoint pin would cost corpus-text I/O twice
+    val narrow = docs.select(col("doc_id"), col("lang"), toks.as("t"))
+      .select(col("doc_id"), col("lang"), size(col("t")).cast("long").as("n"))
       .filter(col("n") > 0)
-      .withColumn("endp", sum("n").over(w))
+    val cum = graft.operators.RankOps
+      .runningSumPer(narrow, "lang", Seq(col("doc_id").asc), "n", "endp")
       .withColumn("startp", col("endp") - col("n"))
+      .select("doc_id", "startp", "endp")
+    val pieces = docs.select(col("doc_id"), col("lang"), toks.as("t"))
+      .join(cum, "doc_id") // inner: re-drops the n=0 docs cum filtered
       .select(col("doc_id"), col("lang"), col("t"), col("startp"), col("endp"),
         explode(expr(s"sequence(startp div $L, (endp - 1) div $L)")).as("seq_id"))
       .withColumn("pa", greatest(col("startp"), col("seq_id") * L))
@@ -234,16 +257,46 @@ object CurationQueries {
           s"pb - pa)))), x -> x.sp), ' ')").as("spans"))
   }
 
-  /** [[packSequences]] at seqLen=2048 over the documents table — the
-    * oracle checks the packed text and span metadata byte-for-byte. */
+  /** The single-partition-window form of [[packSequences]]'s offset
+    * computation, kept ONLY as the test twin: `PackPlanSpec` asserts
+    * row-identity between this and the range-exchange production path
+    * on a skewed-lang fixture. Never call it on a real corpus — the
+    * lang window funnels each language through one task. */
+  private[graft] def packSequencesWindowedOffsets(docs: DataFrame): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0,
+        expr("cast(array() as array<string>)"))
+      .otherwise(split(trim(lower(col("text"))), "\\s+"))
+    val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("lang"), toks.as("t"))
+      .select(col("doc_id"), col("lang"), size(col("t")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("endp", sum("n").over(w))
+      .withColumn("startp", col("endp") - col("n"))
+      .select("doc_id", "lang", "startp", "endp")
+  }
+
+  /** q132's sequence length — interpolated into BOTH the Spark call and
+    * the DuckDB oracle SQL so the two can never drift (the q130
+    * BenchEmit/BenchContaminated convention). */
+  val PackSeqLen: Long = 2048L
+
+  /** [[packSequences]] at seqLen=[[PackSeqLen]] over the documents
+    * table — the oracle checks the packed text and span metadata
+    * byte-for-byte. */
   def q132PackSequences(s: SparkSession, dir: String): DataFrame =
-    packSequences(t(s, dir, "documents"), 2048L)
+    packSequences(t(s, dir, "documents"), PackSeqLen)
 
   /** Top-20 bigrams by count with pointwise mutual information — the
     * collocation statistic behind phrase mining / tokenizer merges.
     * Bigrams come from a higher-order transform over the token array
-    * (codegen, no UDF); unigram stats are vocabulary-sized broadcasts. */
-  def q60BigramPmi(s: SparkSession, dir: String): DataFrame = {
+    * (codegen, no UDF); the unigram joins are size-gated on the pinned
+    * table's count (broadcast small, sort-merge at crawl vocab scale). */
+  def q60BigramPmi(s: SparkSession, dir: String): DataFrame =
+    q60BigramPmi(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def q60BigramPmi(s: SparkSession, dir: String,
+      rowLimit: Long): DataFrame = {
     val docs = t(s, dir, "documents")
     val arr = docs.select(split(trim(lower(col("text"))), "\\s+").as("a"))
       .filter(size(col("a")) >= 2 && length(element_at(col("a"), 1)) > 0)
@@ -261,6 +314,12 @@ object CurationQueries {
       .localCheckpoint(true)
     val uni = tokens(docs).groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
+    // the vocabulary is open-ended, so BOTH unigram joins are
+    // size-gated on the pinned table's count (free once pinned):
+    // broadcast on typical corpora, deterministic sort-merge when a
+    // crawl-scale distinct-token table would blow the driver
+    val nUni = uni.count()
+    import graft.operators.DedupOps.gateKnown
     // sum over zero rows is null (empty corpus / all-blank texts) — same
     // guard as q47's trigram total
     val totUni = Option(uni.agg(sum("c")).head().get(0))
@@ -268,8 +327,10 @@ object CurationQueries {
     val totBi = Option(pairs.agg(sum("c_xy")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
     pairs
-      .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))), "x")
-      .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))), "y")
+      .join(gateKnown(uni.select(col("tok").as("x"), col("c").as("c_x")),
+        nUni, rowLimit), "x")
+      .join(gateKnown(uni.select(col("tok").as("y"), col("c").as("c_y")),
+        nUni, rowLimit), "y")
       .withColumn("pmi", round(
         log((col("c_xy") / lit(totBi)) /
           ((col("c_x") / lit(totUni)) * (col("c_y") / lit(totUni)))), 4))
@@ -612,17 +673,25 @@ object CurationQueries {
     * unit and no q22 pair can ever straddle splits (property pinned in
     * CurationExtrasSpec). Scale: components run on the PAIR graph only
     * (ids, not documents — DedupOps' adaptive union-find); the label
-    * table is duplicate-clusters-sized ≪ corpus, so it broadcasts back
-    * onto the doc scan and the split itself stays a pure row-local
-    * md5-nibble map, same rule as q52. */
-  def q107LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    * table is duplicate-clusters-sized ≪ corpus on typical corpora but
+    * approaches corpus size on dup-heavy crawls (30-60% duplicate is
+    * the norm), so the join back onto the doc scan is SIZE-GATED on
+    * the component count the union-find already knows — broadcast
+    * small, sort-merge large — and the split itself stays a pure
+    * row-local md5-nibble map, same rule as q52. */
+  def q107LeakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    q107LeakageSafeSplit(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def q107LeakageSafeSplit(s: SparkSession, dir: String,
+      rowLimit: Long): DataFrame = {
     val pairs = DedupQueries.q22JaccardNeardup(s, dir)
-    val comps = graft.operators.DedupOps
-      .connectedComponents(pairs, "doc_a", "doc_b")
+    val (comps, nNodes) = graft.operators.DedupOps
+      .connectedComponentsCounted(pairs, "doc_a", "doc_b")
     val nib = substring(
       md5(col("canon_id").cast("string").cast("binary")), 1, 1)
     t(s, dir, "documents").select(col("doc_id"))
-      .join(broadcast(comps), col("doc_id") === col("node"), "left")
+      .join(graft.operators.DedupOps.gateKnown(comps, nNodes, rowLimit),
+        col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("canon_id"))
       .select(col("doc_id"), col("canon_id"),
@@ -1004,26 +1073,30 @@ object CurationQueries {
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
     "q132_pack_sequences" ->
-      """WITH toks AS (
+      // the windowed sum(n) must be cast to BIGINT: DuckDB types it
+      // HUGEINT and generate_series has no HUGEINT overload (the cast
+      // also keeps startp/pa/pb BIGINT, protecting the slice bounds)
+      s"""WITH toks AS (
         |  SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN []
-        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, lang, t, CAST(len(t) AS BIGINT) AS n
         |  FROM toks WHERE len(t) > 0),
         |c AS (
-        |  SELECT *, sum(n) OVER (PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS endp
+        |  SELECT *, CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS endp
         |  FROM d),
         |sp AS (
         |  SELECT doc_id, lang, t, endp - n AS startp, endp,
-        |    unnest(generate_series((endp - n) // 2048, (endp - 1) // 2048))
-        |      AS seq_id
+        |    unnest(generate_series((endp - n) // $PackSeqLen,
+        |      (endp - 1) // $PackSeqLen)) AS seq_id
         |  FROM c),
         |p AS (
         |  SELECT doc_id, lang, seq_id, startp, t,
-        |    greatest(startp, seq_id * 2048) AS pa,
-        |    least(endp, (seq_id + 1) * 2048) AS pb
+        |    greatest(startp, seq_id * $PackSeqLen) AS pa,
+        |    least(endp, (seq_id + 1) * $PackSeqLen) AS pb
         |  FROM sp),
         |pc AS (
         |  SELECT doc_id, lang, seq_id, pa, pb,
@@ -1033,8 +1106,8 @@ object CurationQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(pb - pa) AS BIGINT) AS n_tokens,
         |  string_agg(piece, ' ' ORDER BY pa) AS text_packed,
-        |  string_agg(doc_id || ':' || (pa - seq_id * 2048) || ':' || (pb - pa),
-        |    ' ' ORDER BY pa) AS spans
+        |  string_agg(doc_id || ':' || (pa - seq_id * $PackSeqLen) || ':' ||
+        |    (pb - pa), ' ' ORDER BY pa) AS spans
         |FROM pc GROUP BY lang, seq_id""".stripMargin,
     "q60_bigram_pmi" ->
       """WITH arr AS (

@@ -116,4 +116,49 @@ object RankOps {
       .withColumn(rankCol, col("_mono") - col("_base") + col("_off") + 1)
       .drop("_pid", "_mono", "_base", "_off")
   }
+
+  /** Appends `outCol` = the inclusive running sum of `valCol` under
+    * `order`, computed INDEPENDENTLY per value of `legCol` — the prefix
+    * sum [[globalRowNumberPer]] is for COUNTS, generalized to an
+    * arbitrary additive value (q132's per-language token offsets).
+    *
+    * A row number within a partition is derivable from `_mono` alone,
+    * but a running SUM needs a real per-row accumulation — so this
+    * shape pays one extra hash exchange for a LOCAL window keyed by
+    * (_pid, leg): after the range partition on (leg, order…), every
+    * (_pid, leg) group is bounded by the PHYSICAL partition size
+    * (corpus / shuffle-partitions), never by the leg's share of the
+    * corpus — a 60%-English crawl spreads across tasks exactly like a
+    * uniform one. The cross-partition carry is the same tiny
+    * per-(partition, leg) aggregate as the rank form: sum each
+    * partition's leg subtotal, window it per leg over ≤
+    * shuffle-partitions rows, broadcast it back. Rank NARROW frames
+    * here too — the checkpoint pin and two exchanges carry every
+    * column of `df`. */
+  def runningSumPer(df: DataFrame, legCol: String, order: Seq[Column],
+      valCol: String, outCol: String): DataFrame = {
+    val fullOrder = col(legCol).asc +: order
+    val ranged = df
+      .repartitionByRange(fullOrder: _*)
+      .sortWithinPartitions(fullOrder: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mono", monotonically_increasing_id())
+      .localCheckpoint(true) // correctness pin — see object scaladoc
+    val offsets = ranged.groupBy(col("_pid"), col(legCol))
+      .agg(sum(valCol).as("_s"))
+      .withColumn("_off",
+        coalesce(sum("_s").over(Window.partitionBy(legCol)
+          .orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_pid"), col(legCol), col("_off"))
+    // local accumulation: the window partitions on (_pid, leg), so its
+    // groups are partition-sized by construction (see scaladoc above)
+    val local = Window.partitionBy(col("_pid"), col(legCol))
+      .orderBy(col("_mono"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsets), Seq("_pid", legCol))
+      .withColumn(outCol, sum(valCol).over(local) + col("_off"))
+      .drop("_pid", "_mono", "_off")
+  }
 }

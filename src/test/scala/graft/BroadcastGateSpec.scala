@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The last corpus-derived (open-vocabulary) dimension tables that used
+  * to ride unconditional `broadcast()` hints: q57's term-df table,
+  * q60's unigram table (joined twice), q107's dup-cluster labels. A
+  * crawl-scale distinct-token table runs to billions of rows — the
+  * hint bypasses autoBroadcastJoinThreshold and OOMs the driver — so
+  * all three now go through DedupOps' size gates. This spec flips each
+  * gate and pins, PER JOIN KEY (the queries contain other joins):
+  * broadcast when small, sort-merge when large, rows identical. */
+class BroadcastGateSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sf0001
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Join strategies in the static plan keyed (either side) on `key` —
+    * the key names are chosen unique to the gated join so sibling
+    * joins inside the same query can't mask a regression. */
+  private def strategiesOn(df: org.apache.spark.sql.DataFrame,
+      key: String): Seq[String] = {
+    def hits(ks: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      ks.exists(_.references.exists(_.name == key))
+    df.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec
+        if hits(j.leftKeys) || hits(j.rightKeys) => "bhj"
+      case j: SortMergeJoinExec
+        if hits(j.leftKeys) || hits(j.rightKeys) => "smj"
+    }
+  }
+
+  private def pin(small: org.apache.spark.sql.DataFrame,
+      large: org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit = {
+    keys.foreach { k =>
+      assert(strategiesOn(small, k).contains("bhj"),
+        s"$k not broadcast in the small regime")
+      val l = strategiesOn(large, k)
+      assert(l.nonEmpty && l.forall(_ == "smj"),
+        s"$k not demoted to sort-merge in the large regime: $l")
+    }
+    assert(rowsOf(small) == rowsOf(large))
+  }
+
+  test("q57 df join: broadcast small, sort-merge large, row-identical") {
+    pin(CurationQueries.q57TfidfTopterms(spark, dir, Long.MaxValue),
+      CurationQueries.q57TfidfTopterms(spark, dir, 0L), Seq("tok"))
+  }
+
+  test("q60 unigram joins: broadcast small, sort-merge large, row-identical") {
+    pin(CurationQueries.q60BigramPmi(spark, dir, Long.MaxValue),
+      CurationQueries.q60BigramPmi(spark, dir, 0L), Seq("x", "y"))
+  }
+
+  test("q107 label join: broadcast small, sort-merge large, row-identical") {
+    pin(CurationQueries.q107LeakageSafeSplit(spark, dir, Long.MaxValue),
+      CurationQueries.q107LeakageSafeSplit(spark, dir, 0L), Seq("node"))
+  }
+}

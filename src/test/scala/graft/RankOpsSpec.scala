@@ -65,6 +65,27 @@ class RankOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runningSumPer equals the per-leg window running sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // one mega-leg (90% of rows) — the skew regime the operator exists
+    // for — plus small legs and a leg with a single row
+    val df = (1 to 5000).map { i =>
+      val leg = if (rnd.nextInt(10) < 9) "en"
+        else if (i == 17) "solo" else Seq("de", "zh")(rnd.nextInt(2))
+      (i.toLong, leg, rnd.nextInt(50).toLong + 1)
+    }.toDF("id", "leg", "v").repartition(13)
+    val got = RankOps.runningSumPer(df, "leg", Seq(col("id").asc), "v", "c")
+      .select("leg", "id", "c").as[(String, Long, Long)].collect()
+      .map { case (l, i, c) => (l, i) -> c }.toMap
+    val want = df.withColumn("c", sum("v").over(
+        Window.partitionBy("leg").orderBy(col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("leg", "id", "c").as[(String, Long, Long)].collect()
+      .map { case (l, i, c) => (l, i) -> c }.toMap
+    assert(got == want)
+  }
+
   test("globalRowNumber on empty input returns empty with the rank column") {
     import spark.implicits._
     val df = Seq.empty[(Long, Double)].toDF("id", "score")
