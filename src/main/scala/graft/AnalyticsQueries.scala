@@ -136,10 +136,21 @@ object AnalyticsQueries {
     * q82's shape, and reassembly is row-local). One corpus scan. */
   def q131DecontaminateRewrite(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    decontaminateRewrite(docs.filter(col("doc_id") >= 10),
+      docs.filter(col("doc_id") < 10))
+  }
+
+  /** [[q131DecontaminateRewrite]]'s rule over ARBITRARY frames — the
+    * reusable seam [[graft.CurationRun]]'s rewrite-mode decontaminate
+    * option composes against. `corpus` and `bench` must both carry
+    * (doc_id, text); emits (doc_id, n_chunks, n_removed, text_kept).
+    * Same plan as q131 (suite-sized benchmark broadcast, corpus text
+    * never shuffles). */
+  def decontaminateRewrite(corpus: DataFrame, bench0: DataFrame): DataFrame = {
     val toks = when(length(trim(col("text"))) === 0,
         expr("cast(array() as array<string>)"))
       .otherwise(split(trim(lower(col("text"))), "\\s+"))
-    val withChunks = docs.filter(col("doc_id") >= 10)
+    val withChunks = corpus
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
         when(size(col("t")) === 0, expr("cast(array() as array<string>)"))
@@ -151,7 +162,7 @@ object AnalyticsQueries {
     // a <8-token benchmark doc contributes its whole text as one
     // shingle — which is exactly the chunk a short benchmark doc would
     // leak as); deduplicated before the broadcast
-    val bench = docs.filter(col("doc_id") < 10)
+    val bench = bench0
       .select(explode(array_distinct(gf.shingles(col("text"), 8))).as("c"))
       .distinct()
     val exploded = withChunks

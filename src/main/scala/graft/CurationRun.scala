@@ -14,31 +14,114 @@ import graft.sources.TrainingExport
   *      above [[BandedCorpusThreshold]] documents) decides per
   *      document — exact-fingerprint canon, quality-best cluster
   *      representative, not subsumed by a superset;
-  *   2. the mixture plan ([[CurationQueries.mixtureRatesOf]]) is
+  *   2. OPTIONALLY, benchmark decontamination over the survivors —
+  *      q130's containment DROP rule ([[Decontaminate.Drop]]) or
+  *      q131's span-rewrite ([[Decontaminate.Rewrite]]) — so a
+  *      certified shard export cannot ship eval contamination;
+  *   3. the mixture plan ([[CurationQueries.mixtureRatesOf]]) is
   *      computed over the SURVIVORS — rates from the raw corpus would
   *      re-inflate exactly the sources dedup just trimmed;
-  *   3. [[TrainingExport.exportMixedShards]] realizes the plan
-  *      row-locally into deterministic, certified epoch shards.
+  *   4. [[TrainingExport.exportMixedShards]] realizes the plan
+  *      row-locally into deterministic, certified epoch shards, and
+  *      `_curation.json` lands beside the shard manifest recording
+  *      which verdict path and decontamination rule produced them (a
+  *      release audit reads the pair together).
   *
   * Scale shape: the verdict's keep set is corpus-sized, so it joins the
   * corpus on doc_id (one shuffle — unavoidable for an exact keep list);
-  * everything after is the mixture/export pipeline's documented shape
-  * (broadcast rates, row-local explode, one shard shuffle). Returns the
-  * per-shard manifest; [[TrainingExport.verifyShards]] certifies the
-  * written output independently. */
+  * decontamination adds one broadcast of the suite-sized benchmark
+  * (corpus text never shuffles for it); everything after is the
+  * mixture/export pipeline's documented shape (broadcast rates,
+  * row-local explode, one shard shuffle). Returns the per-shard
+  * manifest; [[TrainingExport.verifyShards]] certifies the written
+  * output independently. */
 object CurationRun {
 
+  /** Benchmark-decontamination modes for [[exportCurated]]. `bench`
+    * must carry (doc_id, text) — the eval suite, dimension-sized. */
+  sealed trait Decontaminate { def bench: DataFrame }
+  object Decontaminate {
+    /** Drop whole documents at containment ≥ 0.8 (q130's GPT-3/Llama-2
+      * rule — [[DedupQueries.benchContainment]]). */
+    final case class Drop(bench: DataFrame) extends Decontaminate
+    /** Cut only the leaked 8-token chunks, keep the rest of the doc
+      * (q131's PaLM/GPT-4 report shape —
+      * [[AnalyticsQueries.decontaminateRewrite]]); a doc whose every
+      * chunk leaked comes out empty and is dropped. */
+    final case class Rewrite(bench: DataFrame) extends Decontaminate
+  }
+
   def exportCurated(s: SparkSession, dir: String, outDir: String,
-      nShards: Int, seed: Long): Seq[TrainingExport.ShardStat] = {
+      nShards: Int, seed: Long): Seq[TrainingExport.ShardStat] =
+    exportCurated(s, dir, outDir, nShards, seed, None)
+
+  def exportCurated(s: SparkSession, dir: String, outDir: String,
+      nShards: Int, seed: Long, decontaminate: Option[Decontaminate])
+      : Seq[TrainingExport.ShardStat] = {
     // pin the survivors ONCE (RankOps convention): the frame is consumed
     // three times — mixture-rate planning, the shard write, and the
     // manifest's stat recompute — and re-running the verdict join (the
     // most expensive stage of the pipeline) per consumer tripled the
     // run; the pinned rows are the post-join (id, text, lang, source)
     // projection, the minimum the export needs anyway
-    val survivors = curatedSurvivors(s, dir).localCheckpoint(true)
+    val (kept, verdictPath) = curatedSurvivorsNamed(s, dir, BandedCorpusThreshold)
+    val dedupSurvivors = kept.localCheckpoint(true)
+    val (survivors, rule) = decontaminate match {
+      case None => (dedupSurvivors, """"rule":"none"""")
+      case Some(Decontaminate.Drop(bench)) =>
+        // the contaminated id set is bounded by true benchmark overlap
+        // (≪ corpus); the anti-join keeps the corpus unshuffled when
+        // AQE broadcasts it, and correct regardless
+        val bad = DedupQueries.benchContainment(dedupSurvivors, bench)
+          .filter(col("contaminated"))
+          .select(col("corpus_doc").as("doc_id")).distinct()
+          .localCheckpoint(true)
+        val nBad = bad.count()
+        val clean = dedupSurvivors
+          .join(graft.operators.DedupOps.gateKnown(bad, nBad), Seq("doc_id"),
+            "left_anti")
+          .localCheckpoint(true)
+        (clean, s""""rule":"drop","threshold":${DedupQueries.BenchContaminated},"dropped":$nBad""")
+      case Some(Decontaminate.Rewrite(bench)) =>
+        val rew = AnalyticsQueries
+          .decontaminateRewrite(dedupSurvivors.select("doc_id", "text"), bench)
+          .filter(col("n_removed") > 0)
+          .select(col("doc_id"), col("text_kept"))
+          .localCheckpoint(true)
+        val nRew = rew.count()
+        val clean = dedupSurvivors
+          .join(graft.operators.DedupOps.gateKnown(rew, nRew), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"),
+            coalesce(col("text_kept"), col("text")).as("text"),
+            col("lang"), col("source"))
+          // a fully-leaked doc rewrites to empty — nothing to train on
+          .filter(length(trim(col("text"))) > 0)
+          .localCheckpoint(true)
+        (clean, s""""rule":"rewrite","chunk_tokens":8,"rewritten":$nRew""")
+    }
     val rates = CurationQueries.mixtureRatesOf(survivors)
-    TrainingExport.exportMixedShards(survivors, rates, outDir, nShards, seed)
+    val stats = TrainingExport.exportMixedShards(survivors, rates, outDir,
+      nShards, seed)
+    writeCurationManifest(outDir,
+      s"""{"verdict":"$verdictPath",$rule}""")
+    stats
+  }
+
+  /** `outDir/_curation.json` — the provenance half of the export
+    * contract (the shard half is `_manifest.json`): which dedup
+    * verdict path ran and which decontamination rule (if any) the
+    * shards were filtered through. Temp-file + rename like the shard
+    * manifest, so a torn write can't masquerade as provenance. */
+  private def writeCurationManifest(outDir: String, body: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(outDir, "_curation.json")
+    val tmp = new Path(outDir, "._curation.json.tmp")
+    val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = efs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (efs.exists(p)) efs.delete(p, false)
+    efs.rename(tmp, p)
   }
 
   /** Above this many documents the verdict rides the BANDED pair source
@@ -61,14 +144,19 @@ object CurationRun {
     curatedSurvivors(s, dir, BandedCorpusThreshold)
 
   private[graft] def curatedSurvivors(s: SparkSession, dir: String,
-      bandedThreshold: Long): DataFrame = {
+      bandedThreshold: Long): DataFrame =
+    curatedSurvivorsNamed(s, dir, bandedThreshold)._1
+
+  private[graft] def curatedSurvivorsNamed(s: SparkSession, dir: String,
+      bandedThreshold: Long): (DataFrame, String) = {
+    val banded = Tables.load(s, dir, "documents").count() > bandedThreshold
     val verdict =
-      if (Tables.load(s, dir, "documents").count() > bandedThreshold)
-        DedupQueries.q124bDedupVerdictBanded(s, dir)
+      if (banded) DedupQueries.q124bDedupVerdictBanded(s, dir)
       else DedupQueries.q124DedupVerdict(s, dir)
     val keep = verdict.filter(col("keep")).select("doc_id")
-    Tables.load(s, dir, "documents")
+    val survivors = Tables.load(s, dir, "documents")
       .join(keep, "doc_id")
       .select("doc_id", "text", "lang", "source")
+    (survivors, if (banded) "banded" else "exact")
   }
 }

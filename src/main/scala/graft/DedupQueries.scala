@@ -496,14 +496,28 @@ object DedupQueries {
     * recompute-over-materialize policy: both branches are one codegen
     * stage over a disjoint doc_id slice). */
   def q130BenchContain(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-    val bench = sh.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("bench_doc"), col("s"))
-    val bn = bench.groupBy("bench_doc").agg(count(lit(1)).as("nb"))
-    sh.filter(col("doc_id") >= 10)
-      .join(broadcast(bench), "s")
+    val docs = t(s, dir, "documents")
+    benchContainment(docs.filter(col("doc_id") >= 10),
+      docs.filter(col("doc_id") < 10))
+  }
+
+  /** [[q130BenchContain]]'s rule over ARBITRARY frames — the reusable
+    * seam [[graft.CurationRun]]'s decontaminate option and the
+    * streaming release gate compose against. `corpus` and `bench` must
+    * both carry (doc_id, text); emits (bench_doc, corpus_doc, n_shared,
+    * containment, contaminated) pairs at C ≥ [[BenchEmit]] with the
+    * verdict at C ≥ [[BenchContaminated]]. Same plan as q130: the
+    * benchmark side is suite-sized and broadcasts (shingles and
+    * per-example sizes both); the corpus filters row-locally and
+    * shuffles only matched pair keys — its text never moves. */
+  def benchContainment(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val cSh = corpus.select(col("doc_id"),
+      explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+    val bSh = bench.select(col("doc_id").as("bench_doc"),
+      explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+    val bn = bSh.groupBy("bench_doc").agg(count(lit(1)).as("nb"))
+    cSh
+      .join(broadcast(bSh), "s")
       .groupBy(col("bench_doc"), col("doc_id").as("corpus_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(bn), "bench_doc")

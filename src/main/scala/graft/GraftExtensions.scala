@@ -59,7 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vector_search"),
       info("vector_search",
         "vector_search(index_path, model_path, query, k[, nprobe]) - " +
-          "pruned IVF top-k over a quantized on-disk index; query is " +
+          "pruned IVF top-k over a quantized on-disk index (parquet or " +
+          "the binary connector layout, auto-detected); query is " +
           "text (noop-embedded) or a float/double array vector"),
       (es: Seq[Expression]) => GraftExtensions.vectorSearchPlan(es)))
     // engine marker: lets a deploy assert the extensions actually loaded
@@ -73,11 +74,17 @@ object GraftExtensions {
 
   /** Build the `vector_search` logical plan: resolve the literal
     * arguments at analysis time, load the (tiny) centroid model, and
-    * return [[graft.index.IvfIndex.searchQuantized]]'s plan — a
-    * partition-pruned scan of exactly the probed lists with the fused
-    * quantized-cosine kernel, then a TakeOrderedAndProject top-k. The
-    * model load is one driver-side read of a k×dim parquet; the search
-    * itself stays fully distributed and pruned. */
+    * return the pruned search plan for WHICHEVER index layout sits at
+    * `index_path` — the binary connector's (detected by its `_dim`
+    * root meta file → [[graft.sources.IvfBinarySource.search]], a DSv2
+    * scan planning only the probed lists) or the quantized parquet
+    * layout ([[graft.index.IvfIndex.searchQuantized]], partition
+    * pruning on centroid_id). Both end in the fused quantized-cosine
+    * kernel and a TakeOrderedAndProject top-k, so SQL callers get the
+    * same plan the Scala APIs produce. The model load is one
+    * driver-side read of a k×dim parquet; the `_dim` sniff is one
+    * existence check against the FS the planner is about to list
+    * anyway; the search itself stays fully distributed and pruned. */
   private[graft] def vectorSearchPlan(es: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.types._
@@ -110,8 +117,16 @@ object GraftExtensions {
     val k = evalLit(3).asInstanceOf[Number].intValue()
     val nprobe =
       if (es.length == 5) evalLit(4).asInstanceOf[Number].intValue() else 1
-    graft.index.IvfIndex.searchQuantized(
-      spark.read.parquet(indexPath), model, "vec_id", "qvec",
-      qvec, k, nprobe).queryExecution.logical
+    val dimMeta = new org.apache.hadoop.fs.Path(indexPath, "_dim")
+    val isBinary = dimMeta
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dimMeta)
+    val search =
+      if (isBinary)
+        graft.sources.IvfBinarySource.search(spark, indexPath, model,
+          qvec, k, nprobe)
+      else graft.index.IvfIndex.searchQuantized(
+        spark.read.parquet(indexPath), model, "vec_id", "qvec",
+        qvec, k, nprobe)
+    search.queryExecution.logical
   }
 }

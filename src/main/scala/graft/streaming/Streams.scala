@@ -531,6 +531,50 @@ object Streams {
       .withColumn("contaminated", col("hits") >= minShared)
       .drop("_sh")
 
+  /** Benchmark-DECONTAMINATION gate on an ingest stream — the streaming
+    * twin of q130 ([[graft.DedupQueries.benchContainment]]), giving
+    * continuous ingest the same release-audit rule the batch export
+    * path applies through [[graft.CurationRun.Decontaminate]]: an
+    * arriving document is contaminated when ≥ 80% of some benchmark
+    * example's distinct shingles appear in it. Where
+    * [[contaminationGate]] is the cheap bloom TRIAGE (absolute shared
+    * count, overcount-bounded, no join), this is the EXACT verdict —
+    * run it on everything when the suite is modest, or behind the
+    * bloom's flagged tail when it is not.
+    *
+    * foreachBatch (the q123 pattern): the per-(bench, arrival)
+    * intersection count is a plain batch aggregate there — a streaming
+    * groupBy would pin every pair key in the state store forever. Per
+    * micro-batch the benchmark side broadcasts (suite-sized, by
+    * construction in benchContainment) and the batch's text never
+    * shuffles; every arrival lands in `outDir` with its worst-case
+    * containment, hit count, and the `contaminated` verdict — the
+    * quarantine split is a downstream filter on that column, so the
+    * audit trail keeps the clean rows' receipts too. Stateless: a
+    * replayed micro-batch gates identically. */
+  def runDecontaminationGate(docsStream: DataFrame, bench: DataFrame,
+      outDir: String, checkpointDir: String): Unit = {
+    val q = docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pairs = graft.DedupQueries.benchContainment(batch, bench)
+        val per = pairs.groupBy(col("corpus_doc").as("doc_id"))
+          .agg(max(col("containment")).as("max_containment"),
+            max(when(col("contaminated"), 1).otherwise(0)).as("_c"),
+            count(lit(1)).as("n_bench_hits"))
+        batch.select("doc_id", "text").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
+            coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+            coalesce(col("_c") === 1, lit(false)).as("contaminated"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   // ---------- windowed aggregation with watermark ----------
 
   /** Tumbling event-time window counts per event type (the streaming twin

@@ -94,4 +94,39 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("cosine_sim"), desc)
   }
+
+  test("vector_search resolves a binary-connector index with list pruning") {
+    import org.apache.spark.sql.functions._
+    // same build as the parquet test, but the index lands in the DSv2
+    // binary layout — the TVF must auto-detect it (root _dim meta) and
+    // plan the connector scan over ONLY the probed lists
+    val dir = java.nio.file.Files.createTempDirectory("sqlbinsearch").toString
+    val (idxDir, modelDir) = (s"$dir/index", s"$dir/model")
+    val emb = Tables.load(spark, SparkSuite.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (assigned, model) = graft.index.IvfIndex.build(
+      emb, "embedding", graft.index.IvfIndex.Params(listSize = 64))
+    graft.sources.IvfBinarySource.write(assigned, "vec_id", "embedding", idxDir)
+    graft.index.IvfIndex.saveModel(spark, model, modelDir)
+
+    val df = spark.sql(
+      s"SELECT * FROM vector_search('$idxDir', '$modelDir', 'needle in a haystack', 5, 2)")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.length == 5)
+    // equals the connector's Scala search API over the same index/model
+    val qv = graft.functions.VectorKernels.dequantize(
+      graft.functions.VectorKernels.noopEmbed(
+        "search_query: needle in a haystack", 64))
+    val expect = graft.sources.IvfBinarySource
+      .search(spark, idxDir, model, qv, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"sql=$got scala=$expect")
+    // the connector scan plans exactly the probed lists
+    val probed = model.probe(qv, 2).sorted
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"lists=[${probed.mkString(",")}]"),
+      s"binary scan not list-pruned to $probed:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not streaming-partial:\n$plan")
+  }
 }

@@ -661,4 +661,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(js.contains(""""check":"in_set(lang)","n_rows":2,"violations":1,"pass":false"""), js)
     assert(js.contains(""""check":"not_null(text)","n_rows":2,"violations":0,"pass":true"""), js)
   }
+
+  test("streaming decontamination gate quarantines a planted leaked arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // eval example: 7 tokens → 5 distinct 3-shingles (the q130 fixture)
+    val benchText = "qq1 qq2 qq3 qq4 qq5 qq6 qq7"
+    val bench = Seq((9000L, benchText)).toDF("doc_id", "text")
+    def leak(id: Long, k: Int): (Long, String) = {
+      val bt = benchText.split(" ").take(k + 2)
+      (id, (bt ++ (1 to 12).map(j => s"u${id}x$j")).mkString(" "))
+    }
+    val out = java.nio.file.Files.createTempDirectory("dgate_out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("dgate_ckpt").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    def drain(): Unit =
+      Streams.runDecontaminationGate(stream, bench, out, ckpt)
+
+    mem.addData(
+      leak(10L, 5), // C = 1.0 → contaminated
+      leak(11L, 4), // C = 0.8 → contaminated (boundary)
+      (12L, (1 to 15).map(j => s"cl12w$j").mkString(" "))) // clean
+    drain()
+    // a later batch gates against the same static suite
+    mem.addData(leak(13L, 3), // C = 0.6 → review band, NOT contaminated
+      (14L, (1 to 15).map(j => s"cl14w$j").mkString(" ")))
+    drain()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L, 14L))
+    assert(got(10L) == ((1.0, 1L, true)))
+    assert(got(11L) == ((0.8, 1L, true)))
+    assert(got(12L) == ((0.0, 0L, false)))
+    assert(got(13L) == ((0.6, 1L, false)))
+    assert(got(14L) == ((0.0, 0L, false)))
+    // the quarantine split is the contaminated filter, receipts intact
+    assert(spark.read.parquet(out).filter(col("contaminated"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+  }
 }
