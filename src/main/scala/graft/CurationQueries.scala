@@ -179,19 +179,20 @@ object CurationQueries {
   }
 
   /** Sequence-packing plan: documents packed in doc_id order into
-    * 2048-token bins, per language (packing is stratified by lang/domain
-    * in practice, which is also exactly what keeps the running-sum window
-    * partitioned — a GLOBAL packing order would serialize on one task).
-    * Bin id = tokens-before-me ÷ capacity, i.e. contiguous fill with
-    * overflow to the next boundary; integer arithmetic end to end. */
+    * [[PackSeqLen]]-token bins, per language. Bin id = tokens-before-me
+    * ÷ capacity, i.e. contiguous fill with overflow to the next
+    * boundary; integer arithmetic end to end. The running offsets ride
+    * the same [[graft.operators.RankOps.runningSumPer]] range-exchange
+    * shape as [[packSequences]] (q132) — a per-language WINDOW would
+    * funnel a mega-language through one task; `PackPlanSpec` pins both
+    * plans. */
   def q59PackPlan(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
+    val narrow = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         gf.token_count(col("text")).cast("long").as("toks"))
-      .withColumn("cum", sum("toks").over(w))
-      .withColumn("bin", expr("(cum - toks) div 2048"))
+    graft.operators.RankOps
+      .runningSumPer(narrow, "lang", Seq(col("doc_id").asc), "toks", "cum")
+      .withColumn("bin", expr(s"(cum - toks) div $PackSeqLen"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("bin_tokens"))
   }
@@ -1059,17 +1060,17 @@ object CurationQueries {
         |  md5(nfc_normalize(aug)) AS nfc_fp
         |FROM a""".stripMargin,
     "q59_pack_plan" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS toks
+        |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS toks
         |  FROM documents),
         |c AS (
         |  SELECT lang, toks,
         |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t)
-        |SELECT lang, CAST((cum - toks) // 2048 AS BIGINT) AS bin,
+        |SELECT lang, CAST((cum - toks) // $PackSeqLen AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
     "q132_pack_sequences" ->

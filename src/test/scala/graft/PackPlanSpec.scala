@@ -49,6 +49,23 @@ class PackPlanSpec extends AnyFunSuite {
       s"expected the (_pid, lang) local prefix-sum window, saw: $wins")
   }
 
+  test("q59PackPlan plan has no corpus-sized lang window either") {
+    val plan = CurationQueries.q59PackPlan(spark, SparkSuite.sf0001)
+    val wins = plan.queryExecution.sparkPlan.collect {
+      case w: WindowExec =>
+        (w.partitionSpec.map(_.sql.replaceAll("`", "")),
+         w.orderSpec.map(_.child.sql.replaceAll("`", "")))
+    }
+    wins.foreach { case (parts, order) =>
+      assert(parts.contains("_pid") || order.forall(_ == "_pid"),
+        s"corpus-sized window crept back into q59: partitionBy=$parts orderBy=$order")
+      assert(!order.contains("doc_id"),
+        s"the banned lang-window running sum is back in q59: orderBy=$order")
+    }
+    assert(wins.exists(_._1.contains("_pid")),
+      s"expected the (_pid, lang) local prefix-sum window in q59, saw: $wins")
+  }
+
   test("packSequences rows match the windowed twin and a brute force") {
     val L = 7L
     val got = CurationQueries.packSequences(fixture, L).collect()
