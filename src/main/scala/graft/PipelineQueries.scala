@@ -125,11 +125,12 @@ object PipelineQueries {
     * fingerprint, min-doc_id wins) → reproducible split (q52's md5
     * nibble). Emits the surviving (doc_id, lang, n_tokens, qscore,
     * split) manifest. Each stage is an already-oracle-checked operator;
-    * this checks the COMPOSITION end-to-end. Dedup keep-one is a window
-    * per fingerprint — groups bounded by duplicate-cluster size, never
-    * a global window; everything else (heuristic gates AND the model
-    * score) is row-local, so the whole manifest is STILL one scan plus
-    * one fingerprint-key shuffle. */
+    * this checks the COMPOSITION end-to-end. Dedup keep-one is a
+    * min_by PARTIAL aggregate per fingerprint (map-side combined — a
+    * viral duplicate's corpus-scale fp group collapses to one row per
+    * task before the shuffle); everything else (heuristic gates AND
+    * the model score) is row-local, so the whole manifest is STILL one
+    * scan plus one fingerprint-key shuffle. */
   def q77CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val gated = graft.CurationQueries.scoreQuality(
         t(s, dir, "documents")
@@ -137,14 +138,21 @@ object PipelineQueries {
             col("lang").isin("en", "es", "de", "zh")))
       .filter(col("keep"))
     val nib = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    // keeper per fingerprint via min_by over the row struct — a PARTIAL
+    // aggregate (one buffered row per fp per task), never a
+    // `min().over(Window.partitionBy(fp))`: a viral duplicate's fp
+    // group is corpus-scale and a window would funnel it — text and
+    // all — through ONE task with no map-side combine and no AQE split
     gated
       .withColumn("fp", md5(lower(trim(col("text")))))
-      .withColumn("keep_id", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("keep_id"))
-      .select(col("doc_id"), col("lang"),
-        gf.token_count(col("text")).as("n_tokens"),
-        col("qscore"),
+      .groupBy("fp")
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("text"), col("qscore")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        gf.token_count(col("r.text")).as("n_tokens"),
+        col("r.qscore").as("qscore"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("qscore"),
         when(nib.isin("c", "d"), "val")
           .when(nib.isin("e", "f"), "test")
           .otherwise("train").as("split"))
@@ -157,9 +165,11 @@ object PipelineQueries {
     * mass moved. Same gate expressions and ordering as q77, so
     * verdict='kept' is exactly q77's manifest membership; the dedup
     * stage judges only docs that survived the earlier gates (a rejected
-    * doc can't be a cluster's keeper). Row-local gates + one
-    * fingerprint-key window over survivors — q77's cost, output
-    * corpus-sized by design (it's per-doc provenance). */
+    * doc can't be a cluster's keeper). Row-local gates + a narrow
+    * per-fp keeper aggregate joined back over survivors (every doc
+    * needs its fp's keeper, so a join is unavoidable — but it streams
+    * and AQE-splits where a window would buffer the hot group) —
+    * output corpus-sized by design (it's per-doc provenance). */
   def q105RejectionReport(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
     val pre = graft.CurationQueries.scoreQuality(docs)
@@ -169,10 +179,15 @@ object PipelineQueries {
           .when(!col("lang").isin("en", "es", "de", "zh"), "lang")
           .when(!col("keep"), "model")
           .otherwise(lit(null).cast("string")))
-    val surv = pre.filter(col("verdict").isNull)
+    // per-fp keeper from a partial aggregate over NARROW (doc_id, fp)
+    // rows, joined back on fp — the join streams a hot fingerprint's
+    // rows and AQE can split its partition, where a window would buffer
+    // the whole viral-duplicate group in one task (q77's rationale)
+    val fps = pre.filter(col("verdict").isNull)
       .withColumn("fp", md5(lower(trim(col("text")))))
-      .withColumn("keep_id", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .select("doc_id", "fp")
+    val surv = fps
+      .join(fps.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
       .select(col("doc_id"),
         when(col("doc_id") =!= col("keep_id"), "duplicate")
           .otherwise("kept").as("verdict"))

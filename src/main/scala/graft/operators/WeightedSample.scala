@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Weighted sampling without replacement, distributed and reproducible.
@@ -10,10 +9,11 @@ import org.apache.spark.sql.functions._
   * domain; this picks the DOCUMENTS): exact-k per group via the
   * Efraimidis-Spirakis one-pass scheme — every row gets the key
   * u^(1/w) with u a seeded-hash uniform in (0,1), and the k largest
-  * keys per group are the sample. One scan, one hash exchange on the
-  * group key for the per-group top-k window; no global sort, no
-  * driver-side state, same result at any partitioning because the key
-  * depends only on (seed, row id, weight).
+  * keys per group are the sample. One scan, a bounded partial top-k
+  * aggregate on the group key (≤ k rows per group per task cross the
+  * wire), and a size-gated winner semi join; no global sort, no
+  * single-task group window, no driver-side state, same result at any
+  * partitioning because the key depends only on (seed, row id, weight).
   *
   * The transcendental key means bit-parity across engines is NOT
   * guaranteed (pow/log differ at ulp level), so this operator is
@@ -40,16 +40,30 @@ object WeightedSample {
 
   /** The k rows with the largest A-ES keys per group — a weighted
     * sample without replacement of size min(k, group size), inclusion
-    * odds rising with weight. `id` must be unique per row (it seeds
-    * the per-row uniform); ties are broken by id for determinism. */
+    * odds rising with weight. `id` must be GLOBALLY unique per row and
+    * castable to long (it seeds the per-row uniform and keys the winner
+    * join); ties are broken by id for determinism.
+    *
+    * Scale shape: the winner set comes from the bounded TopKAgg
+    * ([[graft.functions.gf.top_k_by]] — buffer ≤ k per group per task,
+    * map-side combined), NOT a `row_number().over(partitionBy(group))`
+    * window: the window form shuffles and sorts EVERY row of a group
+    * through one task, so a corpus-scale group (one source holding most
+    * of a crawl) is a single-task cliff. Winners are |groups|·k ids —
+    * size-gated back onto the keyed rows as a semi join. */
   def exactKPerGroup(df: DataFrame, group: Column, id: Column,
                      weight: Column, k: Int, seed: Long): DataFrame = {
-    val w = Window.partitionBy(group)
-      .orderBy(col("_wskey").desc, id.asc)
-    df.withColumn("_wskey", aresKey(id, weight, seed))
+    val keyed = df.withColumn("_wskey", aresKey(id, weight, seed))
       .filter(col("_wskey") >= 0)
-      .withColumn("_wsrank", row_number().over(w))
-      .filter(col("_wsrank") <= k)
-      .drop("_wskey", "_wsrank")
+    val winners = keyed
+      .groupBy(group)
+      .agg(graft.functions.gf.top_k_by(col("_wskey"), id.cast("long"), k)
+        .as("_tk"))
+      .select(explode(col("_tk")).as("_w"))
+      .select(col("_w._2").as("_wsid"))
+    keyed
+      .join(graft.operators.DedupOps.gateBroadcast(winners),
+        id.cast("long") === col("_wsid"), "left_semi")
+      .drop("_wskey")
   }
 }

@@ -28,6 +28,31 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(b != a, "a different seed should move the sample")
   }
 
+  test("the sampler never windows over a group: bounded aggregate + semi join") {
+    // a corpus-scale group must not funnel through one task's sort —
+    // the winner set comes from the partial TopKAgg, so the plan has
+    // NO WindowExec at all (and the aggregate runs partial+final)
+    val plan = WeightedSample
+      .exactKPerGroup(pop, col("grp"), col("id"), col("w"), 10, seed = 2)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, s"group window crept back:\n$plan")
+    // the winner set is gateBroadcast-pinned before the join, so its
+    // aggregate runs in its own query — pin the partial+final modes on
+    // the same TopKAgg shape the sampler builds
+    val aggPlan = pop
+      .groupBy("grp")
+      .agg(graft.functions.gf.top_k_by(col("w"), col("id"), 10).as("_tk"))
+      .queryExecution.sparkPlan
+    val modes = aggPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.map(_.mode.toString)
+    }.flatten
+    assert(modes.contains("Partial") && modes.contains("Final"),
+      s"top-k must partial-aggregate map-side, saw: $modes")
+  }
+
   test("partitioning does not change the sample") {
     val shuffled = pop.repartition(17, col("id"))
     val a = WeightedSample
