@@ -9,16 +9,17 @@ import org.apache.spark.sql.types._
   * Design for a 100 TB training-data lake: media lives as opaque `binary`
   * columns next to typed metadata, decode/feature steps are partition-local
   * batch transforms (mapPartitions — the JVM analogue of mapInPandas batch
-  * UDFs), and nothing ever collects to the driver. Audio/video decoding is
-  * STUBBED — this container ships no such codecs — behind a deterministic
-  * header format, so the Spark-side plumbing (schema, batching,
-  * partitioning, frame sampling, embedding hand-off) is real and testable.
-  * IMAGES prove the seam for real: PNG/BMP blobs dispatch to
-  * javax.imageio (a codec the JDK itself ships) inside the SAME
-  * [[MediaKernels.decodeMeta]]/[[MediaKernels.resize]]/
-  * [[MediaKernels.perceptualHash]] kernels — identical signatures,
-  * identical plans (`MultimodalSpec`), so swapping in ffmpeg-class codecs
-  * for the remaining kinds is a dispatch case, not a redesign.
+  * UDFs), and nothing ever collects to the driver. Every media kind now has
+  * a REAL JDK-codec path inside the SAME kernels: PNG/BMP through
+  * javax.imageio, WAV through javax.sound.sampled, and MJPEG-in-AVI video
+  * through a ~40-line RIFF walk whose frames are plain JPEGs (imageio
+  * again) — identical signatures, identical plans (`MultimodalSpec`), so
+  * swapping in ffmpeg-class codecs for the long-tail formats (H.264, MP3,
+  * …: no JDK codec exists) is a dispatch case, not a redesign. Blobs in
+  * those formats — and all synthetic test volume — ride the deterministic
+  * GMM1 stub header, which keeps the Spark-side plumbing (schema,
+  * batching, partitioning, frame sampling, embedding hand-off) exercised
+  * at any scale without native codecs.
   */
 object MediaKernels {
 
@@ -84,6 +85,47 @@ object MediaKernels {
     b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
   private def isRealWav(b: Array[Byte], real: Boolean): Boolean = real && isWav(b)
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+  private def isRealAvi(b: Array[Byte], real: Boolean): Boolean = real && isAvi(b)
+
+  /** Parsed MJPEG-in-AVI: (width, height, usPerFrame, totalFrames,
+    * per-frame JPEG byte arrays). The RIFF container is ~40 lines of
+    * little-endian chunk walking, and MJPEG frames are PLAIN JPEGs —
+    * which javax.imageio decodes — so this is the one video format the
+    * bare JDK can honestly take end to end (the dispatch-case swap the
+    * image/WAV paths already prove; anything ffmpeg-class stays the
+    * documented stub). Tolerant of missing idx1 and of the common
+    * '00dc'/'00db' stream ids; other stream chunks are skipped. */
+  private def readAvi(b: Array[Byte])
+      : (Int, Int, Long, Long, Array[Array[Byte]]) = {
+    def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    var w = 0; var h = 0; var usPerFrame = 0L; var total = 0L
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fourcc(off)
+        val sz = u32(off + 4).toInt
+        val dataStart = off + 8
+        val dataEnd = math.min(dataStart.toLong + sz, to.toLong).toInt
+        if (id == "LIST" || id == "RIFF") walk(dataStart + 4, dataEnd)
+        else if (id == "avih" && sz >= 40) {
+          usPerFrame = u32(dataStart)
+          total = u32(dataStart + 16)
+          w = u32(dataStart + 32).toInt
+          h = u32(dataStart + 36).toInt
+        } else if ((id.endsWith("dc") || id.endsWith("db")) && sz > 0)
+          frames += java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
+        off = dataStart + sz + (sz & 1)
+      }
+    }
+    walk(12, math.min(b.length.toLong, 8L + u32(4)).toInt)
+    (w, h, usPerFrame, total, frames.toArray)
+  }
 
   private def readImage(b: Array[Byte]): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
@@ -119,11 +161,12 @@ object MediaKernels {
       out
     } else pcm.map(b => (b & 0xff).toDouble)
 
-  /** Decoder: GMM1-stub blobs parse the deterministic header (the
-    * container has no video codecs — honestly stubbed); PNG/BMP blobs
-    * decode through javax.imageio and WAV through javax.sound.sampled —
-    * REAL codecs, same signature, same plan shape, proving the
-    * production swap is local to this dispatch. */
+  /** Decoder: GMM1-stub blobs parse the deterministic header; PNG/BMP
+    * blobs decode through javax.imageio, WAV through
+    * javax.sound.sampled, and MJPEG-AVI video through the RIFF walk +
+    * imageio — REAL codecs for all three kinds, same signature, same
+    * plan shape, proving the production swap is local to this
+    * dispatch. */
   def decodeMeta(bytes: Array[Byte], real: Boolean = RealCodecs): Meta = {
     if (isRealImage(bytes, real)) {
       val img = readImage(bytes)
@@ -134,6 +177,12 @@ object MediaKernels {
       val frames = pcm.length / math.max(fmt.getFrameSize, 1)
       return Meta("audio", 0, 0, fmt.getSampleRate.toInt,
         (frames * 1000L) / math.max(fmt.getSampleRate.toLong, 1L))
+    }
+    if (isRealAvi(bytes, real)) {
+      // sampleRate carries FPS — the frame stream's sampling rate
+      val (w, h, usPf, total, _) = readAvi(bytes)
+      val fps = if (usPf > 0) (1000000L / usPf).toInt else 0
+      return Meta("video", w, h, fps, total * usPf / 1000L)
     }
     require(bytes.length >= HEADER_LEN, "truncated media blob")
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -148,8 +197,8 @@ object MediaKernels {
     * exercised. */
   def resize(bytes: Array[Byte], w: Int, h: Int,
       real: Boolean = RealCodecs): Array[Byte] = {
-    require(!isRealWav(bytes, real),
-      "resize is an image/stub operation; sample audio with frameSample")
+    require(!isRealWav(bytes, real) && !isRealAvi(bytes, real),
+      "resize is an image/stub operation; sample audio/video with frameSample")
     if (isRealImage(bytes, real)) {
       val src = readImage(bytes)
       val dst = new java.awt.image.BufferedImage(w, h,
@@ -178,6 +227,13 @@ object MediaKernels {
     * Partition-local, no shuffle. */
   def frameSample(bytes: Array[Byte], frameLen: Int, everyN: Int,
       real: Boolean = RealCodecs): Array[Array[Byte]] = {
+    // AVI frames have REAL boundaries (one JPEG per '..dc' chunk), so
+    // the video path samples whole frames and frameLen is ignored —
+    // the byte-window convention only exists for boundary-less streams
+    if (isRealAvi(bytes, real)) {
+      val frames = readAvi(bytes)._5
+      return (0 until frames.length by everyN).map(frames(_)).toArray
+    }
     val payload =
       if (isRealWav(bytes, real)) readWav(bytes)._2
       else java.util.Arrays.copyOfRange(bytes, HEADER_LEN, bytes.length)
@@ -202,7 +258,27 @@ object MediaKernels {
     * media land within a small hamming radius, unrelated media at ~32. */
   def perceptualHash(bytes: Array[Byte], real: Boolean = RealCodecs): Long =
     if (isRealImage(bytes, real)) phashOfBlocks(lumaBlockMeans(readImage(bytes)))
-    else if (isRealWav(bytes, real)) {
+    else if (isRealAvi(bytes, real)) {
+      // video "plane": the TEMPORAL-MEAN luma of ≤ 8 evenly-spaced
+      // decoded frames feeds the same DCT/median tail — the video
+      // analogue of the audio path's phase-blind spectrogram (frame
+      // averaging is shift-tolerant the way magnitudes are phase-blind:
+      // a re-encode or a dropped frame perturbs the mean plane
+      // slightly, it doesn't realign every bit)
+      val frames = readAvi(bytes)._5
+      require(frames.nonEmpty, "AVI carries no video frames")
+      val step = math.max(1, frames.length / 8)
+      val picked = frames.indices.by(step).take(8)
+      val acc = new Array[Double](1024)
+      picked.foreach { i =>
+        val g = lumaBlockMeans(readImage(frames(i)))
+        var c = 0
+        while (c < 1024) { acc(c) += g(c); c += 1 }
+      }
+      var c = 0
+      while (c < 1024) { acc(c) /= picked.length; c += 1 }
+      phashOfBlocks(acc)
+    } else if (isRealWav(bytes, real)) {
       // audio "plane": a 32×32 log-magnitude spectrogram (32 time
       // windows × 32 DFT bins, skipping DC) feeds the SAME DCT/median
       // tail as the image path. Raw amplitude block-means would alias a
@@ -365,6 +441,10 @@ object MediaKernels {
       real: Boolean = RealCodecs): Array[Float] = {
     val (payload, off) =
       if (isRealWav(bytes, real)) (readWav(bytes)._2, 0)
+      // video hashes its DECODED frame stream (concatenated JPEG frame
+      // bytes — what a real video encoder would tokenize), not the
+      // container headers
+      else if (isRealAvi(bytes, real)) (readAvi(bytes)._5.flatten, 0)
       else (bytes, HEADER_LEN)
     var h = 0xcbf29ce484222325L
     var i = off

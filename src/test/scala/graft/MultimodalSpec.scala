@@ -263,4 +263,102 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(a, aNoisy) <= 6, s"noise moved the audio hash ${ham(a, aNoisy)} bits")
     assert(ham(a, b) >= 16, s"different tones only ${ham(a, b)} bits apart")
   }
+
+  /** One JPEG frame: the realPng gradient+box scene with the box
+    * drifting by `t` (a plausible "moving object"), optionally
+    * noise-perturbed, encoded through the JDK's JPEG writer. */
+  private def jpegFrame(w: Int, h: Int, t: Int, noiseSeed: Long = 0L,
+      invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var st = noiseSeed
+    for (x <- 0 until w; y <- 0 until h) {
+      val noise = if (noiseSeed == 0L) 0
+      else {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ((st >>> 60) & 0x3).toInt
+      }
+      val base = (x * 255 / w + y * 255 / h) / 2 + noise
+      val bx = (w / 4 + t) % w
+      val inBox = x > bx && x < bx + w / 4 && y > h / 4 && y < h / 2
+      val v0 = math.min(255, if (inBox) 255 - base else base)
+      val v = if (invert) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** A real MJPEG-in-AVI blob: minimal RIFF container (hdrl{avih,
+    * strl{strh,strf}} + movi{00dc…}) around JDK-encoded JPEG frames —
+    * the one video format the bare JVM can produce AND decode. */
+  private def realAvi(w: Int, h: Int, nFrames: Int, fps: Int,
+      noiseSeed: Long = 0L, invert: Boolean = false): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ u32(data.length.toLong) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ u32(body.length + 4L) ++
+        typ.getBytes("US-ASCII") ++ body
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(0, 1000000 / fps) // dwMicroSecPerFrame
+    avih.putInt(16, nFrames)      // dwTotalFrames
+    avih.putInt(32, w)            // dwWidth
+    avih.putInt(36, h)            // dwHeight
+    val frames = (0 until nFrames)
+      .map(t => jpegFrame(w, h, t * 4, noiseSeed, invert))
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+      list("strl", chunk("strh", new Array[Byte](56)) ++
+        chunk("strf", new Array[Byte](40))))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
+  }
+
+  test("real MJPEG-AVI decodes, frame-samples, and embeds through the SAME plan as stub blobs") {
+    import spark.implicits._
+    val avi = realAvi(96, 64, nFrames = 6, fps = 10)
+    val df = Seq((1L, avi)).toDF("media_id", "bytes")
+      .select(col("media_id"), mm.decode_meta(col("bytes")).as("meta"),
+        mm.frame_sample(col("bytes"), lit(0), lit(2)).as("frames"),
+        mm.media_embed(col("bytes"), 16).as("emb"))
+    val r = df.collect()(0)
+    val meta = r.getStruct(1)
+    // real codec path: the RIFF walk reads true dims/fps/duration
+    assert(meta.getString(0) == "video")
+    assert(meta.getInt(1) == 96 && meta.getInt(2) == 64)
+    assert(meta.getInt(3) == 10, s"fps ${meta.getInt(3)}")
+    assert(meta.getLong(4) == 600L, s"duration ${meta.getLong(4)}")
+    // frame sampling respects REAL frame boundaries: every 2nd of 6,
+    // and each sampled frame is itself a decodable JPEG
+    val frames = r.getSeq[Array[Byte]](2)
+    assert(frames.length == 3)
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 96 && img.getHeight == 64)
+    }
+    assert(r.getSeq[Float](3).length == 16)
+    // and the stub path is untouched through the same expressions
+    val stub = Seq((2L, MediaKernels.synthesize(9L, 2, 512))).toDF("media_id", "bytes")
+      .select(mm.decode_meta(col("bytes")).as("meta")).collect()(0).getStruct(0)
+    assert(stub.getString(0) == "video" && stub.getLong(4) > 0L)
+  }
+
+  test("real-video perceptual hash: stable under pixel noise, far from inverted footage") {
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val a = MediaKernels.perceptualHash(realAvi(128, 128, 8, 10))
+    val a2 = MediaKernels.perceptualHash(realAvi(128, 128, 8, 10))
+    val aNoisy = MediaKernels.perceptualHash(
+      realAvi(128, 128, 8, 10, noiseSeed = 99L))
+    val b = MediaKernels.perceptualHash(
+      realAvi(128, 128, 8, 10, invert = true))
+    assert(a == a2, "not deterministic")
+    assert(ham(a, aNoisy) <= 6, s"noise moved the video hash ${ham(a, aNoisy)} bits")
+    assert(ham(a, b) >= 16, s"inverted footage only ${ham(a, b)} bits apart")
+  }
 }
