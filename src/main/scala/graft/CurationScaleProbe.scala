@@ -19,12 +19,21 @@ import org.apache.spark.sql.SparkSession
   * mixture plan's expectation over the survivors, and verifyShards must
   * certify every shard clean.
   *
-  * Usage: runMain graft.CurationScaleProbe [nDocs] [nShards]
+  * With a third argument `nBench > 0`, the run additionally plants an
+  * nBench-example benchmark suite AS real leaks (every ~(n/nBench)th
+  * document's text becomes an eval example — DecontScaleProbe's
+  * scheme) and exports through
+  * `decontaminate = Decontaminate.Drop(bench)`: the composed
+  * raw-corpus → decontaminated-certified-shards number, with the
+  * planted-leak absence asserted against the written shards.
+  *
+  * Usage: runMain graft.CurationScaleProbe [nDocs] [nShards] [nBench]
   */
 object CurationScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 10000000L
     val shards = if (args.length > 1) args(1).toInt else 64
+    val nBench = if (args.length > 2) args(2).toLong else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,11 +46,27 @@ object CurationScaleProbe {
     val genSec = DedupScaleProbe.writePlantedCorpus(spark, n, cpus.toInt, dir)
     System.err.println(f"[probe] gen     $genSec%8.1f s")
 
-    // the one-call path, timed end to end (verdict join + mixture plan +
-    // shard write + manifest)
+    // optional planted benchmark suite (nBench > 0): the decontaminate
+    // leg rides INSIDE the timed one-call path below
+    import org.apache.spark.sql.functions._
+    val bench =
+      if (nBench <= 0) None
+      else {
+        val stride = math.max(1L, n / nBench)
+        val b = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % stride === 3 && col("doc_id") % 10 =!= 9)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+          .localCheckpoint(true)
+        System.err.println(s"[probe] bench examples=${b.count()}")
+        Some(b)
+      }
+
+    // the one-call path, timed end to end (verdict join [+ benchmark
+    // decontamination] + mixture plan + shard write + manifest)
     val outDir = s"$dir/export"
     var t0 = System.nanoTime()
-    val manifest = CurationRun.exportCurated(spark, dir, outDir, shards, seed = 1L)
+    val manifest = CurationRun.exportCurated(spark, dir, outDir, shards,
+      seed = 1L, decontaminate = bench.map(CurationRun.Decontaminate.Drop))
     val exportSec = (System.nanoTime() - t0) / 1e9
     val rows = manifest.map(_.rows).sum
     val tokens = manifest.map(_.tokens).sum
@@ -55,6 +80,18 @@ object CurationScaleProbe {
     val verifySec = (System.nanoTime() - t0) / 1e9
     require(bad.isEmpty, s"verifyShards flagged shards: $bad")
     System.err.println(f"[probe] certify $verifySec%8.1f s  shards=${manifest.size}")
+
+    // decontamination assertion: not one planted leak source reaches
+    // the written shards (leak membership is pure id arithmetic, so the
+    // check survives the block-manager cooldown above)
+    if (nBench > 0) {
+      val stride = math.max(1L, n / nBench)
+      val shippedLeaks = spark.read.parquet(outDir).select("doc_id").distinct()
+        .filter(col("doc_id") % stride === 3 && col("doc_id") % 10 =!= 9)
+        .count()
+      require(shippedLeaks == 0, s"$shippedLeaks planted leaked docs shipped")
+      System.err.println(s"[probe] decont  0 planted leaks shipped")
+    }
 
     // untimed truth: the survivor count (re-runs the verdict — outside
     // the headline timing on purpose; the timed path already contains it)
@@ -83,7 +120,7 @@ object CurationScaleProbe {
     require(rows > survivors * 45 / 100 && rows < survivors * 55 / 100,
       s"exported $rows rows from $survivors survivors — mixture plan drifted")
 
-    println(s"""{"probe":"curation_e2e","n_docs":$n,"n_shards":$shards,""" +
+    println(s"""{"probe":"curation_e2e","n_docs":$n,"n_shards":$shards,"n_bench":$nBench,""" +
       s""""gen_sec":$genSec,"curate_export_sec":$exportSec,""" +
       s""""export_rows":$rows,"export_tokens":$tokens,""" +
       s""""verify_sec":$verifySec,"survivors":$survivors}""")
