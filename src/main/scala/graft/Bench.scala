@@ -69,7 +69,11 @@ object Bench {
     // like-for-like subtotal over the PREVIOUS round's query set (short
     // keys, BENCH_r09): new queries land in `value` but not here, so
     // round-over-round comparison stops requiring judge-side arithmetic.
-    // Update the set each round the registry grows.
+    // Update the set each round the registry grows. The subtotal is
+    // only meaningful when every prev-set query actually RAN — a broken
+    // query would silently read as a speedup — so emit null (and let
+    // the errors array name the breakage) when any of them failed.
+    val prevComplete = !failed.exists(k => PrevRoundKeys(k.takeWhile(_ != '_')))
     val commonPrev = results
       .filter { case (k, _) => PrevRoundKeys(k.takeWhile(_ != '_')) }
       .map(_._2).sum
@@ -94,7 +98,8 @@ object Bench {
       val errs =
         if (failed.isEmpty) ""
         else failed.map("\"" + qkey(_) + "\"").mkString(""","errors":[""", ",", "]")
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","common_prev_total":${sec3(commonPrev)},"queries":$qs,"micro":$ms$errs,"sf":"$sfDir"}"""
+      val cpt = if (prevComplete) sec3(commonPrev) else "null"
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","common_prev_total":$cpt,"queries":$qs,"micro":$ms$errs,"sf":"$sfDir"}"""
     }
     // "q01_pricing_summary" -> "q01" keeps the line parseable if long;
     // the key is the full first underscore segment, NOT a fixed-width

@@ -81,6 +81,12 @@ object CurationRun {
           .join(graft.operators.DedupOps.gateKnown(bad, nBad), Seq("doc_id"),
             "left_anti")
           .localCheckpoint(true)
+        // the corpus-scale survivor pin (and the id pin) are dead once
+        // `clean` is materialized — release them or they sit beside it
+        // through mixture/export, the documented AGGREGATE_OOM regime
+        // at 10M-doc scale (DedupOps.releaseCheckpoint scaladoc)
+        graft.operators.DedupOps.releaseCheckpoint(dedupSurvivors)
+        graft.operators.DedupOps.releaseCheckpoint(bad)
         (clean, s""""rule":"drop","threshold":${DedupQueries.BenchContaminated},"dropped":$nBad""")
       case Some(Decontaminate.Rewrite(bench)) =>
         val rew = AnalyticsQueries
@@ -98,6 +104,9 @@ object CurationRun {
           // a fully-leaked doc rewrites to empty — nothing to train on
           .filter(length(trim(col("text"))) > 0)
           .localCheckpoint(true)
+        // release the superseded pins (see the Drop branch)
+        graft.operators.DedupOps.releaseCheckpoint(dedupSurvivors)
+        graft.operators.DedupOps.releaseCheckpoint(rew)
         (clean, s""""rule":"rewrite","chunk_tokens":8,"rewritten":$nRew""")
     }
     val rates = CurationQueries.mixtureRatesOf(survivors)

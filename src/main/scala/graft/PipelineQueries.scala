@@ -186,8 +186,13 @@ object PipelineQueries {
     val fps = pre.filter(col("verdict").isNull)
       .withColumn("fp", md5(lower(trim(col("text")))))
       .select("doc_id", "fp")
+    // null-SAFE fp equality: a null-text doc has fp = NULL, and the
+    // report's contract is EVERY document's verdict — groupBy keeps the
+    // null group (like the window form did), so the join back must too
     val surv = fps
-      .join(fps.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
+      .join(fps.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+          .withColumnRenamed("fp", "_fpk"),
+        col("fp") <=> col("_fpk"))
       .select(col("doc_id"),
         when(col("doc_id") =!= col("keep_id"), "duplicate")
           .otherwise("kept").as("verdict"))

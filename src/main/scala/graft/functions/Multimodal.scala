@@ -109,9 +109,16 @@ object MediaKernels {
       var off = from
       while (off + 8 <= to) {
         val id = fourcc(off)
-        val sz = u32(off + 4).toInt
+        // size as UNSIGNED long, clamped to the enclosing span: a
+        // corrupt/adversarial size field (negative after .toInt, or
+        // larger than the file) must neither step `off` backwards —
+        // an infinite loop wedging the executor, not an exception —
+        // nor overflow the copy bounds. Clamping degrades a corrupt
+        // chunk to "rest of span", and the even-padding +8 below
+        // guarantees strict forward progress either way.
+        val sz = math.min(u32(off + 4), (to - off - 8).toLong)
         val dataStart = off + 8
-        val dataEnd = math.min(dataStart.toLong + sz, to.toLong).toInt
+        val dataEnd = (dataStart + sz).toInt
         if (id == "LIST" || id == "RIFF") walk(dataStart + 4, dataEnd)
         else if (id == "avih" && sz >= 40) {
           usPerFrame = u32(dataStart)
@@ -120,7 +127,7 @@ object MediaKernels {
           h = u32(dataStart + 36).toInt
         } else if ((id.endsWith("dc") || id.endsWith("db")) && sz > 0)
           frames += java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
-        off = dataStart + sz + (sz & 1)
+        off = dataStart + (sz + (sz & 1)).toInt
       }
     }
     walk(12, math.min(b.length.toLong, 8L + u32(4)).toInt)
@@ -266,18 +273,25 @@ object MediaKernels {
       // a re-encode or a dropped frame perturbs the mean plane
       // slightly, it doesn't realign every bit)
       val frames = readAvi(bytes)._5
-      require(frames.nonEmpty, "AVI carries no video frames")
-      val step = math.max(1, frames.length / 8)
-      val picked = frames.indices.by(step).take(8)
-      val acc = new Array[Double](1024)
-      picked.foreach { i =>
-        val g = lumaBlockMeans(readImage(frames(i)))
+      // a frame-less AVI (audio-only, or foreign stream ids) is media
+      // decodeMeta ACCEPTS, so hashing it must not kill the task: all
+      // such blobs share the deterministic zero-plane sentinel hash
+      // ("no video content" is one equivalence class, which is the
+      // honest answer for a content hash)
+      if (frames.isEmpty) phashOfBlocks(new Array[Double](1024))
+      else {
+        val step = math.max(1, frames.length / 8)
+        val picked = frames.indices.by(step).take(8)
+        val acc = new Array[Double](1024)
+        picked.foreach { i =>
+          val g = lumaBlockMeans(readImage(frames(i)))
+          var c = 0
+          while (c < 1024) { acc(c) += g(c); c += 1 }
+        }
         var c = 0
-        while (c < 1024) { acc(c) += g(c); c += 1 }
+        while (c < 1024) { acc(c) /= picked.length; c += 1 }
+        phashOfBlocks(acc)
       }
-      var c = 0
-      while (c < 1024) { acc(c) /= picked.length; c += 1 }
-      phashOfBlocks(acc)
     } else if (isRealWav(bytes, real)) {
       // audio "plane": a 32×32 log-magnitude spectrogram (32 time
       // windows × 32 DFT bins, skipping DC) feeds the SAME DCT/median

@@ -110,11 +110,17 @@ object RankOps {
         coalesce(sum("_cnt").over(Window.partitionBy(legCol)
           .orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("_pid"), col(legCol), col("_base"), col("_off"))
+      .select(col("_pid").as("_pidO"), col(legCol).as("_legO"),
+        col("_base"), col("_off"))
+    // null-SAFE leg equality: groupBy (like Window.partitionBy and SQL
+    // PARTITION BY) treats NULL as one ordinary group, so the join back
+    // must too — a plain using-join would silently DROP every null-leg
+    // row (EqualTo(null, null) is null, not true)
     ranged
-      .join(broadcast(offsets), Seq("_pid", legCol))
+      .join(broadcast(offsets),
+        col("_pid") === col("_pidO") && col(legCol) <=> col("_legO"))
       .withColumn(rankCol, col("_mono") - col("_base") + col("_off") + 1)
-      .drop("_pid", "_mono", "_base", "_off")
+      .drop("_pid", "_pidO", "_legO", "_mono", "_base", "_off")
   }
 
   /** Appends `outCol` = the inclusive running sum of `valCol` under
@@ -150,15 +156,18 @@ object RankOps {
         coalesce(sum("_s").over(Window.partitionBy(legCol)
           .orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("_pid"), col(legCol), col("_off"))
+      .select(col("_pid").as("_pidO"), col(legCol).as("_legO"), col("_off"))
     // local accumulation: the window partitions on (_pid, leg), so its
     // groups are partition-sized by construction (see scaladoc above)
     val local = Window.partitionBy(col("_pid"), col(legCol))
       .orderBy(col("_mono"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe leg equality — same rationale as globalRowNumberPer:
+    // a using-join would drop null-leg rows the window forms keep
     ranged
-      .join(broadcast(offsets), Seq("_pid", legCol))
+      .join(broadcast(offsets),
+        col("_pid") === col("_pidO") && col(legCol) <=> col("_legO"))
       .withColumn(outCol, sum(valCol).over(local) + col("_off"))
-      .drop("_pid", "_mono", "_off")
+      .drop("_pid", "_pidO", "_legO", "_mono", "_off")
   }
 }

@@ -53,6 +53,15 @@ object WeightedSample {
     * size-gated back onto the keyed rows as a semi join. */
   def exactKPerGroup(df: DataFrame, group: Column, id: Column,
                      weight: Column, k: Int, seed: Long): DataFrame = {
+    // fail FAST on ids the winner join can't key losslessly: a string
+    // id casts to null (sample silently EMPTY) and a fractional double
+    // collides under the cast (wrong rows pulled through the semi
+    // join) — both are silent wrongness, so reject them here
+    val idType = df.select(id).schema.head.dataType
+    require(Seq("long", "integer", "short", "byte")
+        .contains(idType.typeName),
+      s"exactKPerGroup needs an integral row id (got $idType): the " +
+        "winner semi join keys on id cast to long")
     val keyed = df.withColumn("_wskey", aresKey(id, weight, seed))
       .filter(col("_wskey") >= 0)
     val winners = keyed

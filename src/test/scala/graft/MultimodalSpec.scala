@@ -361,4 +361,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(a, aNoisy) <= 6, s"noise moved the video hash ${ham(a, aNoisy)} bits")
     assert(ham(a, b) >= 16, s"inverted footage only ${ham(a, b)} bits apart")
   }
+
+  test("corrupt AVI chunk sizes terminate (no executor hang) and frame-less AVIs hash") {
+    // a chunk size of 0xFFFFFFF8 truncated to Int is -8: the naive walk
+    // would never advance `off` and wedge the task forever — the reader
+    // clamps sizes to the enclosing span and must always terminate
+    val good = realAvi(32, 32, 2, 10)
+    val corrupt = good.clone()
+    // find the first '00dc' chunk and poison its size field
+    val idx = (0 until corrupt.length - 4).find(i =>
+      corrupt(i) == '0' && corrupt(i + 1) == '0' &&
+        corrupt(i + 2) == 'd' && corrupt(i + 3) == 'c').get
+    corrupt(idx + 4) = 0xf8.toByte
+    corrupt(idx + 5) = 0xff.toByte
+    corrupt(idx + 6) = 0xff.toByte
+    corrupt(idx + 7) = 0xff.toByte
+    val m = MediaKernels.decodeMeta(corrupt) // must return, not hang
+    assert(m.kind == "video")
+    // the poisoned frame degrades (clamped to rest-of-span) but the
+    // kernels stay total: sampling and hashing return rather than throw
+    assert(MediaKernels.frameSample(corrupt, 0, 1) != null)
+
+    // an AVI with zero video frames is media decodeMeta accepts, so the
+    // content hash must not kill the task: all such blobs share the
+    // deterministic zero-plane sentinel
+    def u32b(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(0, 100000).putInt(16, 0).putInt(32, 16).putInt(36, 16)
+    val hdrl = "LIST".getBytes ++ u32b(4 + 8 + 56) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ u32b(56) ++ avih.array()
+    val movi = "LIST".getBytes ++ u32b(4) ++ "movi".getBytes
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    val empty = "RIFF".getBytes ++ u32b(body.length.toLong) ++ body
+    assert(MediaKernels.decodeMeta(empty).kind == "video")
+    val h1 = MediaKernels.perceptualHash(empty)
+    assert(h1 == MediaKernels.perceptualHash(empty), "sentinel not stable")
+    assert(MediaKernels.frameSample(empty, 0, 1).isEmpty)
+  }
 }

@@ -41,4 +41,37 @@ class NullInputSpec extends AnyFunSuite {
       assert(rows != null)
     }
   }
+
+  test("q105 reports a verdict for EVERY doc, null-text/null-fp included") {
+    // a null-text doc passes the gate chain (every `when` evaluates to
+    // null, not true) and lands in the dedup stage with fp = NULL — the
+    // keeper join must be null-safe or the doc silently vanishes from a
+    // report whose contract is per-document provenance
+    val docs = Tables.load(spark, nulledDir, "documents")
+    val n = docs.count()
+    val report = PipelineQueries.q105RejectionReport(spark, nulledDir)
+    assert(report.count() == n,
+      "the rejection report must carry exactly one verdict per document")
+    assert(report.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("q59/q132 pack offsets keep null-lang docs (null-safe leg join)") {
+    // groupBy/PARTITION BY treat NULL as an ordinary group; the
+    // range-exchange prefix sum's join-back must too (a using-join
+    // drops null keys) — token conservation is the detector
+    val docs = Tables.load(spark, nulledDir, "documents")
+    val corpusToks = docs
+      .select(size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+      .filter(col("n") > 0 && col("n").isNotNull)
+      .agg(sum("n")).head().getLong(0)
+    val packed = CurationQueries.packSequences(docs, 64L)
+    val packedToks = packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(corpusToks == packedToks,
+      s"token loss across packing: corpus=$corpusToks packed=$packedToks")
+    assert(packed.filter(col("lang").isNull).count() > 0,
+      "the null-lang leg must appear in the packed output")
+    val plan = CurationQueries.q59PackPlan(spark, nulledDir)
+    assert(plan.filter(col("lang").isNull).agg(sum("n_docs")).head().getLong(0) > 0,
+      "q59 must plan bins for the null-lang leg")
+  }
 }

@@ -86,6 +86,23 @@ class RankOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("per-leg ops keep NULL legs, matching the window forms") {
+    import spark.implicits._
+    // Window.partitionBy (and SQL PARTITION BY) treat NULL as one
+    // ordinary partition; the join-back must be null-safe or every
+    // null-leg row silently vanishes
+    val df = Seq((1L, Some("a"), 3L), (2L, None, 5L), (3L, Some("a"), 2L),
+        (4L, None, 7L), (5L, Some("b"), 1L))
+      .toDF("id", "leg", "v").repartition(3)
+    val gotSum = RankOps.runningSumPer(df, "leg", Seq(col("id").asc), "v", "c")
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    assert(gotSum == Map(1L -> 3L, 2L -> 5L, 3L -> 5L, 4L -> 12L, 5L -> 1L))
+    val gotRank = RankOps.globalRowNumberPer(df, "leg",
+        Seq(col("id").asc), "r")
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(gotRank == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("globalRowNumber on empty input returns empty with the rank column") {
     import spark.implicits._
     val df = Seq.empty[(Long, Double)].toDF("id", "score")

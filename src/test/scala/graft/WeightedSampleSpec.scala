@@ -53,6 +53,18 @@ class WeightedSampleSpec extends AnyFunSuite {
       s"top-k must partial-aggregate map-side, saw: $modes")
   }
 
+  test("non-integral row ids are rejected fast, not silently mis-sampled") {
+    // a string id casts to null in the winner join (sample would be
+    // silently EMPTY); a fractional double collides under the cast —
+    // the contract requires an integral id and must say so loudly
+    val strIds = pop.withColumn("sid", concat(lit("doc-"), col("id")))
+    val e = intercept[IllegalArgumentException] {
+      WeightedSample.exactKPerGroup(strIds, col("grp"), col("sid"),
+        col("w"), 10, seed = 1)
+    }
+    assert(e.getMessage.contains("integral row id"), e.getMessage)
+  }
+
   test("partitioning does not change the sample") {
     val shuffled = pop.repartition(17, col("id"))
     val a = WeightedSample
