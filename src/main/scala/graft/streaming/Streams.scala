@@ -575,6 +575,37 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** The REWRITE twin of [[runDecontaminationGate]] — q131's span
+    * surgery applied per micro-batch (the PaLM/GPT-4 report shape:
+    * cut the leaked 8-token chunks, keep the rest of the arriving
+    * document), mirroring the batch export's
+    * [[graft.CurationRun.Decontaminate.Rewrite]] so ingest and export
+    * apply one rule. Every arrival lands in `outDir` with its cleaned
+    * `text`, chunk accounting, and a `dropped` flag for fully-leaked
+    * docs (empty after surgery — nothing to train on; kept as a row so
+    * the audit trail holds the receipt, filtered by the consumer).
+    * Same plan per batch as q131: benchmark shingles broadcast, batch
+    * text never shuffles, removal verdicts ride per-doc idx arrays.
+    * Stateless; replayed micro-batches rewrite identically. */
+  def runDecontaminationRewrite(docsStream: DataFrame, bench: DataFrame,
+      outDir: String, checkpointDir: String): Unit = {
+    val q = docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rew = graft.AnalyticsQueries
+          .decontaminateRewrite(batch.select("doc_id", "text"), bench)
+        batch.drop("text").join(rew, Seq("doc_id"))
+          .select(col("doc_id"), col("text_kept").as("text"),
+            col("n_chunks"), col("n_removed"),
+            (length(trim(col("text_kept"))) === 0).as("dropped"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   // ---------- windowed aggregation with watermark ----------
 
   /** Tumbling event-time window counts per event type (the streaming twin

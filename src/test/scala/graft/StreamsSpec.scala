@@ -702,4 +702,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).filter(col("contaminated"))
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L, 11L))
   }
+
+  test("streaming decontamination REWRITE cuts leaked spans on ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = Seq((9000L, (1 to 8).map(j => s"bb$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("drw_out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("drw_ckpt").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    def drain(): Unit =
+      Streams.runDecontaminationRewrite(stream, bench, out, ckpt)
+
+    val kept8 = (1 to 8).map(j => s"keep$j").mkString(" ")
+    mem.addData(
+      (10L, (1 to 8).map(j => s"bb$j").mkString(" ") + " " + kept8), // half leaked
+      (11L, (1 to 8).map(j => s"bb$j").mkString(" ")), // fully leaked
+      (12L, (1 to 12).map(j => s"cl$j").mkString(" "))) // clean
+    drain()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L) == ((kept8, 1L, false)), s"half-leaked: ${got(10L)}")
+    assert(got(11L)._3 && got(11L)._2 == 1L, s"fully-leaked: ${got(11L)}")
+    assert(got(12L) == (((1 to 12).map(j => s"cl$j").mkString(" "), 0L, false)))
+  }
 }
