@@ -140,13 +140,49 @@ object AnalyticsQueries {
       docs.filter(col("doc_id") < 10))
   }
 
+  /** The benchmark's deduplicated overlapping-8-shingle chunk set,
+    * prepared ONCE for [[decontaminateRewrite]] — pinned (no per-probe
+    * re-explode; the streaming gate probes it every micro-batch) and
+    * counted (so the membership join can be size-gated). */
+  final case class RewritePrep(chunks: DataFrame, nChunks: Long)
+
+  /** Build a [[RewritePrep]] from an eval suite carrying (doc_id,
+    * text). TextKernels.shingles semantics: a <8-token benchmark doc
+    * contributes its whole text as one shingle — which is exactly the
+    * chunk a short benchmark doc would leak as. */
+  def prepareRewriteBench(bench0: DataFrame): RewritePrep = {
+    import graft.operators.Pins.Pinned
+    val chunks = bench0
+      .select(explode(array_distinct(gf.shingles(col("text"), 8))).as("c"))
+      .distinct()
+      .pin()
+    RewritePrep(chunks, chunks.count())
+  }
+
   /** [[q131DecontaminateRewrite]]'s rule over ARBITRARY frames — the
     * reusable seam [[graft.CurationRun]]'s rewrite-mode decontaminate
     * option composes against. `corpus` and `bench` must both carry
     * (doc_id, text); emits (doc_id, n_chunks, n_removed, text_kept).
-    * Same plan as q131 (suite-sized benchmark broadcast, corpus text
-    * never shuffles). */
-  def decontaminateRewrite(corpus: DataFrame, bench0: DataFrame): DataFrame = {
+    * Same plan as q131 — corpus text never shuffles — with the
+    * benchmark chunk-set join SIZE-GATED rather than unconditionally
+    * broadcast: the composed callers take the union of all eval suites
+    * as `bench`, and a HELM-scale union's chunk set outgrows any
+    * broadcast budget (the gate demotes it to sort-merge there). */
+  def decontaminateRewrite(corpus: DataFrame, bench0: DataFrame): DataFrame =
+    decontaminateRewrite(corpus, prepareRewriteBench(bench0),
+      graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def decontaminateRewrite(corpus: DataFrame,
+      bench0: DataFrame, rowLimit: Long): DataFrame =
+    decontaminateRewrite(corpus, prepareRewriteBench(bench0), rowLimit)
+
+  /** [[decontaminateRewrite]] against a suite prepared once with
+    * [[prepareRewriteBench]] — the per-micro-batch form the streaming
+    * rewrite gate calls so the suite-side explode/pin/count never
+    * re-runs. */
+  def decontaminateRewrite(corpus: DataFrame, prep: RewritePrep,
+      rowLimit: Long = graft.operators.DedupOps.BroadcastRowLimit)
+      : DataFrame = {
     val toks = when(length(trim(col("text"))) === 0,
         expr("cast(array() as array<string>)"))
       .otherwise(split(trim(lower(col("text"))), "\\s+"))
@@ -158,19 +194,20 @@ object AnalyticsQueries {
             """transform(sequence(0, cast((size(t) - 1) / 8 as int)),
               |  i -> array_join(slice(t, i * 8 + 1, 8), ' '))""".stripMargin))
           .as("ch"))
-    // benchmark OVERLAPPING 8-shingles (TextKernels.shingles semantics:
-    // a <8-token benchmark doc contributes its whole text as one
-    // shingle — which is exactly the chunk a short benchmark doc would
-    // leak as); deduplicated before the broadcast
-    val bench = bench0
-      .select(explode(array_distinct(gf.shingles(col("text"), 8))).as("c"))
-      .distinct()
     val exploded = withChunks
       .select(col("doc_id"), posexplode(col("ch")).as(Seq("idx", "c")))
-    val removed = exploded.join(broadcast(bench), "c")
+    val removed = exploded
+      .join(graft.operators.DedupOps.gateKnown(prep.chunks, prep.nChunks,
+        rowLimit), "c")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("idx"))).as("rem"))
-    withChunks.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id").as("_rdid"), col("rem"))
+    // null-SAFE join-back: a null-doc_id corpus row's removal verdict
+    // groups under the null key like any window/groupBy would keep it,
+    // and a plain using-join would silently DETACH it — coalescing
+    // n_removed to 0 and KEEPING leaked text (the false-clean class the
+    // r10 review fixed in RankOps/q105)
+    withChunks.join(removed, col("doc_id") <=> col("_rdid"), "left")
       .select(col("doc_id"),
         size(col("ch")).cast("bigint").as("n_chunks"),
         coalesce(size(col("rem")), lit(0)).cast("bigint").as("n_removed"),

@@ -78,6 +78,25 @@ object Bench {
       .filter { case (k, _) => PrevRoundKeys(k.takeWhile(_ != '_')) }
       .map(_._2).sum
     val micro = micro0 ++ annBench(spark, sfDir)
+    // The builder's closing-vs-opening same-session pair (the "rewrite
+    // tax vs session drift" split): each round's session measures the
+    // opening total on the previous round's code and the closing total
+    // on the round's final code IN ONE SESSION, and records both in
+    // SESSION_PAIR.json at the repo root. Inline them so BENCH_r{N}
+    // carries the split directly instead of BASELINE.md archaeology.
+    // Absent/malformed file → no keys (a fresh checkout stays valid).
+    val sessionPair: String = try {
+      val p = java.nio.file.Paths.get("SESSION_PAIR.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val pat = """"(session_open_total|session_close_total)"\s*:\s*([0-9.]+)""".r
+        val kv = pat.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        if (kv.size == 2)
+          s""","session_open_total":${kv("session_open_total")},"session_close_total":${kv("session_close_total")}"""
+        else ""
+      } else ""
+    } catch { case _: Throwable => "" }
     // The driver keeps only the last ~2000 chars of output and parses the
     // JSON line out of that tail (BENCH_r{1,2,3}.json all show
     // "parsed": null because full-precision doubles pushed the line past
@@ -99,7 +118,7 @@ object Bench {
         if (failed.isEmpty) ""
         else failed.map("\"" + qkey(_) + "\"").mkString(""","errors":[""", ",", "]")
       val cpt = if (prevComplete) sec3(commonPrev) else "null"
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","common_prev_total":$cpt,"queries":$qs,"micro":$ms$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","common_prev_total":$cpt$sessionPair,"queries":$qs,"micro":$ms$errs,"sf":"$sfDir"}"""
     }
     // "q01_pricing_summary" -> "q01" keeps the line parseable if long;
     // the key is the full first underscore segment, NOT a fixed-width

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.gf
+import graft.operators.Pins.Pinned
 
 /** Round-4 training-data curation operators: the retrieval-index and
   * corpus-statistics shapes a 100 TB pipeline needs beyond dedup/quality
@@ -312,9 +313,9 @@ object CurationQueries {
     // checkpointed, and the total costs a sum over the (small) pair table
     // instead of a second corpus scan
     val pairs = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-      .localCheckpoint(true)
+      .pin()
     val uni = tokens(docs).groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .pin()
     // the vocabulary is open-ended, so BOTH unigram joins are
     // size-gated on the pinned table's count (free once pinned):
     // broadcast on typical corpora, deterministic sort-merge when a

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Pins.Pinned
 
 import graft.sources.TrainingExport
 
@@ -65,7 +66,7 @@ object CurationRun {
     // run; the pinned rows are the post-join (id, text, lang, source)
     // projection, the minimum the export needs anyway
     val (kept, verdictPath) = curatedSurvivorsNamed(s, dir, BandedCorpusThreshold)
-    val dedupSurvivors = kept.localCheckpoint(true)
+    val dedupSurvivors = kept.pin()
     val (survivors, rule) = decontaminate match {
       case None => (dedupSurvivors, """"rule":"none"""")
       case Some(Decontaminate.Drop(bench)) =>
@@ -75,12 +76,12 @@ object CurationRun {
         val bad = DedupQueries.benchContainment(dedupSurvivors, bench)
           .filter(col("contaminated"))
           .select(col("corpus_doc").as("doc_id")).distinct()
-          .localCheckpoint(true)
+          .pin()
         val nBad = bad.count()
         val clean = dedupSurvivors
           .join(graft.operators.DedupOps.gateKnown(bad, nBad), Seq("doc_id"),
             "left_anti")
-          .localCheckpoint(true)
+          .pin()
         // the corpus-scale survivor pin (and the id pin) are dead once
         // `clean` is materialized — release them or they sit beside it
         // through mixture/export, the documented AGGREGATE_OOM regime
@@ -93,7 +94,7 @@ object CurationRun {
           .decontaminateRewrite(dedupSurvivors.select("doc_id", "text"), bench)
           .filter(col("n_removed") > 0)
           .select(col("doc_id"), col("text_kept"))
-          .localCheckpoint(true)
+          .pin()
         val nRew = rew.count()
         val clean = dedupSurvivors
           .join(graft.operators.DedupOps.gateKnown(rew, nRew), Seq("doc_id"),
@@ -103,7 +104,7 @@ object CurationRun {
             col("lang"), col("source"))
           // a fully-leaked doc rewrites to empty — nothing to train on
           .filter(length(trim(col("text"))) > 0)
-          .localCheckpoint(true)
+          .pin()
         // release the superseded pins (see the Drop branch)
         graft.operators.DedupOps.releaseCheckpoint(dedupSurvivors)
         graft.operators.DedupOps.releaseCheckpoint(rew)

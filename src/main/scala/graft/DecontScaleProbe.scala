@@ -78,9 +78,66 @@ object DecontScaleProbe {
     System.err.println(f"[probe] drop    $dropSec%8.1f s  kept=$kept")
     require(kept == n - nBad, s"kept $kept != $n - $nBad")
 
+    // ---- REWRITE mode (q131's span surgery — the mode a data-quality
+    // team prefers) at the same scale: detect+rewrite wall, then the
+    // exportCurated(Rewrite) join-back/reassembly wall, with the
+    // invariants asserted IN-RUN: every planted source doc is fully
+    // excised (its whole text IS a bench example, so every chunk
+    // leaks → empty), and kept-token counts are exactly explained by
+    // the removed chunks (8 tokens each, except a doc's short last
+    // chunk) — token conservation, not just "some text got shorter".
+    graft.operators.DedupOps.releaseCheckpoint(bad)
+    System.gc()
+    t0 = System.nanoTime()
+    val rew = AnalyticsQueries
+      .decontaminateRewrite(docs.select("doc_id", "text"), bench)
+      .filter(col("n_removed") > 0)
+      .localCheckpoint(true)
+    val nRew = rew.count()
+    val rewriteSec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[probe] rewrite $rewriteSec%8.1f s  rewritten=$nRew")
+
+    t0 = System.nanoTime()
+    val cleanCount = docs.join(
+        graft.operators.DedupOps.gateKnown(
+          rew.select(col("doc_id"), col("text_kept")), nRew),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_kept"), col("text")).as("text"))
+      .filter(length(trim(col("text"))) > 0)
+      .count()
+    val applySec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[probe] apply   $applySec%8.1f s  clean_docs=$cleanCount")
+
+    // invariants over the touched set (leak-sized, not corpus-sized)
+    val stats = rew
+      .join(docs.select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("orig")),
+        "doc_id")
+      .withColumn("kept_tok",
+        when(length(trim(col("text_kept"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text_kept")), "\\s+")).cast("long")))
+      .withColumn("last_len", col("orig") - lit(8L) * (col("n_chunks") - 1))
+      .localCheckpoint(true)
+    val broken = stats.filter(
+      !(col("kept_tok") === col("orig") - lit(8L) * col("n_removed") ||
+        col("kept_tok") === col("orig") - lit(8L) * (col("n_removed") - 1) -
+          col("last_len"))).count()
+    require(broken == 0, s"$broken docs violate token conservation")
+    val sourcesNotExcised = sources.join(
+      stats.filter(col("kept_tok") === 0), Seq("doc_id"), "left_anti").count()
+    require(sourcesNotExcised == 0,
+      s"$sourcesNotExcised planted leak sources not fully excised")
+    // the apply join-back must drop EXACTLY the fully-excised docs
+    val fullExcised = stats.filter(col("kept_tok") === 0).count()
+    require(cleanCount == n - fullExcised,
+      s"clean_docs $cleanCount != $n - fully-excised $fullExcised")
+
     println(s"""{"probe":"decontaminate","n_docs":$n,"n_bench":$nPlanted,""" +
       s""""gen_sec":${f"$genSec%.1f"},"detect_sec":${f"$detectSec%.1f"},""" +
-      s""""drop_sec":${f"$dropSec%.1f"},"contaminated":$nBad}""")
+      s""""drop_sec":${f"$dropSec%.1f"},"contaminated":$nBad,""" +
+      s""""rewrite_sec":${f"$rewriteSec%.1f"},"apply_sec":${f"$applySec%.1f"},""" +
+      s""""rewritten":$nRew}""")
     spark.stop()
   }
 }

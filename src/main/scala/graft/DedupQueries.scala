@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.gf
+import graft.operators.Pins.Pinned
 
 /** Large-scale training-data dedup + similarity-search operators over the
   * `documents` and `embeddings` tables (the pipeline extensions beyond the
@@ -37,7 +38,7 @@ object DedupQueries {
       .select(col("doc_id"), explode(gf.lsh_bands(col("sig"), BANDS)).as("bucket"))
       // materialize once: both sides of the self-join read the computed
       // bands instead of re-running the minhash kernel per side
-      .localCheckpoint(true)
+      .pin()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -56,7 +57,7 @@ object DedupQueries {
     val bands = t(s, dir, "documents")
       .select(col("doc_id"), gf.minhash_fast(col("text"), N, K).as("sig"))
       .select(col("doc_id"), explode(gf.lsh_bands_long(col("sig"), BANDS)).as("bucket"))
-      .localCheckpoint(true)
+      .pin()
     bands.as("a")
       .join(bands.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -80,7 +81,7 @@ object DedupQueries {
       .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .localCheckpoint(true)
+      .pin()
 
   /** ONE corpus text scan for the whole pair-graph family: the exploded
     * distinct-shingle table with document frequency attached. Both
@@ -103,8 +104,8 @@ object DedupQueries {
   private def shingleBase(s: SparkSession, dir: String): DataFrame = {
     val ex = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-      .localCheckpoint(true)
-    val base = attachDf(ex, cap = None).localCheckpoint(true)
+      .pin()
+    val base = attachDf(ex, cap = None).pin()
     // ex was only scaffolding for the df join — free its blocks NOW:
     // left to the ContextCleaner, two exploded-corpus copies stay
     // resident through the verdict's aggregations (10M-probe OOM)
@@ -224,7 +225,7 @@ object DedupQueries {
     val (h1, h2) = gf.hex_to_long_halves(col("simhash"))
     val sig = q23Simhash(s, dir)
       .withColumn("h1", h1).withColumn("h2", h2)
-      .localCheckpoint(true) // simhash kernel once, not once per join side
+      .pin() // simhash kernel once, not once per join side
     sig.as("a")
       .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -261,7 +262,7 @@ object DedupQueries {
     q23Simhash(s, dir)
       .withColumn("h1", h1).withColumn("h2", h2)
       .withColumn("v", shiftleft(col("h1"), 32).bitwiseOR(col("h2")))
-      .localCheckpoint(true) // simhash kernel once, not once per join side
+      .pin() // simhash kernel once, not once per join side
   }
 
   /** Generalized Manku banding at a configurable radius: hamming<=r
@@ -361,7 +362,7 @@ object DedupQueries {
     val (indexed, _) = graft.index.IvfIndex.build(e, "embedding",
       graft.index.IvfIndex.Params(listSize = 100, sampleSize = 1000))
     val lists = indexed.select(col("vec_id"), col("embedding"), col("centroid_id"))
-      .localCheckpoint(true) // assignment pass once, not once per join side
+      .pin() // assignment pass once, not once per join side
     lists.as("a")
       .join(lists.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
@@ -501,26 +502,63 @@ object DedupQueries {
       docs.filter(col("doc_id") < 10))
   }
 
+  /** The benchmark suite's tables prepared ONCE for
+    * [[benchContainment]]: the exploded distinct-shingle table and the
+    * per-example sizes, pinned so repeated probes (the streaming gate's
+    * micro-batches, a multi-stage export) never re-run the suite-side
+    * shingle explode, and COUNTED so the probe join can be size-gated.
+    * `nShingles` bounds both tables (sizes has ≤ one row per example). */
+  final case class BenchPrep(shingles: DataFrame, sizes: DataFrame,
+      nShingles: Long)
+
+  /** Build a [[BenchPrep]] from an eval suite carrying (doc_id, text).
+    * One pin + one count of the suite's distinct shingles — suite-sized
+    * work, paid once per suite rather than once per probe. */
+  def prepareBench(bench: DataFrame): BenchPrep = {
+    val bSh = bench.select(col("doc_id").as("bench_doc"),
+        explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+      .pin()
+    val bn = bSh.groupBy("bench_doc").agg(count(lit(1)).as("nb"))
+    BenchPrep(bSh, bn, bSh.count())
+  }
+
   /** [[q130BenchContain]]'s rule over ARBITRARY frames — the reusable
     * seam [[graft.CurationRun]]'s decontaminate option and the
     * streaming release gate compose against. `corpus` and `bench` must
     * both carry (doc_id, text); emits (bench_doc, corpus_doc, n_shared,
     * containment, contaminated) pairs at C ≥ [[BenchEmit]] with the
     * verdict at C ≥ [[BenchContaminated]]. Same plan as q130: the
-    * benchmark side is suite-sized and broadcasts (shingles and
-    * per-example sizes both); the corpus filters row-locally and
-    * shuffles only matched pair keys — its text never moves. */
-  def benchContainment(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    * benchmark side broadcasts when suite-sized — SIZE-GATED
+    * ([[graft.operators.DedupOps.gateKnown]] on the prepared suite's
+    * shingle count), because the composed export/streaming callers are
+    * invited to pass the UNION of all eval suites as `bench` (the
+    * GPT-3/Llama-2 decontamination shape), and a HELM-scale union is
+    * millions of examples — past any broadcast budget; the gate demotes
+    * both suite-side joins to sort-merge there. The corpus filters
+    * row-locally against the (usually broadcast) suite and shuffles
+    * only matched pair keys — its text never moves. */
+  def benchContainment(corpus: DataFrame, bench: DataFrame): DataFrame =
+    benchContainment(corpus, prepareBench(bench),
+      graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def benchContainment(corpus: DataFrame, bench: DataFrame,
+      rowLimit: Long): DataFrame =
+    benchContainment(corpus, prepareBench(bench), rowLimit)
+
+  /** [[benchContainment]] against a suite prepared once with
+    * [[prepareBench]] — the per-micro-batch form the streaming gates
+    * call so the suite-side explode/pin/count never re-runs. */
+  def benchContainment(corpus: DataFrame, prep: BenchPrep,
+      rowLimit: Long = graft.operators.DedupOps.BroadcastRowLimit)
+      : DataFrame = {
+    import graft.operators.DedupOps.gateKnown
     val cSh = corpus.select(col("doc_id"),
       explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-    val bSh = bench.select(col("doc_id").as("bench_doc"),
-      explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-    val bn = bSh.groupBy("bench_doc").agg(count(lit(1)).as("nb"))
     cSh
-      .join(broadcast(bSh), "s")
+      .join(gateKnown(prep.shingles, prep.nShingles, rowLimit), "s")
       .groupBy(col("bench_doc"), col("doc_id").as("corpus_doc"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(bn), "bench_doc")
+      .join(gateKnown(prep.sizes, prep.nShingles, rowLimit), "bench_doc")
       .withColumn("containment", round(col("n_shared") / col("nb"), 4))
       .filter(col("containment") >= BenchEmit)
       .select(col("bench_doc"), col("corpus_doc"), col("n_shared"),
@@ -731,7 +769,7 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       // pinned so the shingle kernel runs once, not once per join side
-      .localCheckpoint(true)
+      .pin()
     // df via groupBy partial aggregate + join-back ([[attachDf]]), NOT a
     // shingle-key window: a window partition gets no map-side combine
     // and cannot be AQE-split, so one crawl-scale boilerplate shingle
@@ -776,7 +814,7 @@ object DedupQueries {
     * ContextCleaner notices (measured: heap-OOMs the 1M quote probe). */
   def containmentShinglesPinned(docs: DataFrame): DataFrame = {
     val (res, ex) = containmentShinglesParts(docs)
-    val pinned = res.localCheckpoint(true)
+    val pinned = res.pin()
     graft.operators.DedupOps.releaseCheckpoint(ex) // scaffolding only
     pinned
   }
@@ -1161,7 +1199,7 @@ object DedupQueries {
     val ex = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-      .localCheckpoint(true)
+      .pin()
     val sets = ex.groupBy("doc_id").agg(collect_set("s").as("sh"))
     val pairs = verifyPairsAgainstSets(
       q21bMinhashFast(s, dir).select("doc_a", "doc_b"), sets)
@@ -1184,7 +1222,7 @@ object DedupQueries {
       .select(col("doc_id"),
         md5(coalesce(lower(trim(col("text"))), lit(""))).as("fp"),
         round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
-      .localCheckpoint(true)
+      .pin()
     val spine = docq
       .withColumn("fp_keep",
         col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))

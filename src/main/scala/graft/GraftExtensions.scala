@@ -63,6 +63,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "the binary connector layout, auto-detected); query is " +
           "text (noop-embedded) or a float/double array vector"),
       (es: Seq[Expression]) => GraftExtensions.vectorSearchPlan(es)))
+    // SQL front door for the CURATION pipeline (the vector_search
+    // precedent): the fused dedup keep/drop verdict and the
+    // benchmark-containment audit as table-valued functions, so the
+    // REST/SQL tier can drive the flagship verdict without any Scala
+    ext.injectTableFunction((FunctionIdentifier("curation_verdict"),
+      info("curation_verdict",
+        "curation_verdict(dir[, banded]) - the fused dedup keep/drop " +
+          "verdict (q124 shape: exact-fingerprint canon, best cluster " +
+          "representative, not subsumed) over the documents table at " +
+          "dir; banded=true routes pair generation through the LSH " +
+          "source (the crawl-scale path)"),
+      (es: Seq[Expression]) => GraftExtensions.curationVerdictPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("bench_contain"),
+      info("bench_contain",
+        "bench_contain(dir, bench_dir) - benchmark-containment " +
+          "decontamination pairs (q130 rule): corpus = documents at " +
+          "dir, suite = documents at bench_dir; emits (bench_doc, " +
+          "corpus_doc, n_shared, containment, contaminated)"),
+      (es: Seq[Expression]) => GraftExtensions.benchContainPlan(es)))
     // engine marker: lets a deploy assert the extensions actually loaded
     ext.injectFunction((FunctionIdentifier("graft_engine_version"),
       info("graft_engine_version", "graft_engine_version() - engine version string"),
@@ -71,6 +90,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Literal-argument evaluation shared by the TVF builders. */
+  private def evalLitArg(es: Seq[Expression], i: Int, tvf: String): Any = {
+    require(es(i).foldable, s"$tvf argument ${i + 1} must be a literal")
+    es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+  }
+
+  /** Build the `curation_verdict` TVF plan — exactly the library's
+    * [[graft.DedupQueries.q124DedupVerdict]] /
+    * [[q124bDedupVerdictBanded]] plan (ExtensionsSpec pins the
+    * equivalence), resolved at analysis time like `vector_search`. */
+  private[graft] def curationVerdictPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.length == 1 || es.length == 2,
+      "curation_verdict(dir[, banded])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = evalLitArg(es, 0, "curation_verdict").toString
+    val banded = es.length == 2 &&
+      evalLitArg(es, 1, "curation_verdict").asInstanceOf[Boolean]
+    val df =
+      if (banded) graft.DedupQueries.q124bDedupVerdictBanded(spark, dir)
+      else graft.DedupQueries.q124DedupVerdict(spark, dir)
+    df.queryExecution.logical
+  }
+
+  /** Build the `bench_contain` TVF plan —
+    * [[graft.DedupQueries.benchContainment]] between the documents
+    * tables at two dataset dirs (corpus, suite). */
+  private[graft] def benchContainPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.length == 2, "bench_contain(dir, bench_dir)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = evalLitArg(es, 0, "bench_contain").toString
+    val benchDir = evalLitArg(es, 1, "bench_contain").toString
+    val corpus = graft.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val bench = graft.Tables.load(spark, benchDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    graft.DedupQueries.benchContainment(corpus, bench)
+      .queryExecution.logical
+  }
 
   /** Build the `vector_search` logical plan: resolve the literal
     * arguments at analysis time, load the (tiny) centroid model, and

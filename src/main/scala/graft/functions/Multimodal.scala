@@ -121,8 +121,13 @@ object MediaKernels {
         val dataEnd = (dataStart + sz).toInt
         if (id == "LIST" || id == "RIFF") walk(dataStart + 4, dataEnd)
         else if (id == "avih" && sz >= 40) {
-          usPerFrame = u32(dataStart)
-          total = u32(dataStart + 16)
+          // clamp the avih arithmetic like the walker clamps sizes:
+          // duration = total*usPerFrame/1000 on two adversarial
+          // near-2^32 unsigned fields overflows Long (negative
+          // duration); ≤1h/frame × ≤2^31 frames keeps the product
+          // under Long.MaxValue while passing every real header
+          usPerFrame = math.min(u32(dataStart), 3600000000L)
+          total = math.min(u32(dataStart + 16), 2147483647L)
           w = u32(dataStart + 32).toInt
           h = u32(dataStart + 36).toInt
         } else if ((id.endsWith("dc") || id.endsWith("db")) && sz > 0)

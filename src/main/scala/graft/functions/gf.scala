@@ -213,6 +213,32 @@ object gf {
     agg(score, id)
   }
 
+  /** [[TopKAgg]] over STRING ids (URL/hash-keyed corpora), same
+    * bounded-buffer shape and (score DESC, id ASC) order — the id
+    * tie-break uses lexicographic string order, deterministic like the
+    * long form. */
+  class TopKAggStr(k: Int) extends Aggregator[(Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
+    private def order(a: (Double, String), b: (Double, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(buf: Seq[(Double, String)], x: (Double, String)): Seq[(Double, String)] = {
+      if (buf.length == k && !order(x, buf.last)) buf
+      else ((buf :+ x).sortWith(order)).take(k)
+    }
+    def zero: Seq[(Double, String)] = Vector.empty
+    def reduce(b: Seq[(Double, String)], a: (Double, String)): Seq[(Double, String)] = insert(b, a)
+    def merge(x: Seq[(Double, String)], y: Seq[(Double, String)]): Seq[(Double, String)] =
+      (x ++ y).sortWith(order).take(k)
+    def finish(b: Seq[(Double, String)]): Seq[(Double, String)] = b
+    def bufferEncoder = ExpressionEncoder[Seq[(Double, String)]]()
+    def outputEncoder = ExpressionEncoder[Seq[(Double, String)]]()
+  }
+
+  /** [[top_k_by]] with a string id column. */
+  def top_k_by_str(score: Column, id: Column, k: Int): Column = {
+    val agg = F.udaf(new TopKAggStr(k), ExpressionEncoder[(Double, String)]())
+    agg(score, id)
+  }
+
   /** Single-partition window key for KNOWN-BOUNDED window inputs (a ≤30
     * row page, a ≤shuffle-partitions offsets table, a dimension-sized
     * name set). Evaluates to 0 for every row — the same one-partition

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Pins.Pinned
 
 /** Near-dup RESOLUTION: candidate pairs → duplicate clusters → keep set.
   *
@@ -54,7 +55,7 @@ object DedupOps {
     * [[connectedComponents]]'s driver/distributed gate. */
   def gateBroadcast(dim: DataFrame,
       rowLimit: Long = BroadcastRowLimit): DataFrame = {
-    val pinned = dim.localCheckpoint(true)
+    val pinned = dim.pin()
     gateKnown(pinned, pinned.count(), rowLimit)
   }
 
@@ -101,7 +102,7 @@ object DedupOps {
       driverEdgeLimit: Long = DriverEdgeLimit): (DataFrame, Long) = {
     val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
       .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().pin()
     val nEdges = edges.count()
     if (nEdges <= driverEdgeLimit) driverComponents(edges)
     else {
@@ -140,7 +141,7 @@ object DedupOps {
   /** Scale path: min-label propagation + pointer jumping. */
   private def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
+      .withColumn("comp", col("node")).pin()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -159,7 +160,7 @@ object DedupOps {
         .join(jump, col("x.comp") === col("jn"), "left")
         .select(col("x.node").as("node"), col("x.prev").as("prev"),
           least(col("x.comp"), coalesce(col("jc"), col("x.comp"))).as("comp"))
-        .localCheckpoint(true)
+        .pin()
       val changed = updated.filter(col("comp") =!= col("prev")).count()
       labels = updated.select(col("node"), col("comp"))
       converged = changed == 0
@@ -197,7 +198,7 @@ object DedupOps {
       // rounds differently per consumer — splitting one vector's verdict.
       // Pinning freezes cent_sim as data. MEMORY_AND_DISK, corpus-sized:
       // the one materialization this operator pays by design.
-      .localCheckpoint(true)
+      .pin()
     val dom = scored.as("a")
       .join(scored.as("b"),
         col(s"a.$clusterCol") === col(s"b.$clusterCol") &&

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Pins.Pinned
 
 /** Exact global ranking without the single-partition window.
   *
@@ -65,7 +66,7 @@ object RankOps {
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mono", monotonically_increasing_id())
-      .localCheckpoint(true) // correctness pin — see object scaladoc
+      .pin() // correctness pin — see object scaladoc
     // constant partition key: the aggregate is ≤ shuffle-partitions rows,
     // so a single-partition window is the intended plan; the key only
     // suppresses the unpartitioned-window warning so it stays meaningful
@@ -103,7 +104,7 @@ object RankOps {
       .sortWithinPartitions(fullOrder: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mono", monotonically_increasing_id())
-      .localCheckpoint(true) // correctness pin — see object scaladoc
+      .pin() // correctness pin — see object scaladoc
     val offsets = ranged.groupBy(col("_pid"), col(legCol))
       .agg(count(lit(1)).as("_cnt"), min("_mono").as("_base"))
       .withColumn("_off",
@@ -149,7 +150,7 @@ object RankOps {
       .sortWithinPartitions(fullOrder: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mono", monotonically_increasing_id())
-      .localCheckpoint(true) // correctness pin — see object scaladoc
+      .pin() // correctness pin — see object scaladoc
     val offsets = ranged.groupBy(col("_pid"), col(legCol))
       .agg(sum(valCol).as("_s"))
       .withColumn("_off",

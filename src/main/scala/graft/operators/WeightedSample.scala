@@ -40,39 +40,48 @@ object WeightedSample {
 
   /** The k rows with the largest A-ES keys per group — a weighted
     * sample without replacement of size min(k, group size), inclusion
-    * odds rising with weight. `id` must be GLOBALLY unique per row and
-    * castable to long (it seeds the per-row uniform and keys the winner
-    * join); ties are broken by id for determinism.
+    * odds rising with weight. `id` must be GLOBALLY unique per row (it
+    * seeds the per-row uniform and keys the winner join) and integral
+    * OR string — the winner semi join keys on the id's NATIVE type, so
+    * URL/hash-keyed crawl corpora sample directly with no pre-mapping
+    * to longs; ties are broken by id for determinism.
     *
     * Scale shape: the winner set comes from the bounded TopKAgg
-    * ([[graft.functions.gf.top_k_by]] — buffer ≤ k per group per task,
-    * map-side combined), NOT a `row_number().over(partitionBy(group))`
-    * window: the window form shuffles and sorts EVERY row of a group
-    * through one task, so a corpus-scale group (one source holding most
-    * of a crawl) is a single-task cliff. Winners are |groups|·k ids —
-    * size-gated back onto the keyed rows as a semi join. */
+    * ([[graft.functions.gf.top_k_by]] / [[graft.functions.gf.top_k_by_str]]
+    * — buffer ≤ k per group per task, map-side combined), NOT a
+    * `row_number().over(partitionBy(group))` window: the window form
+    * shuffles and sorts EVERY row of a group through one task, so a
+    * corpus-scale group (one source holding most of a crawl) is a
+    * single-task cliff. Winners are |groups|·k ids — size-gated back
+    * onto the keyed rows as a semi join. */
   def exactKPerGroup(df: DataFrame, group: Column, id: Column,
                      weight: Column, k: Int, seed: Long): DataFrame = {
-    // fail FAST on ids the winner join can't key losslessly: a string
-    // id casts to null (sample silently EMPTY) and a fractional double
-    // collides under the cast (wrong rows pulled through the semi
-    // join) — both are silent wrongness, so reject them here
-    val idType = df.select(id).schema.head.dataType
-    require(Seq("long", "integer", "short", "byte")
-        .contains(idType.typeName),
-      s"exactKPerGroup needs an integral row id (got $idType): the " +
-        "winner semi join keys on id cast to long")
+    // fail FAST on id types the winner join can't key losslessly (a
+    // fractional double collides under a long cast, a binary blob is
+    // lossy as UTF-8 — both are silent wrongness): integral ids ride
+    // the long TopKAgg, strings the string twin, anything else must be
+    // cast explicitly by the caller
+    val idType = df.select(id).schema.head.dataType.typeName
+    val integral = Seq("long", "integer", "short", "byte").contains(idType)
+    require(integral || idType == "string",
+      s"exactKPerGroup keys the winner semi join on the row id's native " +
+        s"type; integral and string ids are supported (got $idType) — " +
+        "cast the id to string explicitly if that cast is lossless")
     val keyed = df.withColumn("_wskey", aresKey(id, weight, seed))
       .filter(col("_wskey") >= 0)
+    val topk =
+      if (integral) graft.functions.gf.top_k_by(col("_wskey"), id.cast("long"), k)
+      else graft.functions.gf.top_k_by_str(col("_wskey"), id, k)
     val winners = keyed
       .groupBy(group)
-      .agg(graft.functions.gf.top_k_by(col("_wskey"), id.cast("long"), k)
-        .as("_tk"))
+      .agg(topk.as("_tk"))
       .select(explode(col("_tk")).as("_w"))
       .select(col("_w._2").as("_wsid"))
+    val joinKey =
+      if (integral) id.cast("long") === col("_wsid") else id === col("_wsid")
     keyed
-      .join(graft.operators.DedupOps.gateBroadcast(winners),
-        id.cast("long") === col("_wsid"), "left_semi")
+      .join(graft.operators.DedupOps.gateBroadcast(winners), joinKey,
+        "left_semi")
       .drop("_wskey")
   }
 }

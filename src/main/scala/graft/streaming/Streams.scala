@@ -544,32 +544,54 @@ object Streams {
     *
     * foreachBatch (the q123 pattern): the per-(bench, arrival)
     * intersection count is a plain batch aggregate there — a streaming
-    * groupBy would pin every pair key in the state store forever. Per
-    * micro-batch the benchmark side broadcasts (suite-sized, by
-    * construction in benchContainment) and the batch's text never
-    * shuffles; every arrival lands in `outDir` with its worst-case
-    * containment, hit count, and the `contaminated` verdict — the
-    * quarantine split is a downstream filter on that column, so the
-    * audit trail keeps the clean rows' receipts too. Stateless: a
-    * replayed micro-batch gates identically. */
+    * groupBy would pin every pair key in the state store forever. The
+    * suite is PREPARED ONCE before the stream starts
+    * ([[graft.DedupQueries.prepareBench]] — pinned shingle/size
+    * tables), so an AvailableNow catch-up over thousands of batches
+    * re-probes the pin instead of re-running thousands of identical
+    * suite-side explode jobs; the probe join is size-gated (broadcast
+    * for a normal suite, sort-merge for a union-of-all-suites bench)
+    * and the batch's text never shuffles.
+    *
+    * Each arrival is keyed by a per-batch synthetic row id for the
+    * verdict join-back — never null, never duplicated — so a NULL
+    * doc_id arrival gets ITS OWN verdict (a using-join on doc_id
+    * silently coalesced such rows to contaminated=false: a false-clean
+    * from a safety gate) and at-least-once duplicate arrivals emit one
+    * receipt row each, not a cross-product. Every arrival lands in
+    * `outDir` with its worst-case containment, hit count, and the
+    * `contaminated` verdict — the quarantine split is a downstream
+    * filter on that column, so the audit trail keeps the clean rows'
+    * receipts too. Stateless: a replayed micro-batch gates
+    * identically. */
   def runDecontaminationGate(docsStream: DataFrame, bench: DataFrame,
       outDir: String, checkpointDir: String): Unit = {
+    val prep = graft.DedupQueries.prepareBench(bench) // once, not per batch
     val q = docsStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pairs = graft.DedupQueries.benchContainment(batch, bench)
-        val per = pairs.groupBy(col("corpus_doc").as("doc_id"))
+        // pin the keyed batch: the row id must be IDENTICAL on the
+        // probe side and the join-back side, and an unpinned batch can
+        // recompute with a different partition layout between the two
+        val keyed = batch.select(col("doc_id"), col("text"))
+          .withColumn("_rid", monotonically_increasing_id())
+          .localCheckpoint(true)
+        val pairs = graft.DedupQueries.benchContainment(
+          keyed.select(col("_rid").as("doc_id"), col("text")), prep)
+        val per = pairs.groupBy(col("corpus_doc").as("_rid"))
           .agg(max(col("containment")).as("max_containment"),
             max(when(col("contaminated"), 1).otherwise(0)).as("_c"),
             count(lit(1)).as("n_bench_hits"))
-        batch.select("doc_id", "text").join(per, Seq("doc_id"), "left")
+        keyed.join(per, Seq("_rid"), "left")
           .select(col("doc_id"), col("text"),
             coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
             coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
             coalesce(col("_c") === 1, lit(false)).as("contaminated"))
           .write.mode("append").parquet(outDir)
+        // batch-scoped pin: release its blocks before the next batch
+        graft.operators.DedupOps.releaseCheckpoint(keyed)
       }
       .start()
     q.awaitTermination()
@@ -584,23 +606,38 @@ object Streams {
     * `text`, chunk accounting, and a `dropped` flag for fully-leaked
     * docs (empty after surgery — nothing to train on; kept as a row so
     * the audit trail holds the receipt, filtered by the consumer).
-    * Same plan per batch as q131: benchmark shingles broadcast, batch
-    * text never shuffles, removal verdicts ride per-doc idx arrays.
+    * Same plan per batch as q131 — size-gated benchmark chunk set,
+    * batch text never shuffles, removal verdicts ride per-row idx
+    * arrays — with the suite chunk set PREPARED ONCE before the stream
+    * starts ([[graft.AnalyticsQueries.prepareRewriteBench]]), and each
+    * arrival keyed by a per-batch synthetic row id exactly like
+    * [[runDecontaminationGate]]: a null-doc_id arrival lands with its
+    * receipt (the previous inner using-join dropped it), and m
+    * duplicate arrivals of one doc_id emit m receipt rows, not m².
     * Stateless; replayed micro-batches rewrite identically. */
   def runDecontaminationRewrite(docsStream: DataFrame, bench: DataFrame,
       outDir: String, checkpointDir: String): Unit = {
+    val prep = graft.AnalyticsQueries.prepareRewriteBench(bench) // once
     val q = docsStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rew = graft.AnalyticsQueries
-          .decontaminateRewrite(batch.select("doc_id", "text"), bench)
-        batch.drop("text").join(rew, Seq("doc_id"))
+        // pinned synthetic row key — see runDecontaminationGate
+        val keyed = batch.select(col("doc_id"), col("text"))
+          .withColumn("_rid", monotonically_increasing_id())
+          .localCheckpoint(true)
+        val rew = graft.AnalyticsQueries.decontaminateRewrite(
+            keyed.select(col("_rid").as("doc_id"), col("text")), prep)
+          .withColumnRenamed("doc_id", "_rid")
+        // inner join is exact here: every _rid appears exactly once on
+        // each side (the rewrite emits one row per input row)
+        keyed.drop("text").join(rew, Seq("_rid"))
           .select(col("doc_id"), col("text_kept").as("text"),
             col("n_chunks"), col("n_removed"),
             (length(trim(col("text_kept"))) === 0).as("dropped"))
           .write.mode("append").parquet(outDir)
+        graft.operators.DedupOps.releaseCheckpoint(keyed)
       }
       .start()
     q.awaitTermination()

@@ -129,4 +129,59 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k not streaming-partial:\n$plan")
   }
+
+  /** Physical-operator histogram: the TVF "plan equals the library
+    * plan" pin, robust to expression-id and checkpoint-RDD-id noise
+    * that makes plan-string equality meaningless for pinned queries. */
+  private def opHistogram(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+    df.queryExecution.sparkPlan
+      .collect { case p => p.getClass.getSimpleName }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("curation_verdict TVF runs the flagship verdict from pure SQL") {
+    val dir = SparkSuite.sf0001
+    val sql = spark.sql(s"SELECT * FROM curation_verdict('$dir')")
+    val lib = DedupQueries.q124DedupVerdict(spark, dir)
+    assert(rowsOf(sql) == rowsOf(lib), "TVF verdict != library verdict")
+    assert(opHistogram(sql) == opHistogram(lib),
+      s"TVF plan diverged from the library plan:\n${opHistogram(sql)}\nvs\n${opHistogram(lib)}")
+    // the banded route is selectable from SQL too, and keep is sane
+    val banded = spark.sql(
+      s"SELECT count(*) AS n FROM curation_verdict('$dir', true) WHERE keep")
+      .head().getLong(0)
+    val bandedLib = DedupQueries.q124bDedupVerdictBanded(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(banded == bandedLib)
+    // composes as a relation: the quarantine split is one WHERE clause
+    val dropped = spark.sql(
+      s"SELECT count(*) AS n FROM curation_verdict('$dir') WHERE NOT keep")
+      .head().getLong(0)
+    assert(dropped == rowsOf(lib).size - spark.sql(
+      s"SELECT count(*) AS n FROM curation_verdict('$dir') WHERE keep")
+      .head().getLong(0))
+  }
+
+  test("bench_contain TVF equals benchContainment over the same tables") {
+    import org.apache.spark.sql.functions._
+    // corpus = sf0.001 documents; suite = a 3-doc slice written out as
+    // its own documents table (the two-dir shape a release audit runs)
+    val bdir = java.nio.file.Files.createTempDirectory("benchdir").toString
+    Tables.load(spark, SparkSuite.sf0001, "documents")
+      .filter(col("doc_id") < 3).select("doc_id", "text")
+      .write.parquet(s"$bdir/documents.parquet")
+    val sql = spark.sql(
+      s"SELECT * FROM bench_contain('${SparkSuite.sf0001}', '$bdir')")
+    val lib = DedupQueries.benchContainment(
+      Tables.load(spark, SparkSuite.sf0001, "documents")
+        .select("doc_id", "text"),
+      Tables.load(spark, bdir, "documents").select("doc_id", "text"))
+    assert(rowsOf(sql) == rowsOf(lib))
+    assert(opHistogram(sql) == opHistogram(lib))
+    // the corpus docs contain their own text (C = 1.0 self-pairs)
+    assert(sql.filter(col("bench_doc") === col("corpus_doc") &&
+      col("contaminated")).count() == 3)
+  }
 }

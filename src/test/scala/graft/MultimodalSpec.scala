@@ -399,5 +399,23 @@ class MultimodalSpec extends AnyFunSuite {
     val h1 = MediaKernels.perceptualHash(empty)
     assert(h1 == MediaKernels.perceptualHash(empty), "sentinel not stable")
     assert(MediaKernels.frameSample(empty, 0, 1).isEmpty)
+
+    // adversarial avih arithmetic: both unsigned-32 fields near 2^32
+    // make total*usPerFrame overflow Long — the clamp must keep the
+    // derived duration non-negative (the RIFF walker was hardened
+    // against size fields; the avih fields get the same discipline)
+    val evil = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.putInt(0, 0xfffffff0) // dwMicroSecPerFrame ≈ 2^32
+    evil.putInt(16, 0xfffffff0) // dwTotalFrames ≈ 2^32
+    evil.putInt(32, 16).putInt(36, 16)
+    val evilHdrl = "LIST".getBytes ++ u32b(4 + 8 + 56) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ u32b(56) ++ evil.array()
+    val evilBody = "AVI ".getBytes ++ evilHdrl ++ movi
+    val evilAvi = "RIFF".getBytes ++ u32b(evilBody.length.toLong) ++ evilBody
+    val em = MediaKernels.decodeMeta(evilAvi)
+    assert(em.kind == "video")
+    assert(em.durationMs >= 0L,
+      s"adversarial avih fields overflowed to duration ${em.durationMs}")
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pins
+
+/** The reliable-pin option for long-running entry points: a
+  * localCheckpoint pin's blocks die with their executor (lineage is
+  * severed — the job is unrecoverable), while a
+  * `spark.graft.reliablePins=true` pin is files on the checkpoint FS
+  * and survives losing every block. Block loss is simulated the way an
+  * executor loss manifests to the block manager: the pinned RDD's
+  * blocks are dropped (unpersist) after materialization. */
+class PinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  /** The RDD actually backing a pinned frame (the LogicalRDD the pin
+    * produced), so the test drops the REAL blocks, not a re-derived
+    * copy. */
+  private def backingRdd(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      case other => fail(s"pin did not produce a LogicalRDD: $other")
+    }
+
+  test("default pin = localCheckpoint: block loss kills the read") {
+    import spark.implicits._
+    val pinned = Pins.pin((1 to 1000).toDF("x").withColumn("y", col("x") * 2))
+    assert(pinned.count() == 1000)
+    backingRdd(pinned).unpersist(blocking = true) // "executor lost"
+    intercept[org.apache.spark.SparkException] { pinned.count() }
+  }
+
+  test("reliablePins=true: the pin survives total block loss") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("relpins").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set(Pins.ReliableConf, "true")
+    try {
+      val pinned = Pins.pin((1 to 1000).toDF("x").withColumn("y", col("x") * 2))
+      assert(pinned.count() == 1000)
+      backingRdd(pinned).unpersist(blocking = true)
+      // file-backed: the re-read recovers every row and value
+      assert(pinned.agg(sum("y")).head().getLong(0) == 1001000L)
+      // releaseCheckpoint stays a safe no-op in reliable mode
+      graft.operators.DedupOps.releaseCheckpoint(pinned)
+      assert(pinned.count() == 1000)
+    } finally spark.conf.set(Pins.ReliableConf, "false")
+  }
+
+  test("default pin is block-backed (localCheckpoint), not file-backed") {
+    import spark.implicits._
+    spark.conf.set(Pins.ReliableConf, "false")
+    val pinned = Pins.pin((1 to 10).toDF("x"))
+    val sl = backingRdd(pinned).getStorageLevel
+    assert(sl.useMemory || sl.useDisk,
+      s"default pin must live in executor blocks, got $sl")
+  }
+
+  test("a RankOps ranking under reliable pins completes after block loss") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("relpins2").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set(Pins.ReliableConf, "true")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("k", "v")
+      val ranked = graft.operators.RankOps
+        .globalRowNumber(df, Seq(col("k").desc), "rank")
+      assert(ranked.count() == 500)
+      // reliable mode leaves NO executor-resident pin blocks — the pin
+      // is files, so there is nothing an executor loss can take (test 2
+      // above proves a file-backed pin re-reads after block loss)
+      val newPinned = spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+      assert(newPinned.isEmpty,
+        s"reliable mode left executor-block pins: ${newPinned.keySet}")
+      val top = ranked.filter(col("rank") === 1).select("k").head().getLong(0)
+      assert(top == 500L)
+    } finally spark.conf.set(Pins.ReliableConf, "false")
+  }
+}

@@ -730,4 +730,105 @@ class StreamsSpec extends AnyFunSuite {
     assert(got(11L)._3 && got(11L)._2 == 1L, s"fully-leaked: ${got(11L)}")
     assert(got(12L) == (((1 to 12).map(j => s"cl$j").mkString(" "), 0L, false)))
   }
+
+  test("decontamination gates prepare the suite ONCE across micro-batches") {
+    import spark.implicits._
+    // instrument the suite source with an accumulator: the r10 shape
+    // re-ran the suite explode+broadcast inside foreachBatch, so an
+    // AvailableNow catch-up over thousands of batches paid thousands of
+    // identical suite jobs — prepared+pinned, the source reads once
+    val benchText = "qq1 qq2 qq3 qq4 qq5 qq6 qq7"
+    val acc = spark.sparkContext.longAccumulator("benchSourceReads")
+    val benchRdd = spark.sparkContext
+      .parallelize(Seq((9000L, benchText)), 1)
+      .map { r => acc.add(1); org.apache.spark.sql.Row(r._1, r._2) }
+    val bench = spark.createDataFrame(benchRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    // three arrivals land as THREE files → maxFilesPerTrigger=1 gives
+    // three micro-batches inside ONE AvailableNow gate run
+    val in = java.nio.file.Files.createTempDirectory("dgate1_in").toString
+    Seq((20L, benchText)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    Seq((21L, "clean one " + (1 to 10).map(j => s"a$j").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((22L, "clean two " + (1 to 10).map(j => s"b$j").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("dgate1_out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("dgate1_ck").toString
+    Streams.runDecontaminationGate(stream, bench, out, ckpt)
+    // ≥3 committed micro-batches in one run…
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .count(_.getName.forall(_.isDigit))
+    assert(commits >= 3, s"expected ≥3 micro-batches, got $commits")
+    // …but the suite source was scanned exactly once (the prepare pin)
+    assert(acc.value == 1L, s"suite source read ${acc.value} times")
+    val got = spark.read.parquet(out)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(20L -> true, 21L -> false, 22L -> false), s"$got")
+  }
+
+  test("decontamination gate: a NULL doc_id arrival gets its own verdict") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val benchText = "qq1 qq2 qq3 qq4 qq5 qq6 qq7"
+    val bench = Seq((9000L, benchText)).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("dgate2_out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("dgate2_ck").toString
+    val mem = MemoryStream[(Option[Long], String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // the contaminated arrival has NO doc_id: the old doc_id join-back
+    // detached its verdict and coalesced it to contaminated=false — a
+    // silent false-clean from a safety gate (r10 ADVICE)
+    mem.addData(
+      (None, benchText + " pad1 pad2 pad3"),
+      (Some(30L), benchText + " pad1 pad2 pad3"),
+      (Some(31L), "clean " + (1 to 12).map(j => s"c$j").mkString(" ")))
+    Streams.runDecontaminationGate(stream, bench, out, ckpt)
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "contaminated").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        r.getBoolean(1)).toMap
+    assert(rows == Map(None -> true, Some(30L) -> true, Some(31L) -> false),
+      s"$rows")
+  }
+
+  test("decontamination rewrite: null-id arrivals land, duplicates stay linear") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = Seq((9000L, (1 to 8).map(j => s"bb$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("drw2_out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("drw2_ck").toString
+    val mem = MemoryStream[(Option[Long], String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val leaked = (1 to 8).map(j => s"bb$j").mkString(" ") + " " +
+      (1 to 8).map(j => s"keep$j").mkString(" ")
+    // an at-least-once source replays doc 40 three times in one batch:
+    // the old per-doc_id join-back emitted 3×3 rows (and dropped the
+    // null-id arrival entirely via its inner join)
+    mem.addData(
+      (Some(40L), leaked), (Some(40L), leaked), (Some(40L), leaked),
+      (None, leaked),
+      (Some(41L), (1 to 10).map(j => s"cl$j").mkString(" ")))
+    Streams.runDecontaminationRewrite(stream, bench, out, ckpt)
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 5, s"expected 5 receipt rows, got ${rows.length}")
+    val kept8 = (1 to 8).map(j => s"keep$j").mkString(" ")
+    val byId = rows.groupBy(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(byId(Some(40L)).length == 3 &&
+      byId(Some(40L)).forall(_.getString(1) == kept8))
+    assert(byId(None).length == 1 && byId(None).head.getString(1) == kept8,
+      "the null-id arrival must land with its leaked span cut")
+    assert(byId(Some(41L)).head.getLong(3) == 0L)
+  }
 }

@@ -53,16 +53,51 @@ class WeightedSampleSpec extends AnyFunSuite {
       s"top-k must partial-aggregate map-side, saw: $modes")
   }
 
-  test("non-integral row ids are rejected fast, not silently mis-sampled") {
-    // a string id casts to null in the winner join (sample would be
-    // silently EMPTY); a fractional double collides under the cast —
-    // the contract requires an integral id and must say so loudly
-    val strIds = pop.withColumn("sid", concat(lit("doc-"), col("id")))
+  test("lossy row-id types are rejected fast, not silently mis-sampled") {
+    // a fractional double collides under a long cast and a binary blob
+    // is lossy as UTF-8 — the winner join keys on the id's NATIVE type
+    // (integral or string), and anything else must say so loudly
+    val dblIds = pop.withColumn("did", col("id") + lit(0.5))
     val e = intercept[IllegalArgumentException] {
-      WeightedSample.exactKPerGroup(strIds, col("grp"), col("sid"),
+      WeightedSample.exactKPerGroup(dblIds, col("grp"), col("did"),
         col("w"), 10, seed = 1)
     }
-    assert(e.getMessage.contains("integral row id"), e.getMessage)
+    assert(e.getMessage.contains("native"), e.getMessage)
+  }
+
+  test("string row ids (URL-keyed corpora) sample natively: exact k, deterministic") {
+    // the r10 restriction forced URL/hash-keyed crawls through a
+    // pre-mapping to longs; the winner semi join now keys on the
+    // string itself
+    val strPop = pop.withColumn("url",
+      concat(lit("https://ex.com/"), col("grp"), lit("/p"), col("id")))
+    def run(seed: Long) = WeightedSample
+      .exactKPerGroup(strPop, col("grp"), col("url"), col("w"), 100, seed)
+      .select("url").as[String].collect().toSet
+    val a = run(7)
+    assert(a.size == 200, s"exact k per group: ${a.size}")
+    assert(run(7) == a, "same seed must reproduce the same sample")
+    assert(run(8) != a, "a different seed should move the sample")
+    // no group window on the string path either
+    val plan = WeightedSample
+      .exactKPerGroup(strPop, col("grp"), col("url"), col("w"), 10, seed = 2)
+      .queryExecution.sparkPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"group window crept back on the string path:\n$plan")
+  }
+
+  test("string row ids: partitioning does not change the sample") {
+    val strPop = pop.withColumn("url",
+      concat(lit("https://ex.com/"), col("grp"), lit("/p"), col("id")))
+    val a = WeightedSample
+      .exactKPerGroup(strPop, col("grp"), col("url"), col("w"), 50, seed = 3)
+      .select("url").as[String].collect().toSet
+    val b = WeightedSample
+      .exactKPerGroup(strPop.repartition(17, col("id")), col("grp"),
+        col("url"), col("w"), 50, seed = 3)
+      .select("url").as[String].collect().toSet
+    assert(a == b)
   }
 
   test("partitioning does not change the sample") {
