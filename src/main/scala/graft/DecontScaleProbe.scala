@@ -124,11 +124,18 @@ object DecontScaleProbe {
         col("kept_tok") === col("orig") - lit(8L) * (col("n_removed") - 1) -
           col("last_len"))).count()
     require(broken == 0, s"$broken docs violate token conservation")
-    val sourcesNotExcised = sources.join(
-      stats.filter(col("kept_tok") === 0), Seq("doc_id"), "left_anti").count()
-    require(sourcesNotExcised == 0,
-      s"$sourcesNotExcised planted leak sources not fully excised")
-    // the apply join-back must drop EXACTLY the fully-excised docs
+    // a source doc IS a bench example, so every FULL 8-token chunk of it
+    // leaks and is cut; only the trailing orig%8-token fragment can
+    // survive — shorter than one shingle, so by the engine's own 8-gram
+    // rule the remnant cannot leak. Assert that exact remnant size for
+    // EVERY source (858/1000 of the planted sources have orig%8 != 0,
+    // so "rewrites to empty" would be the wrong invariant here).
+    val sourcesWrong = sources.join(
+      stats.filter(col("kept_tok") === pmod(col("orig"), lit(8L))),
+      Seq("doc_id"), "left_anti").count()
+    require(sourcesWrong == 0,
+      s"$sourcesWrong planted leak sources kept more than the sub-shingle remnant")
+    // the apply join-back must drop EXACTLY the empty rewrites
     val fullExcised = stats.filter(col("kept_tok") === 0).count()
     require(cleanCount == n - fullExcised,
       s"clean_docs $cleanCount != $n - fully-excised $fullExcised")

@@ -87,6 +87,23 @@ object PackScaleProbe {
     assert(winSum == rngSum,
       s"offset plans disagree: window=$winSum ranged=$rngSum")
 
+    // the same stage under RELIABLE pins (graft.operators.Pins): the
+    // fault-tolerance tax a multi-hour run pays to survive executor
+    // loss — the pin becomes a checkpoint-FS write+read of the narrow
+    // ranked projection instead of executor blocks
+    cool()
+    val ckptDir = java.nio.file.Files.createTempDirectory("pack_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set(graft.operators.Pins.ReliableConf, "true")
+    val tRel = System.nanoTime()
+    val relSum = graft.operators.RankOps
+      .runningSumPer(narrow, "lang", Seq(col("doc_id").asc), "n", "endp")
+      .agg(sum(col("endp"))).first().getLong(0)
+    val relSec = (System.nanoTime() - tRel) / 1e9
+    spark.conf.set(graft.operators.Pins.ReliableConf, "false")
+    System.err.println(f"[probe] reliable  $relSec%8.1f s  sum=$relSum")
+    assert(relSum == rngSum, s"reliable pin changed the result: $relSum")
+
     // full packing end to end on the shipped plan
     cool()
     val tPack = System.nanoTime()
@@ -115,7 +132,9 @@ object PackScaleProbe {
 
     println(s"""{"probe":"pack","n":$n,"seq_len":$seqLen,""" +
       s""""gen_sec":${f"$genSec%.1f"},"window_offsets_sec":${f"$winSec%.1f"},""" +
-      s""""ranged_offsets_sec":${f"$rngSec%.1f"},"pack_sec":${f"$packSec%.1f"},""" +
+      s""""ranged_offsets_sec":${f"$rngSec%.1f"},""" +
+      s""""reliable_offsets_sec":${f"$relSec%.1f"},""" +
+      s""""pack_sec":${f"$packSec%.1f"},""" +
       s""""n_seqs":$nSeqs,"tokens":$tokTotal}""")
     spark.stop()
   }
