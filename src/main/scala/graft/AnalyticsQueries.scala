@@ -167,7 +167,15 @@ object AnalyticsQueries {
     * benchmark chunk-set join SIZE-GATED rather than unconditionally
     * broadcast: the composed callers take the union of all eval suites
     * as `bench`, and a HELM-scale union's chunk set outgrows any
-    * broadcast budget (the gate demotes it to sort-merge there). */
+    * broadcast budget (the gate demotes it to sort-merge there).
+    *
+    * CONTRACT: `doc_id` must uniquely key the corpus rows — the removal
+    * verdicts group by it, so duplicate ids (including 2+ NULL ids: the
+    * null-safe join-back treats NULL as one ordinary key, exactly like
+    * the groupBy) would merge their verdicts and cut each other's
+    * chunks. The streaming gate guarantees uniqueness by keying each
+    * arrival with a synthetic row id; batch callers key on the table's
+    * primary key. A SINGLE null-id row is handled exactly. */
   def decontaminateRewrite(corpus: DataFrame, bench0: DataFrame): DataFrame =
     decontaminateRewrite(corpus, prepareRewriteBench(bench0),
       graft.operators.DedupOps.BroadcastRowLimit)

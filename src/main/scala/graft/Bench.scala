@@ -89,7 +89,10 @@ object Bench {
       val p = java.nio.file.Paths.get("SESSION_PAIR.json")
       if (java.nio.file.Files.exists(p)) {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val pat = """"(session_open_total|session_close_total)"\s*:\s*([0-9.]+)""".r
+        // strict number syntax: a typo'd value ("1.2.3") spliced into
+        // the bench line would invalidate the WHOLE JSON the driver
+        // parses — reject anything that isn't a plain decimal
+        val pat = """"(session_open_total|session_close_total)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
         val kv = pat.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2)).toMap
         if (kv.size == 2)

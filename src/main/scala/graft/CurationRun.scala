@@ -72,15 +72,24 @@ object CurationRun {
       case Some(Decontaminate.Drop(bench)) =>
         // the contaminated id set is bounded by true benchmark overlap
         // (≪ corpus); the anti-join keeps the corpus unshuffled when
-        // AQE broadcasts it, and correct regardless
-        val bad = DedupQueries.benchContainment(dedupSurvivors, bench)
+        // AQE broadcasts it, and correct regardless. The suite prep is
+        // built EXPLICITLY so its pin can be released once the id set
+        // is materialized — a union-of-all-suites bench is the sized
+        // input the gate exists for, and its pinned shingle table must
+        // not sit resident through mixture/export
+        val prep = DedupQueries.prepareBench(bench)
+        val bad = DedupQueries.benchContainment(dedupSurvivors, prep)
           .filter(col("contaminated"))
-          .select(col("corpus_doc").as("doc_id")).distinct()
+          .select(col("corpus_doc").as("_bad_id")).distinct()
           .pin()
         val nBad = bad.count()
+        graft.operators.DedupOps.releaseCheckpoint(prep.shingles)
+        // null-SAFE anti key: survivors provably carry non-null doc_id
+        // (the verdict join upstream is doc_id-keyed), but the gate must
+        // not re-create the false-clean-on-null class structurally
         val clean = dedupSurvivors
-          .join(graft.operators.DedupOps.gateKnown(bad, nBad), Seq("doc_id"),
-            "left_anti")
+          .join(graft.operators.DedupOps.gateKnown(bad, nBad),
+            col("doc_id") <=> col("_bad_id"), "left_anti")
           .pin()
         // the corpus-scale survivor pin (and the id pin) are dead once
         // `clean` is materialized — release them or they sit beside it
@@ -90,15 +99,18 @@ object CurationRun {
         graft.operators.DedupOps.releaseCheckpoint(bad)
         (clean, s""""rule":"drop","threshold":${DedupQueries.BenchContaminated},"dropped":$nBad""")
       case Some(Decontaminate.Rewrite(bench)) =>
+        val prep = AnalyticsQueries.prepareRewriteBench(bench)
         val rew = AnalyticsQueries
-          .decontaminateRewrite(dedupSurvivors.select("doc_id", "text"), bench)
+          .decontaminateRewrite(dedupSurvivors.select("doc_id", "text"), prep)
           .filter(col("n_removed") > 0)
-          .select(col("doc_id"), col("text_kept"))
+          .select(col("doc_id").as("_rw_id"), col("text_kept"))
           .pin()
         val nRew = rew.count()
+        graft.operators.DedupOps.releaseCheckpoint(prep.chunks)
+        // null-safe join-back — same rationale as the Drop branch
         val clean = dedupSurvivors
-          .join(graft.operators.DedupOps.gateKnown(rew, nRew), Seq("doc_id"),
-            "left")
+          .join(graft.operators.DedupOps.gateKnown(rew, nRew),
+            col("doc_id") <=> col("_rw_id"), "left")
           .select(col("doc_id"),
             coalesce(col("text_kept"), col("text")).as("text"),
             col("lang"), col("source"))

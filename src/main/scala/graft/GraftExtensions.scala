@@ -100,7 +100,16 @@ object GraftExtensions {
   /** Build the `curation_verdict` TVF plan — exactly the library's
     * [[graft.DedupQueries.q124DedupVerdict]] /
     * [[q124bDedupVerdictBanded]] plan (ExtensionsSpec pins the
-    * equivalence), resolved at analysis time like `vector_search`. */
+    * equivalence), resolved at analysis time like `vector_search`.
+    *
+    * Cost note (the vector_search convention, scaled up): the verdict
+    * pipeline's pins MATERIALIZE while this plan is BUILT — i.e. at SQL
+    * analysis time — so even an EXPLAIN pays the verdict's expensive
+    * stages, and each invocation builds fresh pinned blocks that the
+    * ContextCleaner releases only after the plan is GC'd. That is the
+    * right trade for an audit/report query issued once per release; a
+    * serving tier issuing it repeatedly should run it once and cache
+    * the result table, not re-invoke the TVF per request. */
   private[graft] def curationVerdictPlan(es: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(es.length == 1 || es.length == 2,

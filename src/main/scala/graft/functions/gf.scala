@@ -189,48 +189,42 @@ object gf {
     * (score DESC, id ASC). The buffer never exceeds k entries, so the
     * partial-aggregation pass ships AT MOST k rows per group per task —
     * the scale-correct alternative to `row_number().over(window)` top-k,
-    * which shuffles and sorts EVERY row of every group. */
-  class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private def order(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-    private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+    * which shuffles and sorts EVERY row of every group. Generic in the
+    * id type (one insertion/merge implementation for the long and
+    * string instantiations — a fix to the buffer logic cannot diverge
+    * between them); ids tie-break ASC under `ord` for determinism. */
+  sealed class TopKAggBase[I](k: Int)(implicit ord: Ordering[I],
+      benc: org.apache.spark.sql.Encoder[Seq[(Double, I)]])
+      extends Aggregator[(Double, I), Seq[(Double, I)], Seq[(Double, I)]] {
+    private def order(a: (Double, I), b: (Double, I)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && ord.lt(a._2, b._2))
+    private def insert(buf: Seq[(Double, I)], x: (Double, I)): Seq[(Double, I)] = {
       if (buf.length == k && !order(x, buf.last)) buf
       else ((buf :+ x).sortWith(order)).take(k)
     }
-    def zero: Seq[(Double, Long)] = Vector.empty
-    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = insert(b, a)
-    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    def zero: Seq[(Double, I)] = Vector.empty
+    def reduce(b: Seq[(Double, I)], a: (Double, I)): Seq[(Double, I)] = insert(b, a)
+    def merge(x: Seq[(Double, I)], y: Seq[(Double, I)]): Seq[(Double, I)] =
       (x ++ y).sortWith(order).take(k)
-    def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
-    def bufferEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
-    def outputEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+    def finish(b: Seq[(Double, I)]): Seq[(Double, I)] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, I)]] = benc
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, I)]] = benc
   }
+
+  /** [[TopKAggBase]] over long ids. */
+  class TopKAgg(k: Int) extends TopKAggBase[Long](k)(
+    Ordering.Long, ExpressionEncoder[Seq[(Double, Long)]]())
+
+  /** [[TopKAggBase]] over STRING ids (URL/hash-keyed corpora) — the id
+    * tie-break is lexicographic, deterministic like the long form. */
+  class TopKAggStr(k: Int) extends TopKAggBase[String](k)(
+    Ordering.String, ExpressionEncoder[Seq[(Double, String)]]())
 
   /** top_k_by(score, id, k) → array<struct<_1: score, _2: id>> sorted
     * (score DESC, id ASC), at most k entries. */
   def top_k_by(score: Column, id: Column, k: Int): Column = {
     val agg = F.udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
     agg(score, id)
-  }
-
-  /** [[TopKAgg]] over STRING ids (URL/hash-keyed corpora), same
-    * bounded-buffer shape and (score DESC, id ASC) order — the id
-    * tie-break uses lexicographic string order, deterministic like the
-    * long form. */
-  class TopKAggStr(k: Int) extends Aggregator[(Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
-    private def order(a: (Double, String), b: (Double, String)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-    private def insert(buf: Seq[(Double, String)], x: (Double, String)): Seq[(Double, String)] = {
-      if (buf.length == k && !order(x, buf.last)) buf
-      else ((buf :+ x).sortWith(order)).take(k)
-    }
-    def zero: Seq[(Double, String)] = Vector.empty
-    def reduce(b: Seq[(Double, String)], a: (Double, String)): Seq[(Double, String)] = insert(b, a)
-    def merge(x: Seq[(Double, String)], y: Seq[(Double, String)]): Seq[(Double, String)] =
-      (x ++ y).sortWith(order).take(k)
-    def finish(b: Seq[(Double, String)]): Seq[(Double, String)] = b
-    def bufferEncoder = ExpressionEncoder[Seq[(Double, String)]]()
-    def outputEncoder = ExpressionEncoder[Seq[(Double, String)]]()
   }
 
   /** [[top_k_by]] with a string id column. */

@@ -594,7 +594,11 @@ object Streams {
         graft.operators.DedupOps.releaseCheckpoint(keyed)
       }
       .start()
-    q.awaitTermination()
+    // the suite pin outlives its last probe — release it with the run,
+    // on the failure path too (a long-lived driver may catch a batch
+    // error and restart the gate; the old pin must not linger)
+    try q.awaitTermination()
+    finally graft.operators.DedupOps.releaseCheckpoint(prep.shingles)
   }
 
   /** The REWRITE twin of [[runDecontaminationGate]] — q131's span
@@ -640,7 +644,8 @@ object Streams {
         graft.operators.DedupOps.releaseCheckpoint(keyed)
       }
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally graft.operators.DedupOps.releaseCheckpoint(prep.chunks)
   }
 
   // ---------- windowed aggregation with watermark ----------
