@@ -210,12 +210,19 @@ object AnalyticsQueries {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("idx"))).as("rem"))
       .select(col("doc_id").as("_rdid"), col("rem"))
+    // the removal-verdict table is leak-sized (one row per doc that
+    // shares a chunk with the suite) — size-gate-BROADCAST it so the
+    // join-back never shuffles the corpus chunk arrays: left un-hinted,
+    // the static plan sort-merges on the null-safe key, and AQE then
+    // coalesces the tiny exchange to ONE task that does every doc's
+    // text reassembly serially (measured 10× on q131 before the hint)
+    val removedG = graft.operators.DedupOps.gateBroadcast(removed, rowLimit)
     // null-SAFE join-back: a null-doc_id corpus row's removal verdict
     // groups under the null key like any window/groupBy would keep it,
     // and a plain using-join would silently DETACH it — coalescing
     // n_removed to 0 and KEEPING leaked text (the false-clean class the
     // r10 review fixed in RankOps/q105)
-    withChunks.join(removed, col("doc_id") <=> col("_rdid"), "left")
+    withChunks.join(removedG, col("doc_id") <=> col("_rdid"), "left")
       .select(col("doc_id"),
         size(col("ch")).cast("bigint").as("n_chunks"),
         coalesce(size(col("rem")), lit(0)).cast("bigint").as("n_removed"),
