@@ -175,7 +175,18 @@ object AnalyticsQueries {
     * the groupBy) would merge their verdicts and cut each other's
     * chunks. The streaming gate guarantees uniqueness by keying each
     * arrival with a synthetic row id; batch callers key on the table's
-    * primary key. A SINGLE null-id row is handled exactly. */
+    * primary key. A SINGLE null-id row is handled exactly.
+    *
+    * PIN NOTE: this convenience form pins the prepared suite
+    * ([[prepareRewriteBench]]) AND the removal-verdict table
+    * internally, with no release handle — the pinned blocks live until
+    * the ContextCleaner GCs the plan (both tables are leak/suite-sized,
+    * so the leak is bounded, but it accumulates across calls). A caller
+    * invoking the rule repeatedly (a service, a per-batch loop) should
+    * prepare the suite once and use the [[RewritePrep]] form — or
+    * [[decontaminateRewritePinned]], which hands back the verdict pin
+    * for explicit release after the result is materialized (the
+    * streaming gate's pattern). */
   def decontaminateRewrite(corpus: DataFrame, bench0: DataFrame): DataFrame =
     decontaminateRewrite(corpus, prepareRewriteBench(bench0),
       graft.operators.DedupOps.BroadcastRowLimit)
@@ -190,11 +201,16 @@ object AnalyticsQueries {
     * re-runs. */
   def decontaminateRewrite(corpus: DataFrame, prep: RewritePrep,
       rowLimit: Long = graft.operators.DedupOps.BroadcastRowLimit)
-      : DataFrame = {
+      : DataFrame =
+    decontaminateRewritePinned(corpus, prep, rowLimit)._1
+
+  /** The corpus rows split into their 8-token chunk arrays — the shared
+    * head of the detect stage and the join-back. */
+  private def rewriteChunks(corpus: DataFrame): DataFrame = {
     val toks = when(length(trim(col("text"))) === 0,
         expr("cast(array() as array<string>)"))
       .otherwise(split(trim(lower(col("text"))), "\\s+"))
-    val withChunks = corpus
+    corpus
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
         when(size(col("t")) === 0, expr("cast(array() as array<string>)"))
@@ -202,33 +218,66 @@ object AnalyticsQueries {
             """transform(sequence(0, cast((size(t) - 1) / 8 as int)),
               |  i -> array_join(slice(t, i * 8 + 1, 8), ' '))""".stripMargin))
           .as("ch"))
-    val exploded = withChunks
+  }
+
+  /** The DETECT stage of the rewrite rule, BEFORE its verdict pin: the
+    * size-gated benchmark chunk-set join and the per-doc removal-index
+    * aggregate, as a lazy frame — (`_rdid`, `rem`). Exposed
+    * `private[graft]` as the PLAN-OBSERVABILITY seam:
+    * [[decontaminateRewritePinned]] pins this frame eagerly
+    * (localCheckpoint), so the gated `c`-keyed join executes during
+    * DataFrame CONSTRUCTION and is structurally absent from the final
+    * plan — a spec asserting broadcast-vs-sort-merge regimes must read
+    * THIS stage's plan (`BroadcastGateSpec` does), not the result's. */
+  private[graft] def rewriteDetect(corpus: DataFrame, prep: RewritePrep,
+      rowLimit: Long = graft.operators.DedupOps.BroadcastRowLimit)
+      : DataFrame =
+    rewriteChunks(corpus)
       .select(col("doc_id"), posexplode(col("ch")).as(Seq("idx", "c")))
-    val removed = exploded
       .join(graft.operators.DedupOps.gateKnown(prep.chunks, prep.nChunks,
         rowLimit), "c")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("idx"))).as("rem"))
       .select(col("doc_id").as("_rdid"), col("rem"))
+
+  /** [[decontaminateRewrite]] returning BOTH the result and the pinned
+    * removal-verdict frame, so a caller that materializes the result
+    * (a write, a collect) can release the pin's blocks immediately
+    * afterwards ([[graft.operators.DedupOps.releaseCheckpoint]])
+    * instead of waiting for plan GC — the streaming rewrite gate does
+    * this per micro-batch, which is what keeps a thousand-batch
+    * catch-up from accumulating a thousand resident verdict pins. */
+  private[graft] def decontaminateRewritePinned(corpus: DataFrame,
+      prep: RewritePrep,
+      rowLimit: Long = graft.operators.DedupOps.BroadcastRowLimit)
+      : (DataFrame, DataFrame) = {
+    import graft.operators.Pins.Pinned
+    val withChunks = rewriteChunks(corpus)
     // the removal-verdict table is leak-sized (one row per doc that
-    // shares a chunk with the suite) — size-gate-BROADCAST it so the
-    // join-back never shuffles the corpus chunk arrays: left un-hinted,
-    // the static plan sort-merges on the null-safe key, and AQE then
-    // coalesces the tiny exchange to ONE task that does every doc's
-    // text reassembly serially (measured 10× on q131 before the hint)
-    val removedG = graft.operators.DedupOps.gateBroadcast(removed, rowLimit)
+    // shares a chunk with the suite) — pin + count it so the join-back
+    // can be size-gate-BROADCAST and never shuffles the corpus chunk
+    // arrays: left un-hinted, the static plan sort-merges on the
+    // null-safe key, and AQE then coalesces the tiny exchange to ONE
+    // task that does every doc's text reassembly serially (measured
+    // 10× on q131 before the hint). The pin is handed back to the
+    // caller for release; the detect-stage plan it hides is asserted
+    // separately via [[rewriteDetect]].
+    val removed = rewriteDetect(corpus, prep, rowLimit).pin()
+    val removedG = graft.operators.DedupOps.gateKnown(removed,
+      removed.count(), rowLimit)
     // null-SAFE join-back: a null-doc_id corpus row's removal verdict
     // groups under the null key like any window/groupBy would keep it,
     // and a plain using-join would silently DETACH it — coalescing
     // n_removed to 0 and KEEPING leaked text (the false-clean class the
     // r10 review fixed in RankOps/q105)
-    withChunks.join(removedG, col("doc_id") <=> col("_rdid"), "left")
+    val out = withChunks.join(removedG, col("doc_id") <=> col("_rdid"), "left")
       .select(col("doc_id"),
         size(col("ch")).cast("bigint").as("n_chunks"),
         coalesce(size(col("rem")), lit(0)).cast("bigint").as("n_removed"),
         array_join(expr(
           "filter(ch, (x, i) -> NOT coalesce(array_contains(rem, i), false))"),
           " ").as("text_kept"))
+    (out, removed)
   }
 
   /** Z-order layout key per event ([[graft.operators.ZOrder]]): Morton

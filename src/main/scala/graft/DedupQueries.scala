@@ -536,7 +536,17 @@ object DedupQueries {
     * millions of examples — past any broadcast budget; the gate demotes
     * both suite-side joins to sort-merge there. The corpus filters
     * row-locally against the (usually broadcast) suite and shuffles
-    * only matched pair keys — its text never moves. */
+    * only matched pair keys — its text never moves.
+    *
+    * PIN NOTE: this convenience form pins the prepared suite
+    * ([[prepareBench]] — suite-sized shingle/size tables) internally
+    * with no release handle; the blocks live until the ContextCleaner
+    * GCs the plan. Fine for a once-per-release audit; a repeated
+    * caller (a service invoking the rule per request, a per-batch
+    * loop) should [[prepareBench]] ONCE, use the [[BenchPrep]] form,
+    * and release `prep.shingles` when done
+    * ([[graft.operators.DedupOps.releaseCheckpoint]]) — the streaming
+    * gate's and CurationRun's pattern. */
   def benchContainment(corpus: DataFrame, bench: DataFrame): DataFrame =
     benchContainment(corpus, prepareBench(bench),
       graft.operators.DedupOps.BroadcastRowLimit)

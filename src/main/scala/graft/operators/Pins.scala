@@ -39,11 +39,61 @@ object Pins {
     * checkpoints. Requires `sparkContext.setCheckpointDir(...)`. */
   val ReliableConf = "spark.graft.reliablePins"
 
+  /** Per-entry-point override of [[ReliableConf]]: inside
+    * `withReliable(r) { ... }` every [[pin]] uses mode `r`, whatever
+    * the session conf says. The conf is SESSION-GLOBAL — flipping it
+    * to harden one multi-hour export would also tax every
+    * dimension-sized pin in the session (bench/q57-class tables) with
+    * the 1.7× file round-trip — so the corpus-scale entry points
+    * ([[graft.CurationRun.exportCurated]]'s `reliable` arg,
+    * [[withReliableRun]]) scope the mode to their own pins instead.
+    * DynamicVariable = inheritable thread-local: pins are EAGER
+    * (materialize at call time on the calling thread), so a
+    * driver-synchronous entry point is fully covered by the scope. */
+  private val scopeMode =
+    new scala.util.DynamicVariable[Option[Boolean]](None)
+
+  /** Run `body` with every [[pin]] inside forced to `reliable`
+    * (file-backed) or local, overriding the session conf. Reliable
+    * mode still requires a checkpoint dir — use [[withReliableRun]]
+    * to scope the dir and its cleanup too. */
+  def withReliable[T](reliable: Boolean)(body: => T): T =
+    scopeMode.withValue(Some(reliable))(body)
+
+  /** Harden ONE run: sets `dir` as the checkpoint dir, forces every
+    * [[pin]] in `body` through reliable file-backed checkpoints, and
+    * DELETES `dir` on exit (success or failure) — the run-exit cleanup
+    * story for clusters that don't enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`. The previous
+    * checkpoint dir (if any) is restored.
+    *
+    * `body` must fully MATERIALIZE its outputs before returning (write
+    * its shards, collect its stats): any frame still referencing a pin
+    * after exit reads deleted files. The engine's run-shaped entry
+    * points (exportCurated, packSequences→write) satisfy this by
+    * construction. */
+  def withReliableRun[T](spark: org.apache.spark.sql.SparkSession,
+      dir: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    sc.setCheckpointDir(dir)
+    try withReliable(true)(body)
+    finally {
+      prev.foreach(sc.setCheckpointDir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Materialize `df` and sever its lineage — localCheckpoint by
-    * default, reliable `checkpoint` when [[ReliableConf]] is set. */
+    * default, reliable `checkpoint` when [[ReliableConf]] is set or a
+    * [[withReliable]] scope forces it. */
   def pin(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    if (java.lang.Boolean.parseBoolean(s.conf.get(ReliableConf, "false"))) {
+    val reliable = scopeMode.value.getOrElse(
+      java.lang.Boolean.parseBoolean(s.conf.get(ReliableConf, "false")))
+    if (reliable) {
       require(s.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableConf=true needs sparkContext.setCheckpointDir(...)")
       // checkpoint runs the plan twice on an unpersisted frame (eager

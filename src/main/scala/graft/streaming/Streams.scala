@@ -574,7 +574,13 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // pin the keyed batch: the row id must be IDENTICAL on the
         // probe side and the join-back side, and an unpinned batch can
-        // recompute with a different partition layout between the two
+        // recompute with a different partition layout between the two.
+        // DELIBERATELY localCheckpoint, not Pins.pin: under
+        // spark.graft.reliablePins the file round-trip would tax every
+        // micro-batch, and buys nothing here — a batch whose pin blocks
+        // die with an executor fails the batch, and the stream REPLAYS
+        // it from the checkpointed offsets (unlike a batch export,
+        // where a lost pin kills the whole run)
         val keyed = batch.select(col("doc_id"), col("text"))
           .withColumn("_rid", monotonically_increasing_id())
           .localCheckpoint(true)
@@ -627,13 +633,20 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // pinned synthetic row key — see runDecontaminationGate
+        // pinned synthetic row key — deliberately localCheckpoint, not
+        // Pins.pin: batch replay covers block loss (see
+        // runDecontaminationGate)
         val keyed = batch.select(col("doc_id"), col("text"))
           .withColumn("_rid", monotonically_increasing_id())
           .localCheckpoint(true)
-        val rew = graft.AnalyticsQueries.decontaminateRewrite(
+        // the pinned removal-verdict frame comes back alongside the
+        // result so this batch can RELEASE it after the write — the
+        // plain form would strand one verdict pin per micro-batch
+        // until plan GC (an AvailableNow catch-up runs thousands)
+        val (rew0, removedPin) = graft.AnalyticsQueries
+          .decontaminateRewritePinned(
             keyed.select(col("_rid").as("doc_id"), col("text")), prep)
-          .withColumnRenamed("doc_id", "_rid")
+        val rew = rew0.withColumnRenamed("doc_id", "_rid")
         // inner join is exact here: every _rid appears exactly once on
         // each side (the rewrite emits one row per input row)
         keyed.drop("text").join(rew, Seq("_rid"))
@@ -642,6 +655,7 @@ object Streams {
             (length(trim(col("text_kept"))) === 0).as("dropped"))
           .write.mode("append").parquet(outDir)
         graft.operators.DedupOps.releaseCheckpoint(keyed)
+        graft.operators.DedupOps.releaseCheckpoint(removedPin)
       }
       .start()
     try q.awaitTermination()

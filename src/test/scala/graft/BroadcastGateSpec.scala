@@ -96,7 +96,26 @@ class BroadcastGateSpec extends AnyFunSuite {
         (1 to 8).map(j => s"keep$j")).mkString(" ")),
       (201L, (1 to 12).map(j => s"cl$j").mkString(" ")))
       .toDF("doc_id", "text")
-    pin(AnalyticsQueries.decontaminateRewrite(corpus, bench, Long.MaxValue),
-      AnalyticsQueries.decontaminateRewrite(corpus, bench, 0L), Seq("c"))
+    // the full op PINS the detect stage (localCheckpoint), so the gated
+    // `c`-keyed join executes during DataFrame construction and is
+    // structurally ABSENT from the result's plan — the regime flip is
+    // asserted on the exposed PRE-PIN detect seam (rewriteDetect),
+    // which is the exact frame the op pins (r11 asserted it on the
+    // post-pin plan, which can never contain the join)
+    val prep = AnalyticsQueries.prepareRewriteBench(bench)
+    pin(AnalyticsQueries.rewriteDetect(corpus, prep, Long.MaxValue),
+      AnalyticsQueries.rewriteDetect(corpus, prep, 0L), Seq("c"))
+    // and the FINAL plan's verdict join-back is itself size-gated on
+    // the pinned table's count: broadcast in the small regime (the
+    // AQE-one-task reassembly fix), demoted to sort-merge in the large
+    val small = AnalyticsQueries.decontaminateRewrite(corpus, prep,
+      Long.MaxValue)
+    val large = AnalyticsQueries.decontaminateRewrite(corpus, prep, 0L)
+    assert(strategiesOn(small, "_rdid").contains("bhj"),
+      "_rdid join-back not broadcast in the small regime")
+    val l = strategiesOn(large, "_rdid")
+    assert(l.nonEmpty && l.forall(_ == "smj"),
+      s"_rdid join-back not demoted to sort-merge in the large regime: $l")
+    assert(rowsOf(small) == rowsOf(large))
   }
 }

@@ -80,4 +80,83 @@ class PinsSpec extends AnyFunSuite {
       assert(top == 500L)
     } finally spark.conf.set(Pins.ReliableConf, "false")
   }
+
+  test("withReliable scopes the pin mode per entry point, overriding the conf") {
+    import spark.implicits._
+    // conf says LOCAL; a scope hardens ONLY its own pins — the
+    // session-global flip would tax every dimension-sized pin 1.7×
+    spark.conf.set(Pins.ReliableConf, "false")
+    val ckpt = java.nio.file.Files.createTempDirectory("relscope").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val inside = Pins.withReliable(true) { Pins.pin((1 to 10).toDF("x")) }
+    assert(backingRdd(inside).getCheckpointFile.isDefined,
+      "scoped pin not file-backed")
+    val outside = Pins.pin((1 to 10).toDF("x"))
+    assert(backingRdd(outside).getCheckpointFile.isEmpty,
+      "pin outside the scope must stay local")
+    // and the inverse: conf says RELIABLE, a scope opts its pins OUT
+    // (a cheap bench pin inside a hardened session)
+    spark.conf.set(Pins.ReliableConf, "true")
+    try {
+      val fast = Pins.withReliable(false) { Pins.pin((1 to 10).toDF("x")) }
+      assert(backingRdd(fast).getCheckpointFile.isEmpty,
+        "opt-out scope still file-backed")
+    } finally spark.conf.set(Pins.ReliableConf, "false")
+  }
+
+  test("withReliableRun hardens one run and deletes its checkpoint dir on exit") {
+    import spark.implicits._
+    spark.conf.set(Pins.ReliableConf, "false")
+    val prevDir = java.nio.file.Files.createTempDirectory("relprev").toString
+    spark.sparkContext.setCheckpointDir(prevDir)
+    val dir = java.nio.file.Files.createTempDirectory("relrun").toString +
+      "/pins"
+    val n = Pins.withReliableRun(spark, dir) {
+      val pinned = Pins.pin((1 to 100).toDF("x"))
+      val f = backingRdd(pinned).getCheckpointFile
+      assert(f.isDefined && f.get.contains("pins"),
+        s"run pin not file-backed under the run dir: $f")
+      pinned.count() // outputs materialized INSIDE the run
+    }
+    assert(n == 100)
+    // run exit: checkpoint files GONE (no cleanCheckpoints conf
+    // needed), previous checkpoint dir restored
+    assert(!new java.io.File(dir).exists(),
+      "run checkpoint dir must be deleted on exit")
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains("relprev")),
+      s"previous checkpoint dir not restored: " +
+        s"${spark.sparkContext.getCheckpointDir}")
+    // failure path cleans up too
+    intercept[RuntimeException] {
+      Pins.withReliableRun(spark, dir) {
+        Pins.pin((1 to 10).toDF("x")).count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!new java.io.File(dir).exists(),
+      "run checkpoint dir must be deleted on the failure path")
+  }
+
+  test("exportCurated(reliable=true) hardens its run pins and leaves no _pins dir") {
+    val out = java.nio.file.Files.createTempDirectory("relexport").toString +
+      "/shards"
+    spark.conf.set(Pins.ReliableConf, "false")
+    val stats = CurationRun.exportCurated(spark, SparkSuite.sf0001, out,
+      nShards = 2, seed = 7L, decontaminate = None, reliable = true)
+    assert(stats.nonEmpty && stats.map(_.rows).sum > 0)
+    // the run-scoped checkpoint dir (the SIBLING ${out}_pins — inside
+    // `out` the overwrite-mode shard write would delete it mid-run) is
+    // cleaned with the run; the shards it pinned through it remain
+    assert(!new java.io.File(s"${out}_pins").exists(),
+      "run-scoped pin dir must not outlive the export")
+    assert(spark.read.parquet(out).count() == stats.map(_.rows).sum)
+    // equals the local-pin export bit-for-bit (mode changes WHERE pins
+    // live, never what they hold)
+    val out2 = java.nio.file.Files.createTempDirectory("relexport2")
+      .toString + "/shards"
+    val stats2 = CurationRun.exportCurated(spark, SparkSuite.sf0001, out2,
+      nShards = 2, seed = 7L, decontaminate = None, reliable = false)
+    assert(stats.map(s => (s.shard, s.rows)) ==
+      stats2.map(s => (s.shard, s.rows)))
+  }
 }
