@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.FuseVectorOps)
+    // plans the curation TVFs' execution-deferred leaves — see
+    // graft.plans.LazyTvfPlan
+    ext.injectPlannerStrategy(_ => graft.plans.LazyTvfStrategy)
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
@@ -73,15 +76,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "verdict (q124 shape: exact-fingerprint canon, best cluster " +
           "representative, not subsumed) over the documents table at " +
           "dir; banded=true routes pair generation through the LSH " +
-          "source (the crawl-scale path)"),
+          "source (the crawl-scale path). The corpus-scale pipeline " +
+          "builds and runs at FIRST EXECUTION of the query (EXPLAIN " +
+          "is free); each invocation runs it afresh - run once and " +
+          "cache/write the result rather than re-invoking per request"),
       (es: Seq[Expression]) => GraftExtensions.curationVerdictPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bench_contain"),
       info("bench_contain",
         "bench_contain(dir, bench_dir) - benchmark-containment " +
           "decontamination pairs (q130 rule): corpus = documents at " +
           "dir, suite = documents at bench_dir; emits (bench_doc, " +
-          "corpus_doc, n_shared, containment, contaminated)"),
+          "corpus_doc, n_shared, containment, contaminated). Runs at " +
+          "first execution, not analysis - EXPLAIN is free"),
       (es: Seq[Expression]) => GraftExtensions.benchContainPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("decontaminate_rewrite"),
+      info("decontaminate_rewrite",
+        "decontaminate_rewrite(dir, bench_dir) - q131's span surgery: " +
+          "cut the 8-token chunks of each corpus document (documents " +
+          "table at dir) that appear in the eval suite (documents at " +
+          "bench_dir); emits (doc_id, n_chunks, n_removed, text_kept). " +
+          "Runs at first execution, not analysis - EXPLAIN is free"),
+      (es: Seq[Expression]) => GraftExtensions.decontaminateRewritePlan(es)))
     // engine marker: lets a deploy assert the extensions actually loaded
     ext.injectFunction((FunctionIdentifier("graft_engine_version"),
       info("graft_engine_version", "graft_engine_version() - engine version string"),
@@ -94,53 +109,111 @@ object GraftExtensions {
   /** Literal-argument evaluation shared by the TVF builders. */
   private def evalLitArg(es: Seq[Expression], i: Int, tvf: String): Any = {
     require(es(i).foldable, s"$tvf argument ${i + 1} must be a literal")
-    es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val v = es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(v != null, s"$tvf argument ${i + 1} must not be NULL")
+    v
   }
 
-  /** Build the `curation_verdict` TVF plan — exactly the library's
+  /** Fresh output attributes for a TVF's declared schema — all
+    * nullable (a safe over-approximation of whatever the built
+    * pipeline produces; [[graft.plans.LazyTvfExec]] checks names and
+    * types at execution). */
+  private def tvfOutput(fields: (String,
+      org.apache.spark.sql.types.DataType)*)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    fields.map { case (n, t) =>
+      org.apache.spark.sql.catalyst.expressions
+        .AttributeReference(n, t, nullable = true)()
+    }
+
+  /** Build the `curation_verdict` TVF plan — an execution-deferred
+    * leaf ([[graft.plans.LazyTvfPlan]]) wrapping exactly the library's
     * [[graft.DedupQueries.q124DedupVerdict]] /
-    * [[q124bDedupVerdictBanded]] plan (ExtensionsSpec pins the
-    * equivalence), resolved at analysis time like `vector_search`.
-    *
-    * Cost note (the vector_search convention, scaled up): the verdict
-    * pipeline's pins MATERIALIZE while this plan is BUILT — i.e. at SQL
-    * analysis time — so even an EXPLAIN pays the verdict's expensive
-    * stages, and each invocation builds fresh pinned blocks that the
-    * ContextCleaner releases only after the plan is GC'd. That is the
-    * right trade for an audit/report query issued once per release; a
-    * serving tier issuing it repeatedly should run it once and cache
-    * the result table, not re-invoke the TVF per request. */
+    * [[q124bDedupVerdictBanded]] pipeline (ExtensionsSpec pins the
+    * inner-plan equivalence). Analysis only validates the literal
+    * arguments and declares the schema; the corpus-scale pipeline —
+    * including its size-gate pins — builds and runs at the query's
+    * FIRST EXECUTION, so EXPLAIN at every tier is free and an
+    * invocation that is never executed pins nothing (the r11 builders
+    * ran all of it at analysis time — a dashboard EXPLAIN cost minutes
+    * at 10M docs). Each executed invocation still runs the pipeline
+    * afresh; a serving tier should run it once and cache/write the
+    * verdict table, not re-invoke the TVF per request. */
   private[graft] def curationVerdictPlan(es: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types._
     require(es.length == 1 || es.length == 2,
       "curation_verdict(dir[, banded])")
-    val spark = org.apache.spark.sql.SparkSession.active
     val dir = evalLitArg(es, 0, "curation_verdict").toString
-    val banded = es.length == 2 &&
-      evalLitArg(es, 1, "curation_verdict").asInstanceOf[Boolean]
-    val df =
-      if (banded) graft.DedupQueries.q124bDedupVerdictBanded(spark, dir)
-      else graft.DedupQueries.q124DedupVerdict(spark, dir)
-    df.queryExecution.logical
+    val banded = es.length == 2 && {
+      val v = evalLitArg(es, 1, "curation_verdict")
+      // a raw asInstanceOf surfaced non-boolean literals as
+      // ClassCastException and NULL as NPE — give SQL users the same
+      // require-style usage errors the other argument checks do
+      require(v.isInstanceOf[java.lang.Boolean],
+        "curation_verdict(dir[, banded]): banded must be a BOOLEAN " +
+          s"literal (true/false), got ${es(1).sql}")
+      v.asInstanceOf[java.lang.Boolean].booleanValue()
+    }
+    graft.plans.LazyTvfPlan(s"curation_verdict($dir, banded=$banded)",
+      tvfOutput("doc_id" -> LongType, "fp_keep" -> BooleanType,
+        "cluster_id" -> LongType, "rep_keep" -> BooleanType,
+        "subsumed" -> BooleanType, "keep" -> BooleanType),
+      spark =>
+        if (banded) graft.DedupQueries.q124bDedupVerdictBanded(spark, dir)
+        else graft.DedupQueries.q124DedupVerdict(spark, dir))
   }
 
-  /** Build the `bench_contain` TVF plan —
-    * [[graft.DedupQueries.benchContainment]] between the documents
-    * tables at two dataset dirs (corpus, suite). */
+  /** Build the `bench_contain` TVF plan — an execution-deferred leaf
+    * wrapping [[graft.DedupQueries.benchContainment]] between the
+    * documents tables at two dataset dirs (corpus, suite). Same
+    * deferral contract as `curation_verdict`. */
   private[graft] def benchContainPlan(es: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types._
     require(es.length == 2, "bench_contain(dir, bench_dir)")
-    val spark = org.apache.spark.sql.SparkSession.active
     val dir = evalLitArg(es, 0, "bench_contain").toString
     val benchDir = evalLitArg(es, 1, "bench_contain").toString
-    val corpus = graft.Tables.load(spark, dir, "documents")
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("text"))
-    val bench = graft.Tables.load(spark, benchDir, "documents")
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("text"))
-    graft.DedupQueries.benchContainment(corpus, bench)
-      .queryExecution.logical
+    graft.plans.LazyTvfPlan(s"bench_contain($dir, $benchDir)",
+      tvfOutput("bench_doc" -> LongType, "corpus_doc" -> LongType,
+        "n_shared" -> LongType, "containment" -> DoubleType,
+        "contaminated" -> BooleanType),
+      spark => {
+        val c = org.apache.spark.sql.functions.col _
+        graft.DedupQueries.benchContainment(
+          graft.Tables.load(spark, dir, "documents")
+            .select(c("doc_id"), c("text")),
+          graft.Tables.load(spark, benchDir, "documents")
+            .select(c("doc_id"), c("text")))
+      })
+  }
+
+  /** Build the `decontaminate_rewrite` TVF plan — an
+    * execution-deferred leaf wrapping
+    * [[graft.AnalyticsQueries.decontaminateRewrite]] (q131's span
+    * surgery) between the documents tables at two dataset dirs.
+    * Completes the SQL front door's decontamination symmetry: Drop
+    * mode (`bench_contain` + a WHERE) and Rewrite mode both reachable
+    * without Scala. Same deferral contract as `curation_verdict` —
+    * the suite prep and verdict pins materialize at first execution,
+    * never at analysis. */
+  private[graft] def decontaminateRewritePlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types._
+    require(es.length == 2, "decontaminate_rewrite(dir, bench_dir)")
+    val dir = evalLitArg(es, 0, "decontaminate_rewrite").toString
+    val benchDir = evalLitArg(es, 1, "decontaminate_rewrite").toString
+    graft.plans.LazyTvfPlan(s"decontaminate_rewrite($dir, $benchDir)",
+      tvfOutput("doc_id" -> LongType, "n_chunks" -> LongType,
+        "n_removed" -> LongType, "text_kept" -> StringType),
+      spark => {
+        val c = org.apache.spark.sql.functions.col _
+        graft.AnalyticsQueries.decontaminateRewrite(
+          graft.Tables.load(spark, dir, "documents")
+            .select(c("doc_id"), c("text")),
+          graft.Tables.load(spark, benchDir, "documents")
+            .select(c("doc_id"), c("text")))
+      })
   }
 
   /** Build the `vector_search` logical plan: resolve the literal

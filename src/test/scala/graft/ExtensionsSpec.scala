@@ -141,13 +141,32 @@ class ExtensionsSpec extends AnyFunSuite {
   private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** The curation TVFs are execution-deferred leaves
+    * ([[graft.plans.LazyTvfExec]]) — the TVF≡library plan pin reads
+    * the INNER pipeline the exec node builds (building it here is
+    * fine: specs run at execution tier, the deferral contract only
+    * protects analysis/EXPLAIN). */
+  private def innerOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val execs = df.queryExecution.sparkPlan.collect {
+      case e: graft.plans.LazyTvfExec => e
+    }
+    assert(execs.nonEmpty, s"no LazyTvfExec in:\n${df.queryExecution.sparkPlan}")
+    execs.head.inner
+  }
+
   test("curation_verdict TVF runs the flagship verdict from pure SQL") {
     val dir = SparkSuite.sf0001
     val sql = spark.sql(s"SELECT * FROM curation_verdict('$dir')")
     val lib = DedupQueries.q124DedupVerdict(spark, dir)
     assert(rowsOf(sql) == rowsOf(lib), "TVF verdict != library verdict")
-    assert(opHistogram(sql) == opHistogram(lib),
-      s"TVF plan diverged from the library plan:\n${opHistogram(sql)}\nvs\n${opHistogram(lib)}")
+    assert(opHistogram(innerOf(sql)) == opHistogram(lib),
+      s"TVF inner plan diverged from the library plan:\n" +
+        s"${opHistogram(innerOf(sql))}\nvs\n${opHistogram(lib)}")
+    // the declared TVF schema is a constant — pin it to the library's
+    assert(sql.schema.map(f => (f.name, f.dataType)) ==
+      lib.schema.map(f => (f.name, f.dataType)),
+      "declared curation_verdict schema drifted from the library")
     // the banded route is selectable from SQL too, and keep is sane
     val banded = spark.sql(
       s"SELECT count(*) AS n FROM curation_verdict('$dir', true) WHERE keep")
@@ -179,9 +198,101 @@ class ExtensionsSpec extends AnyFunSuite {
         .select("doc_id", "text"),
       Tables.load(spark, bdir, "documents").select("doc_id", "text"))
     assert(rowsOf(sql) == rowsOf(lib))
-    assert(opHistogram(sql) == opHistogram(lib))
+    assert(opHistogram(innerOf(sql)) == opHistogram(lib))
+    assert(sql.schema.map(f => (f.name, f.dataType)) ==
+      lib.schema.map(f => (f.name, f.dataType)),
+      "declared bench_contain schema drifted from the library")
     // the corpus docs contain their own text (C = 1.0 self-pairs)
     assert(sql.filter(col("bench_doc") === col("corpus_doc") &&
       col("contaminated")).count() == 3)
+  }
+
+  test("decontaminate_rewrite TVF equals the library rewrite over the same tables") {
+    import org.apache.spark.sql.functions._
+    val bdir = java.nio.file.Files.createTempDirectory("rwbenchdir").toString
+    Tables.load(spark, SparkSuite.sf0001, "documents")
+      .filter(col("doc_id") < 3).select("doc_id", "text")
+      .write.parquet(s"$bdir/documents.parquet")
+    val sql = spark.sql(
+      s"SELECT * FROM decontaminate_rewrite('${SparkSuite.sf0001}', '$bdir')")
+    val lib = AnalyticsQueries.decontaminateRewrite(
+      Tables.load(spark, SparkSuite.sf0001, "documents")
+        .select("doc_id", "text"),
+      Tables.load(spark, bdir, "documents").select("doc_id", "text"))
+    assert(rowsOf(sql) == rowsOf(lib))
+    assert(opHistogram(innerOf(sql)) == opHistogram(lib))
+    assert(sql.schema.map(f => (f.name, f.dataType)) ==
+      lib.schema.map(f => (f.name, f.dataType)),
+      "declared decontaminate_rewrite schema drifted from the library")
+    // the suite docs are self-leaked: every FULL 8-token chunk removed
+    // (the ragged final chunk is < 8 tokens, so it has no 8-token
+    // suite shingle to match — only an exact-multiple doc loses all)
+    assert(sql.filter(col("doc_id") < 3 && col("n_removed") > 0 &&
+      col("n_removed") >= col("n_chunks") - 1).count() == 3)
+    // and it composes as a relation: the quarantine/keep split is SQL
+    assert(spark.sql(
+      s"""SELECT count(*) FROM decontaminate_rewrite(
+         |  '${SparkSuite.sf0001}', '$bdir') WHERE n_removed = 0
+         |""".stripMargin).head().getLong(0) > 0)
+  }
+
+  test("curation TVF EXPLAIN runs ZERO jobs and pins nothing (execution-deferred)") {
+    val dir = SparkSuite.sf0001
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // flush in-flight events from earlier tests, then snapshot pins
+    org.apache.spark.graftsync.ListenerSync.waitUntilEmpty(sc)
+    sc.addSparkListener(listener)
+    val pinsBefore = sc.getPersistentRDDs.keySet
+    try {
+      // every EXPLAIN tier: analysis, optimization, physical planning
+      spark.sql(s"EXPLAIN EXTENDED SELECT * FROM curation_verdict('$dir')")
+        .collect()
+      spark.sql(s"EXPLAIN SELECT * FROM curation_verdict('$dir', true)")
+        .collect()
+      spark.sql(s"EXPLAIN SELECT * FROM bench_contain('$dir', '$dir')")
+        .collect()
+      spark.sql(
+        s"EXPLAIN FORMATTED SELECT * FROM decontaminate_rewrite('$dir', '$dir')")
+        .collect()
+      org.apache.spark.graftsync.ListenerSync.waitUntilEmpty(sc)
+      assert(jobs.get() == 0,
+        s"EXPLAIN over the curation TVFs triggered ${jobs.get()} Spark " +
+          "jobs - the pipeline must build at execution, not analysis")
+      val newPins = sc.getPersistentRDDs.keySet -- pinsBefore
+      assert(newPins.isEmpty,
+        s"EXPLAIN left pinned blocks behind: $newPins")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("curation TVF argument errors are require-style, not ClassCastException") {
+    val dir = SparkSuite.sf0001
+    // the whole cause chain: Spark may wrap builder exceptions
+    def msgs(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    // non-boolean banded literal
+    val e1 = intercept[Exception](
+      spark.sql(s"SELECT * FROM curation_verdict('$dir', 1)").collect())
+    assert(msgs(e1).contains("BOOLEAN"),
+      s"wrong error for integer banded: ${msgs(e1)}")
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM curation_verdict('$dir', 'true')").collect())
+    assert(msgs(e2).contains("BOOLEAN"),
+      s"wrong error for string banded: ${msgs(e2)}")
+    // NULL literals get the must-not-be-NULL require, not an NPE
+    val e3 = intercept[Exception](
+      spark.sql(s"SELECT * FROM curation_verdict('$dir', NULL)").collect())
+    assert(msgs(e3).contains("NULL"),
+      s"wrong error for NULL banded: ${msgs(e3)}")
+    val e4 = intercept[Exception](
+      spark.sql("SELECT * FROM bench_contain(NULL, 'x')").collect())
+    assert(msgs(e4).contains("NULL"),
+      s"wrong error for NULL dir: ${msgs(e4)}")
   }
 }
