@@ -95,7 +95,9 @@ object Pins {
       java.lang.Boolean.parseBoolean(s.conf.get(ReliableConf, "false")))
     if (reliable) {
       require(s.sparkContext.getCheckpointDir.isDefined,
-        s"$ReliableConf=true needs sparkContext.setCheckpointDir(...)")
+        s"reliable pins ($ReliableConf=true or Pins.withReliable(true)) " +
+          "need sparkContext.setCheckpointDir(...) — or use " +
+          "Pins.withReliableRun, which owns the dir and its cleanup")
       // checkpoint runs the plan twice on an unpersisted frame (eager
       // count, then the checkpoint-write job recomputes — RDD
       // .checkpoint's scaladoc suggests persisting first). That advice
