@@ -77,8 +77,12 @@ object CurationRun {
       nShards: Int, seed: Long, decontaminate: Option[Decontaminate],
       reliable: Boolean): Seq[TrainingExport.ShardStat] = {
     import graft.operators.Pins
+    // collapse ALL trailing slashes: "out//".stripSuffix("/") would
+    // leave "out/" and NEST the pin dir inside outDir — the
+    // overwrite-delete hazard the scaladoc forbids
     if (reliable)
-      Pins.withReliableRun(s, s"${outDir.stripSuffix("/")}_pins")(
+      Pins.withReliableRun(s,
+        outDir.replaceAll("/+$", "") + "_pins")(
         exportCurated(s, dir, outDir, nShards, seed, decontaminate))
     else Pins.withReliable(false)(
       exportCurated(s, dir, outDir, nShards, seed, decontaminate))
@@ -128,12 +132,20 @@ object CurationRun {
         (clean, s""""rule":"drop","threshold":${DedupQueries.BenchContaminated},"dropped":$nBad""")
       case Some(Decontaminate.Rewrite(bench)) =>
         val prep = AnalyticsQueries.prepareRewriteBench(bench)
-        val rew = AnalyticsQueries
-          .decontaminateRewrite(dedupSurvivors.select("doc_id", "text"), prep)
+        // the PINNED form: the rule pins its leak-sized removal-verdict
+        // table internally, and the plain form would strand that pin
+        // resident through mixture/export beside `clean` — the
+        // AGGREGATE_OOM squeeze this branch releases every OTHER
+        // superseded pin to avoid
+        val (rew0, removedPin) = AnalyticsQueries
+          .decontaminateRewritePinned(
+            dedupSurvivors.select("doc_id", "text"), prep)
+        val rew = rew0
           .filter(col("n_removed") > 0)
           .select(col("doc_id").as("_rw_id"), col("text_kept"))
           .pin()
         val nRew = rew.count()
+        graft.operators.DedupOps.releaseCheckpoint(removedPin)
         graft.operators.DedupOps.releaseCheckpoint(prep.chunks)
         // null-safe join-back — same rationale as the Drop branch
         val clean = dedupSurvivors

@@ -50,22 +50,45 @@ object Pins {
     * DynamicVariable = inheritable thread-local: pins are EAGER
     * (materialize at call time on the calling thread), so a
     * driver-synchronous entry point is fully covered by the scope. */
+  /** A [[withReliable]]/[[withReliableRun]] scope: the forced mode,
+    * plus (for run scopes) the checkpoint files this scope's own pins
+    * wrote — recorded per pin so run-exit cleanup deletes EXACTLY this
+    * run's files. Deleting the run DIR wholesale instead would (a)
+    * destroy a pre-existing directory that happened to share the name
+    * and (b) under two concurrent reliable runs — whose interleaved
+    * `setCheckpointDir` calls can land either run's files in either
+    * dir, the dir being SparkContext-global while the mode is
+    * thread-scoped — delete the OTHER run's live checkpoint files out
+    * from under its still-running stages. */
+  private final class Scope(val reliable: Boolean) {
+    private val files = scala.collection.mutable.ArrayBuffer[String]()
+    def record(f: String): Unit = synchronized { files += f }
+    def recorded: Seq[String] = synchronized { files.toSeq }
+  }
+
   private val scopeMode =
-    new scala.util.DynamicVariable[Option[Boolean]](None)
+    new scala.util.DynamicVariable[Option[Scope]](None)
 
   /** Run `body` with every [[pin]] inside forced to `reliable`
     * (file-backed) or local, overriding the session conf. Reliable
     * mode still requires a checkpoint dir — use [[withReliableRun]]
     * to scope the dir and its cleanup too. */
   def withReliable[T](reliable: Boolean)(body: => T): T =
-    scopeMode.withValue(Some(reliable))(body)
+    scopeMode.withValue(Some(new Scope(reliable)))(body)
 
   /** Harden ONE run: sets `dir` as the checkpoint dir, forces every
     * [[pin]] in `body` through reliable file-backed checkpoints, and
-    * DELETES `dir` on exit (success or failure) — the run-exit cleanup
-    * story for clusters that don't enable
+    * on exit (success or failure) deletes the run's OWN checkpoint
+    * files — wherever a concurrent run's interleaved
+    * `setCheckpointDir` made them land — then `dir` itself only if
+    * nothing else lives in it. This is the run-exit cleanup story for
+    * clusters that don't enable
     * `spark.cleaner.referenceTracking.cleanCheckpoints`. The previous
-    * checkpoint dir (if any) is restored.
+    * checkpoint dir (if any) is restored; when NONE was set, the
+    * deleted run path stays registered on the SparkContext (Spark has
+    * no public unset) — a caller later flipping the session conf to
+    * reliable mode must set its own dir, as that mode's contract
+    * already requires.
     *
     * `body` must fully MATERIALIZE its outputs before returning (write
     * its shards, collect its stats): any frame still referencing a pin
@@ -77,12 +100,25 @@ object Pins {
     val sc = spark.sparkContext
     val prev = sc.getCheckpointDir
     sc.setCheckpointDir(dir)
-    try withReliable(true)(body)
+    val scope = new Scope(true)
+    try scopeMode.withValue(Some(scope))(body)
     finally {
       prev.foreach(sc.setCheckpointDir)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(sc.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val hconf = sc.hadoopConfiguration
+      scope.recorded.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      // the run dir (and the UUID subdir setCheckpointDir created) —
+      // but only when nothing FOREIGN remains: empty directory trees
+      // are ours to remove, any file means another run or a
+      // pre-existing directory shares the path
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(hconf)
+      def emptyTree(p: org.apache.hadoop.fs.Path): Boolean =
+        fs.listStatus(p).forall(st => st.isDirectory && emptyTree(st.getPath))
+      if (fs.exists(root) && emptyTree(root)) fs.delete(root, true)
     }
   }
 
@@ -91,7 +127,8 @@ object Pins {
     * [[withReliable]] scope forces it. */
   def pin(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    val reliable = scopeMode.value.getOrElse(
+    val scope = scopeMode.value
+    val reliable = scope.map(_.reliable).getOrElse(
       java.lang.Boolean.parseBoolean(s.conf.get(ReliableConf, "false")))
     if (reliable) {
       require(s.sparkContext.getCheckpointDir.isDefined,
@@ -106,7 +143,17 @@ object Pins {
       // measured CHEAPER at 10M than the persist alternative's full
       // cache write+read round-trip (PackScaleProbe: 22.8 s direct vs
       // 74-125 s with persist scaffolding). Deliberately unpersisted.
-      df.checkpoint(true)
+      val out = df.checkpoint(true)
+      // record the pin's checkpoint files with the active scope so a
+      // run-scoped exit can delete exactly its own
+      scope.foreach { sc0 =>
+        out.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.getCheckpointFile.foreach(sc0.record)
+          case _ => ()
+        }
+      }
+      out
     } else df.localCheckpoint(true)
   }
 

@@ -642,10 +642,16 @@ object Streams {
         // the pinned removal-verdict frame comes back alongside the
         // result so this batch can RELEASE it after the write — the
         // plain form would strand one verdict pin per micro-batch
-        // until plan GC (an AvailableNow catch-up runs thousands)
-        val (rew0, removedPin) = graft.AnalyticsQueries
-          .decontaminateRewritePinned(
-            keyed.select(col("_rid").as("doc_id"), col("text")), prep)
+        // until plan GC (an AvailableNow catch-up runs thousands).
+        // withReliable(false): the internal pin is per-batch state,
+        // same policy as `keyed` above — under a session-wide
+        // reliablePins=true it would otherwise file-checkpoint every
+        // micro-batch (and the block release below is a no-op for
+        // file-backed pins, so a thousand-batch catch-up would strand
+        // a thousand checkpoint file sets instead of blocks)
+        val (rew0, removedPin) = graft.operators.Pins.withReliable(false)(
+          graft.AnalyticsQueries.decontaminateRewritePinned(
+            keyed.select(col("_rid").as("doc_id"), col("text")), prep))
         val rew = rew0.withColumnRenamed("doc_id", "_rid")
         // inner join is exact here: every _rid appears exactly once on
         // each side (the rewrite emits one row per input row)

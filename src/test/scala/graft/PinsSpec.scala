@@ -137,6 +137,31 @@ class PinsSpec extends AnyFunSuite {
       "run checkpoint dir must be deleted on the failure path")
   }
 
+  test("withReliableRun deletes only its OWN pin files; foreign content survives") {
+    import spark.implicits._
+    spark.conf.set(Pins.ReliableConf, "false")
+    // a directory that ALREADY exists with someone else's content at
+    // the run-dir path: a wholesale rm -r on exit would destroy data
+    // the caller never handed to the run (and, for two concurrent
+    // reliable runs, the other run's live checkpoint files)
+    val dir = java.nio.file.Files.createTempDirectory("relshare").toString +
+      "/pins"
+    new java.io.File(dir).mkdirs()
+    val foreign = new java.io.File(dir, "keep.txt")
+    java.nio.file.Files.write(foreign.toPath,
+      "precious".getBytes("UTF-8"))
+    Pins.withReliableRun(spark, dir) {
+      Pins.pin((1 to 50).toDF("x")).count()
+    }
+    assert(foreign.exists, "run cleanup wiped foreign content in its dir")
+    // ...but the run's own checkpoint files are gone: the only FILE
+    // left anywhere under dir is the foreign one
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).toArray.toSeq
+    assert(files == Seq(foreign.toPath),
+      s"expected only the foreign file to remain, got $files")
+  }
+
   test("exportCurated(reliable=true) hardens its run pins and leaves no _pins dir") {
     val out = java.nio.file.Files.createTempDirectory("relexport").toString +
       "/shards"
