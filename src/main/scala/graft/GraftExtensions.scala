@@ -97,6 +97,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bench_dir); emits (doc_id, n_chunks, n_removed, text_kept). " +
           "Runs at first execution, not analysis - EXPLAIN is free"),
       (es: Seq[Expression]) => GraftExtensions.decontaminateRewritePlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("pack_sequences"),
+      info("pack_sequences",
+        "pack_sequences(dir, seq_len) - GPT-style sequence packing " +
+          "(q132): per language, the documents table at dir " +
+          "concatenated in doc_id order and chopped into consecutive " +
+          "seq_len-token sequences, docs split across boundaries; " +
+          "emits (lang, seq_id, n_docs, n_tokens, text_packed, " +
+          "spans). Runs at first execution, not analysis - EXPLAIN " +
+          "is free"),
+      (es: Seq[Expression]) => GraftExtensions.packSequencesPlan(es)))
     // engine marker: lets a deploy assert the extensions actually loaded
     ext.injectFunction((FunctionIdentifier("graft_engine_version"),
       info("graft_engine_version", "graft_engine_version() - engine version string"),
@@ -214,6 +224,37 @@ object GraftExtensions {
           graft.Tables.load(spark, benchDir, "documents")
             .select(c("doc_id"), c("text")))
       })
+  }
+
+  /** Build the `pack_sequences` TVF plan — an execution-deferred leaf
+    * wrapping [[graft.CurationQueries.packSequences]] (q132's GPT-style
+    * packing, the range-exchange no-corpus-window plan) over the
+    * documents table at a dataset dir. The packing's prefix-sum pin
+    * materializes at first execution, never at analysis. */
+  private[graft] def packSequencesPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types._
+    require(es.length == 2, "pack_sequences(dir, seq_len)")
+    val dir = evalLitArg(es, 0, "pack_sequences").toString
+    val lv = evalLitArg(es, 1, "pack_sequences")
+    require(lv.isInstanceOf[java.lang.Integer] ||
+      lv.isInstanceOf[java.lang.Long] || lv.isInstanceOf[java.lang.Short] ||
+      lv.isInstanceOf[java.lang.Byte],
+      "pack_sequences(dir, seq_len): seq_len must be an INTEGRAL " +
+        s"literal, got ${es(1).sql}")
+    val seqLen = lv.asInstanceOf[Number].longValue()
+    require(seqLen > 0,
+      s"pack_sequences(dir, seq_len): seq_len must be positive, got $seqLen")
+    graft.plans.LazyTvfPlan(s"pack_sequences($dir, $seqLen)",
+      tvfOutput("lang" -> StringType, "seq_id" -> LongType,
+        "n_docs" -> LongType, "n_tokens" -> LongType,
+        "text_packed" -> StringType, "spans" -> StringType),
+      spark => graft.CurationQueries.packSequences(
+        graft.Tables.load(spark, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("text")),
+        seqLen))
   }
 
   /** Build the `vector_search` logical plan: resolve the literal

@@ -260,6 +260,8 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql(
         s"EXPLAIN FORMATTED SELECT * FROM decontaminate_rewrite('$dir', '$dir')")
         .collect()
+      spark.sql(s"EXPLAIN SELECT * FROM pack_sequences('$dir', 512)")
+        .collect()
       org.apache.spark.graftsync.ListenerSync.waitUntilEmpty(sc)
       assert(jobs.get() == 0,
         s"EXPLAIN over the curation TVFs triggered ${jobs.get()} Spark " +
@@ -294,5 +296,36 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM bench_contain(NULL, 'x')").collect())
     assert(msgs(e4).contains("NULL"),
       s"wrong error for NULL dir: ${msgs(e4)}")
+    val e5 = intercept[Exception](
+      spark.sql(s"SELECT * FROM pack_sequences('$dir', 'big')").collect())
+    assert(msgs(e5).contains("INTEGRAL"),
+      s"wrong error for string seq_len: ${msgs(e5)}")
+    val e6 = intercept[Exception](
+      spark.sql(s"SELECT * FROM pack_sequences('$dir', 0)").collect())
+    assert(msgs(e6).contains("positive"),
+      s"wrong error for zero seq_len: ${msgs(e6)}")
+  }
+
+  test("pack_sequences TVF equals the library packing over the same table") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkSuite.sf0001
+    val sql = spark.sql(s"SELECT * FROM pack_sequences('$dir', 256)")
+    val lib = CurationQueries.packSequences(
+      Tables.load(spark, dir, "documents").select("doc_id", "lang", "text"),
+      256L)
+    assert(rowsOf(sql) == rowsOf(lib))
+    assert(opHistogram(innerOf(sql)) == opHistogram(lib))
+    assert(sql.schema.map(f => (f.name, f.dataType)) ==
+      lib.schema.map(f => (f.name, f.dataType)),
+      "declared pack_sequences schema drifted from the library")
+    // packing invariant holds through the SQL door: every interior
+    // sequence is exactly seq_len tokens
+    val bad = spark.sql(
+      s"""SELECT count(*) FROM pack_sequences('$dir', 256) p
+         |WHERE n_tokens <> 256 AND seq_id < (
+         |  SELECT max(seq_id) FROM pack_sequences('$dir', 256) q
+         |  WHERE q.lang = p.lang)
+         |""".stripMargin).head().getLong(0)
+    assert(bad == 0, s"$bad interior sequences not exactly 256 tokens")
   }
 }
