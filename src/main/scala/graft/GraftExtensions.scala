@@ -191,9 +191,9 @@ object GraftExtensions {
       spark => {
         val c = org.apache.spark.sql.functions.col _
         graft.DedupQueries.benchContainment(
-          graft.Tables.load(spark, dir, "documents")
+          graft.Tables.loadP(spark, dir, "documents")
             .select(c("doc_id"), c("text")),
-          graft.Tables.load(spark, benchDir, "documents")
+          graft.Tables.loadP(spark, benchDir, "documents")
             .select(c("doc_id"), c("text")))
       })
   }
@@ -219,9 +219,9 @@ object GraftExtensions {
       spark => {
         val c = org.apache.spark.sql.functions.col _
         graft.AnalyticsQueries.decontaminateRewrite(
-          graft.Tables.load(spark, dir, "documents")
+          graft.Tables.loadP(spark, dir, "documents")
             .select(c("doc_id"), c("text")),
-          graft.Tables.load(spark, benchDir, "documents")
+          graft.Tables.loadP(spark, benchDir, "documents")
             .select(c("doc_id"), c("text")))
       })
   }
@@ -250,7 +250,7 @@ object GraftExtensions {
         "n_docs" -> LongType, "n_tokens" -> LongType,
         "text_packed" -> StringType, "spans" -> StringType),
       spark => graft.CurationQueries.packSequences(
-        graft.Tables.load(spark, dir, "documents")
+        graft.Tables.loadP(spark, dir, "documents")
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("lang"),
             org.apache.spark.sql.functions.col("text")),

@@ -194,9 +194,9 @@ class ExtensionsSpec extends AnyFunSuite {
     val sql = spark.sql(
       s"SELECT * FROM bench_contain('${SparkSuite.sf0001}', '$bdir')")
     val lib = DedupQueries.benchContainment(
-      Tables.load(spark, SparkSuite.sf0001, "documents")
+      Tables.loadP(spark, SparkSuite.sf0001, "documents")
         .select("doc_id", "text"),
-      Tables.load(spark, bdir, "documents").select("doc_id", "text"))
+      Tables.loadP(spark, bdir, "documents").select("doc_id", "text"))
     assert(rowsOf(sql) == rowsOf(lib))
     assert(opHistogram(innerOf(sql)) == opHistogram(lib))
     assert(sql.schema.map(f => (f.name, f.dataType)) ==
@@ -216,9 +216,9 @@ class ExtensionsSpec extends AnyFunSuite {
     val sql = spark.sql(
       s"SELECT * FROM decontaminate_rewrite('${SparkSuite.sf0001}', '$bdir')")
     val lib = AnalyticsQueries.decontaminateRewrite(
-      Tables.load(spark, SparkSuite.sf0001, "documents")
+      Tables.loadP(spark, SparkSuite.sf0001, "documents")
         .select("doc_id", "text"),
-      Tables.load(spark, bdir, "documents").select("doc_id", "text"))
+      Tables.loadP(spark, bdir, "documents").select("doc_id", "text"))
     assert(rowsOf(sql) == rowsOf(lib))
     assert(opHistogram(innerOf(sql)) == opHistogram(lib))
     assert(sql.schema.map(f => (f.name, f.dataType)) ==
@@ -311,7 +311,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val dir = SparkSuite.sf0001
     val sql = spark.sql(s"SELECT * FROM pack_sequences('$dir', 256)")
     val lib = CurationQueries.packSequences(
-      Tables.load(spark, dir, "documents").select("doc_id", "lang", "text"),
+      Tables.loadP(spark, dir, "documents").select("doc_id", "lang", "text"),
       256L)
     assert(rowsOf(sql) == rowsOf(lib))
     assert(opHistogram(innerOf(sql)) == opHistogram(lib))
@@ -319,13 +319,14 @@ class ExtensionsSpec extends AnyFunSuite {
       lib.schema.map(f => (f.name, f.dataType)),
       "declared pack_sequences schema drifted from the library")
     // packing invariant holds through the SQL door: every interior
-    // sequence is exactly seq_len tokens
-    val bad = spark.sql(
-      s"""SELECT count(*) FROM pack_sequences('$dir', 256) p
-         |WHERE n_tokens <> 256 AND seq_id < (
-         |  SELECT max(seq_id) FROM pack_sequences('$dir', 256) q
-         |  WHERE q.lang = p.lang)
-         |""".stripMargin).head().getLong(0)
+    // sequence is exactly seq_len tokens. NULL-SAFE per-lang max (an
+    // `=` correlation would silently exclude a NULL-lang group from
+    // the check — packSequences treats NULL lang as an ordinary group)
+    val mx = sql.groupBy(col("lang").as("_ml"))
+      .agg(max("seq_id").as("_mx"))
+    val bad = sql.join(mx, col("lang") <=> col("_ml"))
+      .filter(col("seq_id") < col("_mx") && col("n_tokens") =!= 256)
+      .count()
     assert(bad == 0, s"$bad interior sequences not exactly 256 tokens")
   }
 }
