@@ -236,6 +236,23 @@ class ExtensionsSpec extends AnyFunSuite {
          |""".stripMargin).head().getLong(0) > 0)
   }
 
+  test("a curation TVF composes in a self-join (MultiInstanceRelation)") {
+    import org.apache.spark.sql.functions._
+    // two invocations of the same TVF in one query: the analyzer must
+    // mint fresh attribute ids per instance (newInstance) or the join
+    // is rejected/mis-resolved
+    val dir = SparkSuite.sf0001
+    val n = spark.sql(
+      s"""SELECT count(*) AS n
+         |FROM curation_verdict('$dir') a
+         |JOIN curation_verdict('$dir') b ON a.doc_id = b.doc_id
+         |WHERE a.keep AND b.keep
+         |""".stripMargin).head().getLong(0)
+    val lib = DedupQueries.q124DedupVerdict(spark, dir)
+      .filter(col("keep")).count()
+    assert(n == lib, s"self-join count $n != library keep count $lib")
+  }
+
   test("curation TVF EXPLAIN runs ZERO jobs and pins nothing (execution-deferred)") {
     val dir = SparkSuite.sf0001
     val sc = spark.sparkContext

@@ -776,6 +776,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == Map(20L -> true, 21L -> false, 22L -> false), s"$got")
   }
 
+  test("rewrite gate under reliablePins: per-batch pins stay LOCAL, no checkpoint files accumulate") {
+    import spark.implicits._
+    // a hardened SESSION (reliablePins=true + checkpoint dir): the
+    // gate's per-batch pins (keyed batch, removal verdict) must stay
+    // executor-local — batch replay covers block loss, and the block
+    // release after each write is a no-op for file-backed pins, so
+    // routing them through the conf would strand one checkpoint file
+    // set per micro-batch on the FS. Only the ONE suite-prep pin may
+    // land as files.
+    val pinsDir = java.nio.file.Files.createTempDirectory("relgate").toString
+    spark.sparkContext.setCheckpointDir(pinsDir)
+    spark.conf.set(graft.operators.Pins.ReliableConf, "true")
+    try {
+      val bench = Seq((9000L, (1 to 8).map(j => s"rb$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      // three files + maxFilesPerTrigger=1 → three micro-batches in
+      // one AvailableNow run (the prepare-once test's pattern)
+      val in = java.nio.file.Files.createTempDirectory("relgate_in").toString
+      Seq((40L, (1 to 8).map(j => s"rb$j").mkString(" ") + " keep1 keep2"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      Seq((41L, (1 to 12).map(j => s"u$j").mkString(" ")))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      Seq((42L, (1 to 12).map(j => s"v$j").mkString(" ")))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val out = java.nio.file.Files.createTempDirectory("relgate_out")
+        .toString + "/o"
+      val ckpt = java.nio.file.Files.createTempDirectory("relgate_ck").toString
+      Streams.runDecontaminationRewrite(stream, bench, out, ckpt)
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .count(_.getName.forall(_.isDigit))
+      assert(commits >= 3, s"expected ≥3 micro-batches, got $commits")
+      // checkpoint FS holds AT MOST the suite-prep pin's one rdd dir
+      val rddDirs = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(pinsDir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .toArray.length
+      assert(rddDirs <= 1,
+        s"per-batch pins escaped to the checkpoint FS: $rddDirs rdd dirs " +
+          s"after $commits batches (want ≤1, the suite prep)")
+      assert(spark.read.parquet(out).count() == 3)
+    } finally spark.conf.set(graft.operators.Pins.ReliableConf, "false")
+  }
+
   test("decontamination gate: a NULL doc_id arrival gets its own verdict") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
