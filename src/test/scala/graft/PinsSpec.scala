@@ -156,8 +156,10 @@ class PinsSpec extends AnyFunSuite {
     assert(foreign.exists, "run cleanup wiped foreign content in its dir")
     // ...but the run's own checkpoint files are gone: the only FILE
     // left anywhere under dir is the foreign one
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(java.nio.file.Files.isRegularFile(_)).toArray.toSeq
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val files =
+      try walk.filter(java.nio.file.Files.isRegularFile(_)).toArray.toSeq
+      finally walk.close()
     assert(files == Seq(foreign.toPath),
       s"expected only the foreign file to remain, got $files")
   }

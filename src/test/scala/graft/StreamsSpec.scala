@@ -812,13 +812,17 @@ class StreamsSpec extends AnyFunSuite {
         .count(_.getName.forall(_.isDigit))
       assert(commits >= 3, s"expected ≥3 micro-batches, got $commits")
       // checkpoint FS holds AT MOST the suite-prep pin's one rdd dir
-      val rddDirs = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(pinsDir))
-        .filter(p => p.getFileName.toString.startsWith("rdd-"))
-        .toArray.length
-      assert(rddDirs <= 1,
-        s"per-batch pins escaped to the checkpoint FS: $rddDirs rdd dirs " +
-          s"after $commits batches (want ≤1, the suite prep)")
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(pinsDir))
+      val rddDirs =
+        try walk.filter(p => p.getFileName.toString.startsWith("rdd-"))
+          .toArray.length
+        finally walk.close()
+      // EXACTLY one: more means per-batch pins escaped to the FS,
+      // zero means the suite-prep pin silently lost its reliable mode
+      assert(rddDirs == 1,
+        s"want exactly the suite-prep pin on the checkpoint FS, got " +
+          s"$rddDirs rdd dirs after $commits batches")
       assert(spark.read.parquet(out).count() == 3)
     } finally spark.conf.set(graft.operators.Pins.ReliableConf, "false")
   }
