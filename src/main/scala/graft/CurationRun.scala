@@ -11,7 +11,7 @@ import graft.sources.TrainingExport
   * pieces in the order a production run needs them:
   *
   *   1. the fused dedup verdict ([[DedupQueries.q124DedupVerdict]],
-  *      or its banded twin [[DedupQueries.q124bDedupVerdictBanded]]
+  *      or its banded-STAR twin [[DedupQueries.q134DedupVerdictStar]]
   *      above [[BandedCorpusThreshold]] documents) decides per
   *      document — exact-fingerprint canon, quality-best cluster
   *      representative, not subsumed by a superset;
@@ -186,18 +186,23 @@ object CurationRun {
     efs.rename(tmp, p)
   }
 
-  /** Above this many documents the verdict rides the BANDED pair source
-    * ([[DedupQueries.q124bDedupVerdictBanded]]): the exact verdict's
-    * cluster edges come from q22's uncapped shingle self-join, whose
-    * per-bucket cost is df² with df unbounded — template boilerplate
-    * makes that quadratic on crawl-scale corpora — while the banded
-    * source (q21b LSH → candidate-bounded verify) shuffles only
-    * band-bucket keys. Below it, exactness is free and preferred (the
-    * same adaptive convention as DedupOps' driver/distributed and
-    * broadcast/merge gates). 1M docs is where DedupScaleProbe's curves
-    * cross on the benign df-flat corpus; boilerplate-heavy corpora
-    * cross far earlier, and the banded path is the only safe default
-    * past the threshold. */
+  /** Above this many documents the verdict rides the BANDED-STAR pair
+    * source ([[DedupQueries.q134DedupVerdictStar]]): the exact
+    * verdict's cluster edges come from q22's uncapped shingle
+    * self-join, whose per-bucket cost is df² with df unbounded —
+    * template boilerplate makes that quadratic on crawl-scale corpora —
+    * while the star source (q21b LSH banding → per-bucket star pairing
+    * → candidate-bounded verify) shuffles only band-bucket keys AND
+    * stays linear in the largest near-identical cluster, where the
+    * plain all-pairs banded form (q124b) is itself Θ(m²) within the
+    * mega-cluster's bucket. Below the threshold, exactness is free and
+    * preferred (the same adaptive convention as DedupOps'
+    * driver/distributed and broadcast/merge gates). 1M docs is where
+    * DedupScaleProbe's curves cross on the benign df-flat corpus;
+    * boilerplate-heavy corpora cross far earlier, and the star path is
+    * the only safe default past the threshold (StarScaleProbe: a
+    * planted 100k-member cluster costs q124b ~2×10¹⁰ candidate rows,
+    * q134 ~n×BANDS). */
   val BandedCorpusThreshold: Long = 1000000L
 
   /** The post-verdict corpus: every doc the fused verdict keeps, with
@@ -213,12 +218,12 @@ object CurationRun {
       bandedThreshold: Long): (DataFrame, String) = {
     val banded = Tables.load(s, dir, "documents").count() > bandedThreshold
     val verdict =
-      if (banded) DedupQueries.q124bDedupVerdictBanded(s, dir)
+      if (banded) DedupQueries.q134DedupVerdictStar(s, dir)
       else DedupQueries.q124DedupVerdict(s, dir)
     val keep = verdict.filter(col("keep")).select("doc_id")
     val survivors = Tables.load(s, dir, "documents")
       .join(keep, "doc_id")
       .select("doc_id", "text", "lang", "source")
-    (survivors, if (banded) "banded" else "exact")
+    (survivors, if (banded) "banded-star" else "exact")
   }
 }

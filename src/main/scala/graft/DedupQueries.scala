@@ -54,16 +54,75 @@ object DedupQueries {
     * (BASELINE.md). Different hash family ⇒ different (equally valid)
     * candidate sets, so it carries its own oracle rather than q21's. */
   def q21bMinhashFast(s: SparkSession, dir: String): DataFrame = {
-    val bands = t(s, dir, "documents")
-      .select(col("doc_id"), gf.minhash_fast(col("text"), N, K).as("sig"))
-      .select(col("doc_id"), explode(gf.lsh_bands_long(col("sig"), BANDS)).as("bucket"))
-      .pin()
+    val bands = minhashFastBands(s, dir)
     bands.as("a")
       .join(bands.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
+
+  /** q21b's banding stage alone: the checkpointed exploded
+    * (doc_id, bucket) frame — minhash kernel run once, shared by the
+    * all-pairs ([[q21bMinhashFast]]) and star ([[q133MinhashStar]])
+    * candidate generators. */
+  private def minhashFastBands(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), gf.minhash_fast(col("text"), N, K).as("sig"))
+      .select(col("doc_id"),
+        explode(gf.lsh_bands_long(col("sig"), BANDS)).as("bucket"))
+      .pin()
+
+  /** STAR-mode candidate edges from an exploded (doc_id, bucket)
+    * banding frame: per bucket, pair every member with the bucket's
+    * MINIMUM doc_id instead of with every other member — O(m) edges per
+    * m-member bucket where the all-pairs self-join emits Θ(m²) rows.
+    *
+    * Why it exists: the all-pairs within-bucket join is the textbook
+    * LSH shape and is fine when buckets are occupancy-bounded, but a
+    * near-identical MEGA-CLUSTER (template boilerplate, the normal case
+    * in real crawls) shares every band value BY CONSTRUCTION — that is
+    * what makes LSH find it — so one 10⁵-member cluster puts 10⁵ docs
+    * in the same bucket in every band and the self-join emits ~2×10¹⁰
+    * candidate rows before any verify/groupBy can drop one. Star
+    * pairing caps that bucket at 10⁵−1 edges.
+    *
+    * Equivalence: on the CANDIDATE graph this is exact — per bucket,
+    * the star {(min,x)} and the clique {(x,y)} connect the same member
+    * set, so their union over buckets has identical connected
+    * components, hence identical cluster/keep verdicts for any
+    * component consumer. Through a verify stage (exact-Jaccard gate on
+    * candidates) the components coincide whenever the star edges that
+    * span a true cluster pass verification — guaranteed for the
+    * mega-cluster case itself (every member is near-identical to the
+    * bucket min) and for exact duplicates (identical signatures,
+    * J = 1); a bucket whose min belongs to a DIFFERENT similarity group
+    * than a member only drops an edge the member's other bands
+    * regenerate (near-dups agree on every band w.h.p.). DedupStarSpec
+    * pins verdict-identity on a skewed fixture; the all-pairs form
+    * stays the default for the pair-LIST queries (q21/q21b/q24's
+    * semantics are the pair list itself, counts included).
+    *
+    * Scale shape: one map-side-combinable groupBy on bucket keys (the
+    * per-bucket min), one AQE-skew-splittable equi-join back on the
+    * same keys — every stage linear in |bands| = n×BANDS rows. */
+  private def starPairsFromBands(bands: DataFrame): DataFrame = {
+    val mins = bands.groupBy("bucket").agg(min("doc_id").as("doc_a"))
+    bands.join(mins, "bucket")
+      .filter(col("doc_id") > col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Star-mode LSH candidate pairs over q21b's double-hash banding —
+    * the crawl-scale pair generator ([[starPairsFromBands]] for the
+    * why and the equivalence argument). Feeds [[q134DedupVerdictStar]]
+    * and [[graft.CurationRun]]'s above-threshold path; StarScaleProbe
+    * measures it at 10M docs with a planted 100k-member near-identical
+    * cluster, where the all-pairs form's candidate volume is ~2×10¹⁰
+    * rows (computed, not materialized) vs this form's ~n×BANDS. */
+  def q133MinhashStar(s: SparkSession, dir: String): DataFrame =
+    starPairsFromBands(minhashFastBands(s, dir))
 
   /** Exact n-gram Jaccard near-dup pairs (j >= 0.8): explode distinct
     * 3-token shingles, self-join on shingle, count intersections.
@@ -274,8 +333,31 @@ object DedupQueries {
     * (13,13,13,13,12)-bit bands (q24b's exact layout, walls at ~1M
     * uniform docs/shard), r=2 gives (22,21,21)-bit bands whose
     * n/2^21-per-bucket occupancy holds to ~10M+ docs. Verification
-    * (xor+bit_count) runs per candidate, O(|candidates|) not O(n²). */
-  def simhashBandedPairs(sig: DataFrame, radius: Int): DataFrame = {
+    * (xor+bit_count) runs per candidate, O(|candidates|) not O(n²).
+    *
+    * Those occupancy arguments hold for UNIFORM signatures only; a
+    * near-identical mega-cluster shares whole bands by construction, so
+    * the default all-pairs join is Θ(m²) in the largest such cluster.
+    * `star=true` switches to per-(band,value) star pairing
+    * ([[starPairsFromBands]] — O(m) edges, identical candidate-graph
+    * components). The hamming≤r filter then applies to the STAR edges,
+    * and because it is a RADIUS gate the filtered star graph REFINES
+    * the all-pairs components rather than equaling them: a member at
+    * hamming>r from its bucket min drops even when it chains to the
+    * min through closer members (the mega-cluster min shadows every
+    * bucket, so no nearer min re-pairs it). Guarantees: edges ⊆ the
+    * default's edges, clusters only SPLIT (the same safe direction as
+    * banding's own loss vs q24's exact form), identity for clusters
+    * tight around their min — exact duplicates in particular
+    * (hamming 0). Component consumers on crawl-shaped corpora (tight
+    * template clusters) get the same verdicts at O(m) cost; pair-list
+    * consumers and radius-chain-sensitive uses keep the default. The
+    * minhash star path ([[q133MinhashStar]]/[[q134DedupVerdictStar]])
+    * does NOT share this caveat: its Jaccard verify has margin (a
+    * near-identical cluster sits at J≈1 vs the 0.8 gate), which
+    * DedupStarSpec pins. */
+  def simhashBandedPairs(sig: DataFrame, radius: Int,
+      star: Boolean = false): DataFrame = {
     require(radius >= 1 && radius <= 7, s"radius $radius out of range")
     val nBands = radius + 1
     val base = 64 / nBands
@@ -290,13 +372,30 @@ object DedupQueries {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("h1"), col("h2"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (bit_count(col("a.h1").bitwiseXOR(col("b.h1"))) +
-          bit_count(col("a.h2").bitwiseXOR(col("b.h2")))).as("hamming"))
+    val cands =
+      if (star) {
+        // per-(band,value) min member carries its halves along so the
+        // verify still needs only this one join
+        val mins = banded.groupBy("band", "bval")
+          .agg(min(struct(col("doc_id"), col("h1"), col("h2"))).as("m"))
+        banded.as("b")
+          .join(mins,
+            col("b.band") === mins("band") && col("b.bval") === mins("bval") &&
+              col("b.doc_id") > col("m.doc_id"))
+          .select(col("m.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("m.h1").as("ah1"), col("m.h2").as("ah2"),
+            col("b.h1").as("bh1"), col("b.h2").as("bh2"))
+      } else banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.h1").as("ah1"), col("a.h2").as("ah2"),
+          col("b.h1").as("bh1"), col("b.h2").as("bh2"))
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("ah1").bitwiseXOR(col("bh1"))) +
+          bit_count(col("ah2").bitwiseXOR(col("bh2")))).as("hamming"))
       .filter(col("hamming") <= radius)
       .distinct() // a close pair can agree on several bands
   }
@@ -1205,14 +1304,44 @@ object DedupQueries {
     q124bDedupVerdictBanded(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
 
   private[graft] def q124bDedupVerdictBanded(s: SparkSession, dir: String,
-      rowLimit: Long): DataFrame = {
+      rowLimit: Long): DataFrame =
+    bandedVerdictFrom(s, dir, rowLimit,
+      q21bMinhashFast(s, dir).select("doc_a", "doc_b"))
+
+  /** q124b with STAR candidate generation — the 100 TB default
+    * ([[graft.CurationRun]]'s above-threshold path and the
+    * `curation_verdict(dir, true)` TVF ride this form): cluster edges
+    * come from [[q133MinhashStar]] (per-bucket star pairing, O(m) edges
+    * in the largest bucket) instead of q21b's all-pairs-within-bucket
+    * join (Θ(m²) in the largest near-identical cluster — a 10⁵-member
+    * template cluster, the normal crawl case, emits ~2×10¹⁰ candidate
+    * rows there). Verify, components, fingerprints, quality and
+    * containment victims are computed exactly as q124b, and the star
+    * candidate graph has the same per-bucket connectivity
+    * ([[starPairsFromBands]]'s equivalence argument), so the verdicts
+    * coincide wherever the star edges spanning a true cluster pass the
+    * exact-Jaccard verify — DedupStarSpec pins row-identity against
+    * q124b on a skewed fixture with a planted near-identical
+    * mega-cluster; StarScaleProbe measures 10M docs with a 100k-member
+    * cluster, where the all-pairs form degenerates. */
+  def q134DedupVerdictStar(s: SparkSession, dir: String): DataFrame =
+    q134DedupVerdictStar(s, dir, graft.operators.DedupOps.BroadcastRowLimit)
+
+  private[graft] def q134DedupVerdictStar(s: SparkSession, dir: String,
+      rowLimit: Long): DataFrame =
+    bandedVerdictFrom(s, dir, rowLimit, q133MinhashStar(s, dir))
+
+  /** The shared q124b/q134 body: LSH candidates in, fused verdict out —
+    * exact-Jaccard verify over the candidate set, then [[verdictCore]]
+    * with the df-capped containment victims. */
+  private def bandedVerdictFrom(s: SparkSession, dir: String,
+      rowLimit: Long, cands: DataFrame): DataFrame = {
     val ex = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       .pin()
     val sets = ex.groupBy("doc_id").agg(collect_set("s").as("sh"))
-    val pairs = verifyPairsAgainstSets(
-      q21bMinhashFast(s, dir).select("doc_a", "doc_b"), sets)
+    val pairs = verifyPairsAgainstSets(cands, sets)
     val capped = attachDf(ex, cap = Some(DfCap))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "s", "n", "df")
@@ -1266,6 +1395,9 @@ object DedupQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_dedup_verdict" -> q124DedupVerdict _,
     "q124b_dedup_verdict_banded" -> q124bDedupVerdictBanded _,
+    "q134_dedup_verdict_star" -> ((s: SparkSession, d: String) =>
+      q134DedupVerdictStar(s, d)),
+    "q133_minhash_star" -> q133MinhashStar _,
     "q120_lsh_planner" -> q120LshPlanner _,
     "q127_sketch_planner" -> q127SketchPlanner _,
     "q121_subsume" -> q121Subsume _,
@@ -1375,6 +1507,86 @@ object DedupQueries {
        |  SELECT doc_id,
        |    b || ':' || md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
        |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b))""".stripMargin
+
+  /** Shared oracle fragment (requires $fastBandsCte above it): the
+    * STAR candidate set — per bucket, every member paired with the
+    * bucket's min doc_id (mirrors [[starPairsFromBands]]). */
+  private val starCandCte: String =
+    """cand AS (
+      |  SELECT m.doc_a, b.doc_id AS doc_b
+      |  FROM bands b
+      |  JOIN (SELECT bucket, min(doc_id) AS doc_a FROM bands
+      |        GROUP BY bucket) m
+      |    ON b.bucket = m.bucket AND b.doc_id > m.doc_a
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** The full banded-verdict oracle (q124b/q134), parameterized by the
+    * candidate CTE `cand(doc_a, doc_b)` — all-pairs vs star is the only
+    * difference between the two queries' oracles. */
+  private def bandedVerdictOracle(candCte: String): String =
+    s"""WITH RECURSIVE $shingleCte,
+       |$fastBandsCte,
+       |$candCte,
+       |sets AS (SELECT doc_id, list(DISTINCT s) AS sh FROM sh GROUP BY doc_id),
+       |jp AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+       |    FROM cand
+       |    JOIN sets sa ON sa.doc_id = cand.doc_a
+       |    JOIN sets sb ON sb.doc_id = cand.doc_b)
+       |  WHERE j >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION
+       |  SELECT doc_b, doc_a FROM jp),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+       |comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+       |${graft.AuditQueries.scoredCte},
+       |memberq AS (
+       |  SELECT s.doc_id, s.q, c.comp
+       |  FROM scored s JOIN comp c ON c.node = s.doc_id),
+       |bq AS (SELECT comp, max(q) AS mq FROM memberq GROUP BY comp),
+       |bestid AS (
+       |  SELECT m.comp, min(m.doc_id) AS best_doc
+       |  FROM memberq m JOIN bq b ON m.comp = b.comp AND m.q = b.mq
+       |  GROUP BY m.comp),
+       |members AS (
+       |  SELECT m.doc_id, m.comp AS cl, m.doc_id = b.best_doc AS repk
+       |  FROM memberq m JOIN bestid b USING (comp)),
+       |ckeep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+       |cshc AS (SELECT a.doc_id, a.s FROM sh a JOIN ckeep k ON a.s = k.s),
+       |csizes AS (SELECT doc_id, count(*) AS n FROM cshc GROUP BY doc_id),
+       |cinter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM cshc a JOIN cshc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cp AS (
+       |  SELECT da, db, i, sa.n AS na, sb.n AS nb FROM cinter
+       |  JOIN csizes sa ON sa.doc_id = da
+       |  JOIN csizes sb ON sb.doc_id = db),
+       |v AS (
+       |  SELECT DISTINCT CASE WHEN na < nb THEN da
+       |    WHEN nb < na THEN db ELSE greatest(da, db) END AS doc_id
+       |  FROM cp WHERE i * 1.0 / least(na, nb) >= 0.9),
+       |spine AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS fp_keep
+       |  FROM (SELECT doc_id,
+       |          md5(coalesce(lower(trim(text)), '')) AS fp
+       |        FROM documents))
+       |SELECT sp.doc_id, sp.fp_keep,
+       |  coalesce(m.cl, sp.doc_id) AS cluster_id,
+       |  coalesce(m.repk, true) AS rep_keep,
+       |  v.doc_id IS NOT NULL AS subsumed,
+       |  (sp.fp_keep AND coalesce(m.repk, true) AND v.doc_id IS NULL) AS keep
+       |FROM spine sp
+       |LEFT JOIN members m USING (doc_id)
+       |LEFT JOIN v ON v.doc_id = sp.doc_id""".stripMargin
 
   /** Shared oracle for q55 (broadcast join) and q87 (bloom-pruned
     * shuffle join): contamination is one question with two plans. */
@@ -1609,73 +1821,17 @@ object DedupQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
-    "q124b_dedup_verdict_banded" ->
-      s"""WITH RECURSIVE $shingleCte,
+    "q124b_dedup_verdict_banded" -> bandedVerdictOracle(
+      """cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin),
+    "q134_dedup_verdict_star" -> bandedVerdictOracle(starCandCte),
+    "q133_minhash_star" ->
+      s"""WITH $shingleCte,
          |$fastBandsCte,
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sets AS (SELECT doc_id, list(DISTINCT s) AS sh FROM sh GROUP BY doc_id),
-         |jp AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b,
-         |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
-         |    FROM cand
-         |    JOIN sets sa ON sa.doc_id = cand.doc_a
-         |    JOIN sets sb ON sb.doc_id = cand.doc_b)
-         |  WHERE j >= 0.8),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM jp
-         |  UNION
-         |  SELECT doc_b, doc_a FROM jp),
-         |reach(node, lab) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
-         |comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
-         |${graft.AuditQueries.scoredCte},
-         |memberq AS (
-         |  SELECT s.doc_id, s.q, c.comp
-         |  FROM scored s JOIN comp c ON c.node = s.doc_id),
-         |bq AS (SELECT comp, max(q) AS mq FROM memberq GROUP BY comp),
-         |bestid AS (
-         |  SELECT m.comp, min(m.doc_id) AS best_doc
-         |  FROM memberq m JOIN bq b ON m.comp = b.comp AND m.q = b.mq
-         |  GROUP BY m.comp),
-         |members AS (
-         |  SELECT m.doc_id, m.comp AS cl, m.doc_id = b.best_doc AS repk
-         |  FROM memberq m JOIN bestid b USING (comp)),
-         |ckeep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
-         |cshc AS (SELECT a.doc_id, a.s FROM sh a JOIN ckeep k ON a.s = k.s),
-         |csizes AS (SELECT doc_id, count(*) AS n FROM cshc GROUP BY doc_id),
-         |cinter AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-         |  FROM cshc a JOIN cshc b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |cp AS (
-         |  SELECT da, db, i, sa.n AS na, sb.n AS nb FROM cinter
-         |  JOIN csizes sa ON sa.doc_id = da
-         |  JOIN csizes sb ON sb.doc_id = db),
-         |v AS (
-         |  SELECT DISTINCT CASE WHEN na < nb THEN da
-         |    WHEN nb < na THEN db ELSE greatest(da, db) END AS doc_id
-         |  FROM cp WHERE i * 1.0 / least(na, nb) >= 0.9),
-         |spine AS (
-         |  SELECT doc_id,
-         |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS fp_keep
-         |  FROM (SELECT doc_id,
-         |          md5(coalesce(lower(trim(text)), '')) AS fp
-         |        FROM documents))
-         |SELECT sp.doc_id, sp.fp_keep,
-         |  coalesce(m.cl, sp.doc_id) AS cluster_id,
-         |  coalesce(m.repk, true) AS rep_keep,
-         |  v.doc_id IS NOT NULL AS subsumed,
-         |  (sp.fp_keep AND coalesce(m.repk, true) AND v.doc_id IS NULL) AS keep
-         |FROM spine sp
-         |LEFT JOIN members m USING (doc_id)
-         |LEFT JOIN v ON v.doc_id = sp.doc_id""".stripMargin,
+         |$starCandCte
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
     "q127_sketch_planner" ->
       """WITH ks AS (SELECT unnest(generate_series(1, 8)) * 8 AS k),
         |js AS (SELECT k, unnest(generate_series(1, k)) AS j FROM ks),

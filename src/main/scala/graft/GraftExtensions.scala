@@ -76,7 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "verdict (q124 shape: exact-fingerprint canon, best cluster " +
           "representative, not subsumed) over the documents table at " +
           "dir; banded=true routes pair generation through the LSH " +
-          "source (the crawl-scale path). The corpus-scale pipeline " +
+          "star source (the crawl-scale path — linear even in a " +
+          "near-identical mega-cluster). The corpus-scale pipeline " +
           "builds and runs at FIRST EXECUTION of the query (EXPLAIN " +
           "is free); each invocation runs it afresh - run once and " +
           "cache/write the result rather than re-invoking per request"),
@@ -139,8 +140,8 @@ object GraftExtensions {
   /** Build the `curation_verdict` TVF plan — an execution-deferred
     * leaf ([[graft.plans.LazyTvfPlan]]) wrapping exactly the library's
     * [[graft.DedupQueries.q124DedupVerdict]] /
-    * [[q124bDedupVerdictBanded]] pipeline (ExtensionsSpec pins the
-    * inner-plan equivalence). Analysis only validates the literal
+    * [[graft.DedupQueries.q134DedupVerdictStar]] pipeline
+    * (ExtensionsSpec pins the inner-plan equivalence). Analysis only validates the literal
     * arguments and declares the schema; the corpus-scale pipeline —
     * including its size-gate pins — builds and runs at the query's
     * FIRST EXECUTION, so EXPLAIN at every tier is free and an
@@ -170,7 +171,7 @@ object GraftExtensions {
         "cluster_id" -> LongType, "rep_keep" -> BooleanType,
         "subsumed" -> BooleanType, "keep" -> BooleanType),
       spark =>
-        if (banded) graft.DedupQueries.q124bDedupVerdictBanded(spark, dir)
+        if (banded) graft.DedupQueries.q134DedupVerdictStar(spark, dir)
         else graft.DedupQueries.q124DedupVerdict(spark, dir))
   }
 

@@ -17,9 +17,14 @@ import Pins.Pinned
   *  - larger graphs run min-label propagation + pointer jumping — a
   *    driver loop of bounded shuffles on node ids converging in
   *    O(log diameter) rounds, each round materialized via localCheckpoint
-  *    so lineage doesn't stack. Near-dup clusters are shallow
-  *    (stars/chains of a few docs), so rounds stay single-digit even at
-  *    corpus scale.
+  *    so lineage doesn't stack. Real crawls contain MEGA-clusters
+  *    (10⁵-10⁶-member template boilerplate) alongside small
+  *    stars/chains, but the engine's scale-path pair generators emit
+  *    them as depth-≤2 star graphs ([[graft.DedupQueries]]'s
+  *    star-pairing mode — every bucket member edges to the bucket min),
+  *    so label propagation still converges in a constant handful of
+  *    rounds; diameter grows only through chains of OVERLAPPING
+  *    buckets, logarithmically tamed by the pointer jumping.
   */
 object DedupOps {
 

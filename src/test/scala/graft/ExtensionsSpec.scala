@@ -167,11 +167,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sql.schema.map(f => (f.name, f.dataType)) ==
       lib.schema.map(f => (f.name, f.dataType)),
       "declared curation_verdict schema drifted from the library")
-    // the banded route is selectable from SQL too, and keep is sane
+    // the banded route is selectable from SQL too (and is the STAR
+    // form — the crawl-scale default), and keep is sane
     val banded = spark.sql(
       s"SELECT count(*) AS n FROM curation_verdict('$dir', true) WHERE keep")
       .head().getLong(0)
-    val bandedLib = DedupQueries.q124bDedupVerdictBanded(spark, dir)
+    val bandedLib = DedupQueries.q134DedupVerdictStar(spark, dir)
       .filter(org.apache.spark.sql.functions.col("keep")).count()
     assert(banded == bandedLib)
     // composes as a relation: the quarantine split is one WHERE clause
