@@ -66,7 +66,7 @@ object DedupQueries {
     * (doc_id, bucket) frame — minhash kernel run once, shared by the
     * all-pairs ([[q21bMinhashFast]]) and star ([[q133MinhashStar]])
     * candidate generators. */
-  private def minhashFastBands(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashFastBands(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), gf.minhash_fast(col("text"), N, K).as("sig"))
       .select(col("doc_id"),

@@ -80,7 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "near-identical mega-cluster). The corpus-scale pipeline " +
           "builds and runs at FIRST EXECUTION of the query (EXPLAIN " +
           "is free); each invocation runs it afresh - run once and " +
-          "cache/write the result rather than re-invoking per request"),
+          "cache/write the result (SQL-only: CACHE TABLE v AS SELECT * " +
+          "FROM curation_verdict(...)) rather than re-invoking per request"),
       (es: Seq[Expression]) => GraftExtensions.curationVerdictPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("bench_contain"),
       info("bench_contain",
@@ -88,7 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "decontamination pairs (q130 rule): corpus = documents at " +
           "dir, suite = documents at bench_dir; emits (bench_doc, " +
           "corpus_doc, n_shared, containment, contaminated). Runs at " +
-          "first execution, not analysis - EXPLAIN is free"),
+          "first execution, not analysis - EXPLAIN is free; CACHE " +
+          "TABLE ... AS SELECT runs it exactly once"),
       (es: Seq[Expression]) => GraftExtensions.benchContainPlan(es)))
     ext.injectTableFunction((FunctionIdentifier("decontaminate_rewrite"),
       info("decontaminate_rewrite",
@@ -96,7 +98,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "cut the 8-token chunks of each corpus document (documents " +
           "table at dir) that appear in the eval suite (documents at " +
           "bench_dir); emits (doc_id, n_chunks, n_removed, text_kept). " +
-          "Runs at first execution, not analysis - EXPLAIN is free"),
+          "Runs at first execution, not analysis - EXPLAIN is free; " +
+          "CACHE TABLE ... AS SELECT runs it exactly once"),
       (es: Seq[Expression]) => GraftExtensions.decontaminateRewritePlan(es)))
     ext.injectTableFunction((FunctionIdentifier("pack_sequences"),
       info("pack_sequences",
@@ -106,7 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "seq_len-token sequences, docs split across boundaries; " +
           "emits (lang, seq_id, n_docs, n_tokens, text_packed, " +
           "spans). Runs at first execution, not analysis - EXPLAIN " +
-          "is free"),
+          "is free; CACHE TABLE ... AS SELECT runs it exactly once"),
       (es: Seq[Expression]) => GraftExtensions.packSequencesPlan(es)))
     // engine marker: lets a deploy assert the extensions actually loaded
     ext.injectFunction((FunctionIdentifier("graft_engine_version"),
@@ -125,17 +128,42 @@ object GraftExtensions {
     v
   }
 
-  /** Fresh output attributes for a TVF's declared schema — all
-    * nullable (a safe over-approximation of whatever the built
-    * pipeline produces; [[graft.plans.LazyTvfExec]] checks names and
-    * types at execution). */
+  /** Integral-literal evaluation shared by the TVF builders: the same
+    * require-style usage errors for a string/NULL where a count
+    * belongs (a raw asInstanceOf surfaced those as CCE/NPE). */
+  private def evalIntArg(es: Seq[Expression], i: Int, tvf: String,
+      what: String): Long = {
+    val v = evalLitArg(es, i, tvf)
+    require(v.isInstanceOf[java.lang.Integer] ||
+      v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Short] ||
+      v.isInstanceOf[java.lang.Byte],
+      s"$tvf: $what must be an INTEGRAL literal, got ${es(i).sql}")
+    v.asInstanceOf[Number].longValue()
+  }
+
+  /** Fresh output attributes for a TVF's declared schema, nullability
+    * included: non-null is declared exactly where the wrapped pipeline
+    * guarantees it (a coalesce/count-backed column), so SQL consumers
+    * composing on top keep null-filter pruning;
+    * [[graft.plans.LazyTvfExec]] fail-fasts at execution if the built
+    * pipeline's names/types drift or a declared non-null column comes
+    * back nullable. */
   private def tvfOutput(fields: (String,
-      org.apache.spark.sql.types.DataType)*)
+      org.apache.spark.sql.types.DataType, Boolean)*)
       : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
-    fields.map { case (n, t) =>
+    fields.map { case (n, t, nullable) =>
       org.apache.spark.sql.catalyst.expressions
-        .AttributeReference(n, t, nullable = true)()
+        .AttributeReference(n, t, nullable)()
     }
+
+  /** The (doc_id, …) projection of the documents table at a dataset
+    * dir — the load every curation TVF thunk starts from
+    * ([[graft.Tables.loadP]] for the single-row-group parallelism
+    * floor these kernel-heavy pipelines need). */
+  private def docsAt(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cols: String*): org.apache.spark.sql.DataFrame =
+    graft.Tables.loadP(spark, dir, "documents")
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
 
   /** Build the `curation_verdict` TVF plan — an execution-deferred
     * leaf ([[graft.plans.LazyTvfPlan]]) wrapping exactly the library's
@@ -167,9 +195,9 @@ object GraftExtensions {
       v.asInstanceOf[java.lang.Boolean].booleanValue()
     }
     graft.plans.LazyTvfPlan(s"curation_verdict($dir, banded=$banded)",
-      tvfOutput("doc_id" -> LongType, "fp_keep" -> BooleanType,
-        "cluster_id" -> LongType, "rep_keep" -> BooleanType,
-        "subsumed" -> BooleanType, "keep" -> BooleanType),
+      tvfOutput(("doc_id", LongType, true), ("fp_keep", BooleanType, true),
+        ("cluster_id", LongType, true), ("rep_keep", BooleanType, false),
+        ("subsumed", BooleanType, false), ("keep", BooleanType, true)),
       spark =>
         if (banded) graft.DedupQueries.q134DedupVerdictStar(spark, dir)
         else graft.DedupQueries.q124DedupVerdict(spark, dir))
@@ -186,17 +214,12 @@ object GraftExtensions {
     val dir = evalLitArg(es, 0, "bench_contain").toString
     val benchDir = evalLitArg(es, 1, "bench_contain").toString
     graft.plans.LazyTvfPlan(s"bench_contain($dir, $benchDir)",
-      tvfOutput("bench_doc" -> LongType, "corpus_doc" -> LongType,
-        "n_shared" -> LongType, "containment" -> DoubleType,
-        "contaminated" -> BooleanType),
-      spark => {
-        val c = org.apache.spark.sql.functions.col _
-        graft.DedupQueries.benchContainment(
-          graft.Tables.loadP(spark, dir, "documents")
-            .select(c("doc_id"), c("text")),
-          graft.Tables.loadP(spark, benchDir, "documents")
-            .select(c("doc_id"), c("text")))
-      })
+      tvfOutput(("bench_doc", LongType, true), ("corpus_doc", LongType, true),
+        ("n_shared", LongType, false), ("containment", DoubleType, true),
+        ("contaminated", BooleanType, true)),
+      spark => graft.DedupQueries.benchContainment(
+        docsAt(spark, dir, "doc_id", "text"),
+        docsAt(spark, benchDir, "doc_id", "text")))
   }
 
   /** Build the `decontaminate_rewrite` TVF plan — an
@@ -215,16 +238,11 @@ object GraftExtensions {
     val dir = evalLitArg(es, 0, "decontaminate_rewrite").toString
     val benchDir = evalLitArg(es, 1, "decontaminate_rewrite").toString
     graft.plans.LazyTvfPlan(s"decontaminate_rewrite($dir, $benchDir)",
-      tvfOutput("doc_id" -> LongType, "n_chunks" -> LongType,
-        "n_removed" -> LongType, "text_kept" -> StringType),
-      spark => {
-        val c = org.apache.spark.sql.functions.col _
-        graft.AnalyticsQueries.decontaminateRewrite(
-          graft.Tables.loadP(spark, dir, "documents")
-            .select(c("doc_id"), c("text")),
-          graft.Tables.loadP(spark, benchDir, "documents")
-            .select(c("doc_id"), c("text")))
-      })
+      tvfOutput(("doc_id", LongType, true), ("n_chunks", LongType, true),
+        ("n_removed", LongType, false), ("text_kept", StringType, true)),
+      spark => graft.AnalyticsQueries.decontaminateRewrite(
+        docsAt(spark, dir, "doc_id", "text"),
+        docsAt(spark, benchDir, "doc_id", "text")))
   }
 
   /** Build the `pack_sequences` TVF plan — an execution-deferred leaf
@@ -237,25 +255,15 @@ object GraftExtensions {
     import org.apache.spark.sql.types._
     require(es.length == 2, "pack_sequences(dir, seq_len)")
     val dir = evalLitArg(es, 0, "pack_sequences").toString
-    val lv = evalLitArg(es, 1, "pack_sequences")
-    require(lv.isInstanceOf[java.lang.Integer] ||
-      lv.isInstanceOf[java.lang.Long] || lv.isInstanceOf[java.lang.Short] ||
-      lv.isInstanceOf[java.lang.Byte],
-      "pack_sequences(dir, seq_len): seq_len must be an INTEGRAL " +
-        s"literal, got ${es(1).sql}")
-    val seqLen = lv.asInstanceOf[Number].longValue()
+    val seqLen = evalIntArg(es, 1, "pack_sequences(dir, seq_len)", "seq_len")
     require(seqLen > 0,
       s"pack_sequences(dir, seq_len): seq_len must be positive, got $seqLen")
     graft.plans.LazyTvfPlan(s"pack_sequences($dir, $seqLen)",
-      tvfOutput("lang" -> StringType, "seq_id" -> LongType,
-        "n_docs" -> LongType, "n_tokens" -> LongType,
-        "text_packed" -> StringType, "spans" -> StringType),
+      tvfOutput(("lang", StringType, true), ("seq_id", LongType, false),
+        ("n_docs", LongType, false), ("n_tokens", LongType, true),
+        ("text_packed", StringType, false), ("spans", StringType, false)),
       spark => graft.CurationQueries.packSequences(
-        graft.Tables.loadP(spark, dir, "documents")
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("lang"),
-            org.apache.spark.sql.functions.col("text")),
-        seqLen))
+        docsAt(spark, dir, "doc_id", "lang", "text"), seqLen))
   }
 
   /** Build the `vector_search` logical plan: resolve the literal
@@ -274,19 +282,14 @@ object GraftExtensions {
   private[graft] def vectorSearchPlan(es: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.types._
-    require(es.length == 4 || es.length == 5,
-      "vector_search(index_path, model_path, query, k[, nprobe])")
-    def evalLit(i: Int): Any = {
-      require(es(i).foldable,
-        s"vector_search argument ${i + 1} must be a literal")
-      es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-    }
+    val usage = "vector_search(index_path, model_path, query, k[, nprobe])"
+    require(es.length == 4 || es.length == 5, usage)
     val spark = org.apache.spark.sql.SparkSession.active
-    val indexPath = evalLit(0).toString
-    val modelPath = evalLit(1).toString
+    val indexPath = evalLitArg(es, 0, usage).toString
+    val modelPath = evalLitArg(es, 1, usage).toString
     val model = graft.index.IvfIndex.loadModel(spark, modelPath)
     val dim = model.centroids.headOption.map(_.length).getOrElse(0)
-    val qvec: Array[Float] = (evalLit(2), es(2).dataType) match {
+    val qvec: Array[Float] = (evalLitArg(es, 2, usage), es(2).dataType) match {
       case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
         // text query: the deterministic noop embed twin, reference
         // query prefix (a live deployment embeds OUTSIDE SQL and passes
@@ -300,9 +303,14 @@ object GraftExtensions {
       case (_, t) => throw new IllegalArgumentException(
         s"vector_search query must be text or array<float|double>, got $t")
     }
-    val k = evalLit(3).asInstanceOf[Number].intValue()
+    val k = evalIntArg(es, 3, usage, "k").toInt
+    require(k > 0, s"$usage: k must be positive, got $k")
     val nprobe =
-      if (es.length == 5) evalLit(4).asInstanceOf[Number].intValue() else 1
+      if (es.length == 5) {
+        val np = evalIntArg(es, 4, usage, "nprobe").toInt
+        require(np > 0, s"$usage: nprobe must be positive, got $np")
+        np
+      } else 1
     val dimMeta = new org.apache.hadoop.fs.Path(indexPath, "_dim")
     val isBinary = dimMeta
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dimMeta)

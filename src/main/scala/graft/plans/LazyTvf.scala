@@ -41,12 +41,34 @@ final case class LazyTvfPlan(name: String, override val output: Seq[Attribute],
   override def newInstance(): LazyTvfPlan =
     copy(output = output.map(_.newInstance()))
 
+  /** Two invocations of the same TVF with the same literal arguments
+    * are the same relation — `name` embeds function + arguments, and
+    * the pipelines are deterministic per (engine, inputs). The default
+    * canonicalization would still tell them apart because `build` is a
+    * fresh lambda per resolver call (reference equality), which breaks
+    * `sameResult` and with it CACHE TABLE / CTAS-cache reuse — the
+    * documented "run once, cache" recipe silently re-ran the pipeline
+    * per read. Canonical form: positional expr ids + one shared
+    * sentinel thunk, so equality reduces to (name, output shape). */
+  override def doCanonicalize(): LogicalPlan =
+    copy(output = output.zipWithIndex.map { case (a, i) =>
+      a.withExprId(org.apache.spark.sql.catalyst.expressions.ExprId(i))
+    }, build = LazyTvfPlan.CanonicalBuild)
+
   /** Unknown until built — the planner must NOT broadcast on stats it
     * cannot have, so advertise the conservative default size. */
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = conf.defaultSizeInBytes)
 
   override def simpleString(maxFields: Int): String = s"LazyTvf $name"
+}
+
+object LazyTvfPlan {
+  /** Shared sentinel thunk for canonicalized plans — never invoked
+    * (canonical plans are compared, not planned). */
+  private[plans] val CanonicalBuild: SparkSession => DataFrame =
+    _ => throw new IllegalStateException(
+      "canonicalized LazyTvfPlan must not be executed")
 }
 
 /** Physical leaf for [[LazyTvfPlan]]: EXPLAIN prints this node and
@@ -64,6 +86,17 @@ final case class LazyTvfExec(name: String, output: Seq[Attribute],
     require(got == want,
       s"$name built a pipeline whose schema drifted from the TVF " +
         s"contract: got $got, declared $want")
+    // nullability is declared tight (non-null where the pipeline
+    // guarantees it, so SQL consumers keep null-filter pruning) —
+    // refuse a build that stopped backing a non-null promise; the
+    // other direction (declared nullable, built non-null) is a safe
+    // over-approximation and allowed
+    df.schema.zip(output).foreach { case (f, a) =>
+      require(a.nullable || !f.nullable,
+        s"$name declares ${a.name} non-null but the built pipeline " +
+          "reports it nullable - tighten the pipeline or relax the " +
+          "TVF contract")
+    }
     df
   }
 

@@ -163,9 +163,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(opHistogram(innerOf(sql)) == opHistogram(lib),
       s"TVF inner plan diverged from the library plan:\n" +
         s"${opHistogram(innerOf(sql))}\nvs\n${opHistogram(lib)}")
-    // the declared TVF schema is a constant — pin it to the library's
-    assert(sql.schema.map(f => (f.name, f.dataType)) ==
-      lib.schema.map(f => (f.name, f.dataType)),
+    // the declared TVF schema is a constant — pin it to the library's,
+    // NULLABILITY INCLUDED (rep_keep/subsumed are coalesce-backed
+    // non-null; declaring them so preserves null-filter pruning for
+    // SQL consumers)
+    assert(sql.schema.map(f => (f.name, f.dataType, f.nullable)) ==
+      lib.schema.map(f => (f.name, f.dataType, f.nullable)),
       "declared curation_verdict schema drifted from the library")
     // the banded route is selectable from SQL too (and is the STAR
     // form — the crawl-scale default), and keep is sane
@@ -200,8 +203,8 @@ class ExtensionsSpec extends AnyFunSuite {
       Tables.loadP(spark, bdir, "documents").select("doc_id", "text"))
     assert(rowsOf(sql) == rowsOf(lib))
     assert(opHistogram(innerOf(sql)) == opHistogram(lib))
-    assert(sql.schema.map(f => (f.name, f.dataType)) ==
-      lib.schema.map(f => (f.name, f.dataType)),
+    assert(sql.schema.map(f => (f.name, f.dataType, f.nullable)) ==
+      lib.schema.map(f => (f.name, f.dataType, f.nullable)),
       "declared bench_contain schema drifted from the library")
     // the corpus docs contain their own text (C = 1.0 self-pairs)
     assert(sql.filter(col("bench_doc") === col("corpus_doc") &&
@@ -222,8 +225,8 @@ class ExtensionsSpec extends AnyFunSuite {
       Tables.loadP(spark, bdir, "documents").select("doc_id", "text"))
     assert(rowsOf(sql) == rowsOf(lib))
     assert(opHistogram(innerOf(sql)) == opHistogram(lib))
-    assert(sql.schema.map(f => (f.name, f.dataType)) ==
-      lib.schema.map(f => (f.name, f.dataType)),
+    assert(sql.schema.map(f => (f.name, f.dataType, f.nullable)) ==
+      lib.schema.map(f => (f.name, f.dataType, f.nullable)),
       "declared decontaminate_rewrite schema drifted from the library")
     // the suite docs are self-leaked: every FULL 8-token chunk removed
     // (the ragged final chunk is < 8 tokens, so it has no 8-token
@@ -324,6 +327,92 @@ class ExtensionsSpec extends AnyFunSuite {
       s"wrong error for zero seq_len: ${msgs(e6)}")
   }
 
+  test("vector_search argument errors are require-style, not CCE/NPE") {
+    import org.apache.spark.sql.functions._
+    def msgs(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    // a real index/model so only the BAD argument can fail
+    val dir = java.nio.file.Files.createTempDirectory("vsargs").toString
+    val (idxDir, modelDir) = (s"$dir/index", s"$dir/model")
+    val emb = Tables.load(spark, SparkSuite.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (assigned, model) = graft.index.IvfIndex.build(
+      emb, "embedding", graft.index.IvfIndex.Params(listSize = 64))
+    graft.index.IvfIndex.writeQuantized(assigned, "embedding", idxDir)
+    graft.index.IvfIndex.saveModel(spark, model, modelDir)
+    def bad(call: String): String = msgs(intercept[Exception](
+      spark.sql(s"SELECT * FROM vector_search($call)").collect()))
+    // string k → INTEGRAL require, not ClassCastException
+    val e1 = bad(s"'$idxDir', '$modelDir', 'q', 'five'")
+    assert(e1.contains("INTEGRAL"), s"wrong error for string k: $e1")
+    // NULL nprobe → must-not-be-NULL require, not NPE
+    val e2 = bad(s"'$idxDir', '$modelDir', 'q', 5, NULL")
+    assert(e2.contains("NULL"), s"wrong error for NULL nprobe: $e2")
+    // non-positive k
+    val e3 = bad(s"'$idxDir', '$modelDir', 'q', 0")
+    assert(e3.contains("positive"), s"wrong error for zero k: $e3")
+    // NULL query
+    val e4 = bad(s"'$idxDir', '$modelDir', NULL, 5")
+    assert(e4.contains("NULL"), s"wrong error for NULL query: $e4")
+    // and the happy path still works after all that
+    assert(spark.sql(
+      s"SELECT * FROM vector_search('$idxDir', '$modelDir', 'q', 3)")
+      .count() == 3)
+  }
+
+  test("CACHE TABLE runs a deferred TVF exactly once (SQL-only recipe)") {
+    // the TVF cost model says "run once, cache/write" — prove the
+    // SQL-only form does that: CACHE TABLE ... AS SELECT materializes
+    // the pipeline at cache-build time, and subsequent reads scan the
+    // cache without rebuilding (zero pipeline jobs beyond the cached
+    // scan's own)
+    val dir = SparkSuite.sf0001
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def jobsDuring[T](body: => T): (Int, T) = {
+      org.apache.spark.graftsync.ListenerSync.waitUntilEmpty(sc)
+      jobs.set(0)
+      val r = body
+      org.apache.spark.graftsync.ListenerSync.waitUntilEmpty(sc)
+      (jobs.get(), r)
+    }
+    sc.addSparkListener(listener)
+    try {
+      val (buildJobs, _) = jobsDuring(spark.sql(
+        s"CACHE TABLE _cv_once AS SELECT * FROM curation_verdict('$dir')"))
+      // the verdict pipeline is many jobs (pins, gates, components)
+      assert(buildJobs >= 3, s"cache build ran only $buildJobs jobs")
+      val (read1Jobs, n1) = jobsDuring(
+        spark.sql("SELECT count(*) AS n FROM _cv_once").head().getLong(0))
+      val (read2Jobs, n2) = jobsDuring(
+        spark.sql("SELECT count(*) AS n FROM _cv_once WHERE keep")
+          .head().getLong(0))
+      assert(n1 > 0 && n2 > 0 && n2 <= n1)
+      // reads scan the InMemoryRelation: an AQE count is ≤2 jobs
+      // (partial + final) — before the canonicalization fix each read
+      // re-ran the whole 30+-job pipeline
+      assert(read1Jobs <= 2 && read2Jobs <= 2,
+        s"cached reads re-ran the pipeline: $read1Jobs/$read2Jobs jobs")
+      // the read's TOP operator is the cache scan (the LazyTvfExec
+      // string below it is the relation's materialized-plan snapshot,
+      // not an execution path — the job counts above prove that)
+      val plan = spark.sql("SELECT * FROM _cv_once")
+        .queryExecution.executedPlan.toString
+      assert(plan.trim.startsWith("Scan In-memory table"),
+        s"cached read not served from the cache:\n$plan")
+    } finally {
+      spark.sql("UNCACHE TABLE IF EXISTS _cv_once")
+      spark.sql("DROP TABLE IF EXISTS _cv_once")
+      sc.removeSparkListener(listener)
+    }
+  }
+
   test("pack_sequences TVF equals the library packing over the same table") {
     import org.apache.spark.sql.functions._
     val dir = SparkSuite.sf0001
@@ -333,8 +422,8 @@ class ExtensionsSpec extends AnyFunSuite {
       256L)
     assert(rowsOf(sql) == rowsOf(lib))
     assert(opHistogram(innerOf(sql)) == opHistogram(lib))
-    assert(sql.schema.map(f => (f.name, f.dataType)) ==
-      lib.schema.map(f => (f.name, f.dataType)),
+    assert(sql.schema.map(f => (f.name, f.dataType, f.nullable)) ==
+      lib.schema.map(f => (f.name, f.dataType, f.nullable)),
       "declared pack_sequences schema drifted from the library")
     // packing invariant holds through the SQL door: every interior
     // sequence is exactly seq_len tokens. NULL-SAFE per-lang max (an
