@@ -39,17 +39,6 @@ object Pins {
     * checkpoints. Requires `sparkContext.setCheckpointDir(...)`. */
   val ReliableConf = "spark.graft.reliablePins"
 
-  /** Per-entry-point override of [[ReliableConf]]: inside
-    * `withReliable(r) { ... }` every [[pin]] uses mode `r`, whatever
-    * the session conf says. The conf is SESSION-GLOBAL — flipping it
-    * to harden one multi-hour export would also tax every
-    * dimension-sized pin in the session (bench/q57-class tables) with
-    * the 1.7× file round-trip — so the corpus-scale entry points
-    * ([[graft.CurationRun.exportCurated]]'s `reliable` arg,
-    * [[withReliableRun]]) scope the mode to their own pins instead.
-    * DynamicVariable = inheritable thread-local: pins are EAGER
-    * (materialize at call time on the calling thread), so a
-    * driver-synchronous entry point is fully covered by the scope. */
   /** A [[withReliable]]/[[withReliableRun]] scope: the forced mode,
     * plus (for run scopes) the checkpoint files this scope's own pins
     * wrote — recorded per pin so run-exit cleanup deletes EXACTLY this
@@ -70,11 +59,30 @@ object Pins {
     new scala.util.DynamicVariable[Option[Scope]](None)
 
   /** Run `body` with every [[pin]] inside forced to `reliable`
-    * (file-backed) or local, overriding the session conf. Reliable
-    * mode still requires a checkpoint dir — use [[withReliableRun]]
-    * to scope the dir and its cleanup too. */
+    * (file-backed) or local, overriding the session conf — the
+    * per-entry-point override of [[ReliableConf]]. The conf is
+    * SESSION-GLOBAL: flipping it to harden one multi-hour export would
+    * also tax every dimension-sized pin in the session (bench/
+    * q57-class tables) with the 1.7× file round-trip, so the
+    * corpus-scale entry points ([[graft.CurationRun.exportCurated]]'s
+    * `reliable` arg, [[withReliableRun]]) scope the mode to their own
+    * pins through here instead. The scope rides a DynamicVariable —
+    * an inheritable thread-local — and pins are EAGER (they
+    * materialize at call time on the calling thread), so a
+    * driver-synchronous entry point is fully covered; work handed to
+    * OTHER threads inside `body` (custom thread pools) is not, and
+    * falls back to the session conf. Reliable mode still requires a
+    * checkpoint dir — use [[withReliableRun]] to scope the dir and
+    * its cleanup too. */
   def withReliable[T](reliable: Boolean)(body: => T): T =
     scopeMode.withValue(Some(new Scope(reliable)))(body)
+
+  /** Live [[withReliableRun]] scopes in this JVM. The checkpoint DIR
+    * is SparkContext-global while run scopes are thread-local, so a
+    * run exiting while another is live must NOT restore the previous
+    * dir — it would silently redirect the still-running run's next
+    * pins into a dir neither run's cleanup tracks. */
+  private val activeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Harden ONE run: sets `dir` as the checkpoint dir, forces every
     * [[pin]] in `body` through reliable file-backed checkpoints, and
@@ -84,11 +92,13 @@ object Pins {
     * nothing else lives in it. This is the run-exit cleanup story for
     * clusters that don't enable
     * `spark.cleaner.referenceTracking.cleanCheckpoints`. The previous
-    * checkpoint dir (if any) is restored; when NONE was set, the
-    * deleted run path stays registered on the SparkContext (Spark has
-    * no public unset) — a caller later flipping the session conf to
-    * reliable mode must set its own dir, as that mode's contract
-    * already requires.
+    * checkpoint dir (if any) is restored by the LAST live run to exit
+    * (an earlier exit must not redirect a still-running sibling's pins
+    * into an untracked dir — the dir is context-global, the scopes
+    * thread-local); when NONE was set, the deleted run path stays
+    * registered on the SparkContext (Spark has no public unset) — a
+    * caller later flipping the session conf to reliable mode must set
+    * its own dir, as that mode's contract already requires.
     *
     * `body` must fully MATERIALIZE its outputs before returning (write
     * its shards, collect its stats): any frame still referencing a pin
@@ -100,10 +110,15 @@ object Pins {
     val sc = spark.sparkContext
     val prev = sc.getCheckpointDir
     sc.setCheckpointDir(dir)
+    activeRuns.incrementAndGet()
     val scope = new Scope(true)
     try scopeMode.withValue(Some(scope))(body)
     finally {
-      prev.foreach(sc.setCheckpointDir)
+      // restore the previous dir only when NO other run scope is live:
+      // with a concurrent run still active, the restore would point its
+      // subsequent pins at a dir neither run's cleanup tracks (the dir
+      // is context-global, the scopes thread-local)
+      if (activeRuns.decrementAndGet() == 0) prev.foreach(sc.setCheckpointDir)
       val hconf = sc.hadoopConfiguration
       scope.recorded.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
@@ -111,14 +126,23 @@ object Pins {
         if (fs.exists(p)) fs.delete(p, true)
       }
       // the run dir (and the UUID subdir setCheckpointDir created) —
-      // but only when nothing FOREIGN remains: empty directory trees
-      // are ours to remove, any file means another run or a
-      // pre-existing directory shares the path
+      // but only what is OURS to remove: empty directories, deleted
+      // bottom-up with NON-recursive deletes, so a checkpoint write
+      // racing in from a concurrent reliable run (whose interleaved
+      // setCheckpointDir landed it here) makes the delete of that
+      // directory FAIL harmlessly instead of destroying the other
+      // run's live files. (The previous emptyTree-check-then-
+      // recursive-delete had exactly that TOCTOU window; any regular
+      // file still means a foreign occupant, and stops the sweep.)
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(hconf)
-      def emptyTree(p: org.apache.hadoop.fs.Path): Boolean =
-        fs.listStatus(p).forall(st => st.isDirectory && emptyTree(st.getPath))
-      if (fs.exists(root) && emptyTree(root)) fs.delete(root, true)
+      def sweep(p: org.apache.hadoop.fs.Path): Boolean = {
+        val clean =
+          fs.listStatus(p).forall(st => st.isDirectory && sweep(st.getPath))
+        clean && (try fs.delete(p, false)
+        catch { case _: java.io.IOException => false })
+      }
+      if (fs.exists(root)) sweep(root)
     }
   }
 

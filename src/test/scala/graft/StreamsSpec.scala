@@ -786,6 +786,12 @@ class StreamsSpec extends AnyFunSuite {
     // set per micro-batch on the FS. Only the ONE suite-prep pin may
     // land as files.
     val pinsDir = java.nio.file.Files.createTempDirectory("relgate").toString
+    // restore the session's checkpoint-dir state afterwards — leaving
+    // the temp dir set would couple any later reliable-mode test to
+    // this one's FS state (Spark has no unset, so a pre-existing dir
+    // is put back and "none was set" is left as-is but documented by
+    // the reliable-pin require() every consumer hits)
+    val prevCkptDir = spark.sparkContext.getCheckpointDir
     spark.sparkContext.setCheckpointDir(pinsDir)
     spark.conf.set(graft.operators.Pins.ReliableConf, "true")
     try {
@@ -824,7 +830,10 @@ class StreamsSpec extends AnyFunSuite {
         s"want exactly the suite-prep pin on the checkpoint FS, got " +
           s"$rddDirs rdd dirs after $commits batches")
       assert(spark.read.parquet(out).count() == 3)
-    } finally spark.conf.set(graft.operators.Pins.ReliableConf, "false")
+    } finally {
+      spark.conf.set(graft.operators.Pins.ReliableConf, "false")
+      prevCkptDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
   }
 
   test("decontamination gate: a NULL doc_id arrival gets its own verdict") {
