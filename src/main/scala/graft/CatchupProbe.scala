@@ -98,6 +98,12 @@ object CatchupProbe {
         .option("maxFilesPerTrigger", 1).parquet(in),
       bench, out, ckpt)
     val runSec = (System.nanoTime() - tRun) / 1e9
+    // progress events are delivered ASYNC on the listener bus —
+    // awaitTermination returning does not mean the last batches'
+    // events have landed; poll (bounded) before reading the list
+    val flushDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (durations.size < nBatches && System.nanoTime() < flushDeadline)
+      Thread.sleep(100)
     spark.streams.removeListener(listener)
 
     // ---- invariants ----
@@ -112,12 +118,17 @@ object CatchupProbe {
     def median(xs: Seq[Long]): Long =
       if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
     // skip warmup (JIT, codegen caches): compare steady-state head vs
-    // tail — accumulation shows up as tail >> head
-    val head = median(batchMs.slice(10, 20))
+    // tail — accumulation shows up as tail >> head. Only meaningful
+    // with enough batches for distinct head/tail windows; a short
+    // smoke run (< 30 batches) still checks every other invariant.
+    val head =
+      if (batchMs.size >= 20) median(batchMs.slice(10, 20))
+      else median(batchMs)
     val tail = median(batchMs.takeRight(10))
-    require(tail <= head * 3,
-      s"per-batch wall time grew: batches 11-20 median $head ms, " +
-        s"last-10 median $tail ms")
+    if (nBatches >= 30)
+      require(tail <= head * 3,
+        s"per-batch wall time grew: batches 11-20 median $head ms, " +
+          s"last-10 median $tail ms")
     // resident pins: suite prep + a constant, never O(batches). The
     // released per-batch pins may linger until the ContextCleaner's
     // async sweep, so allow a small constant, not zero.
@@ -136,7 +147,8 @@ object CatchupProbe {
     val contaminated = spark.read.parquet(out)
       .filter(col("contaminated")).count()
     require(rows == nBatches.toLong * docsPerBatch, s"lost rows: $rows")
-    require(contaminated == rows / 10,
+    // planted leaks are ids ≡ 0 (mod 10) in [0, rows): ceil(rows/10)
+    require(contaminated == (rows + 9) / 10,
       s"verdicts drifted: $contaminated contaminated of $rows")
 
     println(

@@ -303,14 +303,17 @@ object GraftExtensions {
       case (_, t) => throw new IllegalArgumentException(
         s"vector_search query must be text or array<float|double>, got $t")
     }
-    val k = evalIntArg(es, 3, usage, "k").toInt
-    require(k > 0, s"$usage: k must be positive, got $k")
-    val nprobe =
-      if (es.length == 5) {
-        val np = evalIntArg(es, 4, usage, "nprobe").toInt
-        require(np > 0, s"$usage: nprobe must be positive, got $np")
-        np
-      } else 1
+    // bounds-check on the LONG before narrowing — a BIGINT literal
+    // like 2^32+1 would .toInt-wrap to a small positive k and silently
+    // truncate the result set instead of erroring
+    def positiveInt(i: Int, what: String): Int = {
+      val v = evalIntArg(es, i, usage, what)
+      require(v > 0 && v <= Int.MaxValue,
+        s"$usage: $what must be a positive INT, got $v")
+      v.toInt
+    }
+    val k = positiveInt(3, "k")
+    val nprobe = if (es.length == 5) positiveInt(4, "nprobe") else 1
     val dimMeta = new org.apache.hadoop.fs.Path(indexPath, "_dim")
     val isBinary = dimMeta
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dimMeta)

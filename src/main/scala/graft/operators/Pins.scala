@@ -77,12 +77,15 @@ object Pins {
   def withReliable[T](reliable: Boolean)(body: => T): T =
     scopeMode.withValue(Some(new Scope(reliable)))(body)
 
-  /** Live [[withReliableRun]] scopes in this JVM. The checkpoint DIR
-    * is SparkContext-global while run scopes are thread-local, so a
-    * run exiting while another is live must NOT restore the previous
-    * dir — it would silently redirect the still-running run's next
-    * pins into a dir neither run's cleanup tracks. */
-  private val activeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** [[withReliableRun]] enter/exit gate (one JVM, one SparkContext —
+    * the engine's deploy shape). The checkpoint DIR is
+    * SparkContext-global while run scopes are thread-local, so
+    * overlapping runs must agree on (a) how many are live, (b) the ONE
+    * pre-run dir the last exit restores — a per-run "prev" may be a
+    * sibling's soon-deleted run dir. */
+  private val runGate = new Object
+  private var liveRuns: Int = 0
+  private var outerCheckpointDir: Option[String] = None
 
   /** Harden ONE run: sets `dir` as the checkpoint dir, forces every
     * [[pin]] in `body` through reliable file-backed checkpoints, and
@@ -108,41 +111,57 @@ object Pins {
   def withReliableRun[T](spark: org.apache.spark.sql.SparkSession,
       dir: String)(body: => T): T = {
     val sc = spark.sparkContext
-    val prev = sc.getCheckpointDir
-    sc.setCheckpointDir(dir)
-    activeRuns.incrementAndGet()
+    // enter and exit under one lock so overlapping runs compose:
+    //  - the dir to restore is captured ONCE, by the FIRST run to
+    //    enter (each run's own "prev" may be a sibling's soon-swept
+    //    run dir — restoring that resurrects deleted state);
+    //  - the count and setCheckpointDir move atomically (an exit
+    //    observing count 0 between a sibling's set and its increment
+    //    would restore right over the sibling's fresh dir).
+    runGate.synchronized {
+      if (liveRuns == 0) outerCheckpointDir = sc.getCheckpointDir
+      liveRuns += 1
+      sc.setCheckpointDir(dir)
+    }
+    // setCheckpointDir registered <dir>/<uuid> — the subdir THIS run
+    // created and owns; cleanup below deletes exactly it plus the
+    // run's recorded pin files, never a tree walk over `dir` (which
+    // may pre-exist with foreign content, even foreign EMPTY dirs)
+    val runCkptDir = sc.getCheckpointDir
     val scope = new Scope(true)
     try scopeMode.withValue(Some(scope))(body)
     finally {
-      // restore the previous dir only when NO other run scope is live:
-      // with a concurrent run still active, the restore would point its
-      // subsequent pins at a dir neither run's cleanup tracks (the dir
-      // is context-global, the scopes thread-local)
-      if (activeRuns.decrementAndGet() == 0) prev.foreach(sc.setCheckpointDir)
+      runGate.synchronized {
+        liveRuns -= 1
+        // restore only when NO other run scope is live: an earlier
+        // restore would point a still-running sibling's pins at a dir
+        // neither run's cleanup tracks (dir context-global, scopes
+        // thread-local)
+        if (liveRuns == 0) outerCheckpointDir.foreach(sc.setCheckpointDir)
+      }
       val hconf = sc.hadoopConfiguration
+      // this run's pin files (recorded per pin — under concurrent runs
+      // they may sit in EITHER run's uuid dir, wherever the
+      // interleaved setCheckpointDir landed them)
       scope.recorded.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         val fs = p.getFileSystem(hconf)
         if (fs.exists(p)) fs.delete(p, true)
       }
-      // the run dir (and the UUID subdir setCheckpointDir created) —
-      // but only what is OURS to remove: empty directories, deleted
-      // bottom-up with NON-recursive deletes, so a checkpoint write
-      // racing in from a concurrent reliable run (whose interleaved
-      // setCheckpointDir landed it here) makes the delete of that
-      // directory FAIL harmlessly instead of destroying the other
-      // run's live files. (The previous emptyTree-check-then-
-      // recursive-delete had exactly that TOCTOU window; any regular
-      // file still means a foreign occupant, and stops the sweep.)
-      val root = new org.apache.hadoop.fs.Path(dir)
-      val fs = root.getFileSystem(hconf)
-      def sweep(p: org.apache.hadoop.fs.Path): Boolean = {
-        val clean =
-          fs.listStatus(p).forall(st => st.isDirectory && sweep(st.getPath))
-        clean && (try fs.delete(p, false)
-        catch { case _: java.io.IOException => false })
+      // then the uuid dir this run created, and `dir` itself — both
+      // NON-recursive, so a racing sibling's checkpoint write (or a
+      // foreign occupant of a pre-existing `dir`) makes the delete
+      // FAIL harmlessly instead of destroying live files. (The
+      // previous emptiness-check-then-recursive-delete had exactly
+      // that TOCTOU window, and its tree sweep also removed foreign
+      // empty directories it never created.)
+      def removeEmpty(p: org.apache.hadoop.fs.Path): Unit = {
+        val fs = p.getFileSystem(hconf)
+        try fs.delete(p, false)
+        catch { case _: java.io.IOException => () }
       }
-      if (fs.exists(root)) sweep(root)
+      runCkptDir.foreach(d => removeEmpty(new org.apache.hadoop.fs.Path(d)))
+      removeEmpty(new org.apache.hadoop.fs.Path(dir))
     }
   }
 
