@@ -118,35 +118,52 @@ object Pins {
     //  - the count and setCheckpointDir move atomically (an exit
     //    observing count 0 between a sibling's set and its increment
     //    would restore right over the sibling's fresh dir).
-    runGate.synchronized {
+    val runCkptDir = runGate.synchronized {
       if (liveRuns == 0) outerCheckpointDir = sc.getCheckpointDir
-      liveRuns += 1
+      // set FIRST, count after: a throwing setCheckpointDir (unwritable
+      // path, unreachable FS) must not leak a live-run count that would
+      // suppress every later run's restore for the JVM's lifetime
       sc.setCheckpointDir(dir)
+      liveRuns += 1
+      // setCheckpointDir registered <dir>/<uuid> — the subdir THIS run
+      // created and owns; read it INSIDE the lock (outside, a sibling's
+      // enter could swap the context dir first and this run would
+      // capture — and later delete — the sibling's uuid dir while
+      // leaking its own). Cleanup below deletes exactly it plus the
+      // run's recorded pin files, never a tree walk over `dir` (which
+      // may pre-exist with foreign content, even foreign EMPTY dirs).
+      sc.getCheckpointDir
     }
-    // setCheckpointDir registered <dir>/<uuid> — the subdir THIS run
-    // created and owns; cleanup below deletes exactly it plus the
-    // run's recorded pin files, never a tree walk over `dir` (which
-    // may pre-exist with foreign content, even foreign EMPTY dirs)
-    val runCkptDir = sc.getCheckpointDir
     val scope = new Scope(true)
     try scopeMode.withValue(Some(scope))(body)
     finally {
+      // every cleanup step is isolated: a transient FS failure in one
+      // must neither abort the remaining sweep nor mask the body's
+      // real exception with its own
+      def quietly(what: String)(step: => Unit): Unit =
+        try step catch {
+          case e: Exception =>
+            System.err.println(s"[Pins] run-exit $what failed: $e")
+        }
       runGate.synchronized {
         liveRuns -= 1
         // restore only when NO other run scope is live: an earlier
         // restore would point a still-running sibling's pins at a dir
         // neither run's cleanup tracks (dir context-global, scopes
         // thread-local)
-        if (liveRuns == 0) outerCheckpointDir.foreach(sc.setCheckpointDir)
+        if (liveRuns == 0) outerCheckpointDir.foreach(d =>
+          quietly("checkpoint-dir restore")(sc.setCheckpointDir(d)))
       }
       val hconf = sc.hadoopConfiguration
       // this run's pin files (recorded per pin — under concurrent runs
       // they may sit in EITHER run's uuid dir, wherever the
       // interleaved setCheckpointDir landed them)
       scope.recorded.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val fs = p.getFileSystem(hconf)
-        if (fs.exists(p)) fs.delete(p, true)
+        quietly(s"pin delete $f") {
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(hconf)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
       }
       // then the uuid dir this run created, and `dir` itself — both
       // NON-recursive, so a racing sibling's checkpoint write (or a
