@@ -119,7 +119,13 @@ object Pins {
     //    observing count 0 between a sibling's set and its increment
     //    would restore right over the sibling's fresh dir).
     val runCkptDir = runGate.synchronized {
-      if (liveRuns == 0) outerCheckpointDir = sc.getCheckpointDir
+      // capture only when empty: a non-empty value at liveRuns==0 means
+      // a previous epoch's restore FAILED and the context still points
+      // at that epoch's deleted run dir — overwriting would trade the
+      // user's real dir for the stale path; keeping it lets this
+      // epoch's exit retry the restore
+      if (liveRuns == 0 && outerCheckpointDir.isEmpty)
+        outerCheckpointDir = sc.getCheckpointDir
       // set FIRST, count after: a throwing setCheckpointDir (unwritable
       // path, unreachable FS) must not leak a live-run count that would
       // suppress every later run's restore for the JVM's lifetime
@@ -139,10 +145,16 @@ object Pins {
     finally {
       // every cleanup step is isolated: a transient FS failure in one
       // must neither abort the remaining sweep nor mask the body's
-      // real exception with its own
+      // real exception with its own. Interrupts re-set the thread flag
+      // (swallowing one would keep a cancelled driver thread issuing
+      // blocking FS RPCs for the rest of the sweep); fatal errors
+      // propagate (NonFatal).
       def quietly(what: String)(step: => Unit): Unit =
         try step catch {
-          case e: Exception =>
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+            System.err.println(s"[Pins] run-exit $what interrupted")
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[Pins] run-exit $what failed: $e")
         }
       runGate.synchronized {
@@ -150,19 +162,28 @@ object Pins {
         // restore only when NO other run scope is live: an earlier
         // restore would point a still-running sibling's pins at a dir
         // neither run's cleanup tracks (dir context-global, scopes
-        // thread-local)
+        // thread-local). On SUCCESS the outer capture is cleared so
+        // the next epoch re-captures the caller's then-current dir; on
+        // failure it stays set — the context now points at a soon-
+        // deleted run dir, and a later enter must NOT overwrite the
+        // real outer dir with that stale path (its exit retries the
+        // restore instead).
         if (liveRuns == 0) outerCheckpointDir.foreach(d =>
-          quietly("checkpoint-dir restore")(sc.setCheckpointDir(d)))
+          quietly("checkpoint-dir restore") {
+            sc.setCheckpointDir(d)
+            outerCheckpointDir = None
+          })
       }
       val hconf = sc.hadoopConfiguration
       // this run's pin files (recorded per pin — under concurrent runs
       // they may sit in EITHER run's uuid dir, wherever the
-      // interleaved setCheckpointDir landed them)
+      // interleaved setCheckpointDir landed them). No exists() guard:
+      // delete on a missing path returns false without throwing, and
+      // the extra round trip per pin is pure metadata-RPC cost.
       scope.recorded.foreach { f =>
         quietly(s"pin delete $f") {
           val p = new org.apache.hadoop.fs.Path(f)
-          val fs = p.getFileSystem(hconf)
-          if (fs.exists(p)) fs.delete(p, true)
+          p.getFileSystem(hconf).delete(p, true)
         }
       }
       // then the uuid dir this run created, and `dir` itself — both
@@ -171,14 +192,18 @@ object Pins {
       // FAIL harmlessly instead of destroying live files. (The
       // previous emptiness-check-then-recursive-delete had exactly
       // that TOCTOU window, and its tree sweep also removed foreign
-      // empty directories it never created.)
-      def removeEmpty(p: org.apache.hadoop.fs.Path): Unit = {
+      // empty directories it never created.) The expected non-empty
+      // IOException stays silent; anything else (FS resolution,
+      // RuntimeExceptions from object-store clients) is isolated by
+      // the same quietly wrapper as the other steps.
+      def removeEmpty(path: String): Unit = quietly(s"dir remove $path") {
+        val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(hconf)
         try fs.delete(p, false)
         catch { case _: java.io.IOException => () }
       }
-      runCkptDir.foreach(d => removeEmpty(new org.apache.hadoop.fs.Path(d)))
-      removeEmpty(new org.apache.hadoop.fs.Path(dir))
+      runCkptDir.foreach(removeEmpty)
+      removeEmpty(dir)
     }
   }
 
