@@ -164,6 +164,74 @@ class PinsSpec extends AnyFunSuite {
       s"expected only the foreign file to remain, got $files")
   }
 
+  test("withReliableRun leaves a foreign EMPTY directory in its dir alone") {
+    import spark.implicits._
+    spark.conf.set(Pins.ReliableConf, "false")
+    // a pre-existing workspace used as the run dir, holding an empty
+    // staging dir another process is about to populate: the old tree
+    // sweep deleted every empty dir it could reach — empty does not
+    // mean ours; the ownership-precise cleanup (recorded pins + the
+    // run's own uuid dir + dir itself, non-recursive) must not touch it
+    val dir = java.nio.file.Files.createTempDirectory("relempty").toString +
+      "/pins"
+    val staging = new java.io.File(dir, "staging")
+    staging.mkdirs()
+    Pins.withReliableRun(spark, dir) {
+      Pins.pin((1 to 50).toDF("x")).count()
+    }
+    assert(staging.isDirectory,
+      "run cleanup deleted a foreign empty directory it never created")
+  }
+
+  test("overlapping withReliableRun scopes restore the ORIGINAL dir last-out") {
+    import spark.implicits._
+    spark.conf.set(Pins.ReliableConf, "false")
+    val original = java.nio.file.Files.createTempDirectory("relorig").toString
+    spark.sparkContext.setCheckpointDir(original)
+    val dirA = java.nio.file.Files.createTempDirectory("relA").toString + "/a"
+    val dirB = java.nio.file.Files.createTempDirectory("relB").toString + "/b"
+    // interleave two run scopes on two threads: A enters, B enters,
+    // A exits (must NOT restore — B is live; each run's own "prev" is
+    // a sibling's soon-deleted run dir), B exits (must restore the
+    // ORIGINAL dir captured at the 0→1 transition, not A's dir)
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aMayExit = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tA = new Thread(() => try {
+      Pins.withReliableRun(spark, dirA) {
+        Pins.pin((1 to 20).toDF("x")).count()
+        aEntered.countDown()
+        aMayExit.await()
+      }
+    } catch { case t: Throwable => errs.add(t); aEntered.countDown() })
+    val tB = new Thread(() => try {
+      aEntered.await()
+      Pins.withReliableRun(spark, dirB) {
+        Pins.pin((1 to 20).toDF("x")).count()
+        aMayExit.countDown() // A exits while B is still live
+        tA.join()
+        // A's exit must not have redirected B's context dir to A's
+        // captured prev (the restore is reserved for the last exit)
+        // getCheckpointDir returns the URI-qualified form
+        // (file:/tmp/...), so compare by substring, not prefix
+        val mid = spark.sparkContext.getCheckpointDir
+        assert(mid.exists(_.contains(dirB)),
+          s"A's exit redirected the live run's checkpoint dir: $mid")
+      }
+      bDone.countDown()
+    } catch { case t: Throwable => errs.add(t); bDone.countDown() })
+    tA.start(); tB.start()
+    assert(bDone.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    tB.join()
+    assert(errs.isEmpty, s"run threads failed: ${errs.peek()}")
+    // the registered dir is original/<uuid> (setCheckpointDir appends
+    // a uuid subdir) — the restore puts back exactly that captured path
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(original)),
+      s"last exit restored ${spark.sparkContext.getCheckpointDir}, " +
+        s"not the original $original")
+  }
+
   test("exportCurated(reliable=true) hardens its run pins and leaves no _pins dir") {
     val out = java.nio.file.Files.createTempDirectory("relexport").toString +
       "/shards"
