@@ -202,7 +202,10 @@ class PinsSpec extends AnyFunSuite {
       Pins.withReliableRun(spark, dirA) {
         Pins.pin((1 to 20).toDF("x")).count()
         aEntered.countDown()
-        aMayExit.await()
+        // bounded: if B dies before its countDown, A must still exit
+        // (an unbounded await would hold A's run scope open forever,
+        // suppressing every later test's checkpoint-dir restore)
+        aMayExit.await(120, java.util.concurrent.TimeUnit.SECONDS)
       }
     } catch { case t: Throwable => errs.add(t); aEntered.countDown() })
     val tB = new Thread(() => try {
