@@ -1362,10 +1362,26 @@ object DedupQueries {
         md5(coalesce(lower(trim(col("text"))), lit(""))).as("fp"),
         round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
       .pin()
-    val spine = docq
-      .withColumn("fp_keep",
-        col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
-      .select("doc_id", "fp_keep")
+    // keep-one over the exact fingerprint WITHOUT a window: a viral
+    // byte-identical cluster (10⁵-10⁶ template copies — the same
+    // mega-cluster regime the star pair generator exists for) is ONE
+    // fp group, and min().over(Window.partitionBy("fp")) funnels it
+    // through a single task with no map-side combine and no AQE skew
+    // split — the shape PlanRegressionSpec bans for q77/q105, banned
+    // here too (the verdict family is now under the same plan pin).
+    // The groupBy partial-aggregates map-side and the join-back is
+    // AQE-skew-splittable; fp is provably non-null (md5 of a
+    // coalesce'd string), so the equi-join drops nothing. The keeper
+    // side is merge-hinted, not size-gated: |distinct fp| ≈ |distinct
+    // texts| is CORPUS-scale by construction (unlike the verdict's
+    // exception-set joins there is no "usually tiny" regime to gate
+    // on), so the deterministic sort-merge is the only shape that is
+    // always right — the same no-broadcast-of-corpus-sides rule as
+    // gateKnown's fallback branch.
+    val fpMin = docq.groupBy("fp").agg(min("doc_id").as("_fp_min"))
+    val spine = docq.join(fpMin.hint("merge"), "fp")
+      .select(col("doc_id"),
+        (col("doc_id") === col("_fp_min")).as("fp_keep"))
     // the component node count gates every cluster-side join for free:
     // |comps| = nNodes, |best| = #clusters <= nNodes, |members| = nNodes
     // (each node joins exactly one docq row and one best row)
