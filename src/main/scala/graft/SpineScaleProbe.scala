@@ -32,6 +32,11 @@ object SpineScaleProbe {
     val n = if (args.length > 0) args(0).toLong else 10000000L
     val megaPct = if (args.length > 1) args(1).toInt else 50
     val mega = n * megaPct / 100
+    // validate BEFORE paying the multi-minute run: the probe exists to
+    // measure the viral-cluster regime, so demand a real cluster
+    require(n >= 2 && megaPct >= 1 && megaPct <= 100 && mega >= 2,
+      s"need a non-degenerate mega cluster: n=$n megaPct=$megaPct " +
+        s"gives mega=$mega (want 2 <= mega <= n)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
