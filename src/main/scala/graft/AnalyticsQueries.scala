@@ -76,12 +76,23 @@ object AnalyticsQueries {
     * position order as the cleaned text.
     *
     * Scale shape: corpus text crosses the wire ONCE — the
-    * first-occurrence window shuffles (chunk, doc_id, idx) rows on the
-    * chunk key (bounded groups, high cardinality), the removal verdicts
-    * come back as per-doc int arrays over a doc_id shuffle, and the
-    * cleaned text is rebuilt ROW-LOCALLY from a second colocated scan of
-    * the doc (q47/q57 recompute-over-materialize policy: re-chunking a
-    * doc is cheaper than shuffling its text a second time through a
+    * first-occurrence verdict is a min-struct AGGREGATE on the chunk
+    * key joined back (the q105/verdict-spine pattern), NEVER
+    * `row_number().over(Window.partitionBy(c))`: a viral boilerplate
+    * chunk (license header, nav text — the exact repeats this rewrite
+    * exists to remove) appears in millions of docs, making one window
+    * partition corpus-scale — single-task sort, no map-side combine,
+    * no AQE skew split. The groupBy buffers one (doc_id, idx) min per
+    * chunk per task and combines map-side; the join-back is
+    * merge-hinted (|distinct chunks| is corpus-scale by construction,
+    * same no-broadcast rule as the fp spine) and AQE-skew-splittable
+    * on the hot chunk. SpanRankScaleProbe measures both shapes on a
+    * planted viral chunk; PlanRegressionSpec's window-key allowlist
+    * bans the window form registry-wide. Removal verdicts come back as
+    * per-doc int arrays over a doc_id shuffle, and the cleaned text is
+    * rebuilt ROW-LOCALLY from a second colocated scan of the doc
+    * (q47/q57 recompute-over-materialize policy: re-chunking a doc is
+    * cheaper than shuffling its text a second time through a
     * collect_list). No all-pairs step anywhere; removal is exact, not
     * hash-approximate, because the chunk string itself is the key. */
   def q82SpanRewrite(s: SparkSession, dir: String): DataFrame = {
@@ -99,12 +110,7 @@ object AnalyticsQueries {
     // branch 1: first-occurrence verdicts over the exploded chunk stream
     val exploded = withChunks
       .select(col("doc_id"), posexplode(col("ch")).as(Seq("idx", "c")))
-    val w = Window.partitionBy("c").orderBy(col("doc_id").asc, col("idx").asc)
-    val removed = exploded
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1)
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("idx"))).as("rem"))
+    val removed = spanRemovals(exploded)
     // branch 2: rebuild the cleaned text row-locally from the chunk array
     withChunks.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -113,6 +119,24 @@ object AnalyticsQueries {
         array_join(expr(
           "filter(ch, (x, i) -> NOT coalesce(array_contains(rem, i), false))"),
           " ").as("text_kept"))
+  }
+
+  /** [[q82SpanRewrite]]'s first-occurrence removal verdicts over an
+    * exploded (doc_id, idx, c) chunk stream: per doc, the sorted idx
+    * array of chunks whose identical `c` occurs earlier in (doc_id,
+    * idx) corpus order. The window-free shape (min-struct aggregate +
+    * merge join-back — see q82's scaladoc for the mega-key rationale);
+    * `c` is non-null by construction (array_join output), so the
+    * equi-join drops nothing. Exposed private[graft] so
+    * SpanRankScaleProbe can A/B it against the banned window form on a
+    * planted viral-chunk corpus. */
+  private[graft] def spanRemovals(exploded: DataFrame): DataFrame = {
+    val firsts = exploded.groupBy("c")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("m"))
+    exploded.join(firsts.hint("merge"), "c")
+      .filter(!(struct(col("doc_id"), col("idx")) <=> col("m")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("idx"))).as("rem"))
   }
 
   /** Targeted DECONTAMINATION rewrite — q82's chunk-removal machinery
@@ -374,20 +398,28 @@ object AnalyticsQueries {
         count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 2).as("revenue"))
 
-  /** Distribution-rank windows (ntile / percent_rank / cume_dist) over
-    * document length, partitioned per language — the quantile-band
-    * assignment a curriculum or balanced-sampling pass uses. Per-lang
-    * partitions keep the sort distributed; doc_id tie-break makes every
-    * rank deterministic. */
-  def q69NtileRank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("decile", ntile(10).over(w))
-      .withColumn("pr", round(percent_rank().over(w), 4))
-      .withColumn("cd", round(cume_dist().over(w), 4))
+  /** Distribution ranks (ntile / percent_rank / cume_dist) over
+    * document length per language — the quantile-band assignment a
+    * curriculum or balanced-sampling pass uses.
+    *
+    * NOT `ntile(10).over(Window.partitionBy(lang))`: lang is the
+    * repo's canonical mega-key (PackScaleProbe's 90%-English regime —
+    * one language = one window partition = one task sorting 90% of
+    * the corpus). [[graft.operators.RankOps.distributionRanksPer]]
+    * computes all three functions arithmetically from one range
+    * exchange + broadcast per-lang counts (the q93 recipe); the
+    * doc_id tie-break makes the order total, which is exactly the
+    * contract under which the arithmetic forms equal the window forms
+    * (RankOpsSpec pins the equality; the DuckDB oracle here runs the
+    * real window functions). */
+  def q69NtileRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankOps.distributionRanksPer(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", Seq(col("n_chars").asc, col("doc_id").asc),
+        10, "decile", "_pr", "_cd")
+      .withColumn("pr", round(col("_pr"), 4))
+      .withColumn("cd", round(col("_cd"), 4))
       .select("doc_id", "lang", "decile", "pr", "cd")
-  }
 
   /** Unpivot/melt (the inverse of q50's pivot): four lineitem measures
     * into (measure, value) rows, re-aggregated per measure. Unpivot is a

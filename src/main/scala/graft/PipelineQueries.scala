@@ -236,7 +236,10 @@ object PipelineQueries {
         when(col("doc_id") % 10 === 9,
           mm.mutate_media(col("orig"), col("doc_id"), lit(4)))
           .otherwise(col("orig")).as("bytes"))
-    mm.phashPairs(media, "doc_id", "bytes", 4)
+    // star = false: this query's semantics are the complete PAIR LIST
+    // (every perturbed copy next to its source); the scale-safe star
+    // default is for component/verdict consumers
+    mm.phashPairs(media, "doc_id", "bytes", 4, star = false)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -115,17 +115,27 @@ object Queries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         round(col("l_extendedprice"), 2).as("price"))
 
-  // ---------- §2.4 A6 dedup / window ----------
+  // ---------- §2.4 A6 dedup / keep-best ----------
 
-  /** A6: keep the best row per group (highest value event per user). */
-  def q09WindowDedup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("value").desc, col("event_id").asc)
+  /** A6: keep the best row per group (highest value event per user).
+    *
+    * max-struct aggregate, NOT `row_number().over(Window.partitionBy
+    * (user_id))`: a bot user with 10⁸ events is one window partition —
+    * single-task sort, no map-side combine, no AQE skew split (the
+    * events-table instance of the viral-fingerprint mega-key class the
+    * r13 spine rewrite killed). The aggregate buffers ONE row per user
+    * per task and combines map-side, so the hot user costs a streaming
+    * max per task instead of a single-task sort (EventSkewProbe
+    * measures both shapes on a planted bot user). Ordering value desc,
+    * event_id asc ≡ argmax of the (value, -event_id) struct — the
+    * q66/q117 max_by precedent. */
+  def q09WindowDedup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"))
-  }
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_id"), col("value")),
+        struct(col("value"), (-col("event_id")).as("nid"))).as("r"))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        round(col("r.value"), 2).as("value"))
 
   // ---------- §2.6 set ops ----------
 

@@ -559,15 +559,31 @@ object mm {
     * pigeonhole-guaranteed recall at hamming ≤ radius). The only
     * shuffle is on short band keys; the blobs themselves never shuffle —
     * at 100 TB of media the pair scan is signature-sized (8 bytes/blob),
-    * which is the whole point of fingerprinting before joining. */
+    * which is the whole point of fingerprinting before joining.
+    *
+    * `star` (default TRUE — the scale-safe mode) pairs each band
+    * bucket's members with the bucket minimum instead of all-pairs: a
+    * VIRAL image (one meme re-uploaded 10⁵–10⁶ times) hashes to ONE
+    * pHash value, shares every band bucket by construction, and the
+    * all-pairs self-join emits Θ(m²) candidate rows there — the media
+    * twin of the text mega-cluster the minhash star generator kills.
+    * For that dominant byte-identical case star mode is loss-free
+    * (every member sits at hamming 0 from the bucket min, so no edge
+    * drops and the cluster resolves whole — MultimodalSpec plants one
+    * and pins both properties); for looser clusters the
+    * radius-refinement caveat of [[graft.DedupQueries.simhashBandedPairs]]
+    * applies — star components can only SPLIT the all-pairs
+    * components (extra keepers, never a merge or a dropped doc). Pass
+    * `star = false` for pair-LIST consumers whose semantics are the
+    * complete pair set (q101's oracle shape). */
   def phashPairs(df: DataFrame, idCol: String, bytesCol: String,
-      radius: Int): DataFrame = {
+      radius: Int, star: Boolean = true): DataFrame = {
     val sig = df
       .select(col(idCol).as("doc_id"), phash64(col(bytesCol)).as("v"))
       .withColumn("h1", shiftrightunsigned(col("v"), 32))
       .withColumn("h2", col("v").bitwiseAND(lit(0xffffffffL)))
       .localCheckpoint(true) // decode+DCT kernel once, not once per join side
-    graft.DedupQueries.simhashBandedPairs(sig, radius)
+    graft.DedupQueries.simhashBandedPairs(sig, radius, star)
   }
 
   /** Batched partition-local decode (the mapInPandas shape on the JVM):

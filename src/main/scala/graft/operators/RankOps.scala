@@ -124,6 +124,54 @@ object RankOps {
       .drop("_pid", "_pidO", "_legO", "_mono", "_base", "_off")
   }
 
+  /** Appends ntile / percent_rank / cume_dist computed INDEPENDENTLY
+    * per value of `legCol` — the distribution-rank window family
+    * without per-leg windows. `ntile(n) over (partition by leg order
+    * by …)` puts each leg in ONE window partition: on the repo's
+    * canonical mega-key regime (PackScaleProbe's 90%-English corpus) a
+    * single task sorts 90% of the corpus. Here the ranking rides
+    * [[globalRowNumberPer]] (one range exchange shared by all legs,
+    * rows spread over all partitions) and all three functions are pure
+    * arithmetic over (per-leg rank, broadcast per-leg count):
+    *
+    *   - ntile(n): the remainder rule — the first (cnt mod n) tiles
+    *     get ⌈cnt/n⌉ rows, the rest ⌊cnt/n⌋ (the q93 recipe, oracled
+    *     there against real ntile);
+    *   - percent_rank = (rank − 1) / (cnt − 1), 0 when cnt = 1;
+    *   - cume_dist = rank / cnt.
+    *
+    * CONTRACT: `order` must be a TOTAL order within each leg (break
+    * ties — q69 appends doc_id). With ties, SQL rank ≠ row_number and
+    * cume_dist counts peers, so the arithmetic forms would diverge
+    * from the window forms; under a total order they are exactly
+    * equal (RankOpsSpec pins equality on a skewed fixture). The
+    * per-leg count join-back is null-safe for the same reason as
+    * [[globalRowNumberPer]]'s offsets join. */
+  def distributionRanksPer(df: DataFrame, legCol: String,
+      order: Seq[Column], nTiles: Int, tileCol: String, prCol: String,
+      cdCol: String): DataFrame = {
+    require(nTiles >= 1, s"nTiles must be >= 1, got $nTiles")
+    val ranked = globalRowNumberPer(df, legCol, order, "_r")
+    val sizes = ranked.groupBy(legCol).agg(count(lit(1)).as("_n"))
+      .withColumnRenamed(legCol, "_legN")
+    // ntile remainder rule (q93's expressions): _s = floor(cnt/n) may
+    // be 0 when cnt < n — then the fat buckets hold every row and the
+    // else-branch (which divides by _s) is never taken
+    ranked.join(broadcast(sizes), col(legCol) <=> col("_legN"))
+      .withColumn("_s", expr(s"_n div $nTiles"))
+      .withColumn("_rem", col("_n") % nTiles)
+      .withColumn(tileCol,
+        when(col("_r") <= col("_rem") * (col("_s") + 1),
+          expr("CAST(ceil(_r / CAST(_s + 1 AS DOUBLE)) AS INT)"))
+        .otherwise(expr(
+          "CAST(_rem + ceil((_r - _rem * (_s + 1)) / CAST(_s AS DOUBLE)) AS INT)")))
+      .withColumn(prCol,
+        when(col("_n") === 1, lit(0.0))
+          .otherwise((col("_r") - 1).cast("double") / (col("_n") - 1)))
+      .withColumn(cdCol, col("_r").cast("double") / col("_n"))
+      .drop("_r", "_legN", "_n", "_s", "_rem")
+  }
+
   /** Appends `outCol` = the inclusive running sum of `valCol` under
     * `order`, computed INDEPENDENTLY per value of `legCol` — the prefix
     * sum [[globalRowNumberPer]] is for COUNTS, generalized to an

@@ -135,6 +135,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(planted.subsetOf(got.map(p => (p._1, p._2)).toSet))
   }
 
+  test("phashPairs star mode: a viral image cluster emits O(m) edges and resolves whole") {
+    // the media twin of the text mega-cluster: ONE image re-uploaded m
+    // times — byte-identical payloads → identical pHash → every band
+    // bucket shared, where the all-pairs join emits Θ(m²) candidates.
+    // Star mode must emit exactly m-1 edges (each member paired with
+    // the bucket minimum at hamming 0 — the loss-free case the
+    // phashPairs scaladoc argues) and the cluster must resolve WHOLE.
+    val m = 1000
+    val media = spark.range(m).select(col("id").as("doc_id"),
+      mm.synthesize_media(lit(0L), lit(0), lit(2048)).as("bytes"))
+    val star = mm.phashPairs(media, "doc_id", "bytes", 4) // star default
+    val edges = star.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(edges.length == m - 1, s"star edges ${edges.length}, want ${m - 1}")
+    assert(edges.forall { case (a, _, d) => a == 0L && d == 0 },
+      "every star edge anchors at the bucket min (doc 0) at hamming 0")
+    assert(edges.map(_._2).toSet == (1L until m.toLong).toSet)
+    val comps = graft.operators.DedupOps
+      .connectedComponents(star.select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length == m && comps.forall(_._2 == 0L),
+      "the viral cluster must resolve to ONE component")
+    // the all-pairs form on the same corpus pays the full clique
+    val allPairs = mm.phashPairs(media, "doc_id", "bytes", 4, star = false)
+      .count()
+    assert(allPairs == m.toLong * (m - 1) / 2)
+  }
+
   /** A real PNG, generated through the JDK encoder: a deterministic
     * gradient-with-a-box image, optionally noise-perturbed. */
   private def realPng(w: Int, h: Int, noiseSeed: Long = 0L): Array[Byte] = {

@@ -103,6 +103,39 @@ class RankOpsSpec extends AnyFunSuite {
     assert(gotRank == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("distributionRanksPer equals the window ntile/percent_rank/cume_dist") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // 90% mega-leg (the regime the operator exists for) + small legs +
+    // a single-row leg (percent_rank's 0/0 edge) + NULL legs + legs
+    // with fewer rows than tiles; heavy ties in the value key broken
+    // by id — the operator's total-order contract
+    val df = (1 to 4000).map { i =>
+      val leg =
+        if (i == 7) Some("solo")
+        else if (i % 400 == 3) Some("tiny")
+        else if (i % 20 == 0) None
+        else if (rnd.nextInt(10) < 9) Some("en")
+        else Some(Seq("de", "zh")(rnd.nextInt(2)))
+      (i.toLong, leg, rnd.nextInt(7).toLong)
+    }.toDF("id", "leg", "v").repartition(13)
+    val order = Seq(col("v").asc, col("id").asc)
+    val got = RankOps.distributionRanksPer(df, "leg", order,
+        10, "tile", "pr", "cd")
+      .select("leg", "id", "tile", "pr", "cd")
+      .as[(Option[String], Long, Int, Double, Double)].collect()
+      .map { case (l, i, t, p, c) => (l, i) -> ((t, p, c)) }.toMap
+    val w = Window.partitionBy("leg").orderBy(order: _*)
+    val want = df
+      .withColumn("tile", ntile(10).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select("leg", "id", "tile", "pr", "cd")
+      .as[(Option[String], Long, Int, Double, Double)].collect()
+      .map { case (l, i, t, p, c) => (l, i) -> ((t, p, c)) }.toMap
+    assert(got.size == 4000 && got == want)
+  }
+
   test("globalRowNumber on empty input returns empty with the rank column") {
     import spark.implicits._
     val df = Seq.empty[(Long, Double)].toDF("id", "score")
