@@ -202,7 +202,16 @@ object CurationRun {
     * boilerplate-heavy corpora cross far earlier, and the star path is
     * the only safe default past the threshold (StarScaleProbe: a
     * planted 100k-member cluster costs q124b ~2×10¹⁰ candidate rows,
-    * q134 ~n×BANDS). */
+    * q134 ~n×BANDS).
+    *
+    * FAILURE DIRECTION above the threshold: the star verdict's
+    * equivalence to q124b is probabilistic through the exact-Jaccard
+    * verify (a borderline pair whose only band collision anchors at a
+    * min that fails the verify loses its edge —
+    * [[DedupQueries.starPairsFromBands]]). Clusters can only SPLIT
+    * (extra keepers — some near-duplicates retained), never merge or
+    * drop a document: operators comparing keep counts across the
+    * threshold should expect the star keep set to be a superset. */
   val BandedCorpusThreshold: Long = 1000000L
 
   /** The post-verdict corpus: every doc the fused verdict keeps, with

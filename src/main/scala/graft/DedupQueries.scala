@@ -92,16 +92,21 @@ object DedupQueries {
     * set, so their union over buckets has identical connected
     * components, hence identical cluster/keep verdicts for any
     * component consumer. Through a verify stage (exact-Jaccard gate on
-    * candidates) the components coincide whenever the star edges that
-    * span a true cluster pass verification — guaranteed for the
-    * mega-cluster case itself (every member is near-identical to the
-    * bucket min) and for exact duplicates (identical signatures,
-    * J = 1); a bucket whose min belongs to a DIFFERENT similarity group
-    * than a member only drops an edge the member's other bands
-    * regenerate (near-dups agree on every band w.h.p.). DedupStarSpec
-    * pins verdict-identity on a skewed fixture; the all-pairs form
-    * stays the default for the pair-LIST queries (q21/q21b/q24's
-    * semantics are the pair list itself, counts included).
+    * candidates) the equivalence is PROBABILISTIC, not guaranteed: it
+    * holds for the mega-cluster case itself (every member is
+    * near-identical to the bucket min) and for exact duplicates
+    * (identical signatures, J = 1); a bucket whose min belongs to a
+    * DIFFERENT similarity group than a member drops an edge that the
+    * member's other bands regenerate only w.h.p. — a BORDERLINE pair
+    * (J barely ≥ the gate) that collides in exactly one band whose
+    * bucket min fails the verify loses its only edge. The failure
+    * DIRECTION is one-sided and safe: star components can only SPLIT
+    * the all-pairs components (each split keeps its own
+    * representative — extra keepers, i.e. a duplicate retained), never
+    * merge clusters or drop a document. DedupStarSpec pins
+    * verdict-identity on a skewed fixture; the all-pairs form stays
+    * the default for the pair-LIST queries (q21/q21b/q24's semantics
+    * are the pair list itself, counts included).
     *
     * Scale shape: one map-side-combinable groupBy on bucket keys (the
     * per-bucket min), one AQE-skew-splittable equi-join back on the

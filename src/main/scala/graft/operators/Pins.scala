@@ -86,6 +86,18 @@ object Pins {
   private val runGate = new Object
   private var liveRuns: Int = 0
   private var outerCheckpointDir: Option[String] = None
+  // the <dir>/<uuid> run dirs registered by the CURRENT epoch's enters
+  // — the last-out restore checks membership before writing over the
+  // context dir (a caller that set its own dir mid-epoch, outside any
+  // run scope, owns the newer value and must not be clobbered)
+  private var epochRunDirs: Set[String] = Set.empty
+  // removeEmpty targets an earlier-exiting run could not delete (a
+  // sibling's live pin files still inside — by design the non-recursive
+  // delete fails harmlessly); the LAST run out retries them so empty
+  // uuid/run dirs don't leak on the checkpoint FS after the sibling
+  // exits. Insertion-ordered: uuid dirs enqueue before their parents.
+  private val pendingRemovals =
+    scala.collection.mutable.LinkedHashSet[String]()
 
   /** Harden ONE run: sets `dir` as the checkpoint dir, forces every
     * [[pin]] in `body` through reliable file-backed checkpoints, and
@@ -124,12 +136,22 @@ object Pins {
       // at that epoch's deleted run dir — overwriting would trade the
       // user's real dir for the stale path; keeping it lets this
       // epoch's exit retry the restore
-      if (liveRuns == 0 && outerCheckpointDir.isEmpty)
-        outerCheckpointDir = sc.getCheckpointDir
+      val captured = liveRuns == 0 && outerCheckpointDir.isEmpty
+      if (captured) outerCheckpointDir = sc.getCheckpointDir
       // set FIRST, count after: a throwing setCheckpointDir (unwritable
       // path, unreachable FS) must not leak a live-run count that would
       // suppress every later run's restore for the JVM's lifetime
-      sc.setCheckpointDir(dir)
+      try sc.setCheckpointDir(dir)
+      catch {
+        case e: Throwable =>
+          // a FAILED enter leaves the context dir unchanged and no exit
+          // will ever run for this scope — undo this call's capture, or
+          // a stale value would suppress the NEXT epoch's capture and
+          // its exit would restore this pre-call dir over whatever the
+          // caller set in between
+          if (captured) outerCheckpointDir = None
+          throw e
+      }
       liveRuns += 1
       // setCheckpointDir registered <dir>/<uuid> — the subdir THIS run
       // created and owns; read it INSIDE the lock (outside, a sibling's
@@ -138,7 +160,9 @@ object Pins {
       // leaking its own). Cleanup below deletes exactly it plus the
       // run's recorded pin files, never a tree walk over `dir` (which
       // may pre-exist with foreign content, even foreign EMPTY dirs).
-      sc.getCheckpointDir
+      val rd = sc.getCheckpointDir
+      rd.foreach(epochRunDirs += _)
+      rd
     }
     val scope = new Scope(true)
     try scopeMode.withValue(Some(scope))(body)
@@ -168,11 +192,22 @@ object Pins {
         // deleted run dir, and a later enter must NOT overwrite the
         // real outer dir with that stale path (its exit retries the
         // restore instead).
-        if (liveRuns == 0) outerCheckpointDir.foreach(d =>
-          quietly("checkpoint-dir restore") {
-            sc.setCheckpointDir(d)
-            outerCheckpointDir = None
-          })
+        if (liveRuns == 0) {
+          // GUARD: restore only while the context still points at one
+          // of this epoch's own run dirs. A caller that called
+          // setCheckpointDir itself mid-epoch (outside any run scope)
+          // owns the newer value — writing the epoch-start capture
+          // over it would silently clobber it, so the capture is
+          // dropped instead and the caller's dir stands.
+          if (sc.getCheckpointDir.exists(epochRunDirs.contains))
+            outerCheckpointDir.foreach(d =>
+              quietly("checkpoint-dir restore") {
+                sc.setCheckpointDir(d)
+                outerCheckpointDir = None
+              })
+          else outerCheckpointDir = None
+          epochRunDirs = Set.empty
+        }
       }
       val hconf = sc.hadoopConfiguration
       // this run's pin files (recorded per pin — under concurrent runs
@@ -199,11 +234,28 @@ object Pins {
       def removeEmpty(path: String): Unit = quietly(s"dir remove $path") {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(hconf)
-        try fs.delete(p, false)
-        catch { case _: java.io.IOException => () }
+        try {
+          fs.delete(p, false)
+          runGate.synchronized { pendingRemovals -= path }
+        } catch {
+          case _: java.io.IOException =>
+            // expected while a sibling's live pin files occupy the dir
+            // (interleaved setCheckpointDir lands either run's files in
+            // either uuid dir) — record it so the LAST run out retries
+            // after the sibling's own pin deletes, instead of leaking
+            // an empty dir on the checkpoint FS forever
+            runGate.synchronized { pendingRemovals += path }
+        }
       }
       runCkptDir.foreach(removeEmpty)
       removeEmpty(dir)
+      // last out: retry what earlier exits could not remove (insertion
+      // order — uuid dirs before their parent run dirs). A concurrent
+      // enter flips liveRuns first and the retry defers to ITS exit.
+      val retry = runGate.synchronized {
+        if (liveRuns == 0) pendingRemovals.toSeq else Seq.empty
+      }
+      retry.foreach(removeEmpty)
     }
   }
 

@@ -394,17 +394,23 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT count(*) AS n FROM _cv_once WHERE keep")
           .head().getLong(0))
       assert(n1 > 0 && n2 > 0 && n2 <= n1)
-      // reads scan the InMemoryRelation: an AQE count is ≤2 jobs
-      // (partial + final) — before the canonicalization fix each read
-      // re-ran the whole 30+-job pipeline
-      assert(read1Jobs <= 2 && read2Jobs <= 2,
+      // reads scan the InMemoryRelation. The bound is deliberately
+      // LOOSE (an AQE count is 1-2 jobs today; future Spark versions
+      // may split differently) — the regression this guards is the
+      // r12 canonicalization bug where every cached read re-ran the
+      // whole 30+-job verdict pipeline, and that failure mode also
+      // exceeds any small constant
+      assert(read1Jobs <= 4 && read2Jobs <= 4,
         s"cached reads re-ran the pipeline: $read1Jobs/$read2Jobs jobs")
-      // the read's TOP operator is the cache scan (the LazyTvfExec
-      // string below it is the relation's materialized-plan snapshot,
-      // not an execution path — the job counts above prove that)
+      // the read is served from the cache scan (the LazyTvfExec string
+      // below it is the relation's materialized-plan snapshot, not an
+      // execution path — the job counts above prove that). contains,
+      // not startsWith: a future Spark may wrap the scan in
+      // AdaptiveSparkPlan or rename the node
       val plan = spark.sql("SELECT * FROM _cv_once")
         .queryExecution.executedPlan.toString
-      assert(plan.trim.startsWith("Scan In-memory table"),
+      assert(plan.contains("Scan In-memory table") ||
+          plan.contains("InMemoryTableScan"),
         s"cached read not served from the cache:\n$plan")
     } finally {
       spark.sql("UNCACHE TABLE IF EXISTS _cv_once")

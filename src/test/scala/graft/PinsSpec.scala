@@ -235,6 +235,81 @@ class PinsSpec extends AnyFunSuite {
         s"not the original $original")
   }
 
+  test("overlapping runs: the last exit sweeps dirs an earlier exit could not") {
+    // B enters first, then A (context dir → A's uuid dir); B pins — the
+    // file lands in A's uuid dir, the dir being SparkContext-global
+    // while the scopes are thread-local. A exits FIRST: its
+    // non-recursive removeEmpty must fail harmlessly (B's live pin
+    // inside) and record the target; B's exit retries it after B's own
+    // pin delete — no empty uuid/run dirs may leak on the FS.
+    import spark.implicits._
+    spark.conf.set(Pins.ReliableConf, "false")
+    val original = java.nio.file.Files.createTempDirectory("retryorig").toString
+    spark.sparkContext.setCheckpointDir(original)
+    val rootA = java.nio.file.Files.createTempDirectory("retryA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("retryB").toString
+    val dirA = rootA + "/a"
+    val dirB = rootB + "/b"
+    val bEntered = new java.util.concurrent.CountDownLatch(1)
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val bPinned = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tA = new Thread(() => try {
+      bEntered.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      Pins.withReliableRun(spark, dirA) {
+        aEntered.countDown()
+        // exit only after B's pin landed in THIS run's uuid dir
+        bPinned.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    } catch { case t: Throwable => errs.add(t); aEntered.countDown() })
+    val tB = new Thread(() => try {
+      Pins.withReliableRun(spark, dirB) {
+        bEntered.countDown()
+        aEntered.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        val pinned = Pins.pin((1 to 20).toDF("x"))
+        pinned.count()
+        bPinned.countDown()
+        tA.join(120000) // A's exit runs (and fails its dir removes) here
+        // A could not have removed its dirs — B's pin is live in them
+        assert(new java.io.File(dirA).exists(),
+          "A removed a dir holding B's live pin")
+        pinned.count() // the pin must still be readable
+      }
+    } catch { case t: Throwable => errs.add(t); bPinned.countDown() })
+    tA.start(); tB.start()
+    tA.join(150000); tB.join(150000)
+    assert(errs.isEmpty, s"run threads failed: ${errs.peek()}")
+    // B (last out) retried A's failed removals: nothing leaks
+    assert(!new java.io.File(dirA).exists(), s"leaked run dir $dirA")
+    assert(!new java.io.File(dirB).exists(), s"leaked run dir $dirB")
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(original)))
+  }
+
+  test("restore is skipped when the caller set its own dir mid-epoch") {
+    import spark.implicits._
+    spark.conf.set(Pins.ReliableConf, "false")
+    val original = java.nio.file.Files.createTempDirectory("skiporig").toString
+    spark.sparkContext.setCheckpointDir(original)
+    val dirR = java.nio.file.Files.createTempDirectory("skiprun").toString + "/r"
+    val mine = java.nio.file.Files.createTempDirectory("skipmine").toString
+    Pins.withReliableRun(spark, dirR) {
+      Pins.pin((1 to 10).toDF("x")).count()
+      // the caller takes ownership of the checkpoint dir mid-epoch:
+      // the exit must NOT write the epoch-start capture over it
+      spark.sparkContext.setCheckpointDir(mine)
+    }
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(mine)),
+      s"exit clobbered the caller's dir: ${spark.sparkContext.getCheckpointDir}")
+    // the dropped capture must not leak into the NEXT epoch: it
+    // captures the caller's dir and restores exactly that
+    Pins.withReliableRun(spark, dirR) {
+      Pins.pin((1 to 10).toDF("x")).count()
+    }
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(mine)),
+      s"next epoch restored a stale dir: ${spark.sparkContext.getCheckpointDir}")
+    spark.sparkContext.setCheckpointDir(original)
+  }
+
   test("exportCurated(reliable=true) hardens its run pins and leaves no _pins dir") {
     val out = java.nio.file.Files.createTempDirectory("relexport").toString +
       "/shards"
