@@ -131,9 +131,35 @@ object AnalyticsQueries {
     * SpanRankScaleProbe can A/B it against the banned window form on a
     * planted viral-chunk corpus. */
   private[graft] def spanRemovals(exploded: DataFrame): DataFrame = {
-    val firsts = exploded.groupBy("c")
-      .agg(min(struct(col("doc_id"), col("idx"))).as("m"))
-    exploded.join(firsts.hint("merge"), "c")
+    // ONE exchange for the whole verdict, three tricks stacked:
+    //   1. key on the chunk's 16-byte md5 fingerprint, not the ~60-byte
+    //      chunk string — at crawl scale the key bytes ARE the shuffle
+    //      (q18/q77 convention; collision odds ~2⁻⁶⁴ per pair, the
+    //      same asterisk every fp-keyed keep-one in the repo carries);
+    //   2. an explicit repartition(h) that BOTH branches read — the
+    //      min aggregate needs no further exchange (the partitioning
+    //      satisfies its distribution) and the join-back probe side
+    //      none either, so ReuseExchange makes the explode/chunk
+    //      kernel run ONCE (a plain groupBy + join ran it twice: the
+    //      aggregate's partial step makes its exchange carry combined
+    //      rows the probe side cannot reuse — measured ~2× the window
+    //      form at 5M docs before this);
+    //   3. `firsts` keeps only DUPLICATED chunks (count ≥ 2): a unique
+    //      chunk cannot produce a removal, so the inner join-back's
+    //      build side is dup-cluster-sized (usually tiny — AQE picks
+    //      broadcast at runtime), not corpus-sized.
+    // The viral chunk's rows land in one shuffle partition, but both
+    // consumers STREAM it: the hash aggregate collapses the hot key to
+    // one buffered row and the join probes linearly — no buffered
+    // sort anywhere (the window form's single-task sort was the ban).
+    val keyed = exploded.select(col("doc_id"), col("idx"),
+        unhex(md5(col("c"))).as("h"))
+      .repartition(col("h"))
+    val firsts = keyed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("m"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).drop("_n")
+    keyed.join(firsts, "h")
       .filter(!(struct(col("doc_id"), col("idx")) <=> col("m")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("idx"))).as("rem"))
@@ -322,19 +348,57 @@ object AnalyticsQueries {
       .withColumn("zcell", shiftright(col("zkey"), 14))
   }
 
-  /** Trailing-24h rolling count + sum per event (RANGE frame over event
-    * time in microseconds — the frame type q29/q59's ROWS frames don't
-    * cover). Per-user partitions keep the window distributed; a range
-    * frame is also tie-safe: equal timestamps land in the same frame on
-    * both engines regardless of their physical order. */
+  /** Trailing-24h rolling count + sum per event (RANGE-frame semantics
+    * over event time in microseconds — the frame type q29/q59's ROWS
+    * frames don't cover; a range frame is tie-safe: equal timestamps
+    * land in the same frame on both engines regardless of physical
+    * order).
+    *
+    * NOT `sum().over(rangeBetween(-24h, 0))`: Spark's sliding
+    * `WindowFunctionFrame` cannot RETRACT rows, so every frame move
+    * re-aggregates the whole frame — Σ|frame| work per partition,
+    * O(n·f) for a user with f events per 24h. A bot user (10⁶ events
+    * in-window) turns one task quadratic: EventSkewProbe measured the
+    * sliding form's single bot task at >34 CPU-minutes where this
+    * shape finishes the corpus in seconds. Instead the rolling
+    * aggregate is a CUMULATIVE DIFFERENCE over two monotone frames
+    * (both incremental in Spark — UnboundedPreceding frames only ever
+    * ADD rows): each event also emits a PROBE row at us − 24h − 1 μs;
+    * one range-cumulative pass over the union gives the prefix
+    * count/sum at every real and probe position (probes carry zero
+    * mass, so tie order between them is immaterial); then
+    * roll = C(us) − C(us − 24h − 1), reassembled per event_id. One
+    * user_id exchange over 2n narrow rows + one event_id aggregate —
+    * every stage linear and map-side-combinable where the sliding
+    * form buffers and re-sums.
+    *
+    * Exactness note: the subtraction form matches the direct frame
+    * sum at 4 dp because events.value carries 2-dp values (prefix
+    * sums sit on 0.01 multiples, float error ~1e-10 ≪ the 5e-5
+    * boundary); data with full-precision doubles near a 4 dp rounding
+    * boundary could flip the last digit vs a direct sum. */
   def q64RollingWindow(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("us"))
-      .rangeBetween(-86400000000L, 0L)
-    t(s, dir, "events")
+    val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
         col("value"))
-      .withColumn("roll_cnt", count(lit(1)).over(w))
-      .withColumn("roll_sum", round(sum("value").over(w), 4))
+    val real = ev.select(col("event_id"), col("user_id"), col("us"),
+      col("value"), lit(1L).as("cnt"), lit(0).as("is_probe"))
+    val probes = ev.select(col("event_id"), col("user_id"),
+      (col("us") - 86400000001L).as("us"),
+      lit(0.0).as("value"), lit(0L).as("cnt"), lit(1).as("is_probe"))
+    // RANGE unbounded-preceding..current: includes ALL rows tied at
+    // the current us (frame grows monotonically → incremental)
+    val cum = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    real.unionByName(probes)
+      .withColumn("c_cnt", sum("cnt").over(cum))
+      .withColumn("c_sum", sum("value").over(cum))
+      .groupBy("event_id")
+      .agg(first(col("user_id")).as("user_id"),
+        (max(when(col("is_probe") === 0, col("c_cnt"))) -
+          max(when(col("is_probe") === 1, col("c_cnt")))).as("roll_cnt"),
+        round(max(when(col("is_probe") === 0, col("c_sum"))) -
+          max(when(col("is_probe") === 1, col("c_sum"))), 4).as("roll_sum"))
       .select("event_id", "user_id", "roll_cnt", "roll_sum")
   }
 
