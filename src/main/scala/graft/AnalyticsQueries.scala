@@ -77,16 +77,15 @@ object AnalyticsQueries {
     *
     * Scale shape: corpus text crosses the wire ONCE — the
     * first-occurrence verdict is a min-struct AGGREGATE on the chunk
-    * key joined back (the q105/verdict-spine pattern), NEVER
-    * `row_number().over(Window.partitionBy(c))`: a viral boilerplate
-    * chunk (license header, nav text — the exact repeats this rewrite
-    * exists to remove) appears in millions of docs, making one window
-    * partition corpus-scale — single-task sort, no map-side combine,
-    * no AQE skew split. The groupBy buffers one (doc_id, idx) min per
-    * chunk per task and combines map-side; the join-back is
-    * merge-hinted (|distinct chunks| is corpus-scale by construction,
-    * same no-broadcast rule as the fp spine) and AQE-skew-splittable
-    * on the hot chunk. SpanRankScaleProbe measures both shapes on a
+    * key joined back (the q105/verdict-spine pattern, plan details at
+    * [[spanRemovals]]: md5-keyed shared exchange, dup-only keeper
+    * side), NEVER `row_number().over(Window.partitionBy(c))`: a viral
+    * boilerplate chunk (license header, nav text — the exact repeats
+    * this rewrite exists to remove) appears in millions of docs,
+    * making one window partition corpus-scale — single-task buffered
+    * sort, no map-side combine, no AQE skew split; the aggregate
+    * STREAMS the hot key instead.
+    * SpanRankScaleProbe measures both shapes on a
     * planted viral chunk; PlanRegressionSpec's window-key allowlist
     * bans the window form registry-wide. Removal verdicts come back as
     * per-doc int arrays over a doc_id shuffle, and the cleaned text is
