@@ -73,7 +73,10 @@ object PipelineQueries {
 
   /** Sessionization over the event stream: a session break is a >30 min
     * gap per user. Exact integer microsecond arithmetic on both engines
-    * (events ts is nanos in parquet; both sides truncate ns → us). */
+    * (events ts is nanos in parquet; both sides truncate ns → us).
+    * Mega-key disposition: lag is frame-less O(1) and the session
+    * counter is a MONOTONE running sum (incremental) — a bot user
+    * costs one linear task (EventSkewProbe: hot ≈ flat). */
   def q29Sessionize(s: SparkSession, dir: String): DataFrame = {
     val order = Seq(col("us").asc, col("event_id").asc)
     val w = Window.partitionBy(col("user_id")).orderBy(order: _*)

@@ -282,7 +282,11 @@ object Queries {
   /** As-of lookup via window (the streaming-joins workhorse): for every
     * event, the timestamp of that user's most recent prior-or-same 'click'
     * event. last(ignoreNulls) over an unbounded-preceding frame is the
-    * partition-local as-of scan — one shuffle on user_id, no join. */
+    * partition-local as-of scan — one shuffle on user_id, no join.
+    * Mega-key disposition: the frame is MONOTONE (grows forward, never
+    * retracts), which Spark evaluates incrementally — a bot user costs
+    * one LINEAR task, not the sliding-frame quadratic q64 had to
+    * design out (EventSkewProbe: hot ≈ flat at a 200k-event bot). */
   def q40AsofWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us").asc, col("event_id").asc)
