@@ -187,12 +187,67 @@ object EventSkewProbe {
       require(s29 == nUsers * 1000000000L,
         s"q29 lost users or produced empty sessions ($tag): $s29")
       results(s"q29_sessionize_$tag") = t29
+
+      // q48 shipped form (cumulative pair count) on both corpora — the
+      // join twin is measured separately below at a size where its
+      // quadratic key group still terminates
+      val (t48, s48) = time {
+        val r = Queries.q48RangeJoin(spark, dir)
+          .agg(count(lit(1)), sum("n_close_pairs")).head()
+        r.getLong(0) * 1000000000L + r.getLong(1)
+      }
+      require(s48 % 1000000000L > 0, s"q48 found zero close pairs ($tag)")
+      results(s"q48_cumulative_$tag") = t48
       System.err.println(s"[probe] $tag done: " + results.filter(_._1.endsWith(tag))
         .map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
     }
 
+    // q48 head-to-head at a config where the JOIN twin's quadratic key
+    // group still terminates: n/10 events, same 2%-share bot. The
+    // twin's candidate volume inside the bot's SMJ key group is
+    // |bot|² ≈ 4×10⁸ here; at the main corpus's 200k bot it is 4×10¹⁰
+    // — the reason it is not run above.
+    val smallN = math.max(n / 10, 10000L)
+    val dir2 = java.nio.file.Files.createTempDirectory("evskew_h2h").toString
+    val smallHot = smallN * hotPct / 100
+    spark.range(smallN)
+      .select(col("id").as("event_id"),
+        expr(s"CASE WHEN id < $smallHot THEN 0L ELSE pmod(hash(id), " +
+          s"${math.max(smallN / 100, 2L)}) + 1 END").as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(hash(col("id"), lit(7)), lit(2592000000000L))).as("ts"),
+        lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    def q48Join(d: String): DataFrame = {
+      val ev = Tables.load(spark, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      ev.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_id") < col("b.event_id") &&
+            abs(col("b.us") - col("a.us")) <= 60000000L)
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_close_pairs"))
+    }
+    var cum48 = Double.MaxValue; var join48 = Double.MaxValue
+    (1 to 2).foreach { _ =>
+      val (tc, _) = time(Queries.q48RangeJoin(spark, dir2).count())
+      val (tj, _) = time(q48Join(dir2).count())
+      cum48 = math.min(cum48, tc); join48 = math.min(join48, tj)
+    }
+    val q48diff = Queries.q48RangeJoin(spark, dir2).as("a")
+      .join(q48Join(dir2).as("b"), Seq("user_id"), "full")
+      .filter(!(col("a.n_close_pairs") <=> col("b.n_close_pairs")))
+      .count()
+    require(q48diff == 0, s"q48 shapes disagree on $q48diff users")
+    results(s"q48_cumulative_small") = cum48
+    results(s"q48_join_small") = join48
+    System.err.println(f"[probe] q48 h2h (n=$smallN, bot=$smallHot): " +
+      f"cumulative=$cum48%.1f s join=$join48%.1f s")
+
     println("""{"metric":"event_skew_probe","n_events":""" + n +
-      s""","hot_events":$hot,""" +
+      s""","hot_events":$hot,"h2h_n":$smallN,""" +
       results.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }.mkString(",") +
       "}")
     spark.stop()

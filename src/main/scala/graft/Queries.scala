@@ -310,19 +310,54 @@ object Queries {
         round(percentile(col("value"), lit(0.95)), 4).as("p95"))
 
   /** Range join (the interval-matching family the reference lacks): per
-    * user, ordered event pairs within 60 seconds of each other. The equi
-    * key (user_id) drives the shuffle; the range predicate is a post-join
-    * residual — at scale bucketing ts into coarse intervals and joining
-    * on (user, bucket±1) bounds the candidate set. */
+    * user, the COUNT of event pairs within 60 seconds of each other.
+    *
+    * NOT the self-join on user_id with the range predicate as a
+    * post-join residual: the equi-key alone makes the candidate set
+    * Σ_user |events_user|² — a bot user with 10⁶ events is 10¹²
+    * candidate evaluations inside ONE sort-merge-join key group before
+    * the residual can drop any (the events-table quadratic the r14
+    * EventSkewProbe measures; same class as q64's sliding frame).
+    * Because the output is a COUNT, it decomposes exactly over the
+    * per-user time order: every unordered pair with |Δt| ≤ 60 s has
+    * exactly one orientation with the smaller event_id first, so
+    *
+    *   n_pairs(u) = Σ_i #{j : t_j ∈ (t_i, t_i+60s]}  +  Σ_{tie groups} C(k,2)
+    *
+    * — the first term from q64's cumulative-difference machinery (each
+    * event emits a zero-mass probe row at us+60s; one MONOTONE
+    * range-cumulative pass over the union gives the inclusive prefix
+    * count at every position; probe − real = the forward neighbors),
+    * the second from a tiny per-(user, us) tie aggregate (equal
+    * timestamps pair pairwise but are excluded from the strict-forward
+    * term). Linear in every regime, one user_id exchange of 2n narrow
+    * rows; the genuinely-pairwise JOIN form remains the right tool
+    * only when the pair LIST itself is the output. */
   def q48RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-    ev.as("a").join(ev.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.event_id") < col("b.event_id") &&
-          abs(col("b.us") - col("a.us")) <= 60000000L)
-      .groupBy(col("a.user_id").as("user_id"))
-      .agg(count(lit(1)).as("n_close_pairs"))
+    val real = ev.select(col("user_id"), col("event_id"), col("us"),
+      lit(1L).as("cnt"), lit(0).as("is_probe"))
+    val probes = ev.select(col("user_id"), col("event_id"),
+      (col("us") + 60000000L).as("us"), lit(0L).as("cnt"),
+      lit(1).as("is_probe"))
+    val cum = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = real.unionByName(probes)
+      .withColumn("c", sum("cnt").over(cum))
+      .groupBy("event_id")
+      .agg(first(col("user_id")).as("user_id"),
+        (max(when(col("is_probe") === 1, col("c"))) -
+          max(when(col("is_probe") === 0, col("c")))).as("k"))
+      .groupBy("user_id").agg(sum(col("k")).as("n_fwd"))
+    val ties = ev.groupBy(col("user_id"), col("us"))
+      .agg(count(lit(1)).as("g")).filter(col("g") > 1)
+      .groupBy("user_id")
+      .agg(sum(col("g") * (col("g") - 1) / 2).cast("long").as("n_tie"))
+    fwd.join(ties, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (col("n_fwd") + coalesce(col("n_tie"), lit(0L))).as("n_close_pairs"))
+      .filter(col("n_close_pairs") > 0)
   }
 
   /** Two-table as-of join, the distributed union+window algorithm: for
