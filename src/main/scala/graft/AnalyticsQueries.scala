@@ -371,33 +371,35 @@ object AnalyticsQueries {
     * every stage linear and map-side-combinable where the sliding
     * form buffers and re-sums.
     *
-    * Exactness note: the subtraction form matches the direct frame
-    * sum at 4 dp because events.value carries 2-dp values (prefix
-    * sums sit on 0.01 multiples, float error ~1e-10 ≪ the 5e-5
-    * boundary); data with full-precision doubles near a 4 dp rounding
-    * boundary could flip the last digit vs a direct sum. */
+    * The value sums run as SCALED LONGS: events.value is fixed-point
+    * 2-dp by schema, so `round(value*100)` is an exact integer, the
+    * prefix sums and their subtraction are exact in every regime
+    * (counts already are longs), and the final `/100.0` re-scale is a
+    * single rounding of an exact rational — no float-cancellation
+    * caveat, at zero plan cost. */
   def q64RollingWindow(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
-        col("value"))
+        round(col("value") * 100).cast("long").as("v100"))
     val real = ev.select(col("event_id"), col("user_id"), col("us"),
-      col("value"), lit(1L).as("cnt"), lit(0).as("is_probe"))
+      col("v100"), lit(1L).as("cnt"), lit(0).as("is_probe"))
     val probes = ev.select(col("event_id"), col("user_id"),
       (col("us") - 86400000001L).as("us"),
-      lit(0.0).as("value"), lit(0L).as("cnt"), lit(1).as("is_probe"))
+      lit(0L).as("v100"), lit(0L).as("cnt"), lit(1).as("is_probe"))
     // RANGE unbounded-preceding..current: includes ALL rows tied at
     // the current us (frame grows monotonically → incremental)
     val cum = Window.partitionBy("user_id").orderBy(col("us"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     real.unionByName(probes)
       .withColumn("c_cnt", sum("cnt").over(cum))
-      .withColumn("c_sum", sum("value").over(cum))
+      .withColumn("c_sum", sum("v100").over(cum))
       .groupBy("event_id")
       .agg(first(col("user_id")).as("user_id"),
         (max(when(col("is_probe") === 0, col("c_cnt"))) -
           max(when(col("is_probe") === 1, col("c_cnt")))).as("roll_cnt"),
-        round(max(when(col("is_probe") === 0, col("c_sum"))) -
-          max(when(col("is_probe") === 1, col("c_sum"))), 4).as("roll_sum"))
+        round((max(when(col("is_probe") === 0, col("c_sum"))) -
+          max(when(col("is_probe") === 1, col("c_sum"))))
+          .cast("double") / 100.0, 4).as("roll_sum"))
       .select("event_id", "user_id", "roll_cnt", "roll_sum")
   }
 

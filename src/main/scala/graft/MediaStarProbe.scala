@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * M times (the meme/template case — byte-identical payloads, identical
   * pHash, hamming 0) shares every band bucket by construction, so the
   * all-pairs banded hamming join emits Θ(M²) candidate rows while
-  * [[graft.functions.mm.phashPairs]]'s star default emits O(M).
+  * [[graft.functions.mm.phashPairs]]'s star mode emits O(M).
   *
   *   1. synthesizes N media blobs, ids < M all from ONE base id
   *      (byte-identical), the tail per-id unique;
@@ -83,7 +83,7 @@ object MediaStarProbe {
 
     // (3) star pair-gen cold end to end, then whole-cluster resolution
     val (starSec, starPairs) = cold(timedCount(
-      mm.phashPairs(media(n, mega), "doc_id", "bytes", 4)))
+      mm.phashPairs(media(n, mega), "doc_id", "bytes", 4, star = true)))
     prog("star_pairs", starSec, starPairs)
     // the CLUSTER's edge set must be exactly its M-1 star edges, every
     // one anchored at the global-min member (doc 0) at hamming 0 — the
@@ -91,7 +91,7 @@ object MediaStarProbe {
     // near-dup pairs on top (structured payloads → close pHashes), so
     // the linearity claim is asserted on the cluster's own edges, not
     // the total
-    val pinned = mm.phashPairs(media(n, mega), "doc_id", "bytes", 4)
+    val pinned = mm.phashPairs(media(n, mega), "doc_id", "bytes", 4, star = true)
       .localCheckpoint(true)
     val cl = pinned.filter(col("doc_b") < mega)
       .agg(count(lit(1)),
@@ -119,7 +119,8 @@ object MediaStarProbe {
           star = false)))
       allMin = math.min(allMin, aSec); allRows = aRows
       val (sSec, sRows) = cold(timedCount(
-        mm.phashPairs(media(smallN, smallMega), "doc_id", "bytes", 4)))
+        mm.phashPairs(media(smallN, smallMega), "doc_id", "bytes", 4,
+          star = true)))
       starMin = math.min(starMin, sSec); starRows = sRows
       prog("head2head_rep", aSec + sSec, aRows + sRows)
     }

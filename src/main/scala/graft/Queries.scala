@@ -350,10 +350,12 @@ object Queries {
         (max(when(col("is_probe") === 1, col("c"))) -
           max(when(col("is_probe") === 0, col("c")))).as("k"))
       .groupBy("user_id").agg(sum(col("k")).as("n_fwd"))
+    // integer `div`, not `/`: the double round-trip is exact only below
+    // 2^53 — all terms here stay longs end-to-end
     val ties = ev.groupBy(col("user_id"), col("us"))
       .agg(count(lit(1)).as("g")).filter(col("g") > 1)
       .groupBy("user_id")
-      .agg(sum(col("g") * (col("g") - 1) / 2).cast("long").as("n_tie"))
+      .agg(sum(expr("g * (g - 1) div 2")).as("n_tie"))
     fwd.join(ties, Seq("user_id"), "left")
       .select(col("user_id"),
         (col("n_fwd") + coalesce(col("n_tie"), lit(0L))).as("n_close_pairs"))

@@ -561,8 +561,11 @@ object mm {
     * at 100 TB of media the pair scan is signature-sized (8 bytes/blob),
     * which is the whole point of fingerprinting before joining.
     *
-    * `star` (default TRUE — the scale-safe mode) pairs each band
-    * bucket's members with the bucket minimum instead of all-pairs: a
+    * `star` (REQUIRED — no default, so every caller states which
+    * semantics it wants: a silent default flip would change the output
+    * shape under existing callers' feet) — `true` is the scale-safe
+    * mode: pairs each band bucket's members with the bucket minimum
+    * instead of all-pairs. A
     * VIRAL image (one meme re-uploaded 10⁵–10⁶ times) hashes to ONE
     * pHash value, shares every band bucket by construction, and the
     * all-pairs self-join emits Θ(m²) candidate rows there — the media
@@ -577,7 +580,7 @@ object mm {
     * `star = false` for pair-LIST consumers whose semantics are the
     * complete pair set (q101's oracle shape). */
   def phashPairs(df: DataFrame, idCol: String, bytesCol: String,
-      radius: Int, star: Boolean = true): DataFrame = {
+      radius: Int, star: Boolean): DataFrame = {
     val sig = df
       .select(col(idCol).as("doc_id"), phash64(col(bytesCol)).as("v"))
       .withColumn("h1", shiftrightunsigned(col("v"), 32))

@@ -95,9 +95,22 @@ object Pins {
   // sibling's live pin files still inside — by design the non-recursive
   // delete fails harmlessly); the LAST run out retries them so empty
   // uuid/run dirs don't leak on the checkpoint FS after the sibling
-  // exits. Insertion-ordered: uuid dirs enqueue before their parents.
+  // exits. Insertion-ordered (uuid dirs enqueue before their parents),
+  // valued by failed-delete count: a path that keeps failing is not a
+  // racing sibling but a PERMANENTLY undeletable dir (the documented
+  // pre-existing-`dir`-with-foreign-content case) — after
+  // [[MaxRemovalRetries]] strikes it is dropped, so it neither retains
+  // cross-epoch state forever nor costs every future epoch's last-out
+  // run an FS RPC.
   private val pendingRemovals =
-    scala.collection.mutable.LinkedHashSet[String]()
+    scala.collection.mutable.LinkedHashMap[String, Int]()
+
+  /** Failed non-recursive deletes tolerated per pending path before it
+    * is abandoned as permanently occupied (foreign content in a
+    * pre-existing run `dir`). Sibling-race failures clear in one or
+    * two epochs; three strikes distinguishes them from the permanent
+    * case with margin. */
+  private val MaxRemovalRetries = 3
 
   /** Harden ONE run: sets `dir` as the checkpoint dir, forces every
     * [[pin]] in `body` through reliable file-backed checkpoints, and
@@ -243,8 +256,17 @@ object Pins {
             // (interleaved setCheckpointDir lands either run's files in
             // either uuid dir) — record it so the LAST run out retries
             // after the sibling's own pin deletes, instead of leaking
-            // an empty dir on the checkpoint FS forever
-            runGate.synchronized { pendingRemovals += path }
+            // an empty dir on the checkpoint FS forever. Bounded: a
+            // path still failing after MaxRemovalRetries is permanently
+            // occupied (foreign content) and is dropped for good.
+            runGate.synchronized {
+              val strikes = pendingRemovals.getOrElse(path, 0) + 1
+              if (strikes >= MaxRemovalRetries) {
+                pendingRemovals -= path
+                System.err.println(s"[Pins] giving up on non-empty dir " +
+                  s"$path after $strikes failed deletes (foreign content)")
+              } else pendingRemovals.update(path, strikes)
+            }
         }
       }
       runCkptDir.foreach(removeEmpty)
@@ -253,7 +275,7 @@ object Pins {
       // order — uuid dirs before their parent run dirs). A concurrent
       // enter flips liveRuns first and the retry defers to ITS exit.
       val retry = runGate.synchronized {
-        if (liveRuns == 0) pendingRemovals.toSeq else Seq.empty
+        if (liveRuns == 0) pendingRemovals.keys.toSeq else Seq.empty
       }
       retry.foreach(removeEmpty)
     }

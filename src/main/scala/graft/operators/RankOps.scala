@@ -50,6 +50,44 @@ import Pins.Pinned
   */
 object RankOps {
 
+  /** Session conf: max rows the per-leg bookkeeping tables
+    * ([[globalRowNumberPer]]/[[runningSumPer]] offsets ≈ legs +
+    * partitions − 1 rows by range-partition contiguity,
+    * [[distributionRanksPer]] sizes = legs rows) may reach before the
+    * plan fails fast with a named error instead of collecting a
+    * corpus-sized broadcast into the driver. */
+  val MaxBroadcastRowsConf = "spark.graft.rankops.maxBroadcastRows"
+
+  /** Default gate: orders of magnitude above any legitimate leg key
+    * (lang × partitions ≈ 10⁴–10⁵ rows even on a 2000-executor
+    * cluster) and well under the broadcast wall. */
+  val MaxBroadcastRowsDefault = 4000000L
+
+  /** LAZY leg-cardinality gate on a to-be-broadcast bookkeeping table:
+    * a one-row count aggregate is cross-joined in (broadcast-built
+    * FIRST, so the `raise_error` fires before the big collect starts)
+    * and the always-true filter keeps the guard column alive against
+    * column pruning. Costs one extra count pass over `small`'s plan —
+    * a map-side-combinable aggregate over the PINNED ranked frame,
+    * wall-clock noise next to the range exchange the operator already
+    * paid — and keeps the operator a single lazy plan (no driver
+    * action at construction time). */
+  private def guardBroadcastRows(small: DataFrame, op: String,
+      legCol: String): DataFrame = {
+    val max = small.sparkSession.conf
+      .get(MaxBroadcastRowsConf, MaxBroadcastRowsDefault.toString).toLong
+    val gate = small.agg(count(lit(1)).as("_gn"))
+      .select(when(col("_gn") <= max, col("_gn"))
+        .otherwise(raise_error(concat(
+          lit(s"[RankOps.$op] leg column '$legCol' produced "),
+          col("_gn").cast("string"),
+          lit(s" bookkeeping rows, over $MaxBroadcastRowsConf=$max: " +
+            "legCol must be broadcast-bounded (lang/leg-grade " +
+            "cardinality, not doc_id-grade) — the per-leg table is " +
+            "collected to the driver and broadcast")))).as("_gn"))
+    small.crossJoin(broadcast(gate)).filter(col("_gn") >= 0).drop("_gn")
+  }
+
   /** Appends `rankCol` = 1-based global row number under `order`.
     *
     * No window over the data: `row_number over (partition by _pid)`
@@ -95,7 +133,15 @@ object RankOps {
     * window partitions BY LEG, so it never exceeds partition-count rows
     * per window. Use when several full-corpus rankings feed one
     * consumer (q45's RRF: lexical + vector legs), replacing k separate
-    * shuffles and a k-way join with one shuffle and a groupBy. */
+    * shuffles and a k-way join with one shuffle and a groupBy.
+    *
+    * CARDINALITY CONTRACT: `legCol` must be broadcast-bounded (a
+    * lang/source/leg-grade key) — the offsets table is legs +
+    * partitions − 1 rows (range-partition contiguity: each leg spans
+    * contiguous partitions) and is COLLECTED AND BROADCAST. A
+    * doc_id-grade legCol would drag a corpus-sized table through the
+    * driver; the plan fails fast with a named error past
+    * [[MaxBroadcastRowsConf]] instead. */
   def globalRowNumberPer(df: DataFrame, legCol: String, order: Seq[Column],
       rankCol: String): DataFrame = {
     val fullOrder = col(legCol).asc +: order
@@ -118,7 +164,7 @@ object RankOps {
     // must too — a plain using-join would silently DROP every null-leg
     // row (EqualTo(null, null) is null, not true)
     ranged
-      .join(broadcast(offsets),
+      .join(broadcast(guardBroadcastRows(offsets, "globalRowNumberPer", legCol)),
         col("_pid") === col("_pidO") && col(legCol) <=> col("_legO"))
       .withColumn(rankCol, col("_mono") - col("_base") + col("_off") + 1)
       .drop("_pid", "_pidO", "_legO", "_mono", "_base", "_off")
@@ -146,7 +192,11 @@ object RankOps {
     * from the window forms; under a total order they are exactly
     * equal (RankOpsSpec pins equality on a skewed fixture). The
     * per-leg count join-back is null-safe for the same reason as
-    * [[globalRowNumberPer]]'s offsets join. */
+    * [[globalRowNumberPer]]'s offsets join. `legCol` inherits
+    * [[globalRowNumberPer]]'s broadcast-bounded cardinality contract;
+    * the `sizes` table here (one row per leg) is strictly smaller than
+    * the offsets table that contract already gates, so the underlying
+    * call's fail-fast covers this one too. */
   def distributionRanksPer(df: DataFrame, legCol: String,
       order: Seq[Column], nTiles: Int, tileCol: String, prCol: String,
       cdCol: String): DataFrame = {
@@ -189,7 +239,9 @@ object RankOps {
     * partition's leg subtotal, window it per leg over ≤
     * shuffle-partitions rows, broadcast it back. Rank NARROW frames
     * here too — the checkpoint pin and two exchanges carry every
-    * column of `df`. */
+    * column of `df`. `legCol` carries the same broadcast-bounded
+    * cardinality contract (and [[MaxBroadcastRowsConf]] fail-fast) as
+    * [[globalRowNumberPer]]. */
   def runningSumPer(df: DataFrame, legCol: String, order: Seq[Column],
       valCol: String, outCol: String): DataFrame = {
     val fullOrder = col(legCol).asc +: order
@@ -214,7 +266,7 @@ object RankOps {
     // null-safe leg equality — same rationale as globalRowNumberPer:
     // a using-join would drop null-leg rows the window forms keep
     ranged
-      .join(broadcast(offsets),
+      .join(broadcast(guardBroadcastRows(offsets, "runningSumPer", legCol)),
         col("_pid") === col("_pidO") && col(legCol) <=> col("_legO"))
       .withColumn(outCol, sum(valCol).over(local) + col("_off"))
       .drop("_pid", "_pidO", "_legO", "_mono", "_off")

@@ -145,7 +145,7 @@ class MultimodalSpec extends AnyFunSuite {
     val m = 1000
     val media = spark.range(m).select(col("id").as("doc_id"),
       mm.synthesize_media(lit(0L), lit(0), lit(2048)).as("bytes"))
-    val star = mm.phashPairs(media, "doc_id", "bytes", 4) // star default
+    val star = mm.phashPairs(media, "doc_id", "bytes", 4, star = true)
     val edges = star.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(edges.length == m - 1, s"star edges ${edges.length}, want ${m - 1}")
     assert(edges.forall { case (a, _, d) => a == 0L && d == 0 },

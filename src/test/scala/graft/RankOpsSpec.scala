@@ -144,6 +144,40 @@ class RankOpsSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("per-leg broadcast guard fails fast with a named error past the gate") {
+    import spark.implicits._
+    // the offsets/sizes tables are COLLECTED AND BROADCAST — a
+    // doc_id-grade legCol must die with a named, actionable error
+    // before the driver collect, not an opaque broadcast-wall OOM
+    spark.conf.set(RankOps.MaxBroadcastRowsConf, "50")
+    try {
+      val df = (1 to 500).map(i => (i.toLong, i.toLong % 300, 1L))
+        .toDF("id", "leg", "v").repartition(7)
+      Seq(
+        ("globalRowNumberPer", () =>
+          RankOps.globalRowNumberPer(df, "leg", Seq(col("id").asc), "r")
+            .count()),
+        ("runningSumPer", () =>
+          RankOps.runningSumPer(df, "leg", Seq(col("id").asc), "v", "c")
+            .count())
+      ).foreach { case (op, run) =>
+        val e = intercept[Throwable] { run() }
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+          .mkString("\n")
+        assert(msgs.contains(s"RankOps.$op"), s"$op: unnamed failure:\n$msgs")
+        assert(msgs.contains(RankOps.MaxBroadcastRowsConf),
+          s"$op: error must name the gate conf:\n$msgs")
+        assert(msgs.contains("'leg'"), s"$op: error must name the column")
+      }
+      // under the gate the guard is transparent: same ranks as ungated
+      spark.conf.set(RankOps.MaxBroadcastRowsConf,
+        RankOps.MaxBroadcastRowsDefault.toString)
+      val ok = RankOps.globalRowNumberPer(df, "leg", Seq(col("id").asc), "r")
+      assert(ok.count() == 500)
+    } finally spark.conf.unset(RankOps.MaxBroadcastRowsConf)
+  }
+
   test("the correctness pin is present: both branches read checkpointed rows") {
     // the offsets branch and the main branch must consume the PINNED
     // (_pid, _mono) rows (object scaladoc) — if the localCheckpoint is
