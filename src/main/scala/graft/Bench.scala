@@ -8,8 +8,10 @@ import graft.functions.VectorKernels
   * Emits ONE JSON line. */
 object Bench {
 
-  /** The previous round's bench query set (short keys, = BENCH_r13's
-    * `queries` keys) — `common_prev_total` sums only these, so the
+  /** The previous round's bench query set (short keys, = BENCH_r14's
+    * `queries` keys — identical to BENCH_r13's, so no entries changed
+    * at the r15 refresh; r15's q135 stays outside the subtotal until
+    * next round) — `common_prev_total` sums only these, so the
     * round-over-round comparison is like-for-like even as the registry
     * grows. Refresh when a round's BENCH lands. */
   private val PrevRoundKeys: Set[String] = Set(

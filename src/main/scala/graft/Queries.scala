@@ -406,8 +406,21 @@ object Queries {
       .count()
       .na.fill(0L)
 
+  /** Bounded per-user history (the callable q40/q29 bot disposition):
+    * each user's 5 most recent events by (ts, event_id). NOT a window —
+    * [[graft.operators.RankOps.boundedUserHistory]] rides a bounded-heap
+    * top-k aggregate (map-side combinable, k-bounded buffer), so a bot
+    * user's 10⁶ events are pre-pruned to k per partition in the map
+    * stage instead of sorting in one task. */
+  def q135BoundedHistory(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankOps.boundedUserHistory(
+      t(s, dir, "events").select(col("user_id"), col("event_id"), col("ts")),
+      "user_id", "ts", "event_id", 5)
+      .select(col("user_id"), col("event_id"))
+
   /** All queries, keyed. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_bounded_history" -> q135BoundedHistory _,
     "q33_quantize_roundtrip" -> q33QuantizeRoundtrip _,
     "q39_rollup" -> q39Rollup _,
     "q51_cube" -> q51Cube _,
@@ -441,6 +454,12 @@ object Queries {
 
   /** DuckDB oracle SQL twins (same column names, same rounding). */
   val oracle: Map[String, String] = Map(
+    "q135_bounded_history" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 5""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -42,6 +42,18 @@ object gf {
     * shape: quantized binary, header min=-1/max=1). */
   def noop_embed(text: Column, dim: Int = 512): Column = col(NoopEmbed(expr(text), dim))
 
+  /** Bounded top-k collect: per group, the `k` largest (smallest with
+    * `reverse = true`) values of `e` under its natural ordering, as an
+    * array. Wraps Catalyst's `CollectTopK` (a BoundedPriorityQueue
+    * aggregate): the buffer is k-BOUNDED per key on both the map-side
+    * partial and the merge, so a corpus-skewed hot key costs k·log k
+    * per input row spread across ALL its partitions — the skew-safe
+    * alternative to a per-key window row_number for keep-N-per-key
+    * ([[graft.operators.RankOps.boundedUserHistory]]). `e` must be an
+    * ORDERABLE type (struct fields compare lexicographically; no maps). */
+  def collect_top_k(e: Column, k: Int, reverse: Boolean): Column =
+    col(shim.collectTopK(expr(e), k, reverse))
+
   /** Probe a broadcast Bloom filter with a `bigint` hash column — the
     * pre-shuffle membership prune (see [[graft.DedupQueries]] q87). */
   def bloom_might_contain(

@@ -64,14 +64,16 @@ object RankOps {
   val MaxBroadcastRowsDefault = 4000000L
 
   /** LAZY leg-cardinality gate on a to-be-broadcast bookkeeping table:
-    * a one-row count aggregate is cross-joined in (broadcast-built
-    * FIRST, so the `raise_error` fires before the big collect starts)
-    * and the always-true filter keeps the guard column alive against
-    * column pruning. Costs one extra count pass over `small`'s plan —
-    * a map-side-combinable aggregate over the PINNED ranked frame,
-    * wall-clock noise next to the range exchange the operator already
-    * paid — and keeps the operator a single lazy plan (no driver
-    * action at construction time). */
+    * a one-row count aggregate is joined in (broadcast-built FIRST, so
+    * the `raise_error` fires before the big collect starts) and the
+    * always-true filter keeps the guard column alive against column
+    * pruning. The join key is a hash-derived constant (the
+    * gf.one_partition convention) so the plan stays a
+    * BroadcastHashJoin, not a nested loop. Costs one extra count pass
+    * over `small`'s plan — a map-side-combinable aggregate over the
+    * PINNED ranked frame, wall-clock noise next to the range exchange
+    * the operator already paid — and keeps the operator a single lazy
+    * plan (no driver action at construction time). */
   private def guardBroadcastRows(small: DataFrame, op: String,
       legCol: String): DataFrame = {
     val max = small.sparkSession.conf
@@ -85,7 +87,10 @@ object RankOps {
             "legCol must be broadcast-bounded (lang/leg-grade " +
             "cardinality, not doc_id-grade) — the per-leg table is " +
             "collected to the driver and broadcast")))).as("_gn"))
-    small.crossJoin(broadcast(gate)).filter(col("_gn") >= 0).drop("_gn")
+      .withColumn("_gk", pmod(hash(col("_gn")), lit(1)))
+    small.withColumn("_gk", pmod(hash(col(small.columns.head)), lit(1)))
+      .join(broadcast(gate), "_gk")
+      .filter(col("_gn") >= 0).drop("_gk", "_gn")
   }
 
   /** Appends `rankCol` = 1-based global row number under `order`.
@@ -270,5 +275,38 @@ object RankOps {
         col("_pid") === col("_pidO") && col(legCol) <=> col("_legO"))
       .withColumn(outCol, sum(valCol).over(local) + col("_off"))
       .drop("_pid", "_pidO", "_legO", "_mono", "_off")
+  }
+
+  /** Keep each key's `maxEvents` MOST RECENT rows — the callable form
+    * of the bot-user disposition on q40/q29 ("pre-filter or TTL-bound
+    * bot users at extreme density", BASELINE.md r14): cap a per-user
+    * event history BEFORE feeding an ordered per-user traversal, so a
+    * 10⁶-event bot contributes a bounded task instead of one huge one.
+    *
+    * Deliberately NOT a `row_number over (partition by user)` window
+    * (the bot is still ONE unsplittable sort task — linear, but all of
+    * it in one thread) and NOT [[globalRowNumberPer]] (a user-grade
+    * legCol violates its broadcast-bounded cardinality contract — the
+    * [[MaxBroadcastRowsConf]] gate would rightly refuse). Instead the
+    * top-k rides [[graft.functions.gf.collect_top_k]], a bounded-heap
+    * aggregate: k-bounded buffer per key, map-side combinable, so the
+    * hot user's rows are pre-pruned to k per partition IN THE MAP
+    * STAGE and the merge handles ≤ k·partitions rows — fully
+    * AQE-splittable, no single giant task at any skew.
+    *
+    * Recency = (`tsCol`, `tieCol`) descending; the pair must be a
+    * total order per user (pass a unique id as the tie-break) and both
+    * columns must be orderable atomics. Output keeps `df`'s schema;
+    * row order within a user is not defined (it's a SET of survivors). */
+  def boundedUserHistory(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, maxEvents: Int): DataFrame = {
+    require(maxEvents >= 1, s"maxEvents must be >= 1, got $maxEvents")
+    val packed = struct(col(tsCol), col(tieCol),
+      struct(df.columns.map(col): _*).as("_row"))
+    df.groupBy(col(userCol).as("_u"))
+      .agg(graft.functions.gf.collect_top_k(packed, maxEvents,
+        reverse = false).as("_top"))
+      .select(explode(col("_top")).as("_e"))
+      .select(col("_e._row.*"))
   }
 }

@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst's bounded-heap top-k collect aggregate (`CollectTopK`,
+    * package-restricted — bridged one package deeper): per group the
+    * `num` largest (smallest with `reverse = true`) values of `e`,
+    * buffer k-bounded on both the map-side partial and the merge. */
+  def collectTopK(e: Expression, num: Int, reverse: Boolean): Expression =
+    org.apache.spark.sql.catalyst.expressions.aggregate
+      .graftCollectShim.collectTopK(e, num, reverse)
 }

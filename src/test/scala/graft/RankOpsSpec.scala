@@ -178,6 +178,35 @@ class RankOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset(RankOps.MaxBroadcastRowsConf)
   }
 
+  test("boundedUserHistory equals the window keep-last-N, without a window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // the bot regime in miniature: user 7 owns ~half the rows; heavy ts
+    // ties broken by event_id (the operator's total-order contract);
+    // several users have fewer rows than N (keep-all edge)
+    val df = (1 to 4000).map { i =>
+      val u = if (rnd.nextInt(2) == 0) 7L else rnd.nextInt(60).toLong
+      (u, i.toLong, rnd.nextInt(40).toLong)
+    }.toDF("user_id", "event_id", "ts").repartition(11)
+    val n = 5
+    val got = RankOps.boundedUserHistory(df, "user_id", "ts", "event_id", n)
+    assert(got.columns.toSeq == df.columns.toSeq)
+    val gotSet = got.select("user_id", "event_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") <= n).select("user_id", "event_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotSet == want)
+    // the scale claim: a bounded-heap AGGREGATE with a map-side partial
+    // step, not a per-user window sort (one unsplittable task per bot)
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "boundedUserHistory must not window")
+    assert(p.contains("partial_collect_top_k"),
+      s"expected a partial bounded-heap aggregate:\n${p.take(1200)}")
+  }
+
   test("the correctness pin is present: both branches read checkpointed rows") {
     // the offsets branch and the main branch must consume the PINNED
     // (_pid, _mono) rows (object scaladoc) — if the localCheckpoint is
