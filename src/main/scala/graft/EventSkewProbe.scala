@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   *     per partition), so the bot costs one linear task; the
   *     hot-vs-flat delta measured here is that task — the BASELINE.md
   *     disposition row that says how far the shipped shapes carry
-  *     before a pipeline must pre-filter or TTL-bound bot users.
+  *     before a pipeline must pre-filter or TTL-bound bot users;
+  *   - boundedUserHistory A/B (r15 — the CALLABLE form of that
+  *     disposition): the shipped bounded-heap keep-last-N aggregate
+  *     vs its window row_number twin, survivor sets asserted
+  *     identical.
   *
   * Invariants asserted in-run (before any timing is trusted): q09 and
   * q64 shapes row-identical on both corpora; q40/q29 outputs preserve
@@ -198,6 +202,47 @@ object EventSkewProbe {
       }
       require(s48 % 1000000000L > 0, s"q48 found zero close pairs ($tag)")
       results(s"q48_cumulative_$tag") = t48
+
+      // boundedUserHistory A/B (the callable q40/q29 bot disposition,
+      // r15): the shipped bounded-heap aggregate vs the window
+      // keep-last-N twin. The heap prunes a HOT user to k per
+      // partition IN THE MAP STAGE (no task receives more than
+      // k·partitions rows of one user); on a flat corpus it buys
+      // nothing and pays per-row buffer maintenance — both walls
+      // recorded, honest constant documented in BASELINE.md.
+      // Survivor sets asserted identical.
+      def bhWindow(d: String, k: Int): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.load(spark, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+      }
+      def bhHeap(d: String, k: Int): DataFrame =
+        graft.operators.RankOps.boundedUserHistory(
+          Tables.load(spark, d, "events")
+            .select(col("user_id"), col("event_id"), col("ts")),
+          "user_id", "ts", "event_id", k)
+      val kKeep = 100
+      var heapMin = Double.MaxValue; var bwinMin = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val (th, ch) = time(bhHeap(dir, kKeep).count())
+        val (tw2, cw2) = time(bhWindow(dir, kKeep).count())
+        require(ch == cw2 && ch > 0,
+          s"boundedUserHistory counts differ ($tag): $ch/$cw2")
+        heapMin = math.min(heapMin, th); bwinMin = math.min(bwinMin, tw2)
+      }
+      val bhDiff = bhHeap(dir, kKeep).as("a")
+        .join(bhWindow(dir, kKeep).as("b"),
+          Seq("user_id", "event_id"), "full")
+        .filter(col("a.ts").isNull || col("b.ts").isNull).count()
+      require(bhDiff == 0,
+        s"boundedUserHistory survivor sets differ ($tag): $bhDiff rows")
+      results(s"bh_heap_$tag") = heapMin
+      results(s"bh_window_$tag") = bwinMin
+
       System.err.println(s"[probe] $tag done: " + results.filter(_._1.endsWith(tag))
         .map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
     }
@@ -236,6 +281,50 @@ object EventSkewProbe {
       val (tj, _) = time(q48Join(dir2).count())
       cum48 = math.min(cum48, tc); join48 = math.min(join48, tj)
     }
+
+    // boundedUserHistory at EXTREME skew (separate corpus — the main
+    // corpora keep the 2% bot so the sliding twin terminates): half
+    // the events on ONE user. The window funnels n/2 rows through one
+    // task's sort — LINEAR, and still fast at this scale (a local
+    // Tungsten sort of 5M narrow rows is sub-second), so no local
+    // crossover is expected; the row documents that the heap's value
+    // is the bounded-task GUARANTEE, not a single-node win.
+    val dir3 = java.nio.file.Files.createTempDirectory("evskew_bh").toString
+    spark.range(n)
+      .select(col("id").as("event_id"),
+        expr(s"CASE WHEN id % 2 = 0 THEN 0L ELSE pmod(hash(id), $users) + 1 END")
+          .as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(hash(col("id"), lit(7)), lit(2592000000000L))).as("ts"),
+        lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir3/events.parquet")
+    def bhW(d: String, k: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.load(spark, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+    }
+    def bhH(d: String, k: Int): DataFrame =
+      graft.operators.RankOps.boundedUserHistory(
+        Tables.load(spark, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", k)
+    var bhHeap50 = Double.MaxValue; var bhWin50 = Double.MaxValue
+    (1 to 2).foreach { _ =>
+      val (th, ch) = time(bhH(dir3, 100).count())
+      val (tw, cw) = time(bhW(dir3, 100).count())
+      require(ch == cw && ch > 0, s"bh extreme counts differ: $ch/$cw")
+      bhHeap50 = math.min(bhHeap50, th); bhWin50 = math.min(bhWin50, tw)
+    }
+    results("bh_heap_50pct") = bhHeap50
+    results("bh_window_50pct") = bhWin50
+    System.err.println(f"[probe] bh extreme (50%% bot, n=$n): " +
+      f"heap=$bhHeap50%.1f s window=$bhWin50%.1f s")
     val q48diff = Queries.q48RangeJoin(spark, dir2).as("a")
       .join(q48Join(dir2).as("b"), Seq("user_id"), "full")
       .filter(!(col("a.n_close_pairs") <=> col("b.n_close_pairs")))

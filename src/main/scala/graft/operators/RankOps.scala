@@ -285,14 +285,27 @@ object RankOps {
     *
     * Deliberately NOT a `row_number over (partition by user)` window
     * (the bot is still ONE unsplittable sort task — linear, but all of
-    * it in one thread) and NOT [[globalRowNumberPer]] (a user-grade
-    * legCol violates its broadcast-bounded cardinality contract — the
+    * it in one thread, growing without bound with the bot) and NOT
+    * [[globalRowNumberPer]] (a user-grade legCol violates its
+    * broadcast-bounded cardinality contract — the
     * [[MaxBroadcastRowsConf]] gate would rightly refuse). Instead the
     * top-k rides [[graft.functions.gf.collect_top_k]], a bounded-heap
-    * aggregate: k-bounded buffer per key, map-side combinable, so the
+    * aggregate: k-bounded buffer per key, map-side combinable, so a
     * hot user's rows are pre-pruned to k per partition IN THE MAP
-    * STAGE and the merge handles ≤ k·partitions rows — fully
-    * AQE-splittable, no single giant task at any skew.
+    * STAGE and no task ever receives more than k·partitions rows for
+    * one user — at any skew.
+    *
+    * Read the trade honestly (EventSkewProbe A/B, BASELINE.md r15):
+    * single-node at 10M events the window twin is FASTER in every
+    * regime (1.1–1.4 s vs 2.7–3.5 s — per-user keep-last-N is a
+    * linear sort, and even a 5M-row bot sorts trivially in one local
+    * task); the heap's per-row buffer maintenance is a ~2.5× constant
+    * there. What it buys is the bounded-task guarantee the window
+    * cannot give: a crawl-scale bot (10⁹⁺ events at 100 TB) exceeds
+    * any single task's sort capacity, while the heap form never
+    * concentrates more than k·partitions of it anywhere — the q64
+    * cumulative-shape trade class (bounded constant for an unbounded
+    * worst case).
     *
     * Recency = (`tsCol`, `tieCol`) descending; the pair must be a
     * total order per user (pass a unique id as the tie-break) and both
