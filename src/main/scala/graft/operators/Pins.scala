@@ -112,6 +112,10 @@ object Pins {
     * case with margin. */
   private val MaxRemovalRetries = 3
 
+  /** Test hook: how many paths are currently pending retry. */
+  private[graft] def pendingRemovalCount: Int =
+    runGate.synchronized { pendingRemovals.size }
+
   /** Harden ONE run: sets `dir` as the checkpoint dir, forces every
     * [[pin]] in `body` through reliable file-backed checkpoints, and
     * on exit (success or failure) deletes the run's OWN checkpoint

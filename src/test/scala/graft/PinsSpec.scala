@@ -183,6 +183,42 @@ class PinsSpec extends AnyFunSuite {
       "run cleanup deleted a foreign empty directory it never created")
   }
 
+  test("pending removals drop after bounded retries (no cross-epoch leak)") {
+    import spark.implicits._
+    spark.conf.set(Pins.ReliableConf, "false")
+    // three PERMANENTLY occupied run dirs (foreign content makes the
+    // non-recursive delete fail every time, by design) used across
+    // three epochs, then one clean epoch whose last-out retry sweeps.
+    // Before the retry bound, every such path was re-enqueued and
+    // retried by EVERY future epoch forever (one wasted FS RPC each);
+    // with the 3-strike bound the set must drain to empty.
+    val occupied = (1 to 3).map { i =>
+      val dir = java.nio.file.Files.createTempDirectory(s"relbound$i")
+        .toString + "/pins"
+      val foreign = new java.io.File(dir, "occupant.txt")
+      foreign.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(foreign.toPath, "keep")
+      (dir, foreign)
+    }
+    occupied.foreach { case (dir, _) =>
+      Pins.withReliableRun(spark, dir) {
+        Pins.pin((1 to 10).toDF("x")).count()
+      }
+    }
+    val clean = java.nio.file.Files.createTempDirectory("relclean").toString
+    Pins.withReliableRun(spark, clean) {
+      Pins.pin((1 to 10).toDF("x")).count()
+    }
+    // every occupied path has accumulated >= MaxRemovalRetries strikes
+    // across its own exit + the later epochs' last-out retries
+    assert(Pins.pendingRemovalCount == 0,
+      s"pendingRemovals retained ${Pins.pendingRemovalCount} path(s) " +
+        "past the retry bound")
+    occupied.foreach { case (_, foreign) =>
+      assert(foreign.exists, "retry bound must not delete foreign content")
+    }
+  }
+
   test("overlapping withReliableRun scopes restore the ORIGINAL dir last-out") {
     import spark.implicits._
     spark.conf.set(Pins.ReliableConf, "false")
