@@ -356,10 +356,14 @@ object AnalyticsQueries {
     * NOT `sum().over(rangeBetween(-24h, 0))`: Spark's sliding
     * `WindowFunctionFrame` cannot RETRACT rows, so every frame move
     * re-aggregates the whole frame — Σ|frame| work per partition,
-    * O(n·f) for a user with f events per 24h. A bot user (10⁶ events
-    * in-window) turns one task quadratic: EventSkewProbe measured the
-    * sliding form's single bot task at >34 CPU-minutes where this
-    * shape finishes the corpus in seconds. Instead the rolling
+    * O(n·f) for a user with f events per 24h. A bot user turns one
+    * task effectively quadratic: EventSkewProbe measures the sliding
+    * form at ~7× this shape at a 2% bot / ~6.6k-per-frame density
+    * (38.8 vs 5.6 s at 10M events), growing unboundedly with frame
+    * density — a denser corpus read 280+ s, and a 10%-bot run passed
+    * 34 CPU-minutes in ONE task before being killed — where this
+    * shape finishes the corpus in seconds in every regime. Instead
+    * the rolling
     * aggregate is a CUMULATIVE DIFFERENCE over two monotone frames
     * (both incremental in Spark — UnboundedPreceding frames only ever
     * ADD rows): each event also emits a PROBE row at us − 24h − 1 μs;

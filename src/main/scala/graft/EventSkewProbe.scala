@@ -22,12 +22,16 @@ import org.apache.spark.sql.functions._
   *     rolling window vs the naive `rangeBetween(-24h, 0)` sliding
   *     frame. Spark's sliding WindowFunctionFrame cannot retract, so
   *     it re-aggregates the whole frame per row — O(n·f) for a bot
-  *     with f in-frame events. The first run of this probe (10% bot =
-  *     1M events, ~33k/frame) left the sliding form's single bot task
-  *     at >34 CPU-MINUTES (thread-dumped inside
-  *     SlidingWindowFunctionFrame.write) before being killed — which
-  *     is why the default bot share here is sized so the sliding twin
-  *     terminates, and why the cumulative form ships;
+  *     with f in-frame events. The r14 runs of this probe used a
+  *     corpus whose 32-bit-hashed ts collapsed into two ~36-min
+  *     bands (frames ~15× denser than intended — BASELINE.md r15
+  *     correction): there a 10%-bot sliding task passed 34
+  *     CPU-MINUTES before being killed and the 2%-bot read 280-305 s;
+  *     on the fixed uniform corpus the 2%-bot sliding leg reads
+  *     ~39 s vs ~5 s cumulative. Same curve, density is the
+  *     multiplier — which is why the default bot share is sized so
+  *     the sliding twin terminates, and why the cumulative form
+  *     ships;
   *   - the two remaining per-user ORDERED-TRAVERSAL windows: q40
   *     (as-of last-click) and q29 (sessionize). Both ride MONOTONE
   *     frames (running last / lag / running sum — incremental, O(n)
@@ -50,10 +54,11 @@ object EventSkewProbe {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 10000000L
-    // 2% of 10M = a 200k-event bot (~6.6k events per 24h frame): big
-    // enough that the sliding twin's Σ|frame| ≈ 6×10⁸ re-added rows
-    // dominates its runtime, small enough that it terminates (at 10%
-    // the sliding bot task alone passed 34 CPU-minutes)
+    // 2% of 10M = a 200k-event bot (~6.6k events per 24h frame on the
+    // uniform corpus): big enough that the sliding twin's Σ|frame| ≈
+    // 6.6×10⁸ re-added rows dominates its runtime (~39 s measured),
+    // small enough that it terminates (the r14 banded corpus at 10%
+    // left the sliding bot task past 34 CPU-minutes)
     val hotPct = if (args.length > 1) args(1).toInt else 2
     val hot = n * hotPct / 100
     require(n >= 1000 && hotPct >= 1 && hotPct <= 100 && hot >= 2,
@@ -68,6 +73,29 @@ object EventSkewProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val users = math.max(n / 100, 2L)
 
+    // ONE events writer for every corpus in this probe, parameterized
+    // by the user-assignment expression. ts MUST hash with xxhash64:
+    // 32-bit hash() under the 30-day modulus (2.592e12 ≫ 2^31) covers
+    // only two ~36-minute bands at the range's edges — the original
+    // r14 corpus had that bug, which made every 24h frame hold ~half
+    // the bot's events instead of the uniform ~1/30 the comments
+    // claimed (the sliding cliff it measured was real but ~15× denser
+    // than documented; r15 re-measured on the fixed corpus).
+    def writeEvents(dir: String, count: Long, user: org.apache.spark.sql.Column): Unit =
+      spark.range(count)
+        .select(col("id").as("event_id"),
+          user.as("user_id"),
+          // 30 days of microsecond timestamps, id-hashed (not id-linear,
+          // so the bot's events interleave with everyone else's)
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(xxhash64(col("id"), lit(7)), lit(2592000000000L))).as("ts"),
+          element_at(array(lit("click"), lit("view"), lit("error")),
+            (pmod(hash(col("id"), lit(11)), lit(3)) + 1).cast("int")).as("event_type"),
+          (pmod(hash(col("id"), lit(13)), lit(10000)) / 100.0).as("value"),
+          lit("{}").as("props"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
     def writeCorpus(dir: String, makeHot: Boolean): Unit = {
       // bot rows are the FIRST `hot` ids so the hot corpus is the flat
       // corpus with a contiguous id range reassigned — same rows, same
@@ -75,19 +103,7 @@ object EventSkewProbe {
       val user =
         if (makeHot) expr(s"CASE WHEN id < $hot THEN 0L ELSE pmod(hash(id), $users) + 1 END")
         else expr(s"pmod(hash(id), $users) + 1")
-      spark.range(n)
-        .select(col("id").as("event_id"),
-          user.as("user_id"),
-          // 30 days of microsecond timestamps, id-hashed (not id-linear,
-          // so the bot's events interleave with everyone else's)
-          timestamp_micros(lit(1700000000000000L) +
-            pmod(hash(col("id"), lit(7)), lit(2592000000000L))).as("ts"),
-          element_at(array(lit("click"), lit("view"), lit("error")),
-            (pmod(hash(col("id"), lit(11)), lit(3)) + 1).cast("int")).as("event_type"),
-          (pmod(hash(col("id"), lit(13)), lit(10000)) / 100.0).as("value"),
-          lit("{}").as("props"))
-        .repartition(cpus.toInt)
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      writeEvents(dir, n, user)
     }
 
     // the PRE-REWRITE q09 shape, kept here as the A/B twin (the
@@ -104,6 +120,23 @@ object EventSkewProbe {
         .select(col("user_id"), col("event_id"),
           round(col("value"), 2).as("value"))
     }
+
+    // the keep-last-N twin pair, shared by the per-tag A/B and the
+    // extreme-skew block below
+    def bhWindow(d: String, k: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.load(spark, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+    }
+    def bhHeap(d: String, k: Int): DataFrame =
+      graft.operators.RankOps.boundedUserHistory(
+        Tables.load(spark, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", k)
 
     def time(body: => Long): (Double, Long) = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -211,20 +244,6 @@ object EventSkewProbe {
       // nothing and pays per-row buffer maintenance — both walls
       // recorded, honest constant documented in BASELINE.md.
       // Survivor sets asserted identical.
-      def bhWindow(d: String, k: Int): DataFrame = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)
-        Tables.load(spark, d, "events")
-          .select(col("user_id"), col("event_id"), col("ts"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k).drop("rn")
-      }
-      def bhHeap(d: String, k: Int): DataFrame =
-        graft.operators.RankOps.boundedUserHistory(
-          Tables.load(spark, d, "events")
-            .select(col("user_id"), col("event_id"), col("ts")),
-          "user_id", "ts", "event_id", k)
       val kKeep = 100
       var heapMin = Double.MaxValue; var bwinMin = Double.MaxValue
       (1 to 2).foreach { _ =>
@@ -255,16 +274,9 @@ object EventSkewProbe {
     val smallN = math.max(n / 10, 10000L)
     val dir2 = java.nio.file.Files.createTempDirectory("evskew_h2h").toString
     val smallHot = smallN * hotPct / 100
-    spark.range(smallN)
-      .select(col("id").as("event_id"),
-        expr(s"CASE WHEN id < $smallHot THEN 0L ELSE pmod(hash(id), " +
-          s"${math.max(smallN / 100, 2L)}) + 1 END").as("user_id"),
-        timestamp_micros(lit(1700000000000000L) +
-          pmod(hash(col("id"), lit(7)), lit(2592000000000L))).as("ts"),
-        lit("view").as("event_type"), lit(1.0).as("value"),
-        lit("{}").as("props"))
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    writeEvents(dir2, smallN,
+      expr(s"CASE WHEN id < $smallHot THEN 0L ELSE pmod(hash(id), " +
+        s"${math.max(smallN / 100, 2L)}) + 1 END"))
     def q48Join(d: String): DataFrame = {
       val ev = Tables.load(spark, d, "events")
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
@@ -290,34 +302,12 @@ object EventSkewProbe {
     // crossover is expected; the row documents that the heap's value
     // is the bounded-task GUARANTEE, not a single-node win.
     val dir3 = java.nio.file.Files.createTempDirectory("evskew_bh").toString
-    spark.range(n)
-      .select(col("id").as("event_id"),
-        expr(s"CASE WHEN id % 2 = 0 THEN 0L ELSE pmod(hash(id), $users) + 1 END")
-          .as("user_id"),
-        timestamp_micros(lit(1700000000000000L) +
-          pmod(hash(col("id"), lit(7)), lit(2592000000000L))).as("ts"),
-        lit("view").as("event_type"), lit(1.0).as("value"),
-        lit("{}").as("props"))
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$dir3/events.parquet")
-    def bhW(d: String, k: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      Tables.load(spark, d, "events")
-        .select(col("user_id"), col("event_id"), col("ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
-    }
-    def bhH(d: String, k: Int): DataFrame =
-      graft.operators.RankOps.boundedUserHistory(
-        Tables.load(spark, d, "events")
-          .select(col("user_id"), col("event_id"), col("ts")),
-        "user_id", "ts", "event_id", k)
+    writeEvents(dir3, n,
+      expr(s"CASE WHEN id % 2 = 0 THEN 0L ELSE pmod(hash(id), $users) + 1 END"))
     var bhHeap50 = Double.MaxValue; var bhWin50 = Double.MaxValue
     (1 to 2).foreach { _ =>
-      val (th, ch) = time(bhH(dir3, 100).count())
-      val (tw, cw) = time(bhW(dir3, 100).count())
+      val (th, ch) = time(bhHeap(dir3, 100).count())
+      val (tw, cw) = time(bhWindow(dir3, 100).count())
       require(ch == cw && ch > 0, s"bh extreme counts differ: $ch/$cw")
       bhHeap50 = math.min(bhHeap50, th); bhWin50 = math.min(bhWin50, tw)
     }

@@ -105,11 +105,13 @@ object Pins {
   private val pendingRemovals =
     scala.collection.mutable.LinkedHashMap[String, Int]()
 
-  /** Failed non-recursive deletes tolerated per pending path before it
+  /** Failed LAST-OUT retry sweeps tolerated per pending path before it
     * is abandoned as permanently occupied (foreign content in a
-    * pre-existing run `dir`). Sibling-race failures clear in one or
-    * two epochs; three strikes distinguishes them from the permanent
-    * case with margin. */
+    * pre-existing run `dir`). Only last-out sweeps count — per-exit
+    * direct failures are the expected sibling race and accrue no
+    * strikes (see removeEmpty) — so three strikes means three separate
+    * sweeps, each with zero live siblings and all pin files already
+    * deleted, still could not remove the dir. */
   private val MaxRemovalRetries = 3
 
   /** Test hook: how many paths are currently pending retry. */
@@ -248,40 +250,52 @@ object Pins {
       // IOException stays silent; anything else (FS resolution,
       // RuntimeExceptions from object-store clients) is isolated by
       // the same quietly wrapper as the other steps.
-      def removeEmpty(path: String): Unit = quietly(s"dir remove $path") {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(hconf)
-        try {
-          fs.delete(p, false)
-          runGate.synchronized { pendingRemovals -= path }
-        } catch {
-          case _: java.io.IOException =>
-            // expected while a sibling's live pin files occupy the dir
-            // (interleaved setCheckpointDir lands either run's files in
-            // either uuid dir) — record it so the LAST run out retries
-            // after the sibling's own pin deletes, instead of leaking
-            // an empty dir on the checkpoint FS forever. Bounded: a
-            // path still failing after MaxRemovalRetries is permanently
-            // occupied (foreign content) and is dropped for good.
-            runGate.synchronized {
-              val strikes = pendingRemovals.getOrElse(path, 0) + 1
-              if (strikes >= MaxRemovalRetries) {
-                pendingRemovals -= path
-                System.err.println(s"[Pins] giving up on non-empty dir " +
-                  s"$path after $strikes failed deletes (foreign content)")
-              } else pendingRemovals.update(path, strikes)
-            }
+      // `counting`: strikes accrue ONLY during last-out retry sweeps.
+      // A per-exit direct failure is EXPECTED whenever siblings are
+      // live (their cross-landed pins legitimately occupy either
+      // run's dirs), so counting those would let >=3 overlapping runs
+      // on one shared dir burn all strikes inside a single epoch and
+      // abandon a dir the very next sweep would have removed. At a
+      // last-out sweep no sibling is live and every sibling pin is
+      // already deleted — a failure there really is foreign content.
+      def removeEmpty(path: String, counting: Boolean): Unit =
+        quietly(s"dir remove $path") {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(hconf)
+          try {
+            fs.delete(p, false)
+            runGate.synchronized { pendingRemovals -= path }
+          } catch {
+            case _: java.io.IOException =>
+              // expected while a sibling's live pin files occupy the dir
+              // (interleaved setCheckpointDir lands either run's files in
+              // either uuid dir) — record it so the LAST run out retries
+              // after the sibling's own pin deletes, instead of leaking
+              // an empty dir on the checkpoint FS forever. Bounded: a
+              // path still failing at MaxRemovalRetries last-out sweeps
+              // is permanently occupied (foreign content) and is
+              // dropped for good.
+              runGate.synchronized {
+                val strikes = pendingRemovals.getOrElse(path, 0) +
+                  (if (counting) 1 else 0)
+                if (strikes >= MaxRemovalRetries) {
+                  pendingRemovals -= path
+                  System.err.println(s"[Pins] giving up on non-empty dir " +
+                    s"$path after $strikes failed retry sweeps " +
+                    "(foreign content)")
+                } else pendingRemovals.update(path, strikes)
+              }
+          }
         }
-      }
-      runCkptDir.foreach(removeEmpty)
-      removeEmpty(dir)
+      runCkptDir.foreach(removeEmpty(_, counting = false))
+      removeEmpty(dir, counting = false)
       // last out: retry what earlier exits could not remove (insertion
       // order — uuid dirs before their parent run dirs). A concurrent
       // enter flips liveRuns first and the retry defers to ITS exit.
       val retry = runGate.synchronized {
         if (liveRuns == 0) pendingRemovals.keys.toSeq else Seq.empty
       }
-      retry.foreach(removeEmpty)
+      retry.foreach(removeEmpty(_, counting = true))
     }
   }
 

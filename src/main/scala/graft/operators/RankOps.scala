@@ -297,7 +297,7 @@ object RankOps {
     *
     * Read the trade honestly (EventSkewProbe A/B, BASELINE.md r15):
     * single-node at 10M events the window twin is FASTER in every
-    * regime (1.1–1.4 s vs 2.7–3.5 s — per-user keep-last-N is a
+    * regime (1.3–1.5 s vs 3.0–3.8 s — per-user keep-last-N is a
     * linear sort, and even a 5M-row bot sorts trivially in one local
     * task); the heap's per-row buffer maintenance is a ~2.5× constant
     * there. What it buys is the bounded-task guarantee the window
@@ -309,8 +309,14 @@ object RankOps {
     *
     * Recency = (`tsCol`, `tieCol`) descending; the pair must be a
     * total order per user (pass a unique id as the tie-break) and both
-    * columns must be orderable atomics. Output keeps `df`'s schema;
-    * row order within a user is not defined (it's a SET of survivors). */
+    * columns must be orderable atomics. CONTRACT: the WHOLE row is
+    * packed into the heap's ordering struct, so every column of `df`
+    * must be an orderable type (arrays/structs of atomics are fine;
+    * MapType is not — drop or re-encode such columns before calling).
+    * With a unique (ts, tie) the payload is never actually compared;
+    * the orderability requirement is Catalyst's type check, not a
+    * semantic dependence. Output keeps `df`'s schema; row order within
+    * a user is not defined (it's a SET of survivors). */
   def boundedUserHistory(df: DataFrame, userCol: String, tsCol: String,
       tieCol: String, maxEvents: Int): DataFrame = {
     require(maxEvents >= 1, s"maxEvents must be >= 1, got $maxEvents")

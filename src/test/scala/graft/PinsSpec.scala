@@ -188,10 +188,12 @@ class PinsSpec extends AnyFunSuite {
     spark.conf.set(Pins.ReliableConf, "false")
     // three PERMANENTLY occupied run dirs (foreign content makes the
     // non-recursive delete fail every time, by design) used across
-    // three epochs, then one clean epoch whose last-out retry sweeps.
+    // three epochs, then clean epochs whose last-out retry sweeps
+    // accrue the strikes (per-exit direct failures are the expected
+    // sibling race and do NOT count — only last-out sweeps do).
     // Before the retry bound, every such path was re-enqueued and
     // retried by EVERY future epoch forever (one wasted FS RPC each);
-    // with the 3-strike bound the set must drain to empty.
+    // with the 3-sweep bound the set must drain to empty.
     val occupied = (1 to 3).map { i =>
       val dir = java.nio.file.Files.createTempDirectory(s"relbound$i")
         .toString + "/pins"
@@ -205,12 +207,15 @@ class PinsSpec extends AnyFunSuite {
         Pins.pin((1 to 10).toDF("x")).count()
       }
     }
-    val clean = java.nio.file.Files.createTempDirectory("relclean").toString
-    Pins.withReliableRun(spark, clean) {
-      Pins.pin((1 to 10).toDF("x")).count()
+    // each occupied dir needs 3 last-out sweeps to be abandoned; the
+    // last one enqueued has seen 1 by now, so two clean epochs finish
+    // the drain
+    (1 to 2).foreach { _ =>
+      val clean = java.nio.file.Files.createTempDirectory("relclean").toString
+      Pins.withReliableRun(spark, clean) {
+        Pins.pin((1 to 10).toDF("x")).count()
+      }
     }
-    // every occupied path has accumulated >= MaxRemovalRetries strikes
-    // across its own exit + the later epochs' last-out retries
     assert(Pins.pendingRemovalCount == 0,
       s"pendingRemovals retained ${Pins.pendingRemovalCount} path(s) " +
         "past the retry bound")
