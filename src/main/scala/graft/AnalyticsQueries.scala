@@ -204,7 +204,9 @@ object AnalyticsQueries {
     val chunks = bench0
       .select(explode(array_distinct(gf.shingles(col("text"), 8))).as("c"))
       .distinct()
-      .pin()
+      // hinted only through gateKnown under its own count (below) —
+      // the registered size-gated discipline
+      .pin("size-gated")
     RewritePrep(chunks, chunks.count())
   }
 
@@ -311,7 +313,7 @@ object AnalyticsQueries {
     // 10× on q131 before the hint). The pin is handed back to the
     // caller for release; the detect-stage plan it hides is asserted
     // separately via [[rewriteDetect]].
-    val removed = rewriteDetect(corpus, prep, rowLimit).pin()
+    val removed = rewriteDetect(corpus, prep, rowLimit).pin("size-gated")
     val removedG = graft.operators.DedupOps.gateKnown(removed,
       removed.count(), rowLimit)
     // null-SAFE join-back: a null-doc_id corpus row's removal verdict

@@ -181,9 +181,11 @@ object AuditQueries {
 
   private[graft] def clusterStats(e: DataFrame): DataFrame = {
     import graft.functions.gf
-    val cent = e.groupBy("label")
-      .agg(gf.vector_mean(col("embedding")).as("centroid"))
-      .localCheckpoint(true)
+    // bounded pin: one row per label — the registered tag is the
+    // broadcast net's per-side proof for both centroid joins
+    val cent = graft.operators.Pins.pin(
+      e.groupBy("label").agg(gf.vector_mean(col("embedding")).as("centroid")),
+      "centroids:label-rows")
     val cohesion = e.join(broadcast(cent), "label")
       .select(col("label"),
         (round(gf.cosine_sim(col("embedding"), col("centroid")), 4) + 0.0).as("cs"))

@@ -315,7 +315,9 @@ object CurationQueries {
     val pairs = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .pin()
     val uni = tokens(docs).groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .pin()
+      // every broadcast hint on this pin rides gateKnown under its own
+      // count (nUni below) — the registered size-gated discipline
+      .pin("size-gated")
     // the vocabulary is open-ended, so BOTH unigram joins are
     // size-gated on the pinned table's count (free once pinned):
     // broadcast on typical corpora, deterministic sort-merge when a

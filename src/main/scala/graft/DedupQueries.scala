@@ -169,7 +169,9 @@ object DedupQueries {
     val ex = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       .pin()
-    val base = attachDf(ex, cap = None).pin()
+    // corpus-sized witness pin: appears under the gateVictims-gated
+    // victims side (runtime corpus-count bound), never as its own hint
+    val base = attachDf(ex, cap = None).pin("shingles-exploded")
     // ex was only scaffolding for the df join — free its blocks NOW:
     // left to the ContextCleaner, two exploded-corpus copies stay
     // resident through the verdict's aggregations (10M-probe OOM)
@@ -621,7 +623,9 @@ object DedupQueries {
   def prepareBench(bench: DataFrame): BenchPrep = {
     val bSh = bench.select(col("doc_id").as("bench_doc"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-      .pin()
+      // every broadcast hint on this pin rides gateKnown under its own
+      // count (nShingles below) — the registered size-gated discipline
+      .pin("size-gated")
     val bn = bSh.groupBy("bench_doc").agg(count(lit(1)).as("nb"))
     BenchPrep(bSh, bn, bSh.count())
   }
@@ -928,7 +932,9 @@ object DedupQueries {
     * ContextCleaner notices (measured: heap-OOMs the 1M quote probe). */
   def containmentShinglesPinned(docs: DataFrame): DataFrame = {
     val (res, ex) = containmentShinglesParts(docs)
-    val pinned = res.pin()
+    // the pinned frame IS df-capped (attachDf cap above) — the witness
+    // tag the q121 victims side's pair join leans on
+    val pinned = res.pin("shingles-df-capped")
     graft.operators.DedupOps.releaseCheckpoint(ex) // scaffolding only
     pinned
   }
@@ -1344,7 +1350,8 @@ object DedupQueries {
     val ex = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-      .pin()
+      // corpus-sized witness pin (see shingleBase's tag note)
+      .pin("shingles-exploded")
     val sets = ex.groupBy("doc_id").agg(collect_set("s").as("sh"))
     val pairs = verifyPairsAgainstSets(cands, sets)
     val capped = attachDf(ex, cap = Some(DfCap))
@@ -1366,7 +1373,10 @@ object DedupQueries {
       .select(col("doc_id"),
         md5(coalesce(lower(trim(col("text"))), lit(""))).as("fp"),
         round(graft.PipelineQueries.qualityExpr(col("text")), 4).as("q"))
-      .pin()
+      // corpus-sized pin; reaches hinted sides only inside the
+      // gateKnown(nNodes)-gated member/best frames below — the tag is a
+      // registered WITNESS, not a boundedness claim (PlanRegressionSpec)
+      .pin("verdict-doc-scalars")
     // keep-one over the exact fingerprint WITHOUT a window: a viral
     // byte-identical cluster (10⁵-10⁶ template copies — the same
     // mega-cluster regime the star pair generator exists for) is ONE

@@ -184,7 +184,10 @@ object RetrievalQueries {
     // (one hot task per trigram). Broadcast the model instead — the big
     // side never shuffles; the only wide exchange left is the partial-agg
     // combine on doc_id.
-    val freq = tri.groupBy("tri").agg(count(lit(1)).as("c")).localCheckpoint(true)
+    // bounded pin: distinct character trigrams ≤ |charset|³ — the
+    // registered tag is the broadcast net's per-side proof
+    val freq = graft.operators.Pins.pin(
+      tri.groupBy("tri").agg(count(lit(1)).as("c")), "trigram-freq:charset3")
     // sum over zero rows is null — an empty corpus (or all texts < 3 chars)
     // must yield an empty result, not an NPE.
     val total = Option(freq.agg(sum("c")).head().get(0))

@@ -60,7 +60,11 @@ object DedupOps {
     * [[connectedComponents]]'s driver/distributed gate. */
   def gateBroadcast(dim: DataFrame,
       rowLimit: Long = BroadcastRowLimit): DataFrame = {
-    val pinned = dim.pin()
+    // "size-gated": the pin's every broadcast hint is applied under a
+    // runtime count of this very frame (gateKnown below) — the tag the
+    // structural broadcast net accepts as a per-side boundedness proof
+    // (PlanRegressionSpec pinBoundAllowed)
+    val pinned = dim.pin("size-gated")
     gateKnown(pinned, pinned.count(), rowLimit)
   }
 

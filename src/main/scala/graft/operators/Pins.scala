@@ -276,8 +276,16 @@ object Pins {
               // is permanently occupied (foreign content) and is
               // dropped for good.
               runGate.synchronized {
+                // a strike must mean "no sibling could explain this
+                // failure" — re-check liveRuns AT FAILURE TIME, not just
+                // at the sweep snapshot: a run that entered between the
+                // last-out snapshot and this delete may have landed live
+                // pin files in the dir (shared parent dirs are legal),
+                // and counting that sibling race as foreign content
+                // would permanently abandon a legitimately shared dir
+                // after three coincidences
                 val strikes = pendingRemovals.getOrElse(path, 0) +
-                  (if (counting) 1 else 0)
+                  (if (counting && liveRuns == 0) 1 else 0)
                 if (strikes >= MaxRemovalRetries) {
                   pendingRemovals -= path
                   System.err.println(s"[Pins] giving up on non-empty dir " +
@@ -299,10 +307,44 @@ object Pins {
     }
   }
 
+  /** RDD-name prefix carrying a pin's machine-readable tag (see
+    * [[pin(df:org\.apache\.spark\.sql\.DataFrame,bound:String)*]]):
+    * a tagged pin's checkpoint RDD is named `graft.pin[<bound>]`. */
+  val BoundTagPrefix = "graft.pin["
+
+  /** The tag carried by a pinned frame's LogicalRDD, if any — how the
+    * structural broadcast net reads a pin's justification back out of
+    * an optimized plan (the pin itself is an opaque leaf there). */
+  def boundTag(rddName: String): Option[String] =
+    Option(rddName).filter(n =>
+      n.startsWith(BoundTagPrefix) && n.endsWith("]"))
+      .map(n => n.substring(BoundTagPrefix.length, n.length - 1))
+
+  /** [[pin]] with a machine-readable TAG, surfaced through the
+    * checkpoint RDD's name as `graft.pin[<bound>]`. A pin reaches the
+    * optimizer as an opaque LogicalRDD, so a broadcast()-hinted join
+    * side backed by a pin is structurally unreadable — the r15 net
+    * could only COUNT such sides per query, and a refactor swapping a
+    * justified pinned broadcast for an unbounded one kept the count
+    * intact (r15 verdict finding #1). Every pin that reaches a hinted
+    * broadcast side in a registry plan must therefore carry a tag
+    * REGISTERED (with its boundedness or participation justification)
+    * in PlanRegressionSpec — an untagged or unregistered pin under a
+    * forced broadcast fails the suite the day it is written. */
+  def pin(df: DataFrame, bound: String): DataFrame = {
+    require(bound != null && bound.nonEmpty, "pin tag must be non-empty")
+    pinImpl(df, Some(bound))
+  }
+
   /** Materialize `df` and sever its lineage — localCheckpoint by
     * default, reliable `checkpoint` when [[ReliableConf]] is set or a
-    * [[withReliable]] scope forces it. */
-  def pin(df: DataFrame): DataFrame = {
+    * [[withReliable]] scope forces it. Untagged: fine for pins that
+    * never reach a broadcast()-hinted join side (use
+    * [[pin(df:org\.apache\.spark\.sql\.DataFrame,bound:String)*]]
+    * there). */
+  def pin(df: DataFrame): DataFrame = pinImpl(df, None)
+
+  private def pinImpl(df: DataFrame, bound: Option[String]): DataFrame = {
     val s = df.sparkSession
     val scope = scopeMode.value
     val reliable = scope.map(_.reliable).getOrElse(
@@ -330,13 +372,28 @@ object Pins {
           case _ => ()
         }
       }
-      out
-    } else df.localCheckpoint(true)
+      tag(out, bound)
+    } else tag(df.localCheckpoint(true), bound)
+  }
+
+  /** Surface `bound` through the fresh checkpoint RDD's name. The
+    * LogicalRDD holds the RDD by reference, so the rename is visible to
+    * any plan the pinned frame later joins into. */
+  private def tag(out: DataFrame, bound: Option[String]): DataFrame = {
+    bound.foreach { b =>
+      out.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.setName(s"$BoundTagPrefix$b]")
+        case _ => ()
+      }
+    }
+    out
   }
 
   /** `.pin()` postfix form, so pin sites read like the
     * `.localCheckpoint(true)` calls they replace. */
   implicit final class Pinned(private val df: DataFrame) extends AnyVal {
     def pin(): DataFrame = Pins.pin(df)
+    def pin(bound: String): DataFrame = Pins.pin(df, bound)
   }
 }

@@ -55,7 +55,10 @@ object RankOps {
     * partitions − 1 rows by range-partition contiguity,
     * [[distributionRanksPer]] sizes = legs rows) may reach before the
     * plan fails fast with a named error instead of collecting a
-    * corpus-sized broadcast into the driver. */
+    * corpus-sized broadcast into the driver. Read at DataFrame
+    * CONSTRUCTION time (inside the operator call), not at action time:
+    * setting it after building a RankOps frame has no effect on that
+    * frame — set it before constructing. */
   val MaxBroadcastRowsConf = "spark.graft.rankops.maxBroadcastRows"
 
   /** Default gate: orders of magnitude above any legitimate leg key
@@ -64,33 +67,49 @@ object RankOps {
   val MaxBroadcastRowsDefault = 4000000L
 
   /** LAZY leg-cardinality gate on a to-be-broadcast bookkeeping table:
-    * a one-row count aggregate is joined in (broadcast-built FIRST, so
-    * the `raise_error` fires before the big collect starts) and the
-    * always-true filter keeps the guard column alive against column
-    * pruning. The join key is a hash-derived constant (the
-    * gf.one_partition convention) so the plan stays a
-    * BroadcastHashJoin, not a nested loop. Costs one extra count pass
-    * over `small`'s plan — a map-side-combinable aggregate over the
-    * PINNED ranked frame, wall-clock noise next to the range exchange
-    * the operator already paid — and keeps the operator a single lazy
-    * plan (no driver action at construction time). */
+    * the table's row count rides a `count(*)` window over ONE constant
+    * partition (the gf.one_partition convention — bounded, the table
+    * is legs + partitions − 1 rows whenever the legCol contract holds)
+    * and the check is folded into `checkCol` itself, so the gate costs
+    * NO second pass over the bookkeeping subplan. The r15 shape — a
+    * separate count aggregate joined in as its own broadcast — had no
+    * exchange reuse across the broadcast boundary, so the whole
+    * offsets subplan (a scan of the pinned corpus frame) executed
+    * TWICE per operator call: once under the gate count, once as the
+    * join probe (measured as q45's 0.96 → 1.53 s r15 drift; r15
+    * verdict finding #3). Folding the count into a window keeps ONE
+    * bookkeeping pass and drops the gate join entirely.
+    *
+    * Fail-fast still holds: the raise_error rides a JOIN-KEY column
+    * (`checkCol` must be one the caller's join condition references —
+    * a payload column like `_off` is pruned away under a bare
+    * `count()` and the guard silently vanishes with it), and the
+    * single-partition window buffers its input EXECUTOR-side (spilling
+    * if the contract is violated) before emitting its first row — so a
+    * corpus-sized bookkeeping table dies with the named error before
+    * one row reaches the driver collect the enclosing `broadcast()`
+    * would otherwise run.
+    *
+    * NOTE: [[MaxBroadcastRowsConf]] is read HERE, at DataFrame
+    * CONSTRUCTION time — setting the conf after a RankOps frame is
+    * built has no effect on that frame; set it before constructing. */
   private def guardBroadcastRows(small: DataFrame, op: String,
-      legCol: String): DataFrame = {
+      legCol: String, checkCol: String): DataFrame = {
     val max = small.sparkSession.conf
       .get(MaxBroadcastRowsConf, MaxBroadcastRowsDefault.toString).toLong
-    val gate = small.agg(count(lit(1)).as("_gn"))
-      .select(when(col("_gn") <= max, col("_gn"))
-        .otherwise(raise_error(concat(
-          lit(s"[RankOps.$op] leg column '$legCol' produced "),
-          col("_gn").cast("string"),
-          lit(s" bookkeeping rows, over $MaxBroadcastRowsConf=$max: " +
-            "legCol must be broadcast-bounded (lang/leg-grade " +
-            "cardinality, not doc_id-grade) — the per-leg table is " +
-            "collected to the driver and broadcast")))).as("_gn"))
-      .withColumn("_gk", pmod(hash(col("_gn")), lit(1)))
-    small.withColumn("_gk", pmod(hash(col(small.columns.head)), lit(1)))
-      .join(broadcast(gate), "_gk")
-      .filter(col("_gn") >= 0).drop("_gk", "_gn")
+    val w = Window.partitionBy(graft.functions.gf.one_partition(col(small.columns.head)))
+    small
+      .withColumn("_gn", count(lit(1)).over(w))
+      .withColumn(checkCol,
+        when(col("_gn") <= max, col(checkCol))
+          .otherwise(raise_error(concat(
+            lit(s"[RankOps.$op] leg column '$legCol' produced "),
+            col("_gn").cast("string"),
+            lit(s" bookkeeping rows, over $MaxBroadcastRowsConf=$max: " +
+              "legCol must be broadcast-bounded (lang/leg-grade " +
+              "cardinality, not doc_id-grade) — the per-leg table is " +
+              "collected to the driver and broadcast")))))
+      .drop("_gn")
   }
 
   /** Appends `rankCol` = 1-based global row number under `order`.
@@ -109,7 +128,7 @@ object RankOps {
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mono", monotonically_increasing_id())
-      .pin() // correctness pin — see object scaladoc
+      .pin("rankops-ranked-rows") // correctness pin — see object scaladoc
     // constant partition key: the aggregate is ≤ shuffle-partitions rows,
     // so a single-partition window is the intended plan; the key only
     // suppresses the unpartitioned-window warning so it stays meaningful
@@ -155,7 +174,7 @@ object RankOps {
       .sortWithinPartitions(fullOrder: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mono", monotonically_increasing_id())
-      .pin() // correctness pin — see object scaladoc
+      .pin("rankops-ranked-rows") // correctness pin — see object scaladoc
     val offsets = ranged.groupBy(col("_pid"), col(legCol))
       .agg(count(lit(1)).as("_cnt"), min("_mono").as("_base"))
       .withColumn("_off",
@@ -169,7 +188,7 @@ object RankOps {
     // must too — a plain using-join would silently DROP every null-leg
     // row (EqualTo(null, null) is null, not true)
     ranged
-      .join(broadcast(guardBroadcastRows(offsets, "globalRowNumberPer", legCol)),
+      .join(broadcast(guardBroadcastRows(offsets, "globalRowNumberPer", legCol, "_pidO")),
         col("_pid") === col("_pidO") && col(legCol) <=> col("_legO"))
       .withColumn(rankCol, col("_mono") - col("_base") + col("_off") + 1)
       .drop("_pid", "_pidO", "_legO", "_mono", "_base", "_off")
@@ -255,7 +274,7 @@ object RankOps {
       .sortWithinPartitions(fullOrder: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mono", monotonically_increasing_id())
-      .pin() // correctness pin — see object scaladoc
+      .pin("rankops-ranked-rows") // correctness pin — see object scaladoc
     val offsets = ranged.groupBy(col("_pid"), col(legCol))
       .agg(sum(valCol).as("_s"))
       .withColumn("_off",
@@ -271,7 +290,7 @@ object RankOps {
     // null-safe leg equality — same rationale as globalRowNumberPer:
     // a using-join would drop null-leg rows the window forms keep
     ranged
-      .join(broadcast(guardBroadcastRows(offsets, "runningSumPer", legCol)),
+      .join(broadcast(guardBroadcastRows(offsets, "runningSumPer", legCol, "_pidO")),
         col("_pid") === col("_pidO") && col(legCol) <=> col("_legO"))
       .withColumn(outCol, sum(valCol).over(local) + col("_off"))
       .drop("_pid", "_pidO", "_legO", "_mono", "_off")

@@ -194,6 +194,26 @@ class PinsSpec extends AnyFunSuite {
     // Before the retry bound, every such path was re-enqueued and
     // retried by EVERY future epoch forever (one wasted FS RPC each);
     // with the 3-sweep bound the set must drain to empty.
+    // PRECONDITION: the drain arithmetic below (exactly two clean
+    // epochs) assumes the process-global pendingRemovals map starts
+    // empty. Earlier suite tests LEGITIMATELY leave permanently
+    // occupied dirs pending (their foreign-content fixtures), so drain
+    // them with clean epochs first — any pending path reaches the
+    // 3-sweep bound within MaxRemovalRetries clean epochs — and fail
+    // with a clear message if that somehow doesn't converge, instead
+    // of a confusing drain-count mismatch at the end.
+    var drainEpochs = 0
+    while (Pins.pendingRemovalCount > 0 && drainEpochs < 4) {
+      val d = java.nio.file.Files.createTempDirectory("reldrain").toString
+      Pins.withReliableRun(spark, d) {
+        Pins.pin((1 to 10).toDF("x")).count()
+      }
+      drainEpochs += 1
+    }
+    assert(Pins.pendingRemovalCount == 0,
+      "precondition: pendingRemovals did not drain to empty after " +
+        s"$drainEpochs clean epochs - an earlier test leaked a pending " +
+        "path that keeps failing without accruing strikes")
     val occupied = (1 to 3).map { i =>
       val dir = java.nio.file.Files.createTempDirectory(s"relbound$i")
         .toString + "/pins"
