@@ -749,6 +749,11 @@ object Streams {
   }
 
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  /** Per-user bounded-history state: the k most-recent (ts_us,
+    * event_id) pairs as parallel arrays (compact, encoder-friendly) —
+    * k-bounded by construction, so a crawl-scale bot costs k state
+    * slots, never a growing history. */
+  final case class HistState(tsUs: Array[Long], ids: Array[Long])
   final case class SessState(startUs: Long, lastUs: Long, n: Int)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
   final case class DupPair(doc_id: Long, canonical_id: Long, bucket: String)
@@ -874,6 +879,71 @@ object Streams {
           }
           if (canonical != Long.MaxValue) state.update(canonical)
           out.iterator
+        })
+  }
+
+  /** Keep-last-N per user over a stream — the incremental twin of
+    * [[graft.operators.RankOps.boundedUserHistory]] (q135's operator;
+    * the q40/q29 bot disposition carried onto the streaming surface).
+    * Per-user state is a k-bounded buffer merged with each batch's
+    * arrivals — the same bounded contract as the batch operator's
+    * CollectTopK heap: no state row and no task ever holds more than
+    * `maxEvents` events for one user at ANY skew.
+    *
+    * OUTPUT SEMANTICS — Update-mode SNAPSHOTS: each micro-batch emits,
+    * for every user WITH ARRIVALS in the batch, that user's current
+    * k-most-recent survivor set (recency = (ts_us, event_id) DESC —
+    * the batch operator's total order; event ids must be unique per
+    * user, its contract too). Append semantics are impossible for
+    * keep-last-N — a later arrival EVICTS an earlier survivor and a
+    * streaming sink cannot retract an appended row — so consumers read
+    * the latest snapshot per user. StreamsSpec proves every emitted
+    * snapshot equal to the batch operator over the stream's prefix.
+    *
+    * STATE TTL: an EventTimeTimeout drops a user's buffer once the
+    * WATERMARK (set here from ts_us, `ttlMinutes` delay — sessionize's
+    * convention) passes their newest event + TTL, so state is bounded
+    * by k × recently-active users, not by all users ever seen. A
+    * timed-out user that reappears starts a fresh history — correct
+    * for the bot disposition: an expired history only matters if newer
+    * events superseded it, and those arrive with the user. */
+  def streamingBoundedHistory(events: Dataset[Ev], maxEvents: Int,
+      ttlMinutes: Int)(implicit spark: SparkSession): Dataset[Ev] = {
+    import spark.implicits._
+    require(maxEvents >= 1, s"maxEvents must be >= 1, got $maxEvents")
+    require(ttlMinutes >= 1, s"ttlMinutes must be >= 1, got $ttlMinutes")
+    val ttlMs = ttlMinutes * 60L * 1000L
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", s"$ttlMinutes minutes")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[HistState]) => {
+          if (state.hasTimedOut) {
+            // TTL expiry: the user has been silent past the watermark
+            // horizon — drop the buffer, emit nothing (snapshots are
+            // only refreshed on arrivals)
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+              .map(s => s.tsUs.zip(s.ids))
+              .getOrElse(Array.empty[(Long, Long)])
+            val merged = (prev ++ rows.map(r => (r._3, r._2)))
+              .sortBy { case (t, i) => (-t, -i) }
+              .take(maxEvents)
+            state.update(HistState(merged.map(_._1), merged.map(_._2)))
+            // flush horizon = newest survivor + TTL; never at-or-before
+            // the current watermark (Spark rejects it — possible when a
+            // late batch arrives past the user's horizon)
+            val horizon = merged.head._1 / 1000L + ttlMs
+            state.setTimeoutTimestamp(
+              math.max(horizon, state.getCurrentWatermarkMs() + 1))
+            merged.iterator.map { case (t, i) => Ev(user, i, t) }
+          }
         })
   }
 

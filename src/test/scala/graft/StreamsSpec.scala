@@ -581,6 +581,65 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.contains((2L, base + 10 * min, base + 10 * min, 1)), rows) // closed by timeout
   }
 
+  test("streaming bounded history: snapshots equal the batch operator; TTL drops state") {
+    import spark.implicits._
+    implicit val s = spark
+    val mem = MemoryStream[Streams.Ev](spark)
+    val base = 1767225600000000L // 2026-01-01 00:00:00 UTC in micros
+    val min = 60L * 1000000L
+    val snaps =
+      scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Long)]]
+    def handle(df: org.apache.spark.sql.Dataset[Streams.Ev], id: Long): Unit = {
+      val rows = df.collect().map(e => (e.user_id, e.event_id, e.ts_us)).toSet
+      if (rows.nonEmpty) snaps.synchronized { snaps += rows }
+    }
+    val q = Streams.streamingBoundedHistory(mem.toDS(), maxEvents = 3,
+        ttlMinutes = 120)
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch(handle _)
+      .start()
+    def batchOp(evs: Seq[Streams.Ev], users: Set[Long]): Set[(Long, Long, Long)] =
+      graft.operators.RankOps.boundedUserHistory(
+        evs.toDF("user_id", "event_id", "ts_us"),
+        "user_id", "ts_us", "event_id", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(t => users.contains(t._1)).toSet
+    def lastSnap(): Set[(Long, Long, Long)] = snaps.synchronized { snaps.last }
+
+    // batch 1: user 1 overflows the bound INSIDE one batch (5 events,
+    // 2 evicted by the k=3 buffer); user 2 is under it (keep-all)
+    val b1 = Seq(Streams.Ev(1, 1, base), Streams.Ev(1, 2, base + 1 * min),
+      Streams.Ev(1, 3, base + 2 * min), Streams.Ev(1, 4, base + 3 * min),
+      Streams.Ev(1, 5, base + 4 * min),
+      Streams.Ev(2, 10, base), Streams.Ev(2, 11, base + 1 * min))
+    mem.addData(b1: _*); q.processAllAvailable()
+    assert(lastSnap() == batchOp(b1, Set(1, 2)),
+      s"batch-1 snapshot diverged: ${lastSnap()}")
+
+    // batch 2: a LATE arrival below user 1's surviving window (must not
+    // enter the top-3) plus a fresh user-2 event — every emitted
+    // snapshot still equals the batch operator over the full prefix
+    val b2 = Seq(Streams.Ev(1, 6, base + 90L * 1000000L),
+      Streams.Ev(2, 12, base + 5 * min))
+    mem.addData(b2: _*); q.processAllAvailable()
+    assert(lastSnap() == batchOp(b1 ++ b2, Set(1, 2)),
+      s"batch-2 snapshot diverged: ${lastSnap()}")
+
+    // TTL: a far-future event (user 99) pushes the watermark past both
+    // users' newest-event + 120 min horizon; the next batch fires their
+    // EventTimeTimeout and drops the buffers...
+    mem.addData(Streams.Ev(99, 90, base + 600 * min)); q.processAllAvailable()
+    mem.addData(Streams.Ev(99, 91, base + 601 * min)); q.processAllAvailable()
+    // ...so user 1's next arrival starts a FRESH history: the snapshot
+    // holds only the new event (un-dropped state would have kept
+    // events 4 and 5 alongside it — k=3 has room)
+    mem.addData(Streams.Ev(1, 7, base + 602 * min)); q.processAllAvailable()
+    q.stop()
+    val afterTtl = lastSnap()
+    assert(afterTtl == Set((1L, 7L, base + 602 * min)),
+      s"TTL should have dropped user 1's pre-expiry history: $afterTtl")
+  }
+
   test("growth tracker: incremental HLL merge equals one-shot sketch, bounded state") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("growth_store").toString + "/s"
