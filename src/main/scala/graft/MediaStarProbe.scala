@@ -113,15 +113,20 @@ object MediaStarProbe {
     val smallMega = math.min(mega, 5000L)
     var allMin = Double.MaxValue; var starMin = Double.MaxValue
     var allRows = 0L; var starRows = 0L
+    // record EVERY rep's wall, not just the min (EventSkewProbe's
+    // convention, r15 verdict candidate (c)): future drift disputes on
+    // the media path resolve from the emitted ledger, not a re-run
+    val allReps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val starReps = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to 2).foreach { _ =>
       val (aSec, aRows) = cold(timedCount(
         mm.phashPairs(media(smallN, smallMega), "doc_id", "bytes", 4,
           star = false)))
-      allMin = math.min(allMin, aSec); allRows = aRows
+      allMin = math.min(allMin, aSec); allRows = aRows; allReps += aSec
       val (sSec, sRows) = cold(timedCount(
         mm.phashPairs(media(smallN, smallMega), "doc_id", "bytes", 4,
           star = true)))
-      starMin = math.min(starMin, sSec); starRows = sRows
+      starMin = math.min(starMin, sSec); starRows = sRows; starReps += sSec
       prog("head2head_rep", aSec + sSec, aRows + sRows)
     }
     prog("allpairs_small", allMin, allRows)
@@ -137,8 +142,10 @@ object MediaStarProbe {
         s""""small_n":$smallN,"small_mega":$smallMega,""" +
         s""""small_allpairs_rows":$allRows,""" +
         s""""small_allpairs_sec":${f"$allMin%.1f"},""" +
+        s""""small_allpairs_reps":${allReps.map(r => f"$r%.1f").mkString("[", ",", "]")},""" +
         s""""small_star_rows":$starRows,""" +
-        s""""small_star_sec":${f"$starMin%.1f"}}""")
+        s""""small_star_sec":${f"$starMin%.1f"},""" +
+        s""""small_star_reps":${starReps.map(r => f"$r%.1f").mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }
