@@ -49,6 +49,42 @@ class PinsSpec extends AnyFunSuite {
     } finally spark.conf.set(Pins.ReliableConf, "false")
   }
 
+  test("pin tags round-trip through BOTH pin mechanisms via boundTag") {
+    import spark.implicits._
+    // the structural broadcast net (PlanRegressionSpec) reads a pin's
+    // justification back out of the optimized plan through the RDD
+    // name — this pins the encode/decode contract on both mechanisms
+    spark.conf.set(Pins.ReliableConf, "false")
+    val local = Pins.pin((1 to 10).toDF("x"), "size-gated")
+    assert(Pins.boundTag(backingRdd(local).name) == Some("size-gated"))
+    // the tag survives plan composition: the LogicalRDD inside a
+    // bigger optimized plan still names the same RDD
+    val joined = local.join(local.withColumnRenamed("x", "y"),
+      local("x") === col("y"))
+    val tags = joined.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        Pins.boundTag(lr.rdd.name)
+    }
+    assert(tags.nonEmpty && tags.forall(_ == Some("size-gated")), tags)
+    // reliable (file-backed) path carries the tag too
+    val dir = java.nio.file.Files.createTempDirectory("reltag").toString +
+      "/pins"
+    Pins.withReliableRun(spark, dir) {
+      val rel = Pins.pin((1 to 10).toDF("x"), "size-gated")
+      assert(Pins.boundTag(backingRdd(rel).name) == Some("size-gated"),
+        s"reliable pin lost its tag: ${backingRdd(rel).name}")
+      rel.count()
+    }
+    // untagged pins read None; non-pin names read None; empty tags
+    // are rejected at the call site
+    assert(Pins.boundTag(backingRdd(Pins.pin((1 to 3).toDF("x"))).name).isEmpty)
+    assert(Pins.boundTag("some other rdd").isEmpty)
+    assert(Pins.boundTag(null).isEmpty)
+    intercept[IllegalArgumentException] {
+      Pins.pin((1 to 3).toDF("x"), "")
+    }
+  }
+
   test("default pin is block-backed (localCheckpoint), not file-backed") {
     import spark.implicits._
     spark.conf.set(Pins.ReliableConf, "false")
