@@ -378,13 +378,25 @@ object Pins {
 
   /** Surface `bound` through the fresh checkpoint RDD's name. The
     * LogicalRDD holds the RDD by reference, so the rename is visible to
-    * any plan the pinned frame later joins into. */
+    * any plan the pinned frame later joins into. FAILS LOUDLY when a
+    * requested tag cannot be applied: if a Spark upgrade changed
+    * checkpoint()'s analyzed-plan shape away from LogicalRDD, silently
+    * dropping the tag would violate pin(df, bound)'s documented
+    * contract and surface only later as confusing 'UNTAGGED pin' hard
+    * violations in PlanRegressionSpec — far from the pin site that
+    * asked. Better to fail here, at that site, on the first tagged pin
+    * after the upgrade. */
   private def tag(out: DataFrame, bound: Option[String]): DataFrame = {
     bound.foreach { b =>
       out.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.setName(s"$BoundTagPrefix$b]")
-        case _ => ()
+        case other => throw new IllegalStateException(
+          s"Pins.pin(df, \"$b\"): cannot surface the tag — the " +
+            s"checkpointed frame analyzed to ${other.nodeName}, not " +
+            "LogicalRDD (Spark checkpoint plan shape changed?); the " +
+            "structural broadcast net reads tags from the LogicalRDD's " +
+            "RDD name, so an un-surfaced tag would break pin()'s contract")
       }
     }
     out

@@ -90,6 +90,18 @@ object RankOps {
     * one row reaches the driver collect the enclosing `broadcast()`
     * would otherwise run.
     *
+    * VIOLATION-PATH COST (deliberate trade, r16): on a contract
+    * violation the one-partition window first shuffles the whole —
+    * potentially corpus-sized — bookkeeping table into ONE task and
+    * spill-buffers it before the first raise_error row, where the r15
+    * separate count aggregate failed after a cheap map-side-combined
+    * count. The happy path pays for the failure path: the r15 shape
+    * ran the bookkeeping subplan TWICE on every healthy call (the
+    * measured q45 regression), while a violation is a caller bug hit
+    * once, fixed once — so the single-pass window wins. If a
+    * deployment sets the conf tight and expects violations routinely,
+    * pre-gate with a cheap count on the caller side instead.
+    *
     * NOTE: [[MaxBroadcastRowsConf]] is read HERE, at DataFrame
     * CONSTRUCTION time — setting the conf after a RankOps frame is
     * built has no effect on that frame; set it before constructing. */

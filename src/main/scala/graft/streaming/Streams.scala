@@ -907,6 +907,19 @@ object Streams {
     * timed-out user that reappears starts a fresh history — correct
     * for the bot disposition: an expired history only matters if newer
     * events superseded it, and those arrive with the user. */
+  /** One state-merge step of [[streamingBoundedHistory]]: previous
+    * survivors + batch arrivals, keep the k most recent by the batch
+    * operator's total order (ts_us, event_id) DESC. Ordered by a
+    * reverse Ordering, NOT by sortBy negation: `-Long.MinValue`
+    * overflows back to `Long.MinValue` and would silently mis-sort
+    * boundary values, making the batch-twin equality conditional on
+    * "realistic" inputs. Split out so StreamsSpec can property-test
+    * the order with Long.MinValue/MaxValue, which no runnable stream
+    * can carry through watermark math. */
+  private[graft] def mergeHistory(prev: Array[(Long, Long)],
+      arrivals: Iterator[(Long, Long)], k: Int): Array[(Long, Long)] =
+    (prev ++ arrivals).sorted(Ordering[(Long, Long)].reverse).take(k)
+
   def streamingBoundedHistory(events: Dataset[Ev], maxEvents: Int,
       ttlMinutes: Int)(implicit spark: SparkSession): Dataset[Ev] = {
     import spark.implicits._
@@ -932,9 +945,8 @@ object Streams {
             val prev = state.getOption
               .map(s => s.tsUs.zip(s.ids))
               .getOrElse(Array.empty[(Long, Long)])
-            val merged = (prev ++ rows.map(r => (r._3, r._2)))
-              .sortBy { case (t, i) => (-t, -i) }
-              .take(maxEvents)
+            val merged =
+              mergeHistory(prev, rows.map(r => (r._3, r._2)), maxEvents)
             state.update(HistState(merged.map(_._1), merged.map(_._2)))
             // flush horizon = newest survivor + TTL; never at-or-before
             // the current watermark (Spark rejects it — possible when a

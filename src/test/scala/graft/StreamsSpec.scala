@@ -640,6 +640,36 @@ class StreamsSpec extends AnyFunSuite {
       s"TTL should have dropped user 1's pre-expiry history: $afterTtl")
   }
 
+  test("mergeHistory order is exact for ALL Longs, including MinValue/MaxValue") {
+    // the r16 shape sorted by (-t, -i): -Long.MinValue overflows back to
+    // Long.MinValue, so a MinValue timestamp sorted as the NEWEST event
+    // and the batch-twin equality held only for "realistic" inputs.
+    // Reference = full descending (ts, id) sort with no negation.
+    def ref(evs: Seq[(Long, Long)], k: Int): Seq[(Long, Long)] =
+      evs.sorted.reverse.take(k)
+    val bnd = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue)
+    // exhaustive boundary grid: every (ts, id) pair drawn from the
+    // boundary set, merged in every prev/arrival split
+    val all = for (t <- bnd; i <- bnd) yield (t, i)
+    val rnd = new scala.util.Random(17)
+    (0 until 50).foreach { _ =>
+      val evs = rnd.shuffle(all).take(3 + rnd.nextInt(all.size - 3)).distinct
+      val (prev, arr) = evs.splitAt(rnd.nextInt(evs.size + 1))
+      val k = 1 + rnd.nextInt(evs.size)
+      // prev is itself a survivor set (sorted desc), as the state keeps it
+      val got = Streams.mergeHistory(
+        ref(prev, prev.size).toArray, arr.iterator, k).toSeq
+      assert(got == ref(evs, k),
+        s"k=$k prev=$prev arr=$arr: $got != ${ref(evs, k)}")
+    }
+    // the exact r16 counterexample, pinned: MinValue must sort OLDEST
+    val got = Streams.mergeHistory(Array((0L, 1L)),
+      Iterator((Long.MinValue, 2L)), 1).toSeq
+    assert(got == Seq((0L, 1L)),
+      s"MinValue ts must not evict a newer event: $got")
+  }
+
   test("growth tracker: incremental HLL merge equals one-shot sketch, bounded state") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("growth_store").toString + "/s"
