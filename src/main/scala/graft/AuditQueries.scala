@@ -94,6 +94,51 @@ object AuditQueries {
         round(abs(col("mean_q") - col("_src_q")), 4).as("drift"))
   }
 
+  /** Windowed drift monitor — q114's incremental refinement and the
+    * batch twin of [[graft.streaming.Streams.streamingDriftMonitor]]:
+    * documents fall into fixed arrival buckets (doc_id div 50, the
+    * batch stand-in for event-time windows) and each (source, bucket)
+    * reports its mean quality plus the drift from the source's
+    * CUMULATIVE mean through that bucket, inclusive. Where q114's
+    * deciles need the FINAL corpus size (a retrospective dashboard),
+    * every row here is final the moment its bucket completes — which
+    * is exactly what lets the streaming twin emit identical rows as
+    * the watermark closes each window, and what an alerting tier needs
+    * (page when the newest bucket drifts, not at month-end).
+    *
+    * Scale: the only corpus-sized pass is the map-side partial
+    * aggregate down to (source, bucket) rows; the cumulative window
+    * runs over those AGGREGATE rows (buckets per source, never
+    * documents — the r10 mega-key lesson does not apply to
+    * aggregate-first shapes) with a MONOTONE running-sum frame, the
+    * incremental kind PlanRegressionSpec's sliding-frame ban permits. */
+  def q136DriftWindows(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.loadP(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        round(PipelineQueries.qualityExpr(col("text")), 4).as("q"))
+    driftWindows(scored, expr("doc_id div 50"))
+  }
+
+  /** Per-(source, bucket) n / mean quality / |mean − running mean
+    * through the bucket|. `bucketExpr` maps a row to its arrival
+    * bucket; everything after the first aggregate is one row per
+    * NON-EMPTY (source, bucket) — empty buckets contribute no row and
+    * no cumulative mass, the streaming twin's contract too. */
+  private[graft] def driftWindows(scored: DataFrame,
+      bucketExpr: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perB = scored.groupBy(col("source"), bucketExpr.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("q").as("_sq"))
+    val w = Window.partitionBy("source").orderBy("bucket")
+    perB
+      .withColumn("_cs", sum("_sq").over(w))
+      .withColumn("_cn", sum("n_docs").over(w))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        round(col("_sq") / col("n_docs"), 4).as("mean_q"),
+        round(abs(col("_sq") / col("n_docs") - col("_cs") / col("_cn")), 4)
+          .as("drift"))
+  }
+
   /** Embedding-norm outlier report — the vector-sanity audit (corrupt,
     * zeroed, or mis-scaled vectors show up as L2-norm outliers long
     * before a recall regression does): per label, n / mean / stddev of
@@ -208,6 +253,7 @@ object AuditQueries {
     "q112_expectations" -> q112Expectations _,
     "q113_fk_audit" -> q113FkAudit _,
     "q114_drift_monitor" -> q114DriftMonitor _,
+    "q136_drift_windows" -> q136DriftWindows _,
     "q115_vector_outliers" -> q115VectorOutliers _,
     "q116_skew_report" -> q116SkewReport _,
     "q122_cluster_stats" -> q122ClusterStats _
@@ -281,6 +327,21 @@ object AuditQueries {
          |SELECT source, decile, n_docs, mean_q, mean_toks,
          |  round(abs(mean_q - src_q), 4) AS drift
          |FROM perdec JOIN persrc USING (source)""".stripMargin,
+    "q136_drift_windows" ->
+      s"""WITH $scoredCte,
+         |perb AS (
+         |  SELECT source, doc_id // 50 AS bucket,
+         |    count(*) AS n_docs, sum(q) AS sq
+         |  FROM scored GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, bucket, n_docs, sq,
+         |    sum(sq) OVER (PARTITION BY source ORDER BY bucket) AS cs,
+         |    sum(n_docs) OVER (PARTITION BY source ORDER BY bucket) AS cn
+         |  FROM perb)
+         |SELECT source, bucket, n_docs,
+         |  round(sq / n_docs, 4) AS mean_q,
+         |  round(abs(sq / n_docs - cs / cn), 4) AS drift
+         |FROM cum""".stripMargin,
     "q115_vector_outliers" ->
       """WITH normed AS (
         |  SELECT label,

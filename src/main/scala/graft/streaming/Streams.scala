@@ -757,6 +757,19 @@ object Streams {
   final case class SessState(startUs: Long, lastUs: Long, n: Int)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
   final case class DupPair(doc_id: Long, canonical_id: Long, bucket: String)
+  /** One CLOSED drift window: final the moment it is emitted (append
+    * semantics — no retraction needed, unlike the bounded-history
+    * snapshots). */
+  final case class DriftWin(source: String, bucket: Long, n_docs: Long,
+      mean_q: Double, drift: Double)
+  /** Per-source drift state: open-window partials as parallel arrays
+    * (bucket start / count / quality sum) plus three scalars for every
+    * window ever closed. Open windows are bounded by the allowed
+    * lateness (≤ lateness/windowLen + 2 concurrently open); the closed
+    * history is three scalars however long the stream runs. */
+  final case class DriftState(openStarts: Array[Long], openNs: Array[Long],
+      openSums: Array[Double], closedN: Long, closedSum: Double,
+      lastClosedStart: Long)
 
   // ---------- streaming near-dup candidate pairs (MinHash LSH) ----------
 
@@ -957,6 +970,116 @@ object Streams {
             merged.iterator.map { case (t, i) => Ev(user, i, t) }
           }
         })
+  }
+
+  /** Spark's Round on DoubleType, replicated (BigDecimal HALF_UP at
+    * scale 4) so [[streamingDriftMonitor]]'s driver-side fold rounds
+    * exactly like the batch twin's `round(expr, 4)`. */
+  private[graft] def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Windowed drift over a stream — the incremental twin of
+    * [[graft.AuditQueries.driftWindows]] (q136's operator): per-source
+    * tumbling event-time windows of `windowMinutes`, each emitted ONCE
+    * — when the watermark passes its end — with its mean quality and
+    * the drift from the source's cumulative mean through that window,
+    * inclusive. The alerting form of q114's retrospective dashboard:
+    * page when the NEWEST window drifts, instead of discovering at
+    * month-end that a bad crawl config poisoned four weeks of data.
+    *
+    * Implemented as ONE flatMapGroupsWithState keyed on source — NOT a
+    * windowed aggregation feeding a second stateful op (Spark rejects
+    * flatMapGroupsWithState downstream of an aggregation): arrivals
+    * fold into open-window partials in state; every open window whose
+    * end the watermark has passed closes in start order, folding its
+    * mass into the source's running (count, sum) and emitting its row.
+    * An EventTimeTimeout armed at the earliest open window's end
+    * closes windows for a source gone silent.
+    *
+    * CONTRACTS, each shared with the batch twin or with standard
+    * windowed-aggregation semantics: (1) rows arriving for a window
+    * at-or-before the source's closed frontier are DROPPED — the same
+    * verdict a watermarked aggregation gives beyond-lateness data;
+    * (2) empty windows emit no row and add no cumulative mass (the
+    * batch twin aggregates only non-empty buckets); (3) emitted rows
+    * are FINAL (append mode — a closed window never updates, so no
+    * retraction problem, unlike the bounded-history snapshots). State
+    * per source = three scalars + open-window partials (bounded by
+    * lateness/windowLen + 2 concurrently-open windows), and `source`
+    * is a bounded dimension — the same premise q114/q136's aggregate
+    * rides — so no state TTL is needed. StreamsSpec proves the emitted
+    * rows equal the batch operator over the full input, bucket for
+    * bucket, including a multi-window close fired by the timeout
+    * alone. Expects columns (source string, ts_us long, q double);
+    * `bucket` in the output = floorDiv(ts_us, window) — feed the batch
+    * twin `ts_us div <window_us>` to compare. */
+  def streamingDriftMonitor(scored: DataFrame, windowMinutes: Int,
+      latenessMinutes: Int)(implicit spark: SparkSession): Dataset[DriftWin] = {
+    import spark.implicits._
+    require(windowMinutes >= 1,
+      s"windowMinutes must be >= 1, got $windowMinutes")
+    require(latenessMinutes >= 0,
+      s"latenessMinutes must be >= 0, got $latenessMinutes")
+    val winUs = windowMinutes * 60L * 1000000L
+    scored
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", s"$latenessMinutes minutes")
+      // ts stays in the projection: the watermark column must reach
+      // the stateful operator or Spark rejects EventTimeTimeout
+      .select(col("source").cast("string"), col("ts_us").cast("long"),
+        col("q").cast("double"), col("ts"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(driftStep(winUs) _)
+  }
+
+  /** One micro-batch step of [[streamingDriftMonitor]] for one source:
+    * fold arrivals into open-window partials, then close every window
+    * the watermark has passed, in start order. Split out so the spec
+    * can name it; all invariants (drop-late, close-in-order, inclusive
+    * cumulative) live here. */
+  private[graft] def driftStep(winUs: Long)(src: String,
+      rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+      state: GroupState[DriftState]): Iterator[DriftWin] = {
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val st = state.getOption.getOrElse(DriftState(
+      Array.empty, Array.empty, Array.empty, 0L, 0.0, Long.MinValue))
+    val open = scala.collection.mutable.TreeMap.empty[Long, (Long, Double)]
+    st.openStarts.indices.foreach { i =>
+      open(st.openStarts(i)) = (st.openNs(i), st.openSums(i)) }
+    rows.foreach { case (_, tsUs, q, _) =>
+      val start = Math.floorDiv(tsUs, winUs) * winUs
+      // at-or-before the closed frontier = beyond-watermark late: drop
+      if (start > st.lastClosedStart) {
+        val (n, sq) = open.getOrElse(start, (0L, 0.0))
+        open(start) = (n + 1, sq + q)
+      }
+    }
+    var closedN = st.closedN
+    var closedSum = st.closedSum
+    var lastClosed = st.lastClosedStart
+    val out = scala.collection.mutable.ArrayBuffer.empty[DriftWin]
+    while (open.nonEmpty && open.head._1 + winUs <= wmUs) {
+      val (start, (n, sq)) = open.head
+      open.remove(start)
+      closedN += n
+      closedSum += sq
+      out += DriftWin(src, Math.floorDiv(start, winUs), n, round4(sq / n),
+        round4(math.abs(sq / n - closedSum / closedN)))
+      lastClosed = start
+    }
+    val arr = open.toArray
+    state.update(DriftState(arr.map(_._1), arr.map(_._2._1),
+      arr.map(_._2._2), closedN, closedSum, lastClosed))
+    // a silent source must still close its open windows: fire when the
+    // watermark passes the earliest open end (never at-or-before the
+    // current watermark — Spark rejects that)
+    if (open.nonEmpty)
+      state.setTimeoutTimestamp(math.max((open.head._1 + winUs) / 1000L,
+        state.getCurrentWatermarkMs() + 1))
+    out.iterator
   }
 
   /** Event-time sessionization with a gap timeout (streaming twin of

@@ -670,6 +670,65 @@ class StreamsSpec extends AnyFunSuite {
       s"MinValue ts must not evict a newer event: $got")
   }
 
+  test("streaming drift monitor: closed windows equal the batch twin; late drops; timeout closes") {
+    import spark.implicits._
+    implicit val s = spark
+    val winMin = 10
+    val winUs = winMin * 60L * 1000000L
+    val base = 1767225600000000L // 2026-01-01 00:00 UTC — window-aligned
+    val min = 60L * 1000000L
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = Streams.streamingDriftMonitor(
+        mem.toDF().toDF("source", "ts_us", "q"), winMin, latenessMinutes = 5)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Append).start()
+
+    // q values exactly representable in binary so the stream's fold
+    // order and the batch twin's partial-aggregate order sum identically
+    val b1 = Seq(("a", base + 1 * min, 0.5), ("a", base + 2 * min, 1.0),
+      ("a", base + 11 * min, 0.25), ("b", base + 3 * min, 0.75))
+    val b2 = Seq(("a", base + 21 * min, 1.0))
+    val b3 = Seq(("a", base + 31 * min, 0.5))
+    // base+4min falls in source a's window 0, which closes before this
+    // batch runs — beyond-watermark late, must be dropped AND must not
+    // poison the cumulative mean of every later window
+    val b4 = Seq(("a", base + 4 * min, 0.25), ("a", base + 61 * min, 0.75))
+    val b5 = Seq(("a", base + 120 * min, 1.0))
+    val b6 = Seq(("a", base + 180 * min, 0.25))
+    Seq(b1, b2, b3, b4, b5, b6).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("drift_out")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // append finality: a closed window is emitted exactly once
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+      s"a window row was emitted twice: ${got.toSeq}")
+    // source b's only close had NO later b arrivals — the
+    // EventTimeTimeout fired it as other sources advanced the watermark
+    assert(got.exists(t => t._1 == "b" && t._2 == base / winUs),
+      s"b's window must close by timeout alone: ${got.toSeq}")
+    // every emitted row equals the batch twin on the KEPT events (the
+    // dropped-late row is outside both engines' input by contract)
+    val kept = (b1 ++ b2 ++ b3 ++ b4.drop(1) ++ b5 ++ b6)
+      .toDF("source", "ts_us", "q")
+    val twin = AuditQueries.driftWindows(kept, expr(s"ts_us div $winUs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got.toSet.subsetOf(twin),
+      s"streamed rows diverge from the batch twin:\n  got ${got.toSet}\n" +
+        s"  twin $twin")
+    // and the closes actually happened: both sources' first windows and
+    // a's multi-window backlog are all in
+    val closed = got.map(t => (t._1, t._2)).toSet
+    assert(Set(("a", base / winUs), ("a", base / winUs + 1),
+      ("b", base / winUs)).subsetOf(closed),
+      s"expected early windows to have closed: $closed")
+  }
+
   test("growth tracker: incremental HLL merge equals one-shot sketch, bounded state") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("growth_store").toString + "/s"
