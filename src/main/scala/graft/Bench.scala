@@ -8,11 +8,11 @@ import graft.functions.VectorKernels
   * Emits ONE JSON line. */
 object Bench {
 
-  /** The previous round's bench query set (short keys, = BENCH_r15's
-    * `queries` keys — r15 added q135, which joins the subtotal now) —
-    * `common_prev_total` sums only these, so the round-over-round
-    * comparison is like-for-like even as the registry grows. Refresh
-    * when a round's BENCH lands. */
+  /** The previous round's bench query set (short keys, = BENCH_r16's
+    * `queries` keys; r17 added q136, which lands in `value` but joins
+    * this subtotal only next round) — `common_prev_total` sums only
+    * these, so the round-over-round comparison is like-for-like even
+    * as the registry grows. Refresh when a round's BENCH lands. */
   private val PrevRoundKeys: Set[String] = Set(
     "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09",
     "q10", "q100", "q101", "q102", "q103", "q104", "q105", "q106",

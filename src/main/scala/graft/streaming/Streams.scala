@@ -1011,9 +1011,13 @@ object Streams {
     * rides — so no state TTL is needed. StreamsSpec proves the emitted
     * rows equal the batch operator over the full input, bucket for
     * bucket, including a multi-window close fired by the timeout
-    * alone. Expects columns (source string, ts_us long, q double);
-    * `bucket` in the output = floorDiv(ts_us, window) — feed the batch
-    * twin `ts_us div <window_us>` to compare. */
+    * alone. Expects columns (source string, ts_us long, q double) with
+    * ts_us >= 0 (micros since epoch — Spark's own watermark clamps at
+    * 0, so pre-1970 event time is outside streaming semantics anyway);
+    * `bucket` in the output = floorDiv(ts_us, window), which for the
+    * non-negative domain equals the batch twin's `ts_us div
+    * <window_us>` (SQL div truncates toward zero — the two would
+    * differ on negative micros, another reason the domain is stated). */
   def streamingDriftMonitor(scored: DataFrame, windowMinutes: Int,
       latenessMinutes: Int)(implicit spark: SparkSession): Dataset[DriftWin] = {
     import spark.implicits._
