@@ -106,17 +106,39 @@ object DriftScaleProbe {
     val pairRows = shipped.count()
     require(pairRows > 0, "no (source, bucket) rows produced")
 
-    // interleaved reps, every rep recorded, min per shape
+    // the ARRIVAL-ORDERED layout: real ingest lands range-ordered by
+    // arrival (each file covers a contiguous doc_id span = a few
+    // buckets × all sources), where the round-robin layout above is
+    // the worst case for the map-side combine (every task sees nearly
+    // every (source, bucket) pair, so partial aggregation reduces
+    // almost nothing)
+    t0 = System.nanoTime()
+    scored.repartitionByRange(cpus.toInt, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/scored_ordered.parquet")
+    val genOrdSec = (System.nanoTime() - t0) / 1e9
+    prog("gen_ordered", genOrdSec, n)
+    def scoredOrd: DataFrame =
+      spark.read.parquet(s"$dir/scored_ordered.parquet")
+    def shippedOrd: DataFrame =
+      AuditQueries.driftWindows(scoredOrd, expr(s"doc_id div $bucketW"))
+    require(shippedOrd.except(shipped).count() == 0,
+      "layout changed the result")
+
+    // interleaved reps over all three legs, every rep recorded
     val aggReps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ordReps = scala.collection.mutable.ArrayBuffer.empty[Double]
     val winReps = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to 2).foreach { _ =>
       val (aSec, aRows) = cold(timedCount(shipped))
       require(aRows == pairRows, s"shipped rows moved: $aRows")
       aggReps += aSec
+      val (oSec, oRows) = cold(timedCount(shippedOrd))
+      require(oRows == pairRows, s"ordered rows moved: $oRows")
+      ordReps += oSec
       val (wSec, wRows) = cold(timedCount(naive))
       require(wRows == pairRows, s"naive rows moved: $wRows")
       winReps += wSec
-      prog("rep", aSec + wSec, aRows)
+      prog("rep", aSec + oSec + wSec, aRows)
     }
 
     println(
@@ -125,6 +147,8 @@ object DriftScaleProbe {
         s""""pair_rows":$pairRows,""" +
         s""""agg_first_sec":${f"${aggReps.min}%.1f"},""" +
         s""""agg_first_reps":${aggReps.map(r => f"$r%.1f").mkString("[", ",", "]")},""" +
+        s""""agg_first_ordered_sec":${f"${ordReps.min}%.1f"},""" +
+        s""""agg_first_ordered_reps":${ordReps.map(r => f"$r%.1f").mkString("[", ",", "]")},""" +
         s""""naive_window_sec":${f"${winReps.min}%.1f"},""" +
         s""""naive_window_reps":${winReps.map(r => f"$r%.1f").mkString("[", ",", "]")}}""")
     spark.stop()

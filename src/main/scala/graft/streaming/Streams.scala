@@ -972,6 +972,13 @@ object Streams {
         })
   }
 
+  /** Upper bound on concurrently-open window partials per source a
+    * [[streamingDriftMonitor]] configuration may keep (the bound is
+    * lateness/window + 2): generous for any sane lateness budget, low
+    * enough that a misconfig fails at construction instead of growing
+    * 40k-element state arrays. */
+  val MaxOpenDriftWindows = 1024
+
   /** Spark's Round on DoubleType, replicated (BigDecimal HALF_UP at
     * scale 4) so [[streamingDriftMonitor]]'s driver-side fold rounds
     * exactly like the batch twin's `round(expr, 4)`. */
@@ -1025,6 +1032,17 @@ object Streams {
       s"windowMinutes must be >= 1, got $windowMinutes")
     require(latenessMinutes >= 0,
       s"latenessMinutes must be >= 0, got $latenessMinutes")
+    // the per-source state bound IS lateness/window + 2 open windows —
+    // config-derived, but a lateness ≫ window misconfig (say 30 days
+    // of lateness on 1-minute windows) quietly turns "three scalars
+    // per source" into 43k live partials per source. Refuse upfront,
+    // at the site that chose the numbers, like boundedHistory's k
+    // contract.
+    require(latenessMinutes / windowMinutes + 2 <= MaxOpenDriftWindows,
+      s"latenessMinutes=$latenessMinutes over windowMinutes=" +
+        s"$windowMinutes keeps up to ${latenessMinutes / windowMinutes + 2} " +
+        s"window partials live per source (> $MaxOpenDriftWindows); " +
+        "widen the window or cap the allowed lateness")
     val winUs = windowMinutes * 60L * 1000000L
     scored
       .withColumn("ts", timestamp_micros(col("ts_us")))

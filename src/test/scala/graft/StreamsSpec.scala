@@ -729,6 +729,22 @@ class StreamsSpec extends AnyFunSuite {
       s"expected early windows to have closed: $closed")
   }
 
+  test("drift monitor refuses a lateness >> window misconfig at construction") {
+    implicit val s = spark
+    import spark.implicits._
+    val df = Seq(("a", 0L, 1.0)).toDF("source", "ts_us", "q")
+    val e = intercept[IllegalArgumentException] {
+      // 2048 open 1-min windows per source — over MaxOpenDriftWindows
+      Streams.streamingDriftMonitor(df, windowMinutes = 1,
+        latenessMinutes = 2048)
+    }
+    assert(e.getMessage.contains("window partials live per source"),
+      e.getMessage)
+    // the bound itself is fine: lateness/window + 2 == the cap passes
+    Streams.streamingDriftMonitor(df, windowMinutes = 1,
+      latenessMinutes = Streams.MaxOpenDriftWindows - 2)
+  }
+
   test("growth tracker: incremental HLL merge equals one-shot sketch, bounded state") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("growth_store").toString + "/s"
