@@ -729,6 +729,69 @@ class StreamsSpec extends AnyFunSuite {
       s"expected early windows to have closed: $closed")
   }
 
+  /** Deterministic GroupState stub so driftStep's invariants can be
+    * checked batch-by-batch without MemoryStream timing. */
+  private class StubState[S](var opt: Option[S], wmMs: Long)
+      extends org.apache.spark.sql.streaming.GroupState[S] {
+    var timeoutMs: Long = Long.MinValue
+    override def exists: Boolean = opt.isDefined
+    override def get: S = opt.get
+    override def getOption: Option[S] = opt
+    override def update(s: S): Unit = opt = Some(s)
+    override def remove(): Unit = opt = None
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(ms: Long): Unit = ()
+    override def setTimeoutDuration(d: String): Unit = ()
+    override def setTimeoutTimestamp(ms: Long): Unit = timeoutMs = ms
+    override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+    override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = wmMs
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+
+  test("driftStep invariants: close order, inclusive cumulative, frontier drop, exact-end close") {
+    val winUs = 600L * 1000000L // 10 min
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ev(tsUs: Long, q: Double) = ("s", tsUs, q, ts)
+    // batch 1 at watermark 0: windows 0 and 2 accumulate, NOTHING
+    // closes, timeout armed past the watermark
+    val st1 = new StubState[Streams.DriftState](None, 0L)
+    val out1 = Streams.driftStep(winUs)("s", Iterator(
+      ev(1L * winUs / 2, 0.5), ev(1L * winUs / 4, 1.0),
+      ev(2L * winUs + 1, 0.25)), st1).toList
+    assert(out1.isEmpty, s"nothing may close at wm=0: $out1")
+    assert(st1.opt.get.openStarts.toSeq == Seq(0L, 2 * winUs))
+    assert(st1.timeoutMs == winUs / 1000L,
+      s"timeout must arm at the earliest open end: ${st1.timeoutMs}")
+    // batch 2: watermark EXACTLY at window 0's end — end <= wm closes
+    // (the boundary is inclusive); window 2 stays open
+    val st2 = new StubState[Streams.DriftState](st1.opt, winUs / 1000L)
+    val out2 = Streams.driftStep(winUs)("s", Iterator.empty, st2).toList
+    assert(out2 == List(Streams.DriftWin("s", 0L, 2, 0.75, 0.0)),
+      s"window 0 must close exactly at its end: $out2")
+    assert(st2.opt.get.lastClosedStart == 0L)
+    // batch 3: a LATE arrival for closed window 0 is dropped (no
+    // output, no state change beyond what the batch adds) and must not
+    // poison the cumulative mean; two more windows close IN ORDER with
+    // the cumulative inclusive at each step
+    val st3 = new StubState[Streams.DriftState](st2.opt, 4 * winUs / 1000L)
+    val out3 = Streams.driftStep(winUs)("s", Iterator(
+      ev(1L, 100.0), // late: window 0 is at-or-before the frontier
+      ev(3L * winUs + 2, 1.0)), st3).toList
+    // close order: window 2 (mean 0.25; cum (1.5+0.25)/3) then window
+    // 3 (mean 1.0; cum (1.75+1.0)/4)
+    assert(out3 == List(
+      Streams.DriftWin("s", 2L, 1, 0.25, Streams.round4(
+        math.abs(0.25 - 1.75 / 3))),
+      Streams.DriftWin("s", 3L, 1, 1.0, Streams.round4(
+        math.abs(1.0 - 2.75 / 4)))), s"ordered closes diverged: $out3")
+    val fin = st3.opt.get
+    assert(fin.openStarts.isEmpty && fin.closedN == 4 &&
+      fin.closedSum == 2.75,
+      s"the late row must not enter any aggregate: $fin")
+  }
+
   test("drift monitor refuses a lateness >> window misconfig at construction") {
     implicit val s = spark
     import spark.implicits._
