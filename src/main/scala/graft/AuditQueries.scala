@@ -112,11 +112,20 @@ object AuditQueries {
     * documents — the r10 mega-key lesson does not apply to
     * aggregate-first shapes) with a MONOTONE running-sum frame, the
     * incremental kind PlanRegressionSpec's sliding-frame ban permits. */
-  def q136DriftWindows(s: SparkSession, dir: String): DataFrame = {
+  def q136DriftWindows(s: SparkSession, dir: String): DataFrame =
+    driftWindowsAt(s, dir, 50L)
+
+  /** q136's pipeline at an arbitrary arrival-bucket width — the knob
+    * the `drift_windows(dir[, bucket_w])` TVF exposes to SQL callers
+    * (a dashboard picks its granularity per query; the registry entry
+    * stays the oracle-pinned width-50 instance). */
+  private[graft] def driftWindowsAt(s: SparkSession, dir: String,
+      bucketW: Long): DataFrame = {
+    require(bucketW > 0, s"bucket width must be positive, got $bucketW")
     val scored = Tables.loadP(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         round(PipelineQueries.qualityExpr(col("text")), 4).as("q"))
-    driftWindows(scored, expr("doc_id div 50"))
+    driftWindows(scored, expr(s"doc_id div $bucketW"))
   }
 
   /** Per-(source, bucket) n / mean quality / |mean − running mean

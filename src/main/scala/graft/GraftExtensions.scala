@@ -111,6 +111,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "spans). Runs at first execution, not analysis - EXPLAIN " +
           "is free; CACHE TABLE ... AS SELECT runs it exactly once"),
       (es: Seq[Expression]) => GraftExtensions.packSequencesPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("drift_windows"),
+      info("drift_windows",
+        "drift_windows(dir[, bucket_w]) - q136's windowed drift " +
+          "monitor: per (source, arrival bucket of bucket_w doc_ids, " +
+          "default 50) mean quality and the drift from the source's " +
+          "cumulative mean through that bucket; emits (source, " +
+          "bucket, n_docs, mean_q, drift). Every row is final when " +
+          "its bucket completes - the alerting form of the q114 " +
+          "dashboard. Runs at first execution, not analysis - " +
+          "EXPLAIN is free; CACHE TABLE ... AS SELECT runs it " +
+          "exactly once"),
+      (es: Seq[Expression]) => GraftExtensions.driftWindowsPlan(es)))
     // engine marker: lets a deploy assert the extensions actually loaded
     ext.injectFunction((FunctionIdentifier("graft_engine_version"),
       info("graft_engine_version", "graft_engine_version() - engine version string"),
@@ -264,6 +276,31 @@ object GraftExtensions {
         ("text_packed", StringType, false), ("spans", StringType, false)),
       spark => graft.CurationQueries.packSequences(
         docsAt(spark, dir, "doc_id", "lang", "text"), seqLen))
+  }
+
+  /** Build the `drift_windows` TVF plan — an execution-deferred leaf
+    * wrapping [[graft.AuditQueries.driftWindowsAt]] (q136's pipeline)
+    * over the documents table at a dataset dir, with the arrival
+    * bucket width as the SQL caller's knob (default 50 = the registry
+    * instance the oracle pins). Same deferral contract as the other
+    * curation TVFs; this pipeline pins nothing, so deferral here buys
+    * only the uniform EXPLAIN-is-free story. */
+  private[graft] def driftWindowsPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types._
+    require(es.length == 1 || es.length == 2,
+      "drift_windows(dir[, bucket_w])")
+    val dir = evalLitArg(es, 0, "drift_windows").toString
+    val bucketW = if (es.length == 2)
+      evalIntArg(es, 1, "drift_windows(dir, bucket_w)", "bucket_w")
+    else 50L
+    require(bucketW > 0,
+      s"drift_windows(dir, bucket_w): bucket_w must be positive, got $bucketW")
+    graft.plans.LazyTvfPlan(s"drift_windows($dir, $bucketW)",
+      tvfOutput(("source", StringType, true), ("bucket", LongType, true),
+        ("n_docs", LongType, false), ("mean_q", DoubleType, true),
+        ("drift", DoubleType, true)),
+      spark => graft.AuditQueries.driftWindowsAt(spark, dir, bucketW))
   }
 
   /** Build the `vector_search` logical plan: resolve the literal

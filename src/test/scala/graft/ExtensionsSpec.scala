@@ -419,6 +419,35 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("drift_windows TVF equals the library pipeline, knob and default") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkSuite.sf0001
+    // non-default width exercises the SQL knob end to end
+    val sql = spark.sql(s"SELECT * FROM drift_windows('$dir', 100)")
+    val lib = AuditQueries.driftWindowsAt(spark, dir, 100L)
+    assert(rowsOf(sql) == rowsOf(lib))
+    assert(opHistogram(innerOf(sql)) == opHistogram(lib))
+    assert(sql.schema.map(f => (f.name, f.dataType)) ==
+      lib.schema.map(f => (f.name, f.dataType)),
+      "declared drift_windows schema drifted from the library")
+    // the default width IS the registry instance q136 pins to the oracle
+    assert(rowsOf(spark.sql(s"SELECT * FROM drift_windows('$dir')")) ==
+      rowsOf(AuditQueries.q136DriftWindows(spark, dir)))
+    // the drift definition's anchor invariant holds through the SQL
+    // door: a source's FIRST bucket has zero drift (its own mean IS
+    // the cumulative mean)
+    val firsts = sql.groupBy(col("source").as("_s"))
+      .agg(min("bucket").as("_b"))
+    val bad = sql.join(firsts,
+        col("source") <=> col("_s") && col("bucket") === col("_b"))
+      .filter(col("drift") =!= 0.0).count()
+    assert(bad == 0, s"$bad first buckets with nonzero drift")
+    // argument errors are require-style, like the other TVFs
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"SELECT * FROM drift_windows('$dir', 0)").collect())
+    assert(e.getMessage.contains("must be positive"), e.getMessage)
+  }
+
   test("pack_sequences TVF equals the library packing over the same table") {
     import org.apache.spark.sql.functions._
     val dir = SparkSuite.sf0001
