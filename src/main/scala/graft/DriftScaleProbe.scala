@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Drift-windows-at-scale probe (q136 / `AuditQueries.driftWindows`):
   * synthesizes an N-doc corpus with a REALISTICALLY SKEWED source
   * distribution (one mega-source holding ~25% of the corpus, 100 mid
-  * sources, a 100k-source tail) and wall-clocks the shipped
+  * sources, a 1k-source tail) and wall-clocks the shipped
   * aggregate-first shape against the naive per-DOCUMENT cumulative
   * window — the shape someone "just computing a running mean" writes:
   * `sum(q) over (partition by source order by doc_id)` on raw rows,

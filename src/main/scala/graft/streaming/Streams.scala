@@ -895,6 +895,19 @@ object Streams {
         })
   }
 
+  /** One state-merge step of [[streamingBoundedHistory]]: previous
+    * survivors + batch arrivals, keep the k most recent by the batch
+    * operator's total order (ts_us, event_id) DESC. Ordered by a
+    * reverse Ordering, NOT by sortBy negation: `-Long.MinValue`
+    * overflows back to `Long.MinValue` and would silently mis-sort
+    * boundary values, making the batch-twin equality conditional on
+    * "realistic" inputs. Split out so StreamsSpec can property-test
+    * the order with Long.MinValue/MaxValue, which no runnable stream
+    * can carry through watermark math. */
+  private[graft] def mergeHistory(prev: Array[(Long, Long)],
+      arrivals: Iterator[(Long, Long)], k: Int): Array[(Long, Long)] =
+    (prev ++ arrivals).sorted(Ordering[(Long, Long)].reverse).take(k)
+
   /** Keep-last-N per user over a stream — the incremental twin of
     * [[graft.operators.RankOps.boundedUserHistory]] (q135's operator;
     * the q40/q29 bot disposition carried onto the streaming surface).
@@ -920,19 +933,6 @@ object Streams {
     * timed-out user that reappears starts a fresh history — correct
     * for the bot disposition: an expired history only matters if newer
     * events superseded it, and those arrive with the user. */
-  /** One state-merge step of [[streamingBoundedHistory]]: previous
-    * survivors + batch arrivals, keep the k most recent by the batch
-    * operator's total order (ts_us, event_id) DESC. Ordered by a
-    * reverse Ordering, NOT by sortBy negation: `-Long.MinValue`
-    * overflows back to `Long.MinValue` and would silently mis-sort
-    * boundary values, making the batch-twin equality conditional on
-    * "realistic" inputs. Split out so StreamsSpec can property-test
-    * the order with Long.MinValue/MaxValue, which no runnable stream
-    * can carry through watermark math. */
-  private[graft] def mergeHistory(prev: Array[(Long, Long)],
-      arrivals: Iterator[(Long, Long)], k: Int): Array[(Long, Long)] =
-    (prev ++ arrivals).sorted(Ordering[(Long, Long)].reverse).take(k)
-
   def streamingBoundedHistory(events: Dataset[Ev], maxEvents: Int,
       ttlMinutes: Int)(implicit spark: SparkSession): Dataset[Ev] = {
     import spark.implicits._
@@ -1012,8 +1012,18 @@ object Streams {
     * batch twin aggregates only non-empty buckets); (3) emitted rows
     * are FINAL (append mode — a closed window never updates, so no
     * retraction problem, unlike the bounded-history snapshots). State
-    * per source = three scalars + open-window partials (bounded by
-    * lateness/windowLen + 2 concurrently-open windows), and `source`
+    * per source = three scalars + open-window partials, bounded by
+    * lateness/windowLen + 2 concurrently-open windows IN STEADY STATE
+    * — i.e. once the watermark tracks arrivals. The bound is
+    * transiently exceedable: windows close against the watermark as of
+    * the END of the PREVIOUS batch, so one micro-batch whose rows span
+    * B windows (a catch-up replay of a long outage in few batches, or
+    * a first batch over deep history) holds up to B open partials
+    * until the next batch's watermark sweeps them closed — operators
+    * must not treat the steady-state bound as a per-batch hard
+    * invariant (DriftCatchupProbe measures both regimes; a per-file
+    * catch-up replay stays at the steady bound because each batch
+    * advances the watermark before the next folds). `source`
     * is a bounded dimension — the same premise q114/q136's aggregate
     * rides — so no state TTL is needed. StreamsSpec proves the emitted
     * rows equal the batch operator over the full input, bucket for
