@@ -128,6 +128,47 @@ object AuditQueries {
     driftWindows(scored, expr(s"doc_id div $bucketW"))
   }
 
+  /** q137: the EVENT-TIME variant of q136 — tumbling wall-clock
+    * windows over the events stream table instead of arrival buckets
+    * over doc_ids. Per (event_type, 6h window of `ts`): event count,
+    * mean value (in hundredth units — see [[driftWindowsTsAt]]), and
+    * the drift from the type's cumulative mean through that window,
+    * inclusive. This is the true SQL/batch door to
+    * [[graft.streaming.Streams.streamingDriftMonitor]]'s semantics:
+    * same keying (a bounded source dimension), same tumbling
+    * floor-div event-time windows (`unix_micros(ts) div window_us` ==
+    * the monitor's floorDiv for the non-negative domain), same
+    * inclusive-cumulative drift — the monitor replays a live stream of
+    * exactly this shape window-for-window. Same aggregate-first scale
+    * shape as q136: one map-side partial agg is the only corpus pass;
+    * the cumulative window runs over per-(type, window) AGGREGATE rows
+    * with a MONOTONE frame. */
+  def q137DriftWindowsTs(s: SparkSession, dir: String): DataFrame =
+    driftWindowsTsAt(s, dir, 360L)
+
+  /** q137's pipeline at an arbitrary window width in minutes — the
+    * knob the `drift_windows_ts(dir[, window_minutes])` TVF exposes
+    * (the registry entry stays the oracle-pinned 360-minute
+    * instance). The metric is the event value in its native
+    * HUNDREDTHS (the generator emits 2-decimal values): kept integral,
+    * every per-window sum is exact in a double, so summation order —
+    * Spark's partial-agg tree vs the oracle's sequential fold — cannot
+    * move a mean across a round-at-4 boundary (a raw `round(value,4)`
+    * feed failed exactly that way: windows with n_docs=16 put the
+    * true mean on a 5th-decimal half, and cross-engine ulp noise
+    * flipped the rounding). Means/drift are reported in the same
+    * hundredth units. */
+  private[graft] def driftWindowsTsAt(s: SparkSession, dir: String,
+      windowMinutes: Long): DataFrame = {
+    require(windowMinutes > 0,
+      s"window width must be positive, got $windowMinutes")
+    val winUs = windowMinutes * 60L * 1000000L
+    val scored = Tables.load(s, dir, "events")
+      .select(col("event_type").as("source"), col("ts"),
+        round(col("value") * 100, 0).as("q"))
+    driftWindows(scored, expr(s"unix_micros(ts) div $winUs"))
+  }
+
   /** Per-(source, bucket) n / mean quality / |mean − running mean
     * through the bucket|. `bucketExpr` maps a row to its arrival
     * bucket; everything after the first aggregate is one row per
@@ -263,6 +304,7 @@ object AuditQueries {
     "q113_fk_audit" -> q113FkAudit _,
     "q114_drift_monitor" -> q114DriftMonitor _,
     "q136_drift_windows" -> q136DriftWindows _,
+    "q137_drift_windows_ts" -> q137DriftWindowsTs _,
     "q115_vector_outliers" -> q115VectorOutliers _,
     "q116_skew_report" -> q116SkewReport _,
     "q122_cluster_stats" -> q122ClusterStats _
@@ -351,6 +393,25 @@ object AuditQueries {
          |  round(sq / n_docs, 4) AS mean_q,
          |  round(abs(sq / n_docs - cs / cn), 4) AS drift
          |FROM cum""".stripMargin,
+    // 21600000000 us = the 360-minute window the registry instance
+    // pins; value rides in integral hundredths so per-window sums are
+    // exact doubles in BOTH engines (order-independent — see
+    // driftWindowsTsAt)
+    "q137_drift_windows_ts" ->
+      """WITH perb AS (
+        |  SELECT event_type AS source,
+        |    epoch_us(ts) // 21600000000 AS bucket,
+        |    count(*) AS n_docs, sum(round(value * 100, 0)) AS sq
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bucket, n_docs, sq,
+        |    sum(sq) OVER (PARTITION BY source ORDER BY bucket) AS cs,
+        |    sum(n_docs) OVER (PARTITION BY source ORDER BY bucket) AS cn
+        |  FROM perb)
+        |SELECT source, bucket, n_docs,
+        |  round(sq / n_docs, 4) AS mean_q,
+        |  round(abs(sq / n_docs - cs / cn), 4) AS drift
+        |FROM cum""".stripMargin,
     "q115_vector_outliers" ->
       """WITH normed AS (
         |  SELECT label,

@@ -123,6 +123,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "EXPLAIN is free; CACHE TABLE ... AS SELECT runs it " +
           "exactly once"),
       (es: Seq[Expression]) => GraftExtensions.driftWindowsPlan(es)))
+    ext.injectTableFunction((FunctionIdentifier("drift_windows_ts"),
+      info("drift_windows_ts",
+        "drift_windows_ts(dir[, window_minutes]) - q137's EVENT-TIME " +
+          "drift monitor: per (event_type, tumbling window_minutes " +
+          "window of events.ts, default 360) mean value (hundredth " +
+          "units) and the drift from the type's cumulative mean " +
+          "through that window; emits (source, bucket, n_docs, " +
+          "mean_q, drift). The SQL door to the streaming monitor's " +
+          "event-time semantics - streamingDriftMonitor replays a " +
+          "live stream of this shape window-for-window. Runs at " +
+          "first execution, not analysis - EXPLAIN is free; CACHE " +
+          "TABLE ... AS SELECT runs it exactly once"),
+      (es: Seq[Expression]) => GraftExtensions.driftWindowsTsPlan(es)))
     // engine marker: lets a deploy assert the extensions actually loaded
     ext.injectFunction((FunctionIdentifier("graft_engine_version"),
       info("graft_engine_version", "graft_engine_version() - engine version string"),
@@ -301,6 +314,32 @@ object GraftExtensions {
         ("n_docs", LongType, false), ("mean_q", DoubleType, true),
         ("drift", DoubleType, true)),
       spark => graft.AuditQueries.driftWindowsAt(spark, dir, bucketW))
+  }
+
+  /** Build the `drift_windows_ts` TVF plan — an execution-deferred
+    * leaf wrapping [[graft.AuditQueries.driftWindowsTsAt]] (q137's
+    * event-time pipeline) over the events table at a dataset dir, with
+    * the tumbling-window width in minutes as the SQL caller's knob
+    * (default 360 = the registry instance the oracle pins). Same
+    * deferral contract as `drift_windows`. */
+  private[graft] def driftWindowsTsPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types._
+    require(es.length == 1 || es.length == 2,
+      "drift_windows_ts(dir[, window_minutes])")
+    val dir = evalLitArg(es, 0, "drift_windows_ts").toString
+    val winMin = if (es.length == 2)
+      evalIntArg(es, 1, "drift_windows_ts(dir, window_minutes)",
+        "window_minutes")
+    else 360L
+    require(winMin > 0,
+      "drift_windows_ts(dir, window_minutes): window_minutes must be " +
+        s"positive, got $winMin")
+    graft.plans.LazyTvfPlan(s"drift_windows_ts($dir, $winMin)",
+      tvfOutput(("source", StringType, true), ("bucket", LongType, true),
+        ("n_docs", LongType, false), ("mean_q", DoubleType, true),
+        ("drift", DoubleType, true)),
+      spark => graft.AuditQueries.driftWindowsTsAt(spark, dir, winMin))
   }
 
   /** Build the `vector_search` logical plan: resolve the literal

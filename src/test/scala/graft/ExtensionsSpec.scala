@@ -448,6 +448,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be positive"), e.getMessage)
   }
 
+  test("drift_windows_ts TVF equals the library pipeline, knob and default") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkSuite.sf0001
+    // non-default width exercises the SQL knob end to end
+    val sql = spark.sql(s"SELECT * FROM drift_windows_ts('$dir', 1440)")
+    val lib = AuditQueries.driftWindowsTsAt(spark, dir, 1440L)
+    assert(rowsOf(sql) == rowsOf(lib))
+    assert(opHistogram(innerOf(sql)) == opHistogram(lib))
+    assert(sql.schema.map(f => (f.name, f.dataType)) ==
+      lib.schema.map(f => (f.name, f.dataType)),
+      "declared drift_windows_ts schema drifted from the library")
+    // the default width IS the registry instance q137 pins to the oracle
+    assert(rowsOf(spark.sql(s"SELECT * FROM drift_windows_ts('$dir')")) ==
+      rowsOf(AuditQueries.q137DriftWindowsTs(spark, dir)))
+    // the drift definition's anchor invariant holds through the SQL
+    // door: a type's FIRST window has zero drift (its own mean IS the
+    // cumulative mean)
+    val firsts = sql.groupBy(col("source").as("_s"))
+      .agg(min("bucket").as("_b"))
+    val bad = sql.join(firsts,
+        col("source") <=> col("_s") && col("bucket") === col("_b"))
+      .filter(col("drift") =!= 0.0).count()
+    assert(bad == 0, s"$bad first windows with nonzero drift")
+    // argument errors are require-style, like the other TVFs
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"SELECT * FROM drift_windows_ts('$dir', 0)").collect())
+    assert(e.getMessage.contains("must be positive"), e.getMessage)
+  }
+
   test("pack_sequences TVF equals the library packing over the same table") {
     import org.apache.spark.sql.functions._
     val dir = SparkSuite.sf0001

@@ -729,6 +729,51 @@ class StreamsSpec extends AnyFunSuite {
       s"expected early windows to have closed: $closed")
   }
 
+  test("drift monitor replays q137's event-time windows on the real events table") {
+    import spark.implicits._
+    implicit val s = spark
+    val dir = SparkSuite.sf0001
+    val winMin = 360
+    val latenessMin = 5
+    val winUs = winMin * 60L * 1000000L
+    // exactly q137's feed: (event_type, ts, value in integral
+    // hundredths) — the scaladoc's claim that the monitor replays a
+    // live stream of the TVF's shape window-for-window, executed
+    val rows = Tables.load(spark, dir, "events")
+      .select(col("event_type").as("source"),
+        expr("unix_micros(ts)").as("ts_us"),
+        round(col("value") * 100, 0).as("q"))
+      .as[(String, Long, Double)].collect().sortBy(_._2)
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = Streams.streamingDriftMonitor(
+        mem.toDF().toDF("source", "ts_us", "q"), winMin, latenessMin)
+      .writeStream.format("memory").queryName("drift_ts_out")
+      .outputMode(OutputMode.Append).start()
+    // three in-order batches: the watermark advances between them, so
+    // windows close incrementally, not in one final sweep
+    rows.grouped(math.max(rows.length / 3, 1)).foreach { b =>
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("drift_ts_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    // expected = the q137 registry pipeline, restricted to the windows
+    // the final watermark (max event time − lateness, ms floor) closed
+    val finalWmUs =
+      (rows.map(_._2).max / 1000L - latenessMin * 60L * 1000L) * 1000L
+    val twin = AuditQueries.q137DriftWindowsTs(spark, dir)
+      .filter((col("bucket") + 1) * winUs <= finalWmUs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(twin.nonEmpty, "no closable windows — widen the test data")
+    assert(got == twin,
+      s"streamed windows diverge from q137: ${(got -- twin).take(3)} " +
+        s"extra, ${(twin -- got).take(3)} missing " +
+        s"(got ${got.size}, twin ${twin.size})")
+  }
+
   /** Deterministic GroupState stub so driftStep's invariants can be
     * checked batch-by-batch without MemoryStream timing. */
   private class StubState[S](var opt: Option[S], wmMs: Long)
