@@ -1034,7 +1034,20 @@ object Streams {
     * `bucket` in the output = floorDiv(ts_us, window), which for the
     * non-negative domain equals the batch twin's `ts_us div
     * <window_us>` (SQL div truncates toward zero — the two would
-    * differ on negative micros, another reason the domain is stated). */
+    * differ on negative micros, another reason the domain is stated).
+    *
+    * ALERTING: because rows are append-final, "page when the newest
+    * window drifts" is a filter plus any sink — each drifting window
+    * pages exactly once, no dedup tier needed (StreamsSpec proves the
+    * exactly-once + completeness pair against the batch twin):
+    * {{{
+    * Streams.streamingDriftMonitor(scored, 10, 5)
+    *   .filter(col("drift") > tau)
+    *   .writeStream
+    *   .foreachBatch { (alerts: Dataset[DriftWin], _: Long) =>
+    *     alerts.collect().foreach(pager.page) // final + dimension-sized
+    *   }.start()
+    * }}} */
   def streamingDriftMonitor(scored: DataFrame, windowMinutes: Int,
       latenessMinutes: Int)(implicit spark: SparkSession): Dataset[DriftWin] = {
     import spark.implicits._

@@ -729,6 +729,60 @@ class StreamsSpec extends AnyFunSuite {
       s"expected early windows to have closed: $closed")
   }
 
+  test("drift alert sink: each drifting window pages exactly once, none missed") {
+    // the scaladoc's alerting example, executed: filter + foreachBatch
+    // IS the pager — append-final rows mean no dedup tier, and the
+    // paged set must equal the batch twin's drifting windows exactly
+    import spark.implicits._
+    implicit val s = spark
+    val winMin = 10
+    val winUs = winMin * 60L * 1000000L
+    val base = 1767225600000000L
+    val min = 60L * 1000000L
+    val tau = 0.1
+    val paged = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = Streams.streamingDriftMonitor(
+        mem.toDF().toDF("source", "ts_us", "q"), winMin,
+        latenessMinutes = 5)
+      .filter(col("drift") > tau)
+      .writeStream
+      .foreachBatch {
+        (alerts: org.apache.spark.sql.Dataset[Streams.DriftWin],
+         _: Long) =>
+        // foreachBatch runs driver-side; alert rows are final and
+        // dimension-sized (drifting windows), so collect IS the pager
+        paged ++= alerts.collect().map(a => (a.source, a.bucket))
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    // window 0 mean 0.75 (drift 0); window 1 mean 0.25 (cum 7/12 ->
+    // drift 1/3: pages); window 2 mean 0.75 (cum 7/12: pages); window
+    // 3 mean 0.5625 -> |0.5625 - 0.578125| ~ 0.0156: quiet
+    val batches = Seq(
+      Seq(("a", base + 1 * min, 0.5), ("a", base + 2 * min, 1.0)),
+      Seq(("a", base + 11 * min, 0.25)),
+      Seq(("a", base + 21 * min, 0.75)),
+      Seq(("a", base + 31 * min, 0.5), ("a", base + 32 * min, 0.625)),
+      Seq(("a", base + 99 * min, 1.0)))
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // exactly once: no window paged twice
+    assert(paged.distinct.size == paged.size,
+      s"a window paged more than once: $paged")
+    // completeness + precision: the paged set IS the batch twin's
+    // drifting-window set over the closed windows
+    val twin = AuditQueries.driftWindows(
+        batches.flatten.toDF("source", "ts_us", "q"),
+        expr(s"ts_us div $winUs"))
+      .filter(col("drift") > tau)
+      .filter(col("bucket") < (base + 99 * min) / winUs) // last stays open
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(twin.nonEmpty, "test data produced no drifting windows")
+    assert(paged.toSet == twin,
+      s"paged $paged != drifting windows $twin")
+  }
+
   test("drift monitor replays q137's event-time windows on the real events table") {
     import spark.implicits._
     implicit val s = spark
