@@ -920,8 +920,9 @@ object DedupQueries {
   private[graft] val DfCap = 64
 
   /** [[containmentShingles]] over a testdata dir, pinned — the shared
-    * q118/q121/q123 input (shingle kernel + df pass once per query). */
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    * q118/q121/q123 input (shingle kernel + df pass once per query).
+    * `private[graft]` for OptProbe's stage ledger (r18). */
+  private[graft] def cappedShingles(s: SparkSession, dir: String): DataFrame =
     containmentShinglesPinned(t(s, dir, "documents"))
 
   /** [[containmentShingles]] MATERIALIZED: pin the result, release the
@@ -946,7 +947,7 @@ object DedupQueries {
 
   /** [[containmentPairs]] over an injected df-capped shingle frame (the
     * [[shingleBase]] sharing seam for fused consumers like q124). */
-  private def containmentPairsFrom(sh: DataFrame): DataFrame = {
+  private[graft] def containmentPairsFrom(sh: DataFrame): DataFrame = {
     sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -1044,16 +1045,38 @@ object DedupQueries {
   }
 
   /** The containment family's exact verify tail (shared by q118b and
-    * q126): candidate pairs → melt-attach both capped shingle arrays
-    * (the q100 shape) → row-local intersection → C >= 0.9 rows in
-    * q118's output schema. */
-  private def containmentVerify(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set("s").as("sh"))
+    * q126): candidate pairs → attach both capped shingle arrays →
+    * row-local intersection → C >= 0.9 rows in q118's output schema.
+    *
+    * r18 shape: the per-doc array table is SEMI-FILTERED to candidate
+    * members first (pair-graph-bounded, ≪ corpus) and then size-gated
+    * through [[graft.operators.DedupOps.gateBroadcast]], so the
+    * candidate stream attaches both arrays through two broadcast hash
+    * joins of ONE shared build — where the previous melt shape
+    * re-shuffled 2·|cands| array-bearing rows through a pair-key
+    * regroup (`attachPairArrays`). Measured at sf0.1 (q126's 140k
+    * candidates for 256 true pairs): isolated verify tail 3.6→2.5 s,
+    * interleaved full-query A/B q126 6.7→5.9 s min-of-3 (OptProbe
+    * ab:verify; q118b ±noise — its 86k candidate set is smaller). At
+    * scale the gate demotes a pathological (majority-candidate) corpus
+    * to the deterministic sort-merge fallback instead of a corpus-scale
+    * broadcast. Both hinted sides read the same "size-gated" pin —
+    * registered per query in PlanRegressionSpec (pinBoundAllowed /
+    * boundPinSideCounts). */
+  private[graft] def containmentVerify(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val melted = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    val sets = graft.operators.DedupOps.gateBroadcast(
+      sh.join(melted, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_set("s").as("sh")))
     val i = size(array_intersect(col("sha"), col("shb")))
     val na = size(col("sha"))
     val nb = size(col("shb"))
-    attachPairArrays(cands, sets)
+    cands
+      .join(sets.as("_va"), col("doc_a") === col("_va.doc_id"))
+      .join(sets.as("_vb"), col("doc_b") === col("_vb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("_va.sh").as("sha"), col("_vb.sh").as("shb"))
       .select(
         when(na <= nb, col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
         when(na <= nb, col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
@@ -1100,9 +1123,15 @@ object DedupQueries {
     val kCol = if (k <= 0) expr("n div 10") + lit(1) else lit(k)
     // rareFirst: probe with the k globally-RAREST shingles (q118b's
     // order, k-capped) — cold join keys; plain bottom-k (hash order) is
-    // the classic unbiased containment sketch
+    // the classic unbiased containment sketch. xxhash64, not md5: the
+    // hash only picks WHICH per-doc subset probes, and in both regimes
+    // the choice is output-invariant (k <= 0: lossless by pigeonhole
+    // for ANY subset of the required size, and the exact verify
+    // recomputes C from full sets; k > 0: a different-but-equally-valid
+    // bottom-k family, same estimator), so the cheap codegen'd 64-bit
+    // hash replaces a 128-bit digest in the per-shingle hot path (r18).
     val ord = if (rareFirst) Seq(col("df").asc, col("s").asc)
-      else Seq(md5(col("s")).asc, col("s").asc)
+      else Seq(xxhash64(col("s")).asc, col("s").asc)
     val sketch = sh
       .withColumn("r", row_number().over(
         Window.partitionBy("doc_id").orderBy(ord: _*)))
