@@ -135,16 +135,21 @@ object DedupQueries {
     * filter (verify stage); it is exact-by-construction here so the
     * oracle can replicate it without minhash error. */
   /** doc_id → exploded distinct shingles, each row carrying its
-    * document's distinct-shingle count n (a doc_id-partitioned window —
-    * per-doc groups, never global), so (a) the size-band prune fires AT
-    * THE JOIN and (b) the final jaccard needs no separate sizes joins.
+    * document's distinct-shingle count n, so (a) the size-band prune
+    * fires AT THE JOIN and (b) the final jaccard needs no separate
+    * sizes joins. n = size(arr) read off the pre-explode array — a
+    * row-local projection (r18: the previous doc_id-partitioned count
+    * window re-counted exactly the rows the explode emitted, paying a
+    * corpus exchange + sort for a number the array already knew).
     * Checkpointed: feeds both join sides (q22) / both side filters
     * (q91), and the shingle kernel runs once. */
   private def shingleCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select(col("doc_id"),
+        array_distinct(gf.shingles(col("text"), N)).as("arr"))
+      .select(col("doc_id"), explode(col("arr")).as("s"),
+        size(col("arr")).cast("long").as("n"))
+      .select(col("doc_id"), col("s"), col("n"))
       .pin()
 
   /** ONE corpus text scan for the whole pair-graph family: the exploded
@@ -166,8 +171,14 @@ object DedupQueries {
     * join-back IS AQE-skew-splittable. The exploded frame is pinned
     * first so the shingle kernel runs once, not once per join side. */
   private def shingleBase(s: SparkSession, dir: String): DataFrame = {
+    // n = size(arr) rides the explode row-locally (r18 — same rewrite
+    // as [[shingleCounts]]): countsFrom then needs NO doc_id window, so
+    // the verdict family's jaccard side drops a corpus exchange + sort
     val ex = t(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+      .select(col("doc_id"),
+        array_distinct(gf.shingles(col("text"), N)).as("arr"))
+      .select(col("doc_id"), explode(col("arr")).as("s"),
+        size(col("arr")).cast("long").as("n"))
       .pin()
     // corpus-sized witness pin: appears under the gateVictims-gated
     // victims side (runtime corpus-count bound), never as its own hint
@@ -208,13 +219,16 @@ object DedupQueries {
     val exP = ex.repartition(parts, col("s"))
     val dfAgg = exP.groupBy("s").agg(count(lit(1)).as("df"))
     val kept = cap.fold(dfAgg)(c => dfAgg.filter(col("df") <= c))
-    exP.join(kept.hint("shuffle_hash"), "s").select("doc_id", "s", "df")
+    // preserve any rider columns of ex (shingleBase's row-local n)
+    exP.join(kept.hint("shuffle_hash"), "s")
+      .select(ex.columns.map(col) :+ col("df"): _*)
   }
 
-  /** [[shingleBase]] → q22's (doc_id, s, n) shape (uncapped sizes). */
+  /** [[shingleBase]] → q22's (doc_id, s, n) shape (uncapped sizes — the
+    * row-local n carried by [[shingleBase]]'s explode; cap = None keeps
+    * every row, so no window re-count is needed, r18). */
   private def countsFrom(base: DataFrame): DataFrame =
-    base.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select("doc_id", "s", "n")
+    base.select("doc_id", "s", "n")
 
   /** [[shingleBase]] → the containment family's df-capped
     * (doc_id, s, n, df) shape ([[containmentShingles]] semantics: sizes

@@ -383,8 +383,9 @@ object PipelineQueries {
     * count desc, pair asc), (3) applies the merge with the codegen
     * [[graft.functions.BpeMergePass]] kernel. The loop is
     * driver-bounded (nMerges rounds, like the reference's k-means
-    * iteration loop); forms pin per round (vocab-sized localCheckpoint)
-    * so lineage doesn't stack across rounds.
+    * iteration loop); forms pin every 4th round (vocab-sized
+    * localCheckpoint) so lineage stays bounded while the loop runs
+    * ~1.25 jobs/round instead of 2 (r18 — see the loop comment).
     *
     * Returns (merge table: rank/pair_a/pair_b/pair_count, final forms:
     * freq/sym) — the merge table IS the trained tokenizer artifact. */
@@ -400,6 +401,15 @@ object PipelineQueries {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
+    // r18: checkpoint every CkptEvery-th merge instead of every round.
+    // Each round's argmax job already re-executes the stacked
+    // bpe_merge projections since the last checkpoint — ≤ CkptEvery-1
+    // extra vocab-sized codegen passes — which is cheaper than the
+    // per-round checkpoint's write+read+job (the loop was 2 jobs/round;
+    // now ~1.25). The merges found are identical either way (the stack
+    // computes the same forms frame the per-round pin materialized).
+    val CkptEvery = 4
+    var stacked = 0
     for (r <- 1 to nMerges if !exhausted) {
       val top = bpePairCounts(forms)
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
@@ -410,7 +420,11 @@ object PipelineQueries {
         merges += ((r, a, b, c))
         forms = forms
           .select(col("freq"), gf.bpe_merge(col("sym"), a, b).as("sym"))
-          .localCheckpoint(true)
+        stacked += 1
+        if (stacked == CkptEvery) {
+          forms = forms.localCheckpoint(true)
+          stacked = 0
+        }
       }
     }
     import spark.implicits._
