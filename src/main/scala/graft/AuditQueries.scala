@@ -87,7 +87,11 @@ object AuditQueries {
       .agg(count(lit(1)).as("n_docs"),
         round(avg("q"), 4).as("mean_q"),
         round(avg("toks"), 2).as("mean_toks"))
-    val perSrc = scored.groupBy("source").agg(avg("q").as("_src_q"))
+    // per-source mean off the PINNED ranked rows, not `scored` (r18):
+    // RankOps pins (doc_id, source, q, toks) anyway, and aggregating the
+    // unpinned frame re-ran the scan and the qualityExpr regex pass a
+    // second time over the whole corpus for the same numbers
+    val perSrc = ranked.groupBy("source").agg(avg("q").as("_src_q"))
     perDec.join(broadcast(perSrc), "source")
       .select(col("source"), col("decile"), col("n_docs"),
         col("mean_q"), col("mean_toks"),

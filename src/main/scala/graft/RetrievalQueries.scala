@@ -164,8 +164,18 @@ object RetrievalQueries {
     * higher-order sequence/transform expression (codegen, no UDF),
     * corpus counts broadcast back. Low scores flag out-of-distribution
     * noise. */
-  def q47TrigramLm(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  def q47TrigramLm(s: SparkSession, dir: String): DataFrame =
+    trigramLm(t(s, dir, "documents"), riders = Nil)
+
+  /** [[q47TrigramLm]]'s body over an injected docs frame, with optional
+    * RIDER columns carried through the trigram stream and the per-doc
+    * aggregation (r18): doc_id determines each rider (lang), so
+    * grouping on (doc_id, riders…) has exactly the per-doc cardinality
+    * — and a consumer like q93 that needs (doc_id, lang, avg_logp) gets
+    * it in THIS plan instead of re-scanning documents for a
+    * corpus-sized doc_id join-back (one exchange + join removed).
+    * riders = Nil reproduces q47's registered plan verbatim. */
+  private[graft] def trigramLm(docs: DataFrame, riders: Seq[String]): DataFrame = {
     // Spark's sequence(1, 0) yields a DESCENDING [1, 0] — not empty like
     // SQL generate_series — so docs under 3 chars must be filtered out
     // before the index sequence is built.
@@ -175,9 +185,9 @@ object RetrievalQueries {
     // the materialization is strictly worse).
     val tri = docs
       .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id") +: riders.map(col) :+ explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-        .as("tri"))
+        .as("tri"): _*)
     // The corpus LM `freq` has bounded cardinality (charset³ distinct
     // trigrams) while the instance stream ≈ corpus bytes: a shuffle join
     // on `tri` would funnel the whole corpus through a few hundred keys
@@ -193,10 +203,11 @@ object RetrievalQueries {
     val total = Option(freq.agg(sum("c")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (total == 0L)
-      return docs.select(col("doc_id"), lit(0.0).as("avg_logp")).limit(0)
+      return docs.select(col("doc_id") +: riders.map(col)
+        :+ lit(0.0).as("avg_logp"): _*).limit(0)
     tri.join(broadcast(freq), "tri")
       .withColumn("lp", log(col("c").cast("double") / lit(total.toDouble)))
-      .groupBy("doc_id")
+      .groupBy("doc_id", riders: _*)
       .agg(round(sum("lp") / count(lit(1)), 4).as("avg_logp"))
   }
 

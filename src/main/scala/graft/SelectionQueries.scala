@@ -100,8 +100,13 @@ object SelectionQueries {
     * per-language counts — bucket boundaries cost integer math, not a
     * per-language sort bottleneck. */
   def q93CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
-    val lm = RetrievalQueries.q47TrigramLm(s, dir) // doc_id, avg_logp
-    val scored = lm.join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+    // lang rides the trigram pipeline as a grouping column (r18): the
+    // previous shape joined q47's (doc_id, avg_logp) back to documents
+    // on doc_id — a corpus-sized exchange + join for a column the scan
+    // already had. riders = Seq("lang") groups the per-doc aggregate on
+    // (doc_id, lang) — same cardinality, join gone.
+    val scored = RetrievalQueries.trigramLm(
+      t(s, dir, "documents"), riders = Seq("lang"))
     val ranked = RankOps.globalRowNumberPer(scored, "lang",
       Seq(col("avg_logp").desc, col("doc_id").asc), "r")
     val sizes = ranked.groupBy("lang").agg(count(lit(1)).as("_n"))
