@@ -731,16 +731,16 @@ object DedupQueries {
     * (generate candidates → verify candidates) pipeline, vs q22's
     * exact-by-construction corpus-wide shingle self-join.
     *
-    * Scale shape (r18 — [[attachPairArrays]]): the per-doc array table
-    * is semi-filtered to CANDIDATE members (pair-graph-bounded), gated
-    * through gateBroadcast, and both arrays attach via broadcast hash
-    * joins of that one build — the shingle kernel runs once, corpus
-    * arrays never re-shuffle on a pair key. (The naive two-join over
-    * the RAW corpus — one un-filtered join per pair side — measured
-    * ~equal to q22 at 10M docs: the kernel ran twice and the full
-    * corpus shuffled twice. The member semi-filter + shared gated
-    * build is what makes the two-stage pipeline actually cheaper.)
-    * Exactness:
+    * Scale shape: the pair set MELTS to (pair, member) rows, so ONE
+    * doc_id equi-join attaches shingle arrays — the shingle kernel runs
+    * once and the corpus-side arrays cross one exchange; the second
+    * exchange (pair-key re-group) carries arrays only for CANDIDATE
+    * docs, bounded by |candidates|. q22's shingle-key self-join instead
+    * ships one row PER (doc, shingle) instance and replicates hot
+    * shingles across tasks. A naive two-join version (one join per pair
+    * side) measured ~equal to q22 at 10M docs — the kernel ran twice
+    * and the full corpus shuffled twice; this shape is what makes the
+    * two-stage pipeline actually cheaper (BASELINE.md). Exactness:
     * intersection of distinct-shingle sets IS the Jaccard numerator —
     * no estimate anywhere; misses only what LSH itself missed
     * (measured 99.9% recall at 10M docs). */
@@ -779,31 +779,32 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
 
-  /** Attach both members' shingle arrays to candidate pairs — (doc_a,
-    * doc_b, sha, shb); `sets` must carry (doc_id, sh). r18 shape (the
-    * [[containmentVerify]] rewrite, shared): `sets` is SEMI-FILTERED to
-    * candidate members (pair-graph-bounded, ≪ corpus), size-gated
-    * through [[graft.operators.DedupOps.gateBroadcast]], and each side
-    * attaches through a broadcast hash join of the ONE gated build.
-    * The previous melt shape (explode pairs to (pair, member) rows,
-    * join, pair-key regroup) re-shuffled 2·|cands| array-bearing rows
-    * through an ObjectHashAggregate; on a majority-candidate corpus
-    * the gate here demotes to the deterministic sort-merge fallback.
-    * A pair with a member MISSING from `sets` drops at the inner join —
-    * exactly where the melt's null-array row died at the consumers'
-    * na/nb filters. Both hinted sides read the same "size-gated" pin,
-    * registered per query in PlanRegressionSpec. */
-  private def attachPairArrays(cands: DataFrame, sets: DataFrame): DataFrame = {
-    val melted = cands
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    val m = graft.operators.DedupOps.gateBroadcast(
-      sets.join(melted, Seq("doc_id"), "left_semi"))
+  /** The q100 melt shape, shared by the LSH-candidate verify stages:
+    * melt (doc_a, doc_b) pairs to (pair, member) rows so ONE doc_id
+    * equi-join attaches both members' shingle arrays — (doc_a, doc_b,
+    * sha, shb). `sets` must carry (doc_id, sh).
+    *
+    * r18 note: [[containmentVerify]] replaced this shape with a
+    * member-filtered gated-broadcast two-join and the SAME rewrite was
+    * A/B'd here (OptProbe ab:verify) — at q126's 140k candidates the
+    * broadcast form wins ~1.5 s, but at q106's 13.7k LSH candidates the
+    * melt wins ~0.5 s (the gate's pin+count+broadcast-build latency
+    * outweighs the small pair-key regroup). The LSH pair generators
+    * bound their candidate volume by construction (band occupancy /
+    * star mode), so the melt keeps the small-candidate regime these
+    * callers live in; the containment tails keep the broadcast form
+    * for their structurally larger lossless candidate sets. */
+  private def attachPairArrays(cands: DataFrame, sets: DataFrame): DataFrame =
     cands
-      .join(m.as("_va"), col("doc_a") === col("_va.doc_id"))
-      .join(m.as("_vb"), col("doc_b") === col("_vb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        col("_va.sh").as("sha"), col("_vb.sh").as("shb"))
-  }
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true)
+          .as("sha"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true)
+          .as("shb"))
 
   /** Quality-aware near-dup resolution — the PRODUCTION representative
     * rule: inside every near-dup cluster keep the HIGHEST-quality member

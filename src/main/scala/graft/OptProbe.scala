@@ -55,6 +55,34 @@ object OptProbe {
       println(f"  [stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
     }
 
+    // Kernel micro: OPQ/PQ train wall over the Bench.opqBench sample
+    // shape, 3 reps (JIT-warm by rep 2).
+    if (keys.headOption.contains("opq")) {
+      val rnd = new scala.util.Random(7L)
+      val dimn = 64
+      val a = Array.fill(dimn, dimn)((rnd.nextGaussian() / math.sqrt(dimn)).toFloat)
+      val w = Array.tabulate(dimn)(i => 1.0f / (1 + i / 4))
+      val sample = Array.fill(1024) {
+        val g = Array.fill(dimn)(rnd.nextGaussian())
+        Array.tabulate(dimn) { i =>
+          var sacc = 0.0
+          var j = 0
+          while (j < dimn) { sacc += a(i)(j) * w(i) * g(j); j += 1 }
+          sacc.toFloat
+        }
+      }
+      (1 to 3).foreach { r =>
+        var t0 = System.nanoTime()
+        graft.index.OpqCodec.train(sample, m = 8)
+        val opqS = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        graft.index.PqCodec.train(sample, m = 8)
+        val pqS = (System.nanoTime() - t0) / 1e9
+        println(f"[opq] rep$r opq_train=$opqS%.3f pq_train=$pqS%.3f")
+      }
+      spark.stop(); return
+    }
+
     // Deterministic structure census: for every registered query, the
     // physical plan's Exchange count (shuffle vs broadcast), the number
     // of jobs its construction+count runs, and wall — noise-free
@@ -165,12 +193,39 @@ object OptProbe {
         println(f"[ab] $tag%-14s $t%6.3fs rows=$n")
         t
       }
+      def oldQ106(): Long = {
+        val cands = DedupQueries.q21bMinhashFast(spark, dir)
+          .select("doc_a", "doc_b")
+        val sets = Tables.loadP(spark, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(gf.shingles(col("text"), DedupQueries.N)).as("sh"))
+        val melted = cands
+          .select(col("doc_a"), col("doc_b"),
+            explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .join(sets, "doc_id")
+          .groupBy("doc_a", "doc_b")
+          .agg(first(when(col("doc_id") === col("doc_a"), col("sh")),
+              ignoreNulls = true).as("sha"),
+            first(when(col("doc_id") === col("doc_b"), col("sh")),
+              ignoreNulls = true).as("shb"))
+        val i = size(array_intersect(col("sha"), col("shb")))
+        val na = size(col("sha"))
+        val nb = size(col("shb"))
+        melted.filter(na > 0 && nb > 0)
+          .select(col("doc_a"), col("doc_b"),
+            (i.cast("double") / (na + nb - i)).as("j"))
+          .filter(col("j") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+          .count()
+      }
       val reg = SparkEntry.queries
       (1 to 3).foreach { _ =>
         time("q126 OLD")(oldQ126())
         time("q126 NEW")(reg("q126_containment_sketch")(spark, dir).count())
         time("q118b OLD")(oldQ118b())
         time("q118b NEW")(reg("q118b_containment_prefix")(spark, dir).count())
+        time("q106 OLD")(oldQ106())
+        time("q106 NEW")(reg("q106_fast_neardup")(spark, dir).count())
       }
       spark.stop(); return
     }

@@ -90,15 +90,29 @@ object OpqCodec {
     }
     var pq: PqCodec.Model = null
     var iter = 0
+    // r18: per-sample rotate and encode/decode are independent and
+    // index-addressed — common-pool parallel, bit-identical at any core
+    // count; the order-sensitive mMat FP accumulation stays sequential
+    // in sample order so the learned rotation (and goldens) is exact.
+    def parRotate(src: Array[Array[Float]]): Array[Array[Float]] = {
+      val out = new Array[Array[Float]](src.length)
+      java.util.stream.IntStream.range(0, src.length).parallel()
+        .forEach(n => out(n) = rotated(src(n)))
+      out
+    }
     while (iter < opqIters) {
-      val ys = xs.map(rotated)
+      val ys = parRotate(xs)
       pq = PqCodec.train(ys, m, k, seed = seed)
+      val pqF = pq
+      val bs = new Array[Array[Float]](xs.length)
+      java.util.stream.IntStream.range(0, xs.length).parallel()
+        .forEach(n => bs(n) = pqF.decode(pqF.encode(ys(n))))
       // Procrustes step: M = Σ x·bᵀ, svd(M) = U·S·Vᵀ, R = V·Uᵀ
       val mMat = DenseMatrix.zeros[Double](dim, dim)
       var n = 0
       while (n < xs.length) {
         val x = xs(n)
-        val b = pq.decode(pq.encode(ys(n)))
+        val b = bs(n)
         var i = 0
         while (i < dim) {
           var j = 0
@@ -112,7 +126,7 @@ object OpqCodec {
       iter += 1
     }
     // codebooks must match the FINAL rotation
-    pq = PqCodec.train(xs.map(rotated), m, k, seed = seed)
+    pq = PqCodec.train(parRotate(xs), m, k, seed = seed)
     Model(Array.tabulate(dim, dim)((i, j) => r(i, j).toFloat), pq)
   }
 

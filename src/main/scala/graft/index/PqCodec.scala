@@ -142,24 +142,39 @@ object PqCodec {
     var centers = init.toArray
     var iter = 0
     var moved = true
+    // r18: the argmin pass (n·k·d — the train's hot loop, ~99% of
+    // opq_train_s) is read-only and index-addressed, so running it on
+    // the common pool is BIT-IDENTICAL at any thread/core count; the
+    // order-sensitive FP accumulation below stays sequential in sample
+    // order, preserving the seeded models (and the golden rows) exactly.
+    val assign = new Array[Int](xs.length)
     while (moved && iter < maxIter) {
-      val sums = Array.ofDim[Double](centers.length, d)
-      val counts = new Array[Long](centers.length)
-      xs.foreach { v =>
+      val cs = centers
+      java.util.stream.IntStream.range(0, xs.length).parallel().forEach { i =>
+        val v = xs(i)
         var best = 0
         var bestD = Double.MaxValue
         var j = 0
-        while (j < centers.length) {
-          val c = centers(j)
+        while (j < cs.length) {
+          val c = cs(j)
           var dist = 0.0
           var t = 0
           while (t < d) { val df = v(t) - c(t); dist += df * df; t += 1 }
           if (dist < bestD) { bestD = dist; best = j }
           j += 1
         }
+        assign(i) = best
+      }
+      val sums = Array.ofDim[Double](centers.length, d)
+      val counts = new Array[Long](centers.length)
+      var i = 0
+      while (i < xs.length) {
+        val v = xs(i)
+        val acc = sums(assign(i))
         var t = 0
-        while (t < d) { sums(best)(t) += v(t); t += 1 }
-        counts(best) += 1
+        while (t < d) { acc(t) += v(t); t += 1 }
+        counts(assign(i)) += 1
+        i += 1
       }
       val next = centers.indices.map { j =>
         if (counts(j) == 0) centers(j)
