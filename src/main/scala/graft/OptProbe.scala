@@ -55,6 +55,20 @@ object OptProbe {
       println(f"  [stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
     }
 
+    // loadP overhead probe: wall of the df.rdd planning pass per call.
+    if (keys.headOption.contains("loadp")) {
+      (1 to 3).foreach { r =>
+        var t0 = System.nanoTime()
+        (1 to 20).foreach(_ => Tables.load(spark, dir, "documents"))
+        val tLoad = (System.nanoTime() - t0) / 1e9 / 20
+        t0 = System.nanoTime()
+        (1 to 20).foreach(_ => Tables.loadP(spark, dir, "documents"))
+        val tLoadP = (System.nanoTime() - t0) / 1e9 / 20
+        println(f"[loadp] rep$r load=$tLoad%.4f loadP=$tLoadP%.4f (per call)")
+      }
+      spark.stop(); return
+    }
+
     // Kernel micro: OPQ/PQ train wall over the Bench.opqBench sample
     // shape, 3 reps (JIT-warm by rep 2).
     if (keys.headOption.contains("opq")) {

@@ -8,6 +8,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred parquet schema per (qualified path, mtime, length) — a
+    * METADATA cache (r18): every `spark.read.parquet(path)` re-reads
+    * footers to infer the schema (~50 ms/call), and query CONSTRUCTION
+    * in the bench loads each table 3+ times. The mtime+length key makes
+    * a rewritten path (probe legs overwrite their corpus dirs) miss the
+    * stale entry, so this caches no query results — the same class of
+    * session metadata cache as Spark's own file-listing cache. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet has carried TIMESTAMP(NANOS) (rejected by the
     // vectorized reader — read nanos as long, narrow to micros) and plain
@@ -15,7 +25,14 @@ object Tables {
     // across driver data generations. Normalize either shape to session-TZ
     // TimestampType (sessions pin UTC) so downstream code sees one type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val pathStr = s"$dir/$name.parquet"
+    val df = statOf(spark, pathStr) match {
+      case Some((qual, mtime, len)) =>
+        val schema = schemaCache.getOrElseUpdate((qual, mtime, len),
+          spark.read.parquet(pathStr).schema)
+        spark.read.schema(schema).parquet(pathStr)
+      case None => spark.read.parquet(pathStr) // let Spark raise its error
+    }
     if (name == "events") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
@@ -59,14 +76,46 @@ object Tables {
     * the partitioning instead of shuffling again (hash, not round-robin,
     * also avoids the sort-before-repartition determinism pass). On real
     * multi-file inputs the scan already parallelizes and this is a no-op.
-    */
+    *
+    * r18: the scan-task count is ESTIMATED from file bytes with Spark's
+    * own split formula (maxSplitBytes = min(maxPartitionBytes,
+    * max(openCostInBytes, bytes/defaultParallelism))) instead of
+    * `df.rdd.getNumPartitions`, which paid a full extra
+    * analysis+optimization+physical-planning pass per call (~40 ms —
+    * per query CONSTRUCTION, 3+ of which the bench runs per query). */
   def loadP(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < (target + 1) / 2)
+    val conf = spark.sessionState.conf
+    val scanParts = statOf(spark, s"$dir/$name.parquet") match {
+      case Some((_, _, len)) =>
+        val maxSplit = math.min(conf.filesMaxPartitionBytes,
+          math.max(conf.filesOpenCostInBytes,
+            (len + conf.filesOpenCostInBytes) / math.max(1, target)))
+        math.max(1L, (len + maxSplit - 1) / math.max(1L, maxSplit))
+      case None => 1L
+    }
+    if (scanParts < (target + 1) / 2)
       df.repartition(target, org.apache.spark.sql.functions.col(
         naturalKey.getOrElse(name, df.columns.head)))
     else df
+  }
+
+  /** (qualified path, mtime, total length) of a table path — one
+    * filesystem stat; None when the path does not exist. Directories
+    * (multi-file tables) report the summed content length so the
+    * [[loadP]] split estimate and the schema-cache key both see real
+    * bytes. */
+  private def statOf(spark: SparkSession,
+      pathStr: String): Option[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val st = fs.getFileStatus(p)
+      val len = if (st.isDirectory) fs.getContentSummary(p).getLength
+        else st.getLen
+      Some((fs.makeQualified(p).toString, st.getModificationTime, len))
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Register every table as a temp view (for spark.sql use). */
