@@ -8,9 +8,10 @@ import graft.functions.VectorKernels
   * Emits ONE JSON line. */
 object Bench {
 
-  /** The previous round's bench query set (short keys, = BENCH_r17's
-    * `queries` keys; r18 added q137, which lands in `value` but joins
-    * this subtotal only next round) — `common_prev_total` sums only
+  /** The previous round's bench query set (short keys, = BENCH_r18's
+    * `queries` keys — r19 adds q137 per the r18 note; the registry
+    * itself is unchanged this round, so value and common_prev_total
+    * cover the same 142 queries) — `common_prev_total` sums only
     * these, so the round-over-round comparison is like-for-like even
     * as the registry grows. Refresh when a round's BENCH lands. */
   private val PrevRoundKeys: Set[String] = Set(
@@ -20,7 +21,7 @@ object Bench {
     "q114", "q115", "q116", "q117", "q118", "q118b", "q119", "q12",
     "q120", "q121", "q122", "q123", "q124", "q124b", "q125", "q126",
     "q127", "q128", "q129", "q13", "q130", "q131", "q132", "q133",
-    "q134", "q135", "q136", "q14", "q15",
+    "q134", "q135", "q136", "q137", "q14", "q15",
     "q16", "q17", "q18", "q19", "q20", "q21", "q21b", "q22", "q23",
     "q24", "q24b", "q24c", "q25", "q26", "q27", "q28", "q29", "q30",
     "q31", "q32", "q33", "q34", "q35", "q36", "q37", "q38", "q39",

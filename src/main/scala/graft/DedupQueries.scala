@@ -144,13 +144,20 @@ object DedupQueries {
     * Checkpointed: feeds both join sides (q22) / both side filters
     * (q91), and the shingle kernel runs once. */
   private def shingleCounts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        array_distinct(gf.shingles(col("text"), N)).as("arr"))
-      .select(col("doc_id"), explode(col("arr")).as("s"),
-        size(col("arr")).cast("long").as("n"))
-      .select(col("doc_id"), col("s"), col("n"))
-      .pin()
+    // NOT pinned (r19): the self-join's two sides are the same subplan,
+    // so one explicit shingle-key exchange — partition count from the
+    // bytes estimate, no count job — is reused by both (ReuseExchange):
+    // the kernel runs once, in the exchange's map stage, and the join
+    // needs no further exchange (both sides already hash-partitioned on
+    // the join key). The pin's only job was the same kernel-once
+    // guarantee, at the cost of one materialization job per query.
+    partitionByShingle(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(gf.shingles(col("text"), N)).as("arr"))
+        .select(col("doc_id"), explode(col("arr")).as("s"),
+          size(col("arr")).cast("long").as("n")),
+      estShingleRows(s, dir))
 
   /** ONE corpus text scan for the whole pair-graph family: the exploded
     * distinct-shingle table with document frequency attached. Both
@@ -173,21 +180,20 @@ object DedupQueries {
   private def shingleBase(s: SparkSession, dir: String): DataFrame = {
     // n = size(arr) rides the explode row-locally (r18 — same rewrite
     // as [[shingleCounts]]): countsFrom then needs NO doc_id window, so
-    // the verdict family's jaccard side drops a corpus exchange + sort
+    // the verdict family's jaccard side drops a corpus exchange + sort.
+    // r19: the exploded frame is no longer pinned — attachDf's df pass
+    // hangs both its consumers off one bytes-estimated shingle-key
+    // exchange (kernel once, no scaffolding pin job, no count job, no
+    // release bookkeeping); the one materialization left is the base
+    // pin below, whose localCheckpoint now contains the text scan.
     val ex = t(s, dir, "documents")
       .select(col("doc_id"),
         array_distinct(gf.shingles(col("text"), N)).as("arr"))
       .select(col("doc_id"), explode(col("arr")).as("s"),
         size(col("arr")).cast("long").as("n"))
-      .pin()
     // corpus-sized witness pin: appears under the gateVictims-gated
     // victims side (runtime corpus-count bound), never as its own hint
-    val base = attachDf(ex, cap = None).pin("shingles-exploded")
-    // ex was only scaffolding for the df join — free its blocks NOW:
-    // left to the ContextCleaner, two exploded-corpus copies stay
-    // resident through the verdict's aggregations (10M-probe OOM)
-    graft.operators.DedupOps.releaseCheckpoint(ex)
-    base
+    attachDf(ex, cap = None, estShingleRows(s, dir)).pin("shingles-exploded")
   }
 
   /** The family's df pass: exploded (doc_id, s) → (doc_id, s, df) via a
@@ -197,7 +203,49 @@ object DedupQueries {
     * [[containmentShingles]]. `ex` must be pinned by the caller (two
     * consumers). Plan-gated by `ShinglePlanSpec`: window-free, and the
     * aggregate is map-side partial. */
-  private[graft] def attachDf(ex: DataFrame, cap: Option[Long]): DataFrame = {
+  private[graft] def attachDf(ex: DataFrame, cap: Option[Long],
+      estRows: Option[Long] = None): DataFrame =
+    attachDfP(partitionByShingle(ex, estRows), ex.columns.toSeq, cap)
+
+  /** Hash-partition an exploded shingle frame on the shingle key at a
+    * build-safe partition count — the ONE exchange every consumer of
+    * the frame hangs off (ReuseExchange): the shingle kernel runs once,
+    * in this exchange's map stage, with no checkpoint pin and (when
+    * `estRows` is given) no count job.
+    *
+    * The partition count scales with the exploded row count (~1.5M
+    * rows/partition — 10M-doc probe: 32 session partitions put an ~8M-
+    * entry shuffled-hash build in each task and died in "not enough
+    * memory to build hash map"). estRows: the caller's bytes-derived
+    * estimate ([[estShingleRows]]) — r19, replacing the pinned-`ex`
+    * count job the r18 shape paid per query; None falls back to an
+    * exact count (the caller must have pinned `ex`, else the kernel
+    * runs twice). At bench SFs the max() leaves the session
+    * partitioning alone in both regimes. */
+  private def partitionByShingle(ex: DataFrame,
+      estRows: Option[Long]): DataFrame = {
+    val rows = estRows.getOrElse(ex.count())
+    val parts = math.max(ex.sparkSession.sparkContext.defaultParallelism,
+      (rows / 1500000L).toInt + 1)
+    ex.repartition(parts, col("s"))
+  }
+
+  /** Exploded distinct-shingle row estimate for a documents dir:
+    * parquet bytes / 2 — natural text runs ~5.5 raw bytes/token and
+    * parquet compresses it 2-3×, so ≥ 2 parquet bytes per shingle row
+    * (sf0.1 measures 594 kB for ~300k exploded rows, right at the
+    * bound). Overestimating rows only SHRINKS the per-task hash build
+    * (more partitions) — the safe direction. Scale-free: grows with
+    * input bytes, one filesystem stat, no job. */
+  private def estShingleRows(s: SparkSession, dir: String): Option[Long] =
+    Tables.byteSize(s, dir, "documents").map(b => math.max(1L, b / 2))
+
+  /** [[attachDf]] over a frame already partitioned by
+    * [[partitionByShingle]] — the seam for callers that hang MORE
+    * consumers off the same exchange (bandedVerdictFrom's collect_set
+    * side). See [[attachDf]] for the join-shape rationale. */
+  private def attachDfP(exP: DataFrame, exCols: Seq[String],
+      cap: Option[Long]): DataFrame = {
     // shuffled HASH join, not sort-merge: on df-flat corpora the agg
     // side is nearly as large as ex itself and SMJ's two corpus-scale
     // sorts measured ~3× the old window pass at 10M docs; hashing the
@@ -208,20 +256,11 @@ object DedupQueries {
     // of hash lookups (capped configs: all misses — the key isn't in
     // the build), never the window's single-task sort-and-buffer of
     // the whole hot partition.
-    // The hash build must FIT per task, so the join's partition count
-    // scales with the exploded row count (~1.5M rows/partition —
-    // 10M-doc probe: 32 session partitions put an ~8M-entry build in
-    // each task and died in "not enough memory to build hash map");
-    // `ex` is pinned by every caller, so the count is a cheap job, and
-    // at bench SFs the max() leaves the session partitioning alone.
-    val parts = math.max(ex.sparkSession.sparkContext.defaultParallelism,
-      (ex.count() / 1500000L).toInt + 1)
-    val exP = ex.repartition(parts, col("s"))
     val dfAgg = exP.groupBy("s").agg(count(lit(1)).as("df"))
     val kept = cap.fold(dfAgg)(c => dfAgg.filter(col("df") <= c))
     // preserve any rider columns of ex (shingleBase's row-local n)
     exP.join(kept.hint("shuffle_hash"), "s")
-      .select(ex.columns.map(col) :+ col("df"): _*)
+      .select(exCols.map(col) :+ col("df"): _*)
   }
 
   /** [[shingleBase]] → q22's (doc_id, s, n) shape (uncapped sizes — the
@@ -251,7 +290,16 @@ object DedupQueries {
     * near-miss pairs die at the join instead of flowing through the
     * pair aggregation. */
   private def jaccardPairsFrom(sh: DataFrame): DataFrame =
-    sh.as("a")
+    // merge hint (r19): over the pin-free scan-based shingle frame the
+    // planner's size estimate (file bytes, blind to the explode's
+    // multiplier) reads the whole exploded table as broadcastable and
+    // flips this self-join to a BroadcastHashJoin — kernel twice, a
+    // corpus-derived broadcast, and no reuse of the shingle-key
+    // exchange. The hint restores the pinned shape's sort-merge join,
+    // whose clustering requirement both sides already satisfy, so the
+    // ONE partitionByShingle exchange is reused and the kernel runs
+    // once in its map stage.
+    sh.as("a").hint("merge")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
         col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -278,7 +326,8 @@ object DedupQueries {
     val sh = shingleCounts(s, dir)
     val corpus = sh.filter(col("doc_id") % 2 === 0)
     val batch = sh.filter(col("doc_id") % 2 === 1)
-    corpus.as("a")
+    // merge hint: same broadcast-estimate hazard as [[jaccardPairsFrom]]
+    corpus.as("a").hint("merge")
       .join(batch.as("b"), col("a.s") === col("b.s") &&
         col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
       .groupBy(col("a.doc_id").as("doc_old"), col("b.doc_id").as("doc_new"))
@@ -912,6 +961,9 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
       // pinned so the shingle kernel runs once, not once per join side
+      // (this legacy path serves ARBITRARY docs frames — the streaming
+      // gate's stored corpus — where no bytes estimate exists; the
+      // dir-backed queries take [[cappedShinglesOf]]'s pin-free path)
       .pin()
     // df via groupBy partial aggregate + join-back ([[attachDf]]), NOT a
     // shingle-key window: a window partition gets no map-side combine
@@ -926,6 +978,23 @@ object DedupQueries {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "s", "n", "df") // df rides along for q118b's prefix rank
     (res, ex)
+  }
+
+  /** [[containmentShinglesParts]]'s r19 pin-free twin for dir-backed
+    * corpora: the df pass and every consumer hang off ONE
+    * bytes-estimated shingle-key exchange ([[partitionByShingle]] —
+    * kernel once via ReuseExchange), so the scaffolding checkpoint, its
+    * count job, and its release all disappear; the caller's RESULT pin
+    * is the only materialization (3 jobs → 1 per containment query).
+    * Same plan constraints as the legacy path (window-free df pass —
+    * ShinglePlanSpec; per-doc n window only). */
+  private def cappedShinglesOf(docs: DataFrame,
+      estRows: Option[Long]): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
+    attachDf(ex, cap = Some(DfCap), estRows)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "s", "n", "df")
   }
 
   /** The shingles [[containmentShingles]] DROPPED (df > cap) — the
@@ -946,9 +1015,17 @@ object DedupQueries {
 
   /** [[containmentShingles]] over a testdata dir, pinned — the shared
     * q118/q121/q123 input (shingle kernel + df pass once per query).
-    * `private[graft]` for OptProbe's stage ledger (r18). */
+    * `private[graft]` for OptProbe's stage ledger (r18). r19: rides the
+    * pin-free [[cappedShinglesOf]] pipeline — the bytes estimate exists
+    * for a dir-backed corpus, so the scaffolding pin + count jobs are
+    * gone and the one job left is this result pin. */
   private[graft] def cappedShingles(s: SparkSession, dir: String): DataFrame =
-    containmentShinglesPinned(t(s, dir, "documents"))
+    estShingleRows(s, dir) match {
+      case est @ Some(_) =>
+        cappedShinglesOf(t(s, dir, "documents"), est)
+          .pin("shingles-df-capped")
+      case None => containmentShinglesPinned(t(s, dir, "documents"))
+    }
 
   /** [[containmentShingles]] MATERIALIZED: pin the result, release the
     * internal exploded scaffolding immediately. Any caller that holds
@@ -1017,9 +1094,18 @@ object DedupQueries {
     * only a genuinely large corpus pays the exact pin+count gate. */
   private def gateVictims(s: SparkSession, dir: String, victims: DataFrame,
       rowLimit: Long): DataFrame =
-    if (Tables.load(s, dir, "documents").count() <= rowLimit)
-      broadcast(victims)
-    else graft.operators.DedupOps.gateBroadcast(victims, rowLimit)
+    // corpus row count from parquet FOOTER metadata (Tables.rowCount,
+    // r19) — the same number the old count() job computed (a count over
+    // a parquet scan is itself footer-only), minus the job; a missing
+    // stat falls back to the counting gate
+    Tables.rowCount(s, dir, "documents") match {
+      case Some(n) if n <= rowLimit => broadcast(victims)
+      case Some(_) => graft.operators.DedupOps.gateBroadcast(victims, rowLimit)
+      case None =>
+        if (Tables.load(s, dir, "documents").count() <= rowLimit)
+          broadcast(victims)
+        else graft.operators.DedupOps.gateBroadcast(victims, rowLimit)
+    }
 
   /** The distinct subsumption victim ids — q121's core set, shared with
     * the q124 fused verdict. Pair-graph-sized. */
@@ -1053,19 +1139,36 @@ object DedupQueries {
   def q118bContainmentPrefix(s: SparkSession, dir: String): DataFrame =
     containmentPrefix(cappedShingles(s, dir))
 
-  /** q118b's body over an injected capped shingle frame. */
+  /** q118b's body over an injected capped shingle frame.
+    *
+    * r19 candidate prune, DOUBLED prefix + pigeonhole hit threshold:
+    * the prefix takes the 2·⌊n/10⌋+1 rarest shingles (instead of
+    * ⌊n/10⌋+1) and a pair survives only when ≥ ⌊n_small/10⌋+1 of them
+    * hit the partner. LOSSLESS by the same pigeonhole as the single
+    * prefix: C ≥ 0.9 bounds the small side's misses in the partner's
+    * capped set by ⌊n_small/10⌋, so of any (2⌊n/10⌋+1)-subset at least
+    * ⌊n/10⌋+1 must hit (and 2⌊n/10⌋+1 ≤ n always, so the subset
+    * exists). Probing is ONE-SIDED (small → big, ties by id — C
+    * normalizes by the small side, and (pair, s) stays unique so hits
+    * is a plain count); ~2× prefix join fan-in buys a ~100× smaller
+    * verify input (sf0.1: 86,030 → 778 candidates for 256 true pairs,
+    * every true pair provably retained — ContainmentSpec pins equality
+    * with q118 row for row). */
   private[graft] def containmentPrefix(sh: DataFrame): DataFrame = {
     val pref = sh
       .withColumn("r", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
-      .filter(col("r") <= expr("n div 10") + 1)
-      .select(col("doc_id").as("pd"), col("s"))
+      .filter(col("r") <= expr("2 * (n div 10)") + 1)
+      .select(col("doc_id").as("pd"), col("n").as("np"), col("s"))
     val cands = pref
-      .join(sh.select(col("doc_id").as("od"), col("s")), "s")
-      .filter(col("pd") =!= col("od"))
-      .select(least(col("pd"), col("od")).as("doc_a"),
+      .join(sh.select(col("doc_id").as("od"), col("n").as("no"), col("s")), "s")
+      .filter(col("np") < col("no") ||
+        (col("np") === col("no") && col("pd") < col("od")))
+      .groupBy(least(col("pd"), col("od")).as("doc_a"),
         greatest(col("pd"), col("od")).as("doc_b"))
-      .distinct()
+      .agg(count(lit(1)).as("hits"), first(col("np")).as("np"))
+      .filter(col("hits") >= expr("np div 10") + 1)
+      .select("doc_a", "doc_b")
     containmentVerify(cands, sh)
   }
 
@@ -1145,7 +1248,15 @@ object DedupQueries {
 
   private[graft] def containmentSketchPairs(sh: DataFrame, k: Int,
       minHits: Int, rareFirst: Boolean = false): DataFrame = {
-    val kCol = if (k <= 0) expr("n div 10") + lit(1) else lit(k)
+    // k <= 0 (the registered lossless regime): DOUBLED adaptive sketch,
+    // 2·⌊n/10⌋+1 rows, with the pigeonhole hit threshold ⌊n_small/10⌋+1
+    // applied per pair below (r19 — see [[containmentPrefix]]'s proof;
+    // hash order is just a different subset choice, the same bound
+    // holds for ANY subset of that size). sf0.1: candidates 140,782 →
+    // 1,267 for 256 true pairs, ~100× less verify input for ~2× probe
+    // fan-in. The k > 0 probe regime (ContainScaleProbe's measured
+    // estimator) is untouched: fixed bottom-k sketch, caller's minHits.
+    val kCol = if (k <= 0) expr("2 * (n div 10)") + lit(1) else lit(k)
     // rareFirst: probe with the k globally-RAREST shingles (q118b's
     // order, k-capped) — cold join keys; plain bottom-k (hash order) is
     // the classic unbiased containment sketch. xxhash64, not md5: the
@@ -1173,14 +1284,17 @@ object DedupQueries {
     // preserves every true pair. Halves the probe join AND makes
     // (pair, s) unique, so hits is a plain count, never a countDistinct
     // expand.
+    val hitFloor =
+      if (k <= 0) greatest(lit(minHits), expr("np div 10") + 1)
+      else lit(minHits)
     val cands = sketch
       .join(sh.select(col("doc_id").as("od"), col("n").as("no"), col("s")), "s")
       .filter(col("np") < col("no") ||
         (col("np") === col("no") && col("pd") < col("od")))
       .groupBy(least(col("pd"), col("od")).as("doc_a"),
         greatest(col("pd"), col("od")).as("doc_b"))
-      .agg(count(lit(1)).as("hits"))
-      .filter(col("hits") >= minHits)
+      .agg(count(lit(1)).as("hits"), first(col("np")).as("np"))
+      .filter(col("hits") >= hitFloor)
       .select("doc_a", "doc_b")
     containmentVerify(cands, sh)
   }
@@ -1401,6 +1515,12 @@ object DedupQueries {
     * with the df-capped containment victims. */
   private def bandedVerdictFrom(s: SparkSession, dir: String,
       rowLimit: Long, cands: DataFrame): DataFrame = {
+    // The exploded-shingle pin STAYS here (unlike shingleBase /
+    // cappedShingles, r19): its two consumers — the verify's
+    // collect_set side and the df-capped victims side — materialize in
+    // SEPARATE executions (the edge collect vs the final verdict job),
+    // and exchange reuse never crosses executions, so a pin-free shape
+    // would re-run the shingle kernel once per execution.
     val ex = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(gf.shingles(col("text"), N))).as("s"))
@@ -1408,7 +1528,9 @@ object DedupQueries {
       .pin("shingles-exploded")
     val sets = ex.groupBy("doc_id").agg(collect_set("s").as("sh"))
     val pairs = verifyPairsAgainstSets(cands, sets)
-    val capped = attachDf(ex, cap = Some(DfCap))
+    // estRows still applies: sizes the df join's partitions without the
+    // pinned frame's count job (r19)
+    val capped = attachDf(ex, cap = Some(DfCap), estShingleRows(s, dir))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "s", "n", "df")
     verdictCore(s, dir, rowLimit, pairs,

@@ -244,6 +244,48 @@ object OptProbe {
       spark.stop(); return
     }
 
+    // r19 interleaved A/B of the q22 shingle-pipeline shapes, one JVM:
+    //  OLD  = r18 registered (explode -> pin -> planner SMJ self-join)
+    //  NEW  = r19 registered (bytes-estimated repartition, merge-hinted
+    //         self-join, no pin)
+    //  BHJ  = the no-hint hazard shape (planner broadcasts a side)
+    if (keys.headOption.contains("ab:jacc")) {
+      import org.apache.spark.sql.functions._
+      def jacc(sh: org.apache.spark.sql.DataFrame, hint: String): Long = {
+        val a0 = sh.as("a")
+        val a = if (hint.isEmpty) a0 else a0.hint(hint)
+        a.join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+              col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"),
+            first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("j"))
+          .filter(col("j") >= 0.8)
+          .count()
+      }
+      def ex0() = Tables.loadP(spark, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(gf.shingles(col("text"), DedupQueries.N)).as("arr"))
+        .select(col("doc_id"), explode(col("arr")).as("s"),
+          size(col("arr")).cast("long").as("n"))
+      val parts = spark.sparkContext.defaultParallelism
+      def time(tag: String)(f: => Long): Unit = {
+        System.gc()
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[ab] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%6.3fs rows=$n")
+      }
+      (1 to 3).foreach { _ =>
+        time("jacc OLD-pin")(jacc(graft.operators.Pins.pin(ex0()), ""))
+        time("jacc NEW-merge")(jacc(ex0().repartition(parts, col("s")), "merge"))
+        time("jacc NEW-shj")(jacc(ex0().repartition(parts, col("s")), "shuffle_hash"))
+        time("jacc BHJ-nohint")(jacc(ex0().repartition(parts, col("s")), ""))
+      }
+      spark.stop(); return
+    }
+
     // Bench-identical per-query timing (min of 3 warm count() runs) for
     // a named subset: minibench q126_containment_sketch q118b_...
     if (keys.headOption.contains("minibench")) {

@@ -520,21 +520,54 @@ object PipelineQueries {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .localCheckpoint(true) // rescanned once per EM round
     // seed: frequent substrings scored count·len (Kudo §3.2's "reasonably
-    // big" seed), plus EVERY single character for segmentation coverage
+    // big" seed), plus EVERY single character for segmentation coverage.
+    // r19: ONE collect instead of checkpoint + two collects — the char
+    // and top-multi branches union over the same substring aggregate
+    // (ReuseExchange shares its exchange, so the explode runs once) and
+    // the driver restores each branch's exact previous ordering: the
+    // chars' piece sort uses Spark's OWN string order (unsigned UTF-8
+    // bytes — Java String order differs on supplementary chars), so the
+    // seed array, its FP score-sum order, and the golden tables are
+    // bit-identical to the two-collect shape. 3 jobs → 1.
     val subs = words.select(col("freq"), explode(expr(
       s"""flatten(transform(sequence(1, least(length(w), $maxPieceLen)),
          |  l -> transform(sequence(1, length(w) - l + 1),
          |    p -> substring(w, p, l))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum("freq").as("cnt"))
-      .localCheckpoint(true) // read twice (char + multi subsets)
-    val chars = subs.filter(length(col("piece")) === 1)
-      .orderBy("piece").collect()
-    val multi = subs.filter(length(col("piece")) > 1)
-      .orderBy((col("cnt") * length(col("piece"))).desc, col("piece").asc)
-      .limit(seedSize).collect()
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // branch marker + codePointCount: Spark's length() counts code
+    // POINTS while String.length counts UTF-16 units, so the driver must
+    // not re-derive either the branch split or the score length
+    val seedRows = subs.filter(length(col("piece")) === 1)
+        .select(col("piece"), col("cnt"), lit(true).as("isChar"))
+      .unionByName(subs.filter(length(col("piece")) > 1)
+        .orderBy((col("cnt") * length(col("piece"))).desc, col("piece").asc)
+        .limit(seedSize)
+        .select(col("piece"), col("cnt"), lit(false).as("isChar")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    def cpLen(p: String): Long = p.codePointCount(0, p.length).toLong
+    val chars = seedRows.filter(_._3)
+      .sortWith((a, b) => utf8Lt(a._1, b._1))
+    val multi = seedRows.filterNot(_._3)
+      .sortWith((a, b) =>
+        if (a._2 * cpLen(a._1) != b._2 * cpLen(b._1))
+          a._2 * cpLen(a._1) > b._2 * cpLen(b._1)
+        else utf8Lt(a._1, b._1))
     var vocab: Array[(String, Double)] = {
-      val seed = (chars ++ multi).map(r =>
-        (r.getString(0), r.getLong(1).toDouble * r.getString(0).length))
+      // score length = String.length (UTF-16 units), exactly as the
+      // previous collect's getString(0).length scored it
+      val seed = (chars ++ multi).map { case (p, cnt, _) =>
+        (p, cnt.toDouble * p.length) }
       val tot = seed.iterator.map(_._2).sum
       seed.map { case (p, sc) => (p, math.log(sc / tot)) }
     }

@@ -101,6 +101,43 @@ object Tables {
     else df
   }
 
+  /** On-disk parquet bytes of a table — the stats-free scale signal the
+    * dedup family's partition sizing derives from (r19): one filesystem
+    * stat, no Spark job, no planning pass. None when the path is
+    * missing. */
+  def byteSize(spark: SparkSession, dir: String, name: String): Option[Long] =
+    statOf(spark, s"$dir/$name.parquet").map(_._3)
+
+  /** Exact row count per (qualified path, mtime, length) — footer
+    * METADATA, same cache class as [[schemaCache]]: parquet footers
+    * carry per-row-group counts, so the count needs no Spark job at
+    * all (the dedup verdicts' corpus-size gates each paid a count JOB
+    * for a number the footers already knew — r19). Invalidated by any
+    * rewrite through the mtime+length key; caches no query results. */
+  private val rowCountCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), Long]
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Option[Long] =
+    statOf(spark, s"$dir/$name.parquet").map { case key @ (_, _, _) =>
+      rowCountCache.getOrElseUpdate(key, {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        val fs = p.getFileSystem(conf)
+        val st = fs.getFileStatus(p)
+        val files =
+          if (st.isDirectory)
+            fs.listStatus(p).toSeq.filter(f => f.isFile &&
+              f.getPath.getName.endsWith(".parquet"))
+          else Seq(st)
+        files.iterator.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      })
+    }
+
   /** (qualified path, mtime, total length) of a table path — one
     * filesystem stat; None when the path does not exist. Directories
     * (multi-file tables) report the summed content length so the

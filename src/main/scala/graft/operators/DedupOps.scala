@@ -109,23 +109,57 @@ object DedupOps {
   def connectedComponentsCounted(pairs: DataFrame, a: String, b: String,
       maxIter: Int = 20,
       driverEdgeLimit: Long = DriverEdgeLimit): (DataFrame, Long) = {
-    val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
-      .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
-      .distinct().pin()
-    val nEdges = edges.count()
-    if (nEdges <= driverEdgeLimit) driverComponents(edges)
-    else {
-      val labels = distributedComponents(edges, maxIter)
-      (labels, labels.count())
+    // r19: OPTIMISTIC single collect. The common case (pair graph ≪
+    // corpus) previously paid three jobs — a pin running the pair
+    // source through a union+distinct exchange of 2×|pairs| directed
+    // rows, a count, a collect. Union-find needs neither direction
+    // doubling nor dedup (it is idempotent and undirected), so the
+    // driver path now collects the raw (a, b) pair list directly: ONE
+    // job, and the shuffle that job runs carries half the rows. Two
+    // guards keep the collect bounded:
+    //  - the row gate stays EXACT: |pairs|·2 (what the old directed
+    //    distinct counted — callers' pair lists are distinct and a < b
+    //    by construction) against driverEdgeLimit, checked post-collect;
+    //    past it the distributed path runs as before (the rare regime
+    //    pays one extra pair-source pass — noise next to its label
+    //    loop);
+    //  - a COLLECT past spark.driver.maxResultSize is aborted by Spark
+    //    itself (the driver never materializes it); that abort routes
+    //    to the distributed path instead of failing the query.
+    val und = pairs.select(col(a).cast("long").as("src"),
+      col(b).cast("long").as("dst"))
+    val sp = pairs.sparkSession
+    import sp.implicits._
+    val collected: Option[Array[(Long, Long)]] =
+      try {
+        val arr = und.as[(Long, Long)].collect()
+        if (arr.length * 2L <= driverEdgeLimit) Some(arr) else None
+      } catch {
+        // "Total size of serialized results ... bigger than
+        // spark.driver.maxResultSize" — the one failure this gate
+        // expects; anything else re-throws untouched
+        case e: org.apache.spark.SparkException
+            if String.valueOf(e.getMessage).contains("maxResultSize") =>
+          None
+      }
+    collected match {
+      case Some(arr) => driverComponents(pairs.sparkSession, arr)
+      case None =>
+        val edges = und
+          .union(pairs.select(col(b).cast("long").as("src"),
+            col(a).cast("long").as("dst")))
+          .distinct().pin()
+        val labels = distributedComponents(edges, maxIter)
+        (labels, labels.count())
     }
   }
 
-  /** Small-graph path: collect the (deduplicated, id-only) edge list and
-    * run union-find with path compression + union-by-min. One collect,
-    * one createDataFrame — no per-round jobs; the label count is free. */
-  private def driverComponents(edges: DataFrame): (DataFrame, Long) = {
-    val spark = edges.sparkSession
-    import spark.implicits._
+  /** Small-graph path: union-find with path compression + union-by-min
+    * over the collected pair list. One createDataFrame — no jobs; the
+    * label count is free. Duplicate or reversed pairs are harmless
+    * (union is idempotent and undirected). */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): (DataFrame, Long) = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -134,7 +168,7 @@ object DedupOps {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.select("src", "dst").as[(Long, Long)].collect().foreach {
+    edges.foreach {
       case (s, d) =>
         parent.getOrElseUpdate(s, s)
         parent.getOrElseUpdate(d, d)
