@@ -33,13 +33,18 @@ object DedupQueries {
     * near-dup sweep: the only shuffle is on band-bucket keys, candidate
     * verification cost is |pairs|, not |docs|². */
   def q21MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // r19: one explicit bucket exchange instead of a pin — both
+    // self-join sides reuse it (ReuseExchange), so the minhash kernel
+    // still runs once, in the exchange's map stage, and the pin's
+    // materialization job is gone. The merge hint keeps the join
+    // sort-merge: the scan-based size estimate (file bytes, blind to
+    // the banding explode) would otherwise broadcast a corpus-derived
+    // side. Partition count rides spark.sql.shuffle.partitions + AQE.
     val bands = t(s, dir, "documents")
       .select(col("doc_id"), gf.minhash(col("text"), N, K).as("sig"))
       .select(col("doc_id"), explode(gf.lsh_bands(col("sig"), BANDS)).as("bucket"))
-      // materialize once: both sides of the self-join read the computed
-      // bands instead of re-running the minhash kernel per side
-      .pin()
-    val a = bands.as("a")
+      .repartition(col("bucket"))
+    val a = bands.as("a").hint("merge")
     val b = bands.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -55,23 +60,28 @@ object DedupQueries {
     * candidate sets, so it carries its own oracle rather than q21's. */
   def q21bMinhashFast(s: SparkSession, dir: String): DataFrame = {
     val bands = minhashFastBands(s, dir)
-    bands.as("a")
+    // merge hint: same estimate-blind broadcast hazard as q21
+    bands.as("a").hint("merge")
       .join(bands.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** q21b's banding stage alone: the checkpointed exploded
-    * (doc_id, bucket) frame — minhash kernel run once, shared by the
-    * all-pairs ([[q21bMinhashFast]]) and star ([[q133MinhashStar]])
-    * candidate generators. */
+  /** q21b's banding stage alone: the exploded (doc_id, bucket) frame,
+    * hash-partitioned on the bucket key — the ONE exchange every
+    * consumer hangs off (r19, replacing the pin): the all-pairs
+    * self-join's two sides ([[q21bMinhashFast]]) and the star
+    * generator's min-aggregate + member join ([[q133MinhashStar]],
+    * whose groupBy and join both cluster on this key, so neither adds
+    * an exchange) all reuse it, and the minhash kernel runs once in
+    * its map stage with no materialization job. */
   private[graft] def minhashFastBands(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), gf.minhash_fast(col("text"), N, K).as("sig"))
       .select(col("doc_id"),
         explode(gf.lsh_bands_long(col("sig"), BANDS)).as("bucket"))
-      .pin()
+      .repartition(col("bucket"))
 
   /** STAR-mode candidate edges from an exploded (doc_id, bucket)
     * banding frame: per bucket, pair every member with the bucket's
@@ -383,15 +393,20 @@ object DedupQueries {
   def q24cSimhashR2(s: SparkSession, dir: String): DataFrame =
     simhashBandedPairs(simhashSig(s, dir), 2)
 
-  /** The checkpointed (doc_id, h1, h2, v) signature frame over a corpus
-    * dir — simhash kernel run once, halves pre-parsed for xor+bit_count
-    * verification, v the recombined 64-bit signature for banding. */
+  /** The (doc_id, h1, h2, v) signature frame over a corpus dir —
+    * halves pre-parsed for xor+bit_count verification, v the recombined
+    * 64-bit signature for banding. No longer pinned (r19): every
+    * consumer reaches it through [[simhashBandedPairs]]'s banded
+    * exchange, which all join/aggregate sides reuse, so the simhash
+    * kernel still runs once — in that exchange's map stage — without a
+    * materialization job (q24's all-pairs nested loop keeps its own pin
+    * in [[q24SimhashPairs]]: a nested-loop join has no exchange to
+    * reuse). */
   def simhashSig(s: SparkSession, dir: String): DataFrame = {
     val (h1, h2) = gf.hex_to_long_halves(col("simhash"))
     q23Simhash(s, dir)
       .withColumn("h1", h1).withColumn("h2", h2)
       .withColumn("v", shiftleft(col("h1"), 32).bitwiseOR(col("h2")))
-      .pin() // simhash kernel once, not once per join side
   }
 
   /** Generalized Manku banding at a configurable radius: hamming<=r
@@ -434,6 +449,10 @@ object DedupQueries {
     val extra = 64 % nBands // first `extra` bands are one bit wider
     val widths = (0 until nBands).map(i => if (i < extra) base + 1 else base)
     val offs = widths.scanLeft(0)(_ + _)
+    // one explicit band-key exchange (r19): the all-pairs self-join's
+    // two sides — and the star path's min-aggregate + member join,
+    // which cluster on the same keys — all reuse it, so the signature
+    // kernel runs once in its map stage without the former sig pin
     val banded = sig.select(col("doc_id"), col("h1"), col("h2"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
@@ -442,6 +461,7 @@ object DedupQueries {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("h1"), col("h2"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
+      .repartition(col("band"), col("bval"))
     val cands =
       if (star) {
         // per-(band,value) min member carries its halves along so the
@@ -455,7 +475,7 @@ object DedupQueries {
           .select(col("m.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("m.h1").as("ah1"), col("m.h2").as("ah2"),
             col("b.h1").as("bh1"), col("b.h2").as("bh2"))
-      } else banded.as("a")
+      } else banded.as("a").hint("merge") // estimate-blind broadcast hazard
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
             col("a.doc_id") < col("b.doc_id"))

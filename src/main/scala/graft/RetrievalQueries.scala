@@ -194,17 +194,22 @@ object RetrievalQueries {
     // (one hot task per trigram). Broadcast the model instead — the big
     // side never shuffles; the only wide exchange left is the partial-agg
     // combine on doc_id.
-    // bounded pin: distinct character trigrams ≤ |charset|³ — the
-    // registered tag is the broadcast net's per-side proof
-    val freq = graft.operators.Pins.pin(
-      tri.groupBy("tri").agg(count(lit(1)).as("c")), "trigram-freq:charset3")
-    // sum over zero rows is null — an empty corpus (or all texts < 3 chars)
-    // must yield an empty result, not an NPE.
-    val total = Option(freq.agg(sum("c")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // r19: the charset³-bounded table is COLLECTED (one job — the same
+    // driver-sized transfer its broadcast build already paid) instead
+    // of pinned + head()-totaled (two jobs): total is a driver integer
+    // sum (order-free, bit-identical), and the model re-enters the plan
+    // as a LocalRelation, which the broadcast net classifies
+    // structurally (leavesLocal) — the former trigram-freq:charset3 pin
+    // tag retires with the pin.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freqRows = tri.groupBy("tri").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = freqRows.iterator.map(_._2).sum
     if (total == 0L)
       return docs.select(col("doc_id") +: riders.map(col)
         :+ lit(0.0).as("avg_logp"): _*).limit(0)
+    val freq = freqRows.toSeq.toDF("tri", "c")
     tri.join(broadcast(freq), "tri")
       .withColumn("lp", log(col("c").cast("double") / lit(total.toDouble)))
       .groupBy("doc_id", riders: _*)
