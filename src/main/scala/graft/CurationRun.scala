@@ -225,7 +225,10 @@ object CurationRun {
 
   private[graft] def curatedSurvivorsNamed(s: SparkSession, dir: String,
       bandedThreshold: Long): (DataFrame, String) = {
-    val banded = Tables.load(s, dir, "documents").count() > bandedThreshold
+    // footer-metadata corpus count (r19) — no Spark job; the counting
+    // fallback covers filesystems without the stat
+    val banded = Tables.rowCount(s, dir, "documents")
+      .getOrElse(Tables.load(s, dir, "documents").count()) > bandedThreshold
     val verdict =
       if (banded) DedupQueries.q134DedupVerdictStar(s, dir)
       else DedupQueries.q124DedupVerdict(s, dir)

@@ -1212,19 +1212,36 @@ object DedupQueries {
     * registered per query in PlanRegressionSpec (pinBoundAllowed /
     * boundPinSideCounts). */
   private[graft] def containmentVerify(cands: DataFrame, sh: DataFrame): DataFrame = {
+    // r19: back to the q100 MELT shape (r17's), because the pigeonhole
+    // hit threshold collapsed the candidate volume ~100× (sf0.1:
+    // 140,782 → 1,267) — exactly the small-candidate regime where r18's
+    // own A/B measured the melt ahead of the gated-broadcast two-join
+    // (the gate's pin + count jobs outweigh a tiny pair-key regroup).
+    // The member semi-filter stays: the collect_set aggregation builds
+    // arrays only for candidate-member docs (pair-graph-bounded ≪
+    // corpus), and the regroup is a plain AQE-splittable groupBy, so
+    // the shape needs no broadcast and no runtime gate at any scale.
+    // Missing-member pairs (docs with no capped shingles) die here as
+    // before: their melt rows drop at the inner join, leaving sha/shb
+    // null and c null, which the >= 0.9 filter rejects.
     val melted = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    val sets = graft.operators.DedupOps.gateBroadcast(
-      sh.join(melted, Seq("doc_id"), "left_semi")
-        .groupBy("doc_id").agg(collect_set("s").as("sh")))
+    val sets = sh.join(melted, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set("s").as("sh"))
+    val attached = cands
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")),
+          ignoreNulls = true).as("sha"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")),
+          ignoreNulls = true).as("shb"))
     val i = size(array_intersect(col("sha"), col("shb")))
     val na = size(col("sha"))
     val nb = size(col("shb"))
-    cands
-      .join(sets.as("_va"), col("doc_a") === col("_va.doc_id"))
-      .join(sets.as("_vb"), col("doc_b") === col("_vb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        col("_va.sh").as("sha"), col("_vb.sh").as("shb"))
+    attached
       .select(
         when(na <= nb, col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
         when(na <= nb, col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
@@ -1280,12 +1297,16 @@ object DedupQueries {
     // rareFirst: probe with the k globally-RAREST shingles (q118b's
     // order, k-capped) — cold join keys; plain bottom-k (hash order) is
     // the classic unbiased containment sketch. xxhash64, not md5: the
-    // hash only picks WHICH per-doc subset probes, and in both regimes
-    // the choice is output-invariant (k <= 0: lossless by pigeonhole
-    // for ANY subset of the required size, and the exact verify
-    // recomputes C from full sets; k > 0: a different-but-equally-valid
-    // bottom-k family, same estimator), so the cheap codegen'd 64-bit
-    // hash replaces a 128-bit digest in the per-shingle hot path (r18).
+    // hash only picks WHICH per-doc subset probes. In the k <= 0 regime
+    // the choice is output-invariant (lossless by pigeonhole for ANY
+    // subset of the required size; the exact verify recomputes C from
+    // full sets). In the k > 0 regime the bottom-k sketch is LOSSY and
+    // a different hash family selects different per-doc subsets, so
+    // outputs are statistically equivalent but NOT row-identical across
+    // the md5→xxhash64 swap — k > 0 probe baselines (ContainScaleProbe)
+    // from before r18 must be regenerated, not compared. The cheap
+    // codegen'd 64-bit hash replaces a 128-bit digest in the
+    // per-shingle hot path (r18).
     val ord = if (rareFirst) Seq(col("df").asc, col("s").asc)
       else Seq(xxhash64(col("s")).asc, col("s").asc)
     val sketch = sh

@@ -8,15 +8,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Inferred parquet schema per (qualified path, mtime, length) — a
-    * METADATA cache (r18): every `spark.read.parquet(path)` re-reads
-    * footers to infer the schema (~50 ms/call), and query CONSTRUCTION
-    * in the bench loads each table 3+ times. The mtime+length key makes
-    * a rewritten path (probe legs overwrite their corpus dirs) miss the
-    * stale entry, so this caches no query results — the same class of
-    * session metadata cache as Spark's own file-listing cache. */
+  /** One filesystem stat of a table path: qualified path, a VERSION
+    * token, total content bytes, file count. The version token is the
+    * file's mtime for plain files; for directories it folds the MAX
+    * child mtime and the child count in (r19, ADVICE r18: a part file
+    * overwritten in place can leave the directory's own mtime and the
+    * summed length unchanged, so keying on those alone could serve a
+    * stale schema/row count). */
+  private case class Stat(qual: String, ver: Long, len: Long, nFiles: Long)
+
+  /** Inferred parquet schema per path, validated against the current
+    * (version token, length) — a METADATA cache (r18): every
+    * `spark.read.parquet(path)` re-reads footers to infer the schema
+    * (~50 ms/call), and query CONSTRUCTION in the bench loads each
+    * table 3+ times. A rewritten path (probe legs overwrite their
+    * corpus dirs) mismatches and replaces its entry (r19, ADVICE r18:
+    * one entry per path, not one per rewrite), so this caches no query
+    * results — the same class of session metadata cache as Spark's own
+    * file-listing cache. */
   private val schemaCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), org.apache.spark.sql.types.StructType]
+    .empty[String, (Long, Long, org.apache.spark.sql.types.StructType)]
+
+  private def cachedSchema(spark: SparkSession, st: Stat,
+      pathStr: String): org.apache.spark.sql.types.StructType =
+    schemaCache.get(st.qual) match {
+      case Some((v, l, s)) if v == st.ver && l == st.len => s
+      case _ =>
+        val s = spark.read.parquet(pathStr).schema
+        schemaCache.put(st.qual, (st.ver, st.len, s))
+        s
+    }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet has carried TIMESTAMP(NANOS) (rejected by the
@@ -27,10 +48,8 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val pathStr = s"$dir/$name.parquet"
     val df = statOf(spark, pathStr) match {
-      case Some((qual, mtime, len)) =>
-        val schema = schemaCache.getOrElseUpdate((qual, mtime, len),
-          spark.read.parquet(pathStr).schema)
-        spark.read.schema(schema).parquet(pathStr)
+      case Some(st) =>
+        spark.read.schema(cachedSchema(spark, st, pathStr)).parquet(pathStr)
       case None => spark.read.parquet(pathStr) // let Spark raise its error
     }
     if (name == "events") {
@@ -88,11 +107,17 @@ object Tables {
     val target = spark.sparkContext.defaultParallelism
     val conf = spark.sessionState.conf
     val scanParts = statOf(spark, s"$dir/$name.parquet") match {
-      case Some((_, _, len)) =>
+      case Some(st) =>
+        // match Spark's FilePartition math on multi-file dirs (r19,
+        // ADVICE r18): each file is charged openCostInBytes when
+        // bin-packed, and a split never spans files, so the estimate
+        // adds nFiles*openCost and floors at the file count
+        val bytes = st.len + st.nFiles * conf.filesOpenCostInBytes
         val maxSplit = math.min(conf.filesMaxPartitionBytes,
           math.max(conf.filesOpenCostInBytes,
-            (len + conf.filesOpenCostInBytes) / math.max(1, target)))
-        math.max(1L, (len + maxSplit - 1) / math.max(1L, maxSplit))
+            (bytes + conf.filesOpenCostInBytes) / math.max(1, target)))
+        math.max(math.max(1L, st.nFiles),
+          (bytes + maxSplit - 1) / math.max(1L, maxSplit))
       case None => 1L
     }
     if (scanParts < (target + 1) / 2)
@@ -106,52 +131,62 @@ object Tables {
     * stat, no Spark job, no planning pass. None when the path is
     * missing. */
   def byteSize(spark: SparkSession, dir: String, name: String): Option[Long] =
-    statOf(spark, s"$dir/$name.parquet").map(_._3)
+    statOf(spark, s"$dir/$name.parquet").map(_.len)
 
-  /** Exact row count per (qualified path, mtime, length) — footer
-    * METADATA, same cache class as [[schemaCache]]: parquet footers
-    * carry per-row-group counts, so the count needs no Spark job at
-    * all (the dedup verdicts' corpus-size gates each paid a count JOB
-    * for a number the footers already knew — r19). Invalidated by any
-    * rewrite through the mtime+length key; caches no query results. */
+  /** Exact row count per path, validated against (version token,
+    * length) — footer METADATA, same cache class as [[schemaCache]]:
+    * parquet footers carry per-row-group counts, so the count needs no
+    * Spark job at all (the dedup verdicts' corpus-size gates each paid
+    * a count JOB for a number the footers already knew — r19). Any
+    * rewrite mismatches and replaces the entry; caches no query
+    * results. */
   private val rowCountCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Long]
+    .empty[String, (Long, Long, Long)]
 
   def rowCount(spark: SparkSession, dir: String, name: String): Option[Long] =
-    statOf(spark, s"$dir/$name.parquet").map { case key @ (_, _, _) =>
-      rowCountCache.getOrElseUpdate(key, {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-        val fs = p.getFileSystem(conf)
-        val st = fs.getFileStatus(p)
-        val files =
-          if (st.isDirectory)
-            fs.listStatus(p).toSeq.filter(f => f.isFile &&
-              f.getPath.getName.endsWith(".parquet"))
-          else Seq(st)
-        files.iterator.map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(f, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }.sum
-      })
+    statOf(spark, s"$dir/$name.parquet").map { st =>
+      rowCountCache.get(st.qual) match {
+        case Some((v, l, n)) if v == st.ver && l == st.len => n
+        case _ =>
+          val conf = spark.sparkContext.hadoopConfiguration
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+          val fs = p.getFileSystem(conf)
+          val root = fs.getFileStatus(p)
+          val files =
+            if (root.isDirectory)
+              fs.listStatus(p).toSeq.filter(f => f.isFile &&
+                f.getPath.getName.endsWith(".parquet"))
+            else Seq(root)
+          val n = files.iterator.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+          rowCountCache.put(st.qual, (st.ver, st.len, n))
+          n
+      }
     }
 
-  /** (qualified path, mtime, total length) of a table path — one
-    * filesystem stat; None when the path does not exist. Directories
-    * (multi-file tables) report the summed content length so the
-    * [[loadP]] split estimate and the schema-cache key both see real
-    * bytes. */
-  private def statOf(spark: SparkSession,
-      pathStr: String): Option[(String, Long, Long)] = {
+  /** [[Stat]] of a table path — one filesystem stat (plus one
+    * listStatus for directories); None when the path does not exist.
+    * Directories report the summed content length so the [[loadP]]
+    * split estimate and the cache validators see real bytes, and the
+    * version token folds child mtimes + count so an in-place part-file
+    * rewrite invalidates even when the dir's own mtime is unchanged. */
+  private def statOf(spark: SparkSession, pathStr: String): Option[Stat] = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val st = fs.getFileStatus(p)
-      val len = if (st.isDirectory) fs.getContentSummary(p).getLength
-        else st.getLen
-      Some((fs.makeQualified(p).toString, st.getModificationTime, len))
+      val qual = fs.makeQualified(p).toString
+      if (st.isDirectory) {
+        val children = fs.listStatus(p).toSeq.filter(_.isFile)
+        val len = children.iterator.map(_.getLen).sum
+        val ver = children.iterator.map(_.getModificationTime)
+          .foldLeft(st.getModificationTime)(math.max) * 31 + children.size
+        Some(Stat(qual, ver, len, math.max(1L, children.size.toLong)))
+      } else Some(Stat(qual, st.getModificationTime, st.getLen, 1L))
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
