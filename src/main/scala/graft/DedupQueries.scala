@@ -192,10 +192,12 @@ object DedupQueries {
     // as [[shingleCounts]]): countsFrom then needs NO doc_id window, so
     // the verdict family's jaccard side drops a corpus exchange + sort.
     // r19: the exploded frame is no longer pinned — attachDf's df pass
-    // hangs both its consumers off one bytes-estimated shingle-key
-    // exchange (kernel once, no scaffolding pin job, no count job, no
-    // release bookkeeping); the one materialization left is the base
-    // pin below, whose localCheckpoint now contains the text scan.
+    // shares the scan with the probe side through one bytes-estimated
+    // exchange pipeline (corpus read once via ReusedExchange; the
+    // row-local kernel runs once per branch — attachDfP's documented
+    // trade), with no scaffolding pin job, no count job, no release
+    // bookkeeping; the one materialization left is the base pin below,
+    // whose localCheckpoint now contains the text scan.
     val ex = t(s, dir, "documents")
       .select(col("doc_id"),
         array_distinct(gf.shingles(col("text"), N)).as("arr"))
@@ -218,10 +220,14 @@ object DedupQueries {
     attachDfP(partitionByShingle(ex, estRows), ex.columns.toSeq, cap)
 
   /** Hash-partition an exploded shingle frame on the shingle key at a
-    * build-safe partition count — the ONE exchange every consumer of
-    * the frame hangs off (ReuseExchange): the shingle kernel runs once,
-    * in this exchange's map stage, with no checkpoint pin and (when
-    * `estRows` is given) no count job.
+    * build-safe partition count — the ONE exchange identical consumers
+    * hang off (ReuseExchange), with no checkpoint pin and (when
+    * `estRows` is given) no count job. Same-projection consumers (the
+    * q22/q91 self-join sides) reuse the WHOLE exchange — scan and
+    * kernel run once (verified in the final adaptive plan). Consumers
+    * column pruning narrows (attachDf's df aggregate reads [s] alone)
+    * reuse the scan-side exchange below the kernel instead — the
+    * corpus is still read once; see [[attachDfP]] for that trade.
     *
     * The partition count scales with the exploded row count (~1.5M
     * rows/partition — 10M-doc probe: 32 session partitions put an ~8M-
@@ -266,6 +272,20 @@ object DedupQueries {
     // of hash lookups (capped configs: all misses — the key isn't in
     // the build), never the window's single-task sort-and-buffer of
     // the whole hot partition.
+    // What the final adaptive plan ACTUALLY reuses here (verified —
+    // plans/r19/seamcapped_after.txt): the scan-side exchange below the
+    // kernel is shared by both branches (ReusedExchange — the corpus is
+    // READ once), while column pruning narrows the aggregate branch's
+    // s-exchange to [s] alone, so the row-local shingle kernel runs
+    // once per branch above the shared read. That is the deliberate
+    // r19 trade against the old scaffolding pin: one kernel pass and
+    // the [s]-only shuffle bought the pin's materialization job, its
+    // write+read round trip, and its block-manager residency (the 10M
+    // probes' recurring OOM source) — measured ahead at sf0.1, and the
+    // scan I/O, not the kernel, is the scale-dominant term. (Forcing
+    // branch unification by referencing probe columns in the count is
+    // self-defeating: any provably non-null reference is rewritten
+    // back to count(1) and pruned.)
     val dfAgg = exP.groupBy("s").agg(count(lit(1)).as("df"))
     val kept = cap.fold(dfAgg)(c => dfAgg.filter(col("df") <= c))
     // preserve any rider columns of ex (shingleBase's row-local n)
@@ -1001,14 +1021,16 @@ object DedupQueries {
   }
 
   /** [[containmentShinglesParts]]'s r19 pin-free twin for dir-backed
-    * corpora: the df pass and every consumer hang off ONE
-    * bytes-estimated shingle-key exchange ([[partitionByShingle]] —
-    * kernel once via ReuseExchange), so the scaffolding checkpoint, its
-    * count job, and its release all disappear; the caller's RESULT pin
-    * is the only materialization (3 jobs → 1 per containment query).
-    * Same plan constraints as the legacy path (window-free df pass —
-    * ShinglePlanSpec; per-doc n window only). */
-  private def cappedShinglesOf(docs: DataFrame,
+    * corpora: the df pass and the probe side share the scan through
+    * ONE bytes-estimated exchange pipeline ([[partitionByShingle]] /
+    * [[attachDfP]] — the corpus is read once via ReusedExchange; the
+    * row-local kernel runs once per branch, the documented trade), so
+    * the scaffolding checkpoint, its count job, and its release all
+    * disappear; the caller's RESULT pin is the only materialization
+    * (3 jobs → 1 per containment query). Same plan constraints as the
+    * legacy path (window-free df pass — ShinglePlanSpec; per-doc n
+    * window only). */
+  private[graft] def cappedShinglesOf(docs: DataFrame,
       estRows: Option[Long]): DataFrame = {
     val ex = docs.select(col("doc_id"),
       explode(array_distinct(gf.shingles(col("text"), N))).as("s"))

@@ -244,6 +244,69 @@ object OptProbe {
       spark.stop(); return
     }
 
+    // r19: POST-EXECUTION final adaptive plan of the pin-free shingle
+    // seam — the ReusedExchange evidence an initial-plan dump cannot
+    // show (AQE dedupes identical exchange stages at runtime via the
+    // stage cache).
+    if (keys.headOption.contains("seam:final")) {
+      val df = DedupQueries.cappedShinglesOf(
+        Tables.loadP(spark, dir, "documents"),
+        Tables.byteSize(spark, dir, "documents").map(b => math.max(1L, b / 2)))
+      // execute THIS Dataset's own QueryExecution so the printed
+      // adaptive plan is the final one (a write/count would spawn a
+      // fresh unexecuted QueryExecution)
+      df.queryExecution.toRdd.foreach(_ => ())
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
+
+    // r19 diagnostic: are the q22 self-join's two shuffle subtrees
+    // CANONICALLY equal (the precondition for AQE stage reuse)?
+    if (keys.headOption.contains("canon")) {
+      import org.apache.spark.sql.functions._
+      // non-AQE plan: exchanges are visible and the static ReuseExchange
+      // rule applies, so a working reuse shows up as ReusedExchangeExec
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val sh = Tables.loadP(spark, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(gf.shingles(col("text"), DedupQueries.N)).as("arr"))
+        .select(col("doc_id"), explode(col("arr")).as("s"),
+          size(col("arr")).cast("long").as("n"))
+        .repartition(32, col("s"))
+      val j = sh.as("a").hint("merge").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      val exs = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val reused = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => e
+      }
+      println(s"[canon] exchanges=${exs.length} reused=${reused.length}")
+      if (exs.length >= 2) {
+        println(s"[canon] equal=${exs(0).canonicalized == exs(1).canonicalized}")
+        if (exs(0).canonicalized != exs(1).canonicalized) {
+          val l = exs(0).canonicalized.toString.linesIterator.toSeq
+          val r = exs(1).canonicalized.toString.linesIterator.toSeq
+          l.zipAll(r, "<none>", "<none>").filter(p => p._1 != p._2).take(6)
+            .foreach { case (a, b) =>
+              println(s"[canon] L: ${a.take(200)}")
+              println(s"[canon] R: ${b.take(200)}")
+            }
+        }
+      }
+      spark.stop(); return
+    }
+
+    // r19: POST-EXECUTION final adaptive plan of a registry query —
+    // runtime ReusedExchange evidence for any key: final:<qkey>
+    keys.headOption.filter(_.startsWith("final:")).foreach { k =>
+      val df = SparkEntry.queries(k.stripPrefix("final:"))(spark, dir)
+      // same-QueryExecution action (see seam:final)
+      df.queryExecution.toRdd.foreach(_ => ())
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
+
     // r19 interleaved A/B of the q22 shingle-pipeline shapes, one JVM:
     //  OLD  = r18 registered (explode -> pin -> planner SMJ self-join)
     //  NEW  = r19 registered (bytes-estimated repartition, merge-hinted

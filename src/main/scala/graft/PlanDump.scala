@@ -22,7 +22,16 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     keys.foreach { key =>
-      val df = SparkEntry.queries(key)(spark, dir)
+      // seam keys dump a pinned pipeline's PRE-PIN subplan — the plan a
+      // final-plan dump hides behind `Scan ExistingRDD` (r19, the
+      // optimization rounds' evidence surface; everything else uses the
+      // public registry)
+      val df = key match {
+        case "seamcapped" => DedupQueries.cappedShinglesOf(
+          Tables.loadP(spark, dir, "documents"),
+          Tables.byteSize(spark, dir, "documents").map(b => math.max(1L, b / 2)))
+        case _ => SparkEntry.queries(key)(spark, dir)
+      }
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       java.nio.file.Files.write(
